@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship KG-construction pipeline end-to-end on
+sf0.001; ``queries``/``oracle_sql`` expose every implemented operator
+from SURVEY.md §2 with DuckDB oracles (see dstlr_spark/queries/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline (derive transcripts → assemble → extract
+    → link → facts → triple bag) on /root/testdata/sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.operators.extract import extract_triples_native
+    from dstlr_spark.operators.linking import link_mentions
+    from dstlr_spark.operators.assembly import assemble_documents
+    from dstlr_spark.queries.doc_kg import (
+        COOCCUR_WINDOW,
+        _aliases,
+        _doc_fact_triples,
+        _gazetteer,
+    )
+    from dstlr_spark.sources.transcripts import derive_transcripts
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    # transcripts → documents (stable-order reassembly), then extraction
+    assembled = assemble_documents(derive_transcripts(docs))
+    triples = extract_triples_native(
+        assembled, _gazetteer(spark), COOCCUR_WINDOW, sent_threshold=10_000
+    )
+    bag = triples.unionByName(link_mentions(triples, _aliases(spark))).unionByName(
+        _doc_fact_triples(spark)
+    )
+    return bag
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dstlr_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dstlr_spark.queries import all_oracles
+
+    return all_oracles()

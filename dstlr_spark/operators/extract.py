@@ -1,0 +1,393 @@
+"""Triple extraction: documents → TripleRow bag (SURVEY.md §2.3 X1-X10).
+
+The reference's heart is one ``mapPartitions → map → flatMap`` over a
+per-JVM CoreNLP pipeline (ExtractTriples.scala:67-134). We split the
+concern in two:
+
+1. :func:`extract_triples_native` — a **pure DataFrame** annotator for
+   token-level gazetteer extraction: tokenize-with-offsets, broadcast
+   gazetteer join, windowed co-occurrence relations. 100% Catalyst
+   visible (pushdown, codegen, AQE); this is the 100 TB scale path and
+   the oracle-checkable path.
+
+2. :func:`extract_triples_pattern` — an Arrow-batched ``mapInPandas``
+   annotator reproducing the reference's CoreNLP *semantics* on its
+   embedded smoke corpus (ExtractTriples.scala:162): multi-token
+   phrase mentions, SUTime-style date normalization (meta.normalized,
+   :209-211), KBP relation patterns with the both-endpoints-are-known-
+   mentions gate (:111), per-doc failure isolation (:88,117-119). In
+   production the annotator body is swapped for a real model; the
+   Spark plumbing (batch shape, schema, failure isolation, per-worker
+   singleton) is identical.
+
+Shared semantics (both modes):
+- filters F1/F2 happen in assembly; F3 (drop whole doc when any
+  sentence exceeds the token threshold, ExtractTriples.scala:66,
+  default 128, package.scala:31) happens here — it changes output and
+  is part of reference parity.
+- mention identity: one id per distinct lemma key per document
+  (X5) — content-addressed ``md5(doc ‖ key)`` instead of the
+  reference's nondeterministic ``UUID.randomUUID``.
+- every mention occurrence emits a MENTIONS row; LINKS_TO rows are
+  produced by the linking operator (broadcast alias join — the
+  in-annotator Wikidict lookup has no local model).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dstlr_spark.functions.text import (
+    PUNCT_RE,
+    lemma_key,
+    max_sentence_tokens,
+    stable_mention_id,
+)
+from dstlr_spark.schemas import TRIPLE_DDL
+
+DEFAULT_SENT_THRESHOLD = 128  # package.scala:31
+
+
+def apply_sentence_guard(documents: DataFrame, threshold: int = DEFAULT_SENT_THRESHOLD) -> DataFrame:
+    """F3: drop the WHOLE document if any sentence exceeds ``threshold``
+    tokens (ExtractTriples.scala:66) — a cost guard against superlinear
+    parser blowup that intentionally changes output."""
+    return documents.where(max_sentence_tokens("contents") <= threshold)
+
+
+# --------------------------------------------------------------------------
+# Native mode: token gazetteer, pure DataFrame
+# --------------------------------------------------------------------------
+
+def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
+    """Explode ``contents`` into (doc_id, pos, token, begin, end).
+
+    Offsets are char positions in the original text assuming
+    single-space joins (our assembled documents guarantee this).
+    ``begin`` is computed with a per-doc running sum window — the window
+    partitions on doc_id which is already the data's natural key, so at
+    scale this is one shuffle shared with downstream per-doc work.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("contents"), " ")).alias("pos", "token"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "begin",
+            F.coalesce(F.sum(F.length("token") + 1).over(w), F.lit(0)).cast("int"),
+        )
+        .withColumn("end", (F.col("begin") + F.length("token")).cast("int"))
+    )
+
+
+def extract_mentions_native(documents: DataFrame, gazetteer: DataFrame) -> DataFrame:
+    """Token-level mention detection (X3): broadcast gazetteer equi-join.
+
+    ``gazetteer(term, entity_class)`` is a small dim → broadcast, no
+    shuffle of the token stream beyond the tokenize window.
+    Returns (doc_id, mention_id, entity_class, span, begin, end, pos, key).
+    """
+    toks = tokenize_with_offsets(documents).withColumn(
+        "key", F.regexp_replace(F.col("token"), PUNCT_RE, "")
+    )
+    return (
+        toks.join(F.broadcast(gazetteer), toks["key"] == gazetteer["term"], "inner")
+        .select(
+            "doc_id",
+            stable_mention_id("doc_id", "key").alias("mention_id"),
+            "entity_class",
+            F.col("key").alias("span"),
+            "begin",
+            "end",
+            "pos",
+            "key",
+        )
+    )
+
+
+def extract_triples_native(
+    documents: DataFrame,
+    gazetteer: DataFrame,
+    cooccur_window: int = 8,
+    sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+) -> DataFrame:
+    """Full native extraction → reference-shape TripleRow bag.
+
+    Relations are windowed co-occurrences: two mentions in the same doc
+    within ``cooccur_window`` tokens, left-to-right, yield
+    ``COOCCURS_<CLASS1>_<CLASS2>`` with confidence ``1/(1+distance)``.
+    The both-endpoints-must-be-mentions gate (X8,
+    ExtractTriples.scala:111) holds by construction — the self-join is
+    over the mention frame itself.
+    """
+    docs = apply_sentence_guard(documents, sent_threshold)
+    m = extract_mentions_native(docs, gazetteer)
+
+    mentions = m.select(
+        "doc_id",
+        F.lit("Document").alias("subjectType"),
+        F.col("doc_id").alias("subjectValue"),
+        F.lit("MENTIONS").alias("relation"),
+        F.lit("Mention").alias("objectType"),
+        F.col("mention_id").alias("objectValue"),
+        F.struct(
+            F.col("entity_class"),
+            F.col("span"),
+            F.col("begin"),
+            F.col("end"),
+            F.lit(None).cast("string").alias("normalized"),
+            F.lit(None).cast("double").alias("confidence"),
+        ).alias("meta"),
+    ).withColumnRenamed("doc_id", "doc")
+
+    a = m.alias("a")
+    b = m.alias("b")
+    rels = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") > F.col("a.pos"))
+            & (F.col("b.pos") <= F.col("a.pos") + cooccur_window)
+            & (F.col("a.key") != F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc"),
+            F.lit("Mention").alias("subjectType"),
+            F.col("a.mention_id").alias("subjectValue"),
+            F.concat_ws(
+                "_", F.lit("COOCCURS"), F.col("a.entity_class"), F.col("b.entity_class")
+            ).alias("relation"),
+            F.lit("Mention").alias("objectType"),
+            F.col("b.mention_id").alias("objectValue"),
+            F.struct(
+                F.lit(None).cast("string").alias("entity_class"),
+                F.lit(None).cast("string").alias("span"),
+                F.lit(None).cast("int").alias("begin"),
+                F.lit(None).cast("int").alias("end"),
+                F.lit(None).cast("string").alias("normalized"),
+                (F.lit(1.0) / (F.lit(1.0) + F.col("b.pos") - F.col("a.pos"))).alias(
+                    "confidence"
+                ),
+            ).alias("meta"),
+        )
+    )
+    return mentions.unionByName(rels)
+
+
+# --------------------------------------------------------------------------
+# Pattern mode: mapInPandas annotator (reference CoreNLP semantics)
+# --------------------------------------------------------------------------
+
+# Gazetteer of multi-token phrases → entity class, longest-first so
+# "Good Technology" wins over a hypothetical "Good" (CoreNLP's greedy
+# mention chunking analog).
+PATTERN_GAZETTEER: list[tuple[str, str]] = [
+    ("International Arctic Research Center", "ORGANIZATION"),
+    ("Good Technology", "ORGANIZATION"),
+    ("Barack Obama", "PERSON"),
+    ("Isetan", "ORGANIZATION"),
+    ("Apple", "ORGANIZATION"),
+    ("Cupertino", "CITY"),
+    ("Sunnyvale", "CITY"),
+    ("Fairbanks", "CITY"),
+    ("Alaska", "STATE_OR_PROVINCE"),
+    ("Paris", "CITY"),
+    ("Tokyo", "CITY"),
+]
+
+_MONTHS = {
+    "January": 1, "February": 2, "March": 3, "April": 4, "May": 5, "June": 6,
+    "July": 7, "August": 8, "September": 9, "October": 10, "November": 11,
+    "December": 12,
+}
+_DATE_RE = re.compile(
+    r"\b(" + "|".join(_MONTHS) + r") (\d{1,2})(?:st|nd|rd|th)?, (\d{4})\b"
+)
+_SENT_SPLIT_RE = re.compile(r"(?<=[.?!])\s+")
+
+# KBP-style relation patterns: (subject class, cue regex, object class,
+# relation name). Mirrors the reference's KBP extractor outputs on the
+# smoke corpus (demo.md:12-57); names already in normalized form (C4).
+RELATION_PATTERNS: list[tuple[str, str, str, str]] = [
+    ("ORGANIZATION", r"\bbased in\b", "CITY", "ORG_CITY_OF_HEADQUARTERS"),
+    ("ORGANIZATION", r"\blocated in\b", "CITY", "ORG_CITY_OF_HEADQUARTERS"),
+    ("ORGANIZATION", r"\bbased in\b", "STATE_OR_PROVINCE", "ORG_STATEORPROVINCE_OF_HEADQUARTERS"),
+    ("ORGANIZATION", r"\blocated in\b", "STATE_OR_PROVINCE", "ORG_STATEORPROVINCE_OF_HEADQUARTERS"),
+    ("PERSON", r"\bwas born on\b", "DATE", "PER_DATE_OF_BIRTH"),
+    ("PERSON", r"\bborn in\b", "CITY", "PER_CITY_OF_BIRTH"),
+]
+
+
+def _lemma_key_py(text: str) -> str:
+    """Python twin of functions.text.lemma_key (kept in lockstep by tests)."""
+    toks = [re.sub(PUNCT_RE, "", t) for t in re.split(r"\s+", text)]
+    return " ".join(t for t in toks if t)
+
+
+def _stable_id_py(doc: str, key: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{doc}\x1f{key}".encode()).hexdigest()
+
+
+class PatternAnnotator:
+    """Deterministic stand-in for the reference's CoreNLP pipeline (X1).
+
+    Instantiated lazily once per Python worker (module-global singleton
+    — the analog of the reference's ``@transient lazy val`` per-JVM
+    pipeline, ExtractTriples.scala:21-28). A production deployment
+    replaces ``annotate`` with a model-backed implementation; everything
+    around it stays.
+    """
+
+    def __init__(self) -> None:
+        alt = "|".join(re.escape(p) for p, _ in PATTERN_GAZETTEER)
+        self._gaz_re = re.compile(r"\b(" + alt + r")\b")
+        self._classes = dict(PATTERN_GAZETTEER)
+        self._rel_patterns = [
+            (sc, re.compile(cue), oc, rel) for sc, cue, oc, rel in RELATION_PATTERNS
+        ]
+
+    def annotate(self, doc_id: str, contents: str) -> list[dict]:
+        """One document → list of TripleRow dicts (X2-X9)."""
+        triples: list[dict] = []
+        uuids: dict[str, str] = {}  # lemma key → id, per doc (X5)
+
+        # --- mention pass (X3-X6): gazetteer phrases + SUTime-ish dates
+        mentions = []  # (key, class, span, begin, end, normalized)
+        for mt in self._gaz_re.finditer(contents):
+            span = mt.group(1)
+            key = _lemma_key_py(span)
+            mentions.append((key, self._classes[span], span, mt.start(1), mt.end(1), None))
+        for dm in _DATE_RE.finditer(contents):
+            month, day, year = dm.group(1), int(dm.group(2)), int(dm.group(3))
+            normalized = f"{year:04d}-{_MONTHS[month]:02d}-{day:02d}"
+            key = _lemma_key_py(dm.group(0))
+            mentions.append((key, "DATE", dm.group(0), dm.start(), dm.end(), normalized))
+
+        for key, cls, span, begin, end, normalized in mentions:
+            mid = uuids.setdefault(key, _stable_id_py(doc_id, key))
+            triples.append(
+                dict(
+                    doc=doc_id, subjectType="Document", subjectValue=doc_id,
+                    relation="MENTIONS", objectType="Mention", objectValue=mid,
+                    meta=dict(entity_class=cls, span=span, begin=begin, end=end,
+                              normalized=normalized, confidence=None),
+                )
+            )
+
+        # --- relation pass (X8): per sentence, cue between a subject-class
+        # mention and an object-class mention; both endpoints must already
+        # carry mention ids (gate, ExtractTriples.scala:111).
+        offset = 0
+        for sent in _SENT_SPLIT_RE.split(contents):
+            s_lo, s_hi = offset, offset + len(sent)
+            offset = s_hi + 1
+            in_sent = [m for m in mentions if m[3] >= s_lo and m[4] <= s_hi]
+            for s_cls, cue_re, o_cls, rel in self._rel_patterns:
+                cue = cue_re.search(sent)
+                if not cue:
+                    continue
+                cue_lo = s_lo + cue.start()
+                cue_hi = s_lo + cue.end()
+                subs = [m for m in in_sent if m[1] == s_cls and m[4] <= cue_lo]
+                objs = [m for m in in_sent if m[1] == o_cls and m[3] >= cue_hi]
+                for sm in subs:
+                    for om in objs:
+                        if sm[0] not in uuids or om[0] not in uuids:
+                            continue  # gate
+                        conf = 1.0
+                        triples.append(
+                            dict(
+                                doc=doc_id, subjectType="Mention",
+                                subjectValue=uuids[sm[0]], relation=rel,
+                                objectType="Mention", objectValue=uuids[om[0]],
+                                meta=dict(entity_class=None, span=None, begin=None,
+                                          end=None, normalized=None, confidence=conf),
+                            )
+                        )
+        return triples
+
+
+_ANNOTATOR: PatternAnnotator | None = None
+
+
+def _get_annotator() -> PatternAnnotator:
+    global _ANNOTATOR
+    if _ANNOTATOR is None:
+        _ANNOTATOR = PatternAnnotator()
+    return _ANNOTATOR
+
+
+_EMPTY_BATCH = {
+    "doc": pd.Series(dtype="object"),
+    "subjectType": pd.Series(dtype="object"),
+    "subjectValue": pd.Series(dtype="object"),
+    "relation": pd.Series(dtype="object"),
+    "objectType": pd.Series(dtype="object"),
+    "objectValue": pd.Series(dtype="object"),
+    "meta": pd.Series(dtype="object"),
+}
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: document batches in, triple batches out (X9 fan-out).
+
+    Per-document try/except mirrors the reference's failure isolation
+    (ExtractTriples.scala:88,117-119): a failing document contributes 0
+    triples and never kills the job.
+    """
+    annotator = _get_annotator()
+    for pdf in batches:
+        out: list[dict] = []
+        for doc_id, contents in zip(pdf["doc_id"], pdf["contents"]):
+            try:
+                out.extend(annotator.annotate(doc_id, contents))
+            except Exception:
+                continue  # quarantine path: counted via observe upstream
+        yield pd.DataFrame(out) if out else pd.DataFrame(_EMPTY_BATCH)
+
+
+def extract_triples_pattern(
+    documents: DataFrame, sent_threshold: int = DEFAULT_SENT_THRESHOLD
+) -> DataFrame:
+    """Pattern-annotator extraction (reference semantics) → TripleRow bag."""
+    docs = apply_sentence_guard(documents, sent_threshold)
+    return docs.select("doc_id", "contents").mapInPandas(_extract_batches, TRIPLE_DDL)
+
+
+def with_meta_map(triples: DataFrame) -> DataFrame:
+    """Reference-shape compatibility view: typed meta struct →
+    ``map<string,string>`` exactly as the reference stores it
+    (package.scala:11; stringified ints/doubles, SURVEY.md §1.5)."""
+    m = F.col("meta")
+    entries = [
+        ("class", m["entity_class"]),
+        ("span", m["span"]),
+        ("begin", m["begin"].cast("string")),
+        ("end", m["end"].cast("string")),
+        ("normalized", m["normalized"]),
+        ("confidence", m["confidence"].cast("string")),
+    ]
+    pairs = F.array(
+        *[
+            F.when(v.isNotNull(), F.struct(F.lit(k).alias("key"), v.alias("value")))
+            for k, v in entries
+        ]
+    )
+    return triples.withColumn(
+        "meta_map",
+        F.map_from_entries(F.filter(pairs, lambda e: e.isNotNull())),
+    )

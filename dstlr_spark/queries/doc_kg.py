@@ -1,0 +1,337 @@
+"""KG-construction queries over the driver's ``documents`` corpus.
+
+The driver's testdata documents are space-separated word streams — the
+natural fit for the engine's *native* (pure-DataFrame) annotator
+(SURVEY.md §2.3): token gazetteer mentions, windowed co-occurrence
+relations, broadcast alias linking, clean-query join chains.
+
+Every query here has a DuckDB oracle generated from the SAME constants
+(gazetteer / alias / fact fixtures below), so Spark result and oracle
+are two independent implementations of one spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstlr_spark.operators.assembly import assemble_documents
+from dstlr_spark.operators.clean import (
+    inconsistent_information,
+    missing_information,
+    supporting_information,
+)
+from dstlr_spark.operators.extract import (
+    extract_mentions_native,
+    extract_triples_native,
+)
+from dstlr_spark.operators.graph import materialize_graph
+from dstlr_spark.operators.linking import link_mentions
+from dstlr_spark.queries.sqlgen import values_cte
+from dstlr_spark.sources.transcripts import derive_transcripts
+
+COOCCUR_WINDOW = 8
+
+# --- shared spec constants (drive BOTH the Spark plan and the oracle) -----
+DOC_GAZETTEER: list[tuple[str, str]] = [
+    ("spark", "SYSTEM"),
+    ("join", "OPERATOR"),
+    ("scan", "OPERATOR"),
+    ("sort", "OPERATOR"),
+    ("merge", "OPERATOR"),
+    ("filter", "OPERATOR"),
+    ("table", "OBJECT"),
+    ("customer", "OBJECT"),
+    ("query", "OBJECT"),
+    ("window", "OBJECT"),
+]
+
+DOC_ALIASES: list[tuple[str, str, float]] = [
+    ("spark", "E-spark", 0.9),
+    ("spark", "E-spark-film", 0.1),  # ambiguity → arg-max scoring path
+    ("join", "E-join", 0.9),
+    ("scan", "E-scan", 0.9),
+    ("sort", "E-sort", 0.8),
+    ("merge", "E-merge", 0.8),
+    ("filter", "E-filter", 0.8),
+    ("table", "E-table", 0.7),
+    ("table", "E-table-furniture", 0.3),
+    ("customer", "E-customer", 0.9),
+    # "query" and "window" deliberately missing → null-link path (X7)
+]
+
+DOC_FACTS: list[tuple[str, str, str]] = [
+    ("E-spark", "COOCCURS_SYSTEM_OPERATOR", "join"),
+    ("E-spark", "COOCCURS_SYSTEM_OBJECT", "table"),
+    ("E-customer", "COOCCURS_OBJECT_OPERATOR", "scan"),
+    ("E-table", "COOCCURS_OBJECT_OPERATOR", "sort"),
+    ("E-join", "COOCCURS_OPERATOR_OBJECT", "window"),
+]
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text").alias("contents"),
+    )
+
+
+def _gazetteer(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DOC_GAZETTEER, "term string, entity_class string")
+
+
+def _aliases(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        DOC_ALIASES, "alias string, entity_id string, prior double"
+    )
+
+
+def _doc_fact_triples(spark: SparkSession) -> DataFrame:
+    """DOC_FACTS → reference-shape ground-truth Fact triples."""
+    rows = [("ground-truth", "Entity", e, r, "Fact", v) for e, r, v in DOC_FACTS]
+    df = spark.createDataFrame(
+        rows,
+        "doc string, subjectType string, subjectValue string, relation string, "
+        "objectType string, objectValue string",
+    )
+    return df.withColumn(
+        "meta",
+        F.lit(None).cast(
+            "struct<entity_class:string,span:string,begin:int,end:int,"
+            "normalized:string,confidence:double>"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side queries
+# --------------------------------------------------------------------------
+
+def q_assembly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → derived transcripts → reassembled documents.
+
+    The oracle is the identity — proving stable-order reassembly restores
+    per-turn text exactly (the driver's per-row invariant)."""
+    docs = _documents(spark, sf_dir).withColumnRenamed("contents", "text")
+    rebuilt = assemble_documents(derive_transcripts(docs))
+    return rebuilt.select(F.col("doc_id"), F.col("contents").alias("text"))
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions_native(_documents(spark, sf_dir), _gazetteer(spark))
+    return m.select(
+        F.col("doc_id").alias("doc"),
+        "mention_id",
+        "entity_class",
+        "span",
+        F.col("begin").alias("begin_ofs"),
+        F.col("end").alias("end_ofs"),
+    )
+
+
+def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = extract_triples_native(
+        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW,
+        sent_threshold=10_000,  # corpus has no sentence structure; guard off
+    )
+    return t.where(F.col("relation").startswith("COOCCURS")).select(
+        F.col("doc"),
+        F.col("subjectValue").alias("subject_mention_id"),
+        F.col("relation"),
+        F.col("objectValue").alias("object_mention_id"),
+        F.col("meta")["confidence"].alias("confidence"),
+    )
+
+
+def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = extract_triples_native(
+        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW, 10_000
+    )
+    links = link_mentions(t, _aliases(spark))
+    return links.select(
+        "doc",
+        F.col("subjectValue").alias("mention_id"),
+        F.col("objectValue").alias("entity_id"),
+    )
+
+
+def q_triples_by_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate shape check of the full triple bag."""
+    t = extract_triples_native(
+        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW, 10_000
+    )
+    bag = t.unionByName(link_mentions(t, _aliases(spark))).unionByName(
+        _doc_fact_triples(spark)
+    )
+    return bag.groupBy("relation").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    t = extract_triples_native(
+        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW, 10_000
+    )
+    bag = t.unionByName(link_mentions(t, _aliases(spark))).unionByName(
+        _doc_fact_triples(spark)
+    )
+    return materialize_graph(bag)
+
+
+_CLEAN_COLS = [
+    F.col("doc_id"),
+    F.col("subject_mention_id"),
+    F.col("type").alias("relation"),
+    F.col("object_mention_id"),
+    F.col("object_span"),
+    F.col("entity_id"),
+    F.col("fact_value"),
+    F.col("confidence"),
+]
+
+
+def q_supporting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return supporting_information(_graph(spark, sf_dir)).select(*_CLEAN_COLS)
+
+
+def q_inconsistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inconsistent_information(_graph(spark, sf_dir)).select(*_CLEAN_COLS)
+
+
+def q_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return missing_information(_graph(spark, sf_dir)).select(*_CLEAN_COLS)
+
+
+def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity mention statistics over the linked graph (A4 analog)."""
+    g = _graph(spark, sf_dir)
+    men = g["mentions_edges"].select("doc_id", "mention_id")
+    links = g["links_to"]
+    return (
+        men.join(links, "mention_id", "inner")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles — generated from the same constants
+# --------------------------------------------------------------------------
+
+_PUNCT_SQL = "[.?,:;'\"!]"  # single-quote doubling handled in f-string below
+
+
+def _base_ctes() -> str:
+    """Shared CTE chain: tokens+offsets → mentions → relations → links."""
+    punct = "[.?,:;''\"!]"  # '' = escaped quote inside SQL string literal
+    return f"""
+toks0 AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc,
+           unnest(string_split(text, ' ')) AS token,
+           unnest(range(len(string_split(text, ' ')))) AS pos
+    FROM documents),
+toks AS (
+    SELECT doc, token, pos,
+           regexp_replace(token, '{punct}', '', 'g') AS key,
+           CAST(COALESCE(SUM(length(token) + 1) OVER (
+               PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+               AS begin_ofs
+    FROM toks0),
+{values_cte("gaz", ["term", "entity_class"], DOC_GAZETTEER)},
+mentions AS (
+    SELECT doc,
+           md5(doc || chr(31) || key) AS mention_id,
+           entity_class,
+           key AS span,
+           begin_ofs,
+           CAST(begin_ofs + length(token) AS INT) AS end_ofs,
+           pos, key
+    FROM toks JOIN gaz ON toks.key = gaz.term),
+rels AS (
+    SELECT a.doc AS doc,
+           a.mention_id AS subject_mention_id,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           b.mention_id AS object_mention_id,
+           CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + b.pos - a.pos) AS confidence
+    FROM mentions a JOIN mentions b
+      ON a.doc = b.doc AND b.pos > a.pos AND b.pos <= a.pos + {COOCCUR_WINDOW}
+     AND a.key <> b.key),
+dmen AS (SELECT DISTINCT doc, mention_id, span FROM mentions),
+{values_cte("alias_d", ["alias", "entity_id", "prior"], DOC_ALIASES)},
+links AS (
+    SELECT doc, mention_id, entity_id FROM (
+        SELECT d.doc, d.mention_id, a.entity_id,
+               ROW_NUMBER() OVER (PARTITION BY d.doc, d.mention_id
+                                  ORDER BY a.prior DESC, a.entity_id ASC) AS rn
+        FROM dmen d LEFT JOIN alias_d a ON d.span = a.alias) z
+    WHERE rn = 1),
+{values_cte("fact_edges", ["entity_id", "relation", "value"], DOC_FACTS)}
+"""
+
+
+def _clean_sql(predicate: str, fact_join: str) -> str:
+    return f"""WITH {_base_ctes()},
+obj AS (SELECT DISTINCT mention_id, span FROM mentions)
+SELECT r.doc AS doc_id,
+       r.subject_mention_id,
+       r.relation,
+       r.object_mention_id,
+       o.span AS object_span,
+       l.entity_id,
+       f.value AS fact_value,
+       r.confidence
+FROM rels r
+JOIN obj o ON o.mention_id = r.object_mention_id
+JOIN links l ON l.doc = r.doc AND l.mention_id = r.subject_mention_id
+            AND l.entity_id IS NOT NULL
+{fact_join} JOIN fact_edges f
+  ON f.entity_id = l.entity_id AND f.relation = r.relation
+WHERE {predicate}"""
+
+
+ORACLES: dict[str, str] = {
+    "kg_assembly_roundtrip": (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+    ),
+    "kg_mentions": f"""WITH {_base_ctes()}
+SELECT doc, mention_id, entity_class, span, begin_ofs, end_ofs FROM mentions""",
+    "kg_relations": f"""WITH {_base_ctes()}
+SELECT doc, subject_mention_id, relation, object_mention_id, confidence FROM rels""",
+    "kg_links": f"""WITH {_base_ctes()}
+SELECT doc, mention_id, entity_id FROM links""",
+    "kg_triples_by_relation": f"""WITH {_base_ctes()},
+bag AS (
+    SELECT 'MENTIONS' AS relation FROM mentions
+    UNION ALL SELECT relation FROM rels
+    UNION ALL SELECT 'LINKS_TO' AS relation FROM links
+    UNION ALL SELECT relation FROM fact_edges)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n FROM bag GROUP BY relation""",
+    "kg_supporting": _clean_sql("o.span = f.value", ""),
+    "kg_inconsistent": _clean_sql("o.span <> f.value", ""),
+    "kg_missing": _clean_sql("f.value IS NULL", "LEFT"),
+    "kg_entity_mention_counts": f"""WITH {_base_ctes()},
+men_edges AS (SELECT DISTINCT doc, mention_id FROM mentions),
+linked AS (
+    SELECT m.doc, m.mention_id, l.entity_id
+    FROM mentions m JOIN links l
+      ON l.doc = m.doc AND l.mention_id = m.mention_id
+   WHERE l.entity_id IS NOT NULL)
+SELECT entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+FROM linked GROUP BY entity_id""",
+}
+
+QUERIES = {
+    "kg_assembly_roundtrip": q_assembly_roundtrip,
+    "kg_mentions": q_mentions,
+    "kg_relations": q_relations,
+    "kg_links": q_links,
+    "kg_triples_by_relation": q_triples_by_relation,
+    "kg_supporting": q_supporting,
+    "kg_inconsistent": q_inconsistent,
+    "kg_missing": q_missing,
+    "kg_entity_mention_counts": q_entity_mention_counts,
+}

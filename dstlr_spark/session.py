@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode stands in for a multi-executor cluster; every knob here is
+chosen so the same code scales to 1000 executors:
+
+- AQE on (runtime coalesce, skew-join splitting) — at 100 TB the static
+  plan is always wrong somewhere.
+- ``spark.sql.shuffle.partitions`` sized to cores locally; on a real
+  cluster this is 2-3x total cores (the reference used 2048 partitions
+  for 32x8 cores, bin/extract.sh:9).
+- Arrow enabled for every pandas-UDF boundary; batch size bounded so a
+  single pathological conversation cannot blow a Python worker
+  (reference analog: Neo4j batch size 10000, LoadTriples.scala:49).
+- UTC session timezone so results hash-compare cleanly against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dstlr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    On a real cluster this function is a no-op passthrough: spark-submit
+    supplies master/memory and this only layers SQL conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    n = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    shuffle_partitions = shuffle_partitions or max(8, n)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,61 @@
+"""Catalog-agnostic table layer (SURVEY.md §7 Stage 0).
+
+In production the engine reads/writes Iceberg tables (atomic snapshot
+overwrite replaces the reference's manual ``FileSystem.delete`` +
+parquet write, ExtractTriples.scala:51,137). This sandbox has no
+Iceberg runtime jar, so the layer falls back to parquet paths — the
+call-site API is identical, which is the point: operators never know
+which catalog they run against.
+
+Scale notes: writes are partitioned by a stable bucket of the primary
+key (``bucket = pmod(xxhash64(key), n)``) so that (a) re-runs replace
+whole partitions idempotently and (b) downstream joins on the key can
+use the layout. On Iceberg this becomes a hidden ``bucket(n, key)``
+partition transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str) -> DataFrame:
+    """Read a table by location: catalog table name if Iceberg is on the
+    classpath and the location has no path separator, else a parquet path."""
+    if "/" not in location and _iceberg_available(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_table(
+    df: DataFrame,
+    location: str,
+    mode: str = "overwrite",
+    bucket_key: str | None = None,
+    n_buckets: int = 32,
+) -> None:
+    """Write a table, optionally partitioned by a key bucket.
+
+    Parquet fallback writes a ``bucket=<i>`` partition dir; on Iceberg the
+    same intent is ``ALTER TABLE ... ADD PARTITION FIELD bucket(n, key)``
+    with ``writeTo(...).overwritePartitions()``.
+    """
+    writer = df
+    if bucket_key is not None:
+        writer = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(n_buckets)).cast("int")
+        )
+        writer.write.mode(mode).partitionBy("bucket").parquet(location)
+        return
+    writer.write.mode(mode).parquet(location)

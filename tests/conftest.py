@@ -1,0 +1,19 @@
+"""Shared Spark fixture: one local session for the whole test run."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from dstlr_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("dstlr-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

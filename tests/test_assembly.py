@@ -1,0 +1,63 @@
+"""Document assembly: ordering, filters, round-trip (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dstlr_spark.operators.assembly import assemble_documents
+from dstlr_spark.schemas import TRANSCRIPT_SCHEMA
+from dstlr_spark.sources.transcripts import derive_transcripts, generate_transcripts
+
+
+def test_stable_turn_ordering(spark):
+    """Turns concatenate in turn_idx order regardless of input row order."""
+    rows = [
+        ("c1", 2, "user", "third", None, None),
+        ("c1", 0, "user", "first", None, None),
+        ("c1", 1, "assistant", "second", None, None),
+    ]
+    docs = assemble_documents(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    got = {r["doc_id"]: r["contents"] for r in docs.collect()}
+    assert got == {"c1": "first second third"}
+
+
+def test_null_empty_filters(spark):
+    """F1/F2: null/empty conv_id rows and null/empty text turns are dropped."""
+    rows = [
+        (None, 0, "user", "x", None, None),
+        ("", 0, "user", "y", None, None),
+        ("c", 0, "user", None, None, None),
+        ("c", 1, "user", "", None, None),
+        ("c", 2, "user", "kept", None, None),
+    ]
+    docs = assemble_documents(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    got = {r["doc_id"]: r["contents"] for r in docs.collect()}
+    assert got == {"c": "kept"}
+
+
+def test_derive_assemble_roundtrip(spark):
+    """assemble(derive(docs)) == docs — the per-turn-equality invariant."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), F.col("text"))
+        .limit(200)
+    )
+    rebuilt = assemble_documents(derive_transcripts(docs))
+    diff = (
+        docs.join(rebuilt, docs["doc_id"] == rebuilt["doc_id"], "full")
+        .where(
+            F.col("text").isNull()
+            | F.col("contents").isNull()
+            | (F.col("text") != F.col("contents"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_generated_corpus_deterministic(spark):
+    """Generator is a pure function of (seed, scale)."""
+    a = generate_transcripts(spark, seed=7, n_convs=5).collect()
+    b = generate_transcripts(spark, seed=7, n_convs=5).collect()
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731 — null-safe sort key
+    assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
