@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Runs the engine's flagship queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and reports
+per-query wall seconds plus pipeline throughput (docs/s, triples/s —
+the reference's own metric, ExtractTriples.scala:140).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dstlr_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+
+    from dstlr_spark.operators.clean import supporting_information
+    from dstlr_spark.queries.doc_kg import _documents, _kg
+    from dstlr_spark.queries import all_queries
+
+    timings: dict[str, float] = {}
+    counters: dict[str, int] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # q1: full KG pipeline (extract → link → bag) — the flagship
+    n_docs = _documents(spark, sf_dir).count()
+
+    def run_pipeline():
+        kg = _kg(spark, sf_dir)
+        n = kg.bag().count()
+        kg.unpersist()
+        return n
+
+    n_triples = timed("kg_pipeline", run_pipeline)
+
+    # q2: graph materialize + supporting-information join chain
+    def run_clean():
+        kg = _kg(spark, sf_dir)
+        n = supporting_information(kg.graph()).count()
+        kg.unpersist()
+        return n
+
+    counters["supporting_rows"] = timed("kg_clean_supporting", run_clean)
+
+    # q3: assembly round-trip (shred + reassemble the corpus)
+    qs = all_queries()
+    counters["assembly_rows"] = timed(
+        "kg_assembly_roundtrip", lambda: qs["kg_assembly_roundtrip"](spark, sf_dir).count()
+    )
+
+    # any registered non-KG headline queries (filled in as modules land)
+    for name in ("dedup_minhash_pairs", "sim_topk_cosine", "text_quality"):
+        if name in qs:
+            counters[f"{name}_rows"] = timed(
+                name, lambda n=name: qs[n](spark, sf_dir).count()
+            )
+
+    total = round(sum(timings.values()), 3)
+    pipeline_sec = timings["kg_pipeline"]
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "docs": n_docs,
+        "triples": n_triples,
+        "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
+        "triples_per_sec": round(n_triples / pipeline_sec, 1) if pipeline_sec else None,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ from collections.abc import Iterator
 from typing import Callable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dstlr_spark.functions.text import (
@@ -68,12 +68,14 @@ def apply_sentence_guard(documents: DataFrame, threshold: int = DEFAULT_SENT_THR
 def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
     """Explode ``contents`` into (doc_id, pos, token, begin, end).
 
-    Offsets are char positions in the original text assuming
-    single-space joins (our assembled documents guarantee this).
-    ``begin`` is computed with a per-doc running sum window — the window
-    partitions on doc_id which is already the data's natural key, so at
-    scale this is one shuffle shared with downstream per-doc work.
+    Pure-DataFrame variant: ``begin`` via a per-doc running-sum window.
+    Correct and Catalyst-visible, but the window shuffles the ENTIRE
+    token stream (~20x the document bytes) — measured as the largest
+    stage of the pipeline. Kept for parity testing; the scale path is
+    the Arrow tokenizer inside :func:`extract_mentions_native`.
     """
+    from pyspark.sql import Window
+
     toks = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col("contents"), " ")).alias("pos", "token"),
@@ -92,50 +94,132 @@ def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_mentions_native(documents: DataFrame, gazetteer: DataFrame) -> DataFrame:
-    """Token-level mention detection (X3): broadcast gazetteer equi-join.
+# translate-table twin of PUNCT_RE (same char class, C-speed strip)
+_PUNCT_TABLE = str.maketrans("", "", ".?,:;'\"!")
 
-    ``gazetteer(term, entity_class)`` is a small dim → broadcast, no
-    shuffle of the token stream beyond the tokenize window.
-    Returns (doc_id, mention_id, entity_class, span, begin, end, pos, key).
+
+def _mention_scan_batches(gaz: dict[str, str]):
+    """Build the mapInPandas body for the Arrow mention scanner.
+
+    Per Arrow batch of (doc_id, contents): split on single spaces,
+    compute char offsets with a numpy segmented cumsum (O(tokens),
+    vectorized), keep only tokens whose punctuation-stripped key is a
+    gazetteer term, and emit the mention frame directly. The token
+    stream never leaves the worker — no shuffle, no 20x exchange.
     """
-    toks = tokenize_with_offsets(documents).withColumn(
-        "key", F.regexp_replace(F.col("token"), PUNCT_RE, "")
-    )
-    return (
-        toks.join(F.broadcast(gazetteer), toks["key"] == gazetteer["term"], "inner")
-        .select(
-            "doc_id",
-            stable_mention_id("doc_id", "key").alias("mention_id"),
-            "entity_class",
-            F.col("key").alias("span"),
-            "begin",
-            "end",
-            "pos",
-            "key",
-        )
-    )
+    import numpy as np
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[str] = []
+            toks: list[list[str]] = []
+            for d, c in zip(pdf["doc_id"], pdf["contents"]):
+                if c is None:
+                    continue
+                doc_ids.append(d)
+                toks.append(c.split(" "))
+            if not doc_ids:
+                yield pd.DataFrame(_EMPTY_MENTIONS)
+                continue
+            counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+            flat = np.array([t for ts in toks for t in ts], dtype=object)
+            lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=len(flat))
+            # segmented cumsum: global cumsum of (len+1), reset per doc
+            csum = np.zeros(len(flat), dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=csum[1:]) if len(flat) > 1 else None
+            doc_first = np.zeros(len(toks), dtype=np.int64)
+            np.cumsum(counts[:-1], out=doc_first[1:]) if len(toks) > 1 else None
+            begin = csum - np.repeat(csum[doc_first], counts)
+            pos = np.arange(len(flat)) - np.repeat(doc_first, counts)
+            docs_rep = np.repeat(np.array(doc_ids, dtype=object), counts)
+
+            keys = np.array([t.translate(_PUNCT_TABLE) for t in flat], dtype=object)
+            hit = np.fromiter((k in gaz for k in keys), dtype=bool, count=len(flat))
+            if not hit.any():
+                yield pd.DataFrame(_EMPTY_MENTIONS)
+                continue
+            k, d, b, p = keys[hit], docs_rep[hit], begin[hit], pos[hit]
+            tl = lens[hit]
+            import hashlib
+
+            out = pd.DataFrame(
+                {
+                    "doc_id": d,
+                    "mention_id": [
+                        hashlib.md5(f"{dd}\x1f{kk}".encode()).hexdigest()
+                        for dd, kk in zip(d, k)
+                    ],
+                    "entity_class": [gaz[kk] for kk in k],
+                    "span": k,
+                    "begin": b.astype(np.int32),
+                    "end": (b + tl).astype(np.int32),
+                    "pos": p.astype(np.int32),
+                    "key": k,
+                }
+            )
+            yield out
+
+    return scan
 
 
-def extract_triples_native(
-    documents: DataFrame,
-    gazetteer: DataFrame,
-    cooccur_window: int = 8,
-    sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+_EMPTY_MENTIONS = {
+    "doc_id": pd.Series(dtype="object"),
+    "mention_id": pd.Series(dtype="object"),
+    "entity_class": pd.Series(dtype="object"),
+    "span": pd.Series(dtype="object"),
+    "begin": pd.Series(dtype="int32"),
+    "end": pd.Series(dtype="int32"),
+    "pos": pd.Series(dtype="int32"),
+    "key": pd.Series(dtype="object"),
+}
+
+_MENTION_DDL = (
+    "doc_id string, mention_id string, entity_class string, span string, "
+    "begin int, end int, pos int, key string"
+)
+
+
+def extract_mentions_native(
+    documents: DataFrame, gazetteer: DataFrame, impl: str = "arrow"
 ) -> DataFrame:
-    """Full native extraction → reference-shape TripleRow bag.
+    """Token-level mention detection (X3).
 
-    Relations are windowed co-occurrences: two mentions in the same doc
-    within ``cooccur_window`` tokens, left-to-right, yield
-    ``COOCCURS_<CLASS1>_<CLASS2>`` with confidence ``1/(1+distance)``.
-    The both-endpoints-must-be-mentions gate (X8,
-    ExtractTriples.scala:111) holds by construction — the self-join is
-    over the mention frame itself.
+    Returns (doc_id, mention_id, entity_class, span, begin, end, pos, key).
+
+    ``impl="arrow"`` (default, scale path): Arrow-batched mapInPandas
+    scanner — tokenize + offsets + gazetteer membership entirely inside
+    the worker, emitting only mention rows. No shuffle.
+
+    ``impl="sql"`` (parity path): posexplode + window offsets +
+    broadcast gazetteer join — pure Catalyst, used to cross-check the
+    Arrow scanner (both are oracle-checked against DuckDB).
     """
-    docs = apply_sentence_guard(documents, sent_threshold)
-    m = extract_mentions_native(docs, gazetteer)
+    if impl == "sql":
+        toks = tokenize_with_offsets(documents).withColumn(
+            "key", F.regexp_replace(F.col("token"), PUNCT_RE, "")
+        )
+        return (
+            toks.join(F.broadcast(gazetteer), toks["key"] == gazetteer["term"], "inner")
+            .select(
+                "doc_id",
+                stable_mention_id("doc_id", "key").alias("mention_id"),
+                "entity_class",
+                F.col("key").alias("span"),
+                "begin",
+                "end",
+                "pos",
+                "key",
+            )
+        )
+    gaz = {r["term"]: r["entity_class"] for r in gazetteer.collect()}
+    return documents.select("doc_id", "contents").mapInPandas(
+        _mention_scan_batches(gaz), _MENTION_DDL
+    )
 
-    mentions = m.select(
+
+def mention_triples(m: DataFrame) -> DataFrame:
+    """Mention frame → reference-shape MENTIONS rows (X6)."""
+    return m.select(
         "doc_id",
         F.lit("Document").alias("subjectType"),
         F.col("doc_id").alias("subjectValue"),
@@ -152,9 +236,19 @@ def extract_triples_native(
         ).alias("meta"),
     ).withColumnRenamed("doc_id", "doc")
 
+
+def relation_triples(m: DataFrame, cooccur_window: int = 8) -> DataFrame:
+    """Mention frame → windowed co-occurrence relation rows (X8 analog).
+
+    Two mentions in the same doc within ``cooccur_window`` tokens,
+    left-to-right, yield ``COOCCURS_<CLASS1>_<CLASS2>`` with confidence
+    ``1/(1+distance)``. The both-endpoints-must-be-mentions gate
+    (ExtractTriples.scala:111) holds by construction — the self-join is
+    over the mention frame itself.
+    """
     a = m.alias("a")
     b = m.alias("b")
-    rels = (
+    return (
         a.join(
             b,
             (F.col("a.doc_id") == F.col("b.doc_id"))
@@ -183,7 +277,24 @@ def extract_triples_native(
             ).alias("meta"),
         )
     )
-    return mentions.unionByName(rels)
+
+
+def extract_triples_native(
+    documents: DataFrame,
+    gazetteer: DataFrame,
+    cooccur_window: int = 8,
+    sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+) -> DataFrame:
+    """Full native extraction → reference-shape TripleRow bag.
+
+    NOTE: the returned plan references the mention frame twice (MENTIONS
+    rows + the relation self-join); callers fanning out to multiple
+    consumers should persist the mention frame once instead — see
+    :class:`dstlr_spark.plans.native_kg.NativeKG`.
+    """
+    docs = apply_sentence_guard(documents, sent_threshold)
+    m = extract_mentions_native(docs, gazetteer)
+    return mention_triples(m).unionByName(relation_triples(m, cooccur_window))
 
 
 # --------------------------------------------------------------------------

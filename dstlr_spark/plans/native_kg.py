@@ -1,0 +1,190 @@
+"""Single-computation KG builder for the native annotator path.
+
+A naive composition (extract → union → link → graph) references the
+mention frame 6+ times through the DAG; without a cache Spark recomputes
+the tokenize/gazetteer stage for every branch. ``NativeKG`` persists the
+mention frame once (it is the narrow waist of the whole pipeline — a few
+percent the size of the token stream) and derives every downstream table
+from it. At cluster scale the same role is played by writing the
+mentions table to Iceberg between stages (the reference likewise
+materializes triples as parquet between its jobs,
+ExtractTriples.scala:137 → EnrichTriples.scala:46).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from dstlr_spark.operators.extract import (
+    DEFAULT_SENT_THRESHOLD,
+    apply_sentence_guard,
+    extract_mentions_native,
+    mention_triples,
+    relation_triples,
+)
+from dstlr_spark.operators.graph import materialize_graph
+from dstlr_spark.operators.linking import resolve_aliases
+
+_NULL_META = (
+    "struct<entity_class:string,span:string,begin:int,end:int,"
+    "normalized:string,confidence:double>"
+)
+
+
+class NativeKG:
+    """Builds mentions once, derives triples / links / graph from the cache."""
+
+    def __init__(
+        self,
+        documents: DataFrame,
+        gazetteer: DataFrame,
+        aliases: DataFrame,
+        fact_triples: DataFrame | None = None,
+        cooccur_window: int = 8,
+        sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+        persist: bool = True,
+        n_partitions: int | None = None,
+    ) -> None:
+        spark = documents.sparkSession
+        if n_partitions is None:
+            n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # Spread the CPU-heavy annotator evenly (the reference's
+        # repartition-before-extraction, ExtractTriples.scala:63): the
+        # Arrow scanner inherits input partitioning, and a parquet scan
+        # of few files would otherwise starve most cores.
+        documents = documents.repartition(n_partitions)
+        docs = apply_sentence_guard(documents, sent_threshold)
+        self.mentions = extract_mentions_native(docs, gazetteer)
+        if persist:
+            # DISK_ONLY, deliberately: building Spark's in-memory COLUMNAR
+            # cache was measured to anti-scale with task concurrency (the
+            # per-thread ColumnBuilder work serializes), while serialized
+            # disk blocks build at full parallelism and re-read from OS
+            # page cache at memory speed. On a real cluster this slot is
+            # an Iceberg stage table anyway.
+            self.mentions = self.mentions.persist(StorageLevel.DISK_ONLY)
+        self.aliases = aliases
+        self.fact_triples = fact_triples
+        self.cooccur_window = cooccur_window
+
+    def extraction_triples(self) -> DataFrame:
+        return mention_triples(self.mentions).unionByName(
+            relation_triples(self.mentions, self.cooccur_window)
+        )
+
+    def links_triples(self) -> DataFrame:
+        """LINKS_TO rows straight from the mention frame (same semantics as
+        operators.linking.link_mentions, minus the triple round-trip)."""
+        dmen = self.mentions.select(
+            F.col("doc_id").alias("doc"), "mention_id", "span"
+        ).dropDuplicates(["doc", "mention_id"])
+        best = resolve_aliases(dmen, self.aliases)
+        return best.select(
+            "doc",
+            F.lit("Mention").alias("subjectType"),
+            F.col("mention_id").alias("subjectValue"),
+            F.lit("LINKS_TO").alias("relation"),
+            F.lit("Entity").alias("objectType"),
+            F.col("entity_id").alias("objectValue"),
+            F.lit(None).cast(_NULL_META).alias("meta"),
+        )
+
+    def bag(self) -> DataFrame:
+        out = self.extraction_triples().unionByName(self.links_triples())
+        if self.fact_triples is not None:
+            out = out.unionByName(self.fact_triples)
+        return out
+
+    def graph(self) -> dict[str, DataFrame]:
+        """Graph tables straight from the mention frame.
+
+        Equivalent to ``materialize_graph(self.bag())`` (covered by the
+        oracle suite) but skips the union-then-refilter round trip: each
+        table derives from the persisted mention frame in one hop, so
+        the whole graph build is 3 shuffles (mention-node agg, link agg,
+        relation self-join) instead of 4 filtered re-evaluations of the
+        union plan.
+        """
+        m = self.mentions
+
+        mentions_edges = m.select(
+            "doc_id", "mention_id", "begin", "end"
+        )
+        mention_nodes = (
+            m.groupBy("mention_id")
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("entity_class"),
+                        F.col("span"),
+                        F.lit(None).cast("string").alias("normalized"),
+                    ),
+                    F.struct(F.col("doc_id"), F.col("begin")),
+                ).alias("attrs"),
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            "-", F.col("begin").cast("string"), F.col("end").cast("string")
+                        )
+                    )
+                ).alias("index"),
+            )
+            .select(
+                "mention_id",
+                F.col("attrs")["entity_class"].alias("entity_class"),
+                F.col("attrs")["span"].alias("span"),
+                F.col("attrs")["normalized"].alias("normalized"),
+                "index",
+            )
+        )
+        dmen = m.select(F.col("doc_id").alias("doc"), "mention_id", "span").dropDuplicates(
+            ["doc", "mention_id"]
+        )
+        links_to = (
+            resolve_aliases(dmen, self.aliases)
+            .where(F.col("entity_id").isNotNull())
+            .select("mention_id", "entity_id")
+            .dropDuplicates(["mention_id", "entity_id"])
+        )
+        rels = relation_triples(m, self.cooccur_window)
+        relation_edges = rels.select(
+            F.col("doc").alias("doc_id"),
+            F.col("subjectValue").alias("subject_mention_id"),
+            F.col("relation").alias("type"),
+            F.col("meta")["confidence"].alias("confidence"),
+            F.col("objectValue").alias("object_mention_id"),
+        )
+        if self.fact_triples is not None:
+            fact_edges = (
+                self.fact_triples.select(
+                    F.col("subjectValue").alias("entity_id"),
+                    F.col("relation"),
+                    F.col("objectValue").alias("value"),
+                ).dropDuplicates(["entity_id", "relation", "value"])
+            )
+        else:
+            fact_edges = links_to.sparkSession.createDataFrame(
+                [], "entity_id string, relation string, value string"
+            )
+        entity_nodes = (
+            links_to.select("entity_id")
+            .unionByName(fact_edges.select("entity_id"))
+            .distinct()
+        )
+        return {
+            "mention_nodes": mention_nodes,
+            "mentions_edges": mentions_edges,
+            "links_to": links_to,
+            "relation_edges": relation_edges,
+            "fact_edges": fact_edges,
+            "entity_nodes": entity_nodes,
+        }
+
+    def graph_via_bag(self) -> dict[str, DataFrame]:
+        """Reference-shape path (bag → split) — kept for parity testing."""
+        return materialize_graph(self.bag())
+
+    def unpersist(self) -> None:
+        self.mentions.unpersist()

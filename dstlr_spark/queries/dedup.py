@@ -1,4 +1,262 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication operators over ``documents`` — training-data-pipeline
+first-class citizens: exact hash, n-gram Jaccard, MinHash+LSH, SimHash.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Portability design: all hashes are md5 HEX STRINGS (identical in Spark
+and DuckDB); MinHash uses the lexicographic minimum of seeded md5
+strings (a permutation-free minwise scheme that both engines evaluate
+identically); SimHash reduces md5 nibbles by majority vote with pure
+integer arithmetic.
+
+Scale notes (100 TB): exact dedup is one hash-aggregate; MinHash-LSH is
+the linear-candidate path (shingle → K minhashes → B bands → bucket
+join) — candidate pairs only ever meet inside a band bucket, never via
+an all-pairs product; n-gram Jaccard is reserved for candidate RESCORING
+(its shingle-join is quadratic in bucket size, so it runs after LSH
+pruning, here exposed standalone for oracle checking at small sf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstlr_spark.queries.sqlgen import values_cte
+
+NGRAM_N = 3
+MINHASH_K = 12  # 12 hashes → 4 bands x 3 rows
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.6
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash groups: every doc annotated with its group size and
+    canonical (minimum) doc id — the keep/drop decision of exact dedup."""
+    d = _docs(spark, sf_dir)
+    h = d.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    groups = h.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id")
+    )
+    return h.join(groups, "text_hash").select(
+        "doc_id", "text_hash", "n_dups", "keep_doc_id",
+        (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical"),
+    )
+
+
+# --- shingles ----------------------------------------------------------------
+
+def _shingles(d: DataFrame) -> DataFrame:
+    """Distinct token n-grams per doc (n=3), space-joined."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n - NGRAM_N + 1),
+            lambda i: F.array_join(F.slice(toks, i, NGRAM_N), " "),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, unnest(list_distinct(grams)) AS shingle FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE WHEN len(string_split(text,' ')) >= {NGRAM_N}
+                THEN [array_to_string(string_split(text,' ')[i:i+{NGRAM_N - 1}], ' ')
+                      FOR i IN range(1, len(string_split(text,' ')) - {NGRAM_N} + 2)]
+                ELSE [text] END AS grams
+    FROM documents) z"""
+
+
+# --- n-gram Jaccard pairs ------------------------------------------------------
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard over 3-gram shingle sets for candidate pairs sharing
+    ≥1 shingle; emits pairs over the threshold (ratio in exact ppm ints)."""
+    sh = _shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    thr_ppm = int(JACCARD_THRESHOLD * 1_000_000)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common", "sz_a", "sz_b",
+            F.expr("(n_common * 1000000L) DIV (sz_a + sz_b - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+        .where(F.col("jaccard_ppm") >= thr_ppm)
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------------
+
+def _minhash_cols() -> list:
+    """K minwise signatures: min over shingles of md5(seed ‖ shingle).
+
+    A keyed-hash minimum is a classic permutation substitute; md5 hex
+    strings order identically everywhere."""
+    return [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(MINHASH_K)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n         ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(MINHASH_K)
+    )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
+
+    Bands are md5 digests of their row minhashes; the bucket join is an
+    equi-join on (band_idx, band_key) — the only place candidates meet.
+    """
+    sh = _shingles(_docs(spark, sf_dir))
+    sig = sh.groupBy("doc_id").agg(*_minhash_cols())
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- SimHash -----------------------------------------------------------------------
+
+SIMHASH_BITS = 16  # 16 nibble-majority bits from md5 (portable int math)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash: for each of 16 hex positions of md5(token), take
+    the majority bit of (nibble >= 8) over all tokens — a bitwise-mean
+    sketch; identical integer arithmetic in both engines."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).withColumn("h", F.md5(F.col("token")))
+    pos_bits = [
+        F.sum(
+            F.when(
+                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") >= 8, 1
+            ).otherwise(0)
+        ).alias(f"c{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *pos_bits)
+    bit_exprs = [
+        F.when(F.col(f"c{i}") * 2 >= F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
+    ]
+    simhash = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        simhash = simhash + e
+    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+}
+
+_BAND_KEYS_SQL = ",\n       ".join(
+    "md5(" + " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + f") AS band{b}"
+    for b in range(LSH_BANDS)
+)
+
+ORACLES = {
+    "dedup_exact": """
+WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keep_doc_id
+      FROM h GROUP BY text_hash)
+SELECT doc_id, h.text_hash, n_dups, keep_doc_id,
+       doc_id = keep_doc_id AS is_canonical
+FROM h JOIN g ON h.text_hash = g.text_hash""",
+    "dedup_ngram_jaccard": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       (n_common * 1000000) // (sa.sz + sb.sz - n_common) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= {int(JACCARD_THRESHOLD * 1_000_000)}""",
+    "dedup_minhash_pairs": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id,
+       {_BAND_KEYS_SQL}
+  FROM sig),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+    "dedup_simhash": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         md5(unnest(string_split(text, ' '))) AS h
+  FROM documents),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         {", ".join(f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS c{i}" for i in range(SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id)
+SELECT doc_id,
+       CAST({" + ".join(f"(CASE WHEN c{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM agg""",
+}

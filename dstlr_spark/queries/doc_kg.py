@@ -25,8 +25,7 @@ from dstlr_spark.operators.extract import (
     extract_mentions_native,
     extract_triples_native,
 )
-from dstlr_spark.operators.graph import materialize_graph
-from dstlr_spark.operators.linking import link_mentions
+from dstlr_spark.plans.native_kg import NativeKG
 from dstlr_spark.queries.sqlgen import values_cte
 from dstlr_spark.sources.transcripts import derive_transcripts
 
@@ -143,11 +142,19 @@ def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = extract_triples_native(
-        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW, 10_000
+def _kg(spark: SparkSession, sf_dir: str) -> NativeKG:
+    return NativeKG(
+        _documents(spark, sf_dir),
+        _gazetteer(spark),
+        _aliases(spark),
+        _doc_fact_triples(spark),
+        cooccur_window=COOCCUR_WINDOW,
+        sent_threshold=10_000,
     )
-    links = link_mentions(t, _aliases(spark))
+
+
+def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = _kg(spark, sf_dir).links_triples()
     return links.select(
         "doc",
         F.col("subjectValue").alias("mention_id"),
@@ -157,47 +164,38 @@ def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_triples_by_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate shape check of the full triple bag."""
-    t = extract_triples_native(
-        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW, 10_000
+    return _kg(spark, sf_dir).bag().groupBy("relation").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    bag = t.unionByName(link_mentions(t, _aliases(spark))).unionByName(
-        _doc_fact_triples(spark)
-    )
-    return bag.groupBy("relation").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    t = extract_triples_native(
-        _documents(spark, sf_dir), _gazetteer(spark), COOCCUR_WINDOW, 10_000
-    )
-    bag = t.unionByName(link_mentions(t, _aliases(spark))).unionByName(
-        _doc_fact_triples(spark)
-    )
-    return materialize_graph(bag)
+    return _kg(spark, sf_dir).graph()
 
 
-_CLEAN_COLS = [
-    F.col("doc_id"),
-    F.col("subject_mention_id"),
-    F.col("type").alias("relation"),
-    F.col("object_mention_id"),
-    F.col("object_span"),
-    F.col("entity_id"),
-    F.col("fact_value"),
-    F.col("confidence"),
-]
+def _clean_cols() -> list:
+    return [
+        F.col("doc_id"),
+        F.col("subject_mention_id"),
+        F.col("type").alias("relation"),
+        F.col("object_mention_id"),
+        F.col("object_span"),
+        F.col("entity_id"),
+        F.col("fact_value"),
+        F.col("confidence"),
+    ]
 
 
 def q_supporting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return supporting_information(_graph(spark, sf_dir)).select(*_CLEAN_COLS)
+    return supporting_information(_graph(spark, sf_dir)).select(*_clean_cols())
 
 
 def q_inconsistent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return inconsistent_information(_graph(spark, sf_dir)).select(*_CLEAN_COLS)
+    return inconsistent_information(_graph(spark, sf_dir)).select(*_clean_cols())
 
 
 def q_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return missing_information(_graph(spark, sf_dir)).select(*_CLEAN_COLS)
+    return missing_information(_graph(spark, sf_dir)).select(*_clean_cols())
 
 
 def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

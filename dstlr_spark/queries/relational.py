@@ -1,4 +1,271 @@
-"""Placeholder — filled in as operators land."""
+"""Relational operator coverage over the TPC-H-ish driver tables.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Exercises the engine's join/agg/window/set-op surface (SURVEY.md §2.2,
+§2.4-2.6) with DuckDB oracles. Conventions that keep value-hashes
+identical across engines:
+
+- money aggregates go through ``DECIMAL(18,2)`` (exact, order-
+  independent) and only then to DOUBLE;
+- timestamps never leave a query raw — always ``date_format``ed to
+  strings (Spark is session-TZ aware, DuckDB naive);
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 2) -> F.Column:
+    """Exact money sum: route through DECIMAL so the result is order-
+    independent and engine-identical.
+
+    ``scale`` must be ≥ the true decimal scale of the expression —
+    a PRODUCT of two 2-decimal values is exactly 4-decimal, and rounding
+    it to 2 decimals sits on .005 midpoints where Spark (HALF_UP) and
+    DuckDB (HALF_EVEN) disagree; at the true scale the double is ~1e-10
+    from the exact value and both engines round identically.
+    """
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# --- Q1-style pricing summary (filter + wide agg) --------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# --- join chain with broadcast dims ----------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- top-k per group (window) ----------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rank",
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("totalprice"),
+        )
+    )
+
+
+# --- anti / semi joins -------------------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_priority_with_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: orders having at least one lineitem (semi join)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --- set ops -----------------------------------------------------------------
+
+def q_returned_not_shipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: parts seen with returnflag 'R' but never with 'A'."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.where(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.where(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.exceptAll(a).distinct()
+
+
+# --- grouping sets (rollup) ----------------------------------------------------
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- events: sessionization + time windows ------------------------------------
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → ts → epoch (UTC session)
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            epoch - F.lag(epoch, 1).over(w) > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0)),
+    )
+    return (
+        with_gap.groupBy("user_id")
+        .agg(
+            (F.sum("new_session") + F.lit(1)).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows by event type (batch analog of the
+    streaming windowed agg — see dstlr_spark/streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum(F.col("value")).alias("total_value"),
+        )
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via conditional aggregation (portable to ANSI SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "error", "purchase"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}") for t in types
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+QUERIES = {
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_revenue_by_nation": q_revenue_by_nation,
+    "rel_top_orders_per_customer": q_top_orders_per_customer,
+    "rel_customers_without_orders": q_customers_without_orders,
+    "rel_priority_with_lineitems": q_priority_with_lineitems,
+    "rel_returned_not_shipped_parts": q_returned_not_shipped_parts,
+    "rel_rollup_counts": q_rollup_counts,
+    "events_sessions": q_event_sessions,
+    "events_hourly": q_events_hourly,
+    "events_pivot": q_events_pivot,
+}
+
+ORACLES = {
+    "rel_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+    "rel_revenue_by_nation": """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    "rel_top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, rank,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+  FROM orders) z
+WHERE rank <= 3""",
+    "rel_customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "rel_priority_with_lineitems": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority""",
+    "rel_returned_not_shipped_parts": """
+SELECT DISTINCT l_partkey FROM (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') z""",
+    "rel_rollup_counts": """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "events_sessions": """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - LAG(CAST(epoch(ts) AS BIGINT), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id,
+       CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id""",
+    "events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2""",
+    "events_pivot": """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
+FROM events GROUP BY user_id""",
+}

@@ -1,4 +1,169 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+Two paths, both driver-contract queries with DuckDB oracles:
+
+- ``sim_topk_cosine`` — brute-force cosine top-k: the correctness
+  baseline. Embeddings are QUANTIZED to integers (floor(x·10⁴)) so the
+  dot product and norms are exact integer arithmetic — bit-identical in
+  any engine and any summation order; only the final
+  ``dot / (√na·√nb)`` touches floats, as one fixed IEEE expression.
+- ``sim_ann_lsh`` — random-hyperplane LSH: 8 deterministic integer
+  hyperplanes (``r_j[i] = ((37 i + 101 j) mod 19) − 9``) → 8 sign bits →
+  bucket; candidates only meet inside a bucket. This is the 100 TB
+  path: bucketing is a map-side expression + one equi-join, versus the
+  brute-force cross join.
+
+Scale notes: brute force is O(Q·N·d) — fine for rescoring a candidate
+set, wrong as a primary index; the LSH variant (or an IVF with k-means
+centroids as the dictionary) is the index. Q here = vec_id < 10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUANT = 10_000
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 8
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, q: array<long> quantized, norm: long)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
+    )
+    return e.select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q")).withColumn(
+        "norm",
+        F.aggregate(
+            F.transform(F.col("q"), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("q").alias("qv"), F.col("norm").alias("qn")
+    )
+    pairs = e.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        _dot(F.col("qv"), F.col("q")).alias("dot"),
+        (
+            _dot(F.col("qv"), F.col("q"))
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm").cast("double")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", "dot", F.round("score", 6).alias("score"))
+    )
+
+
+def _bucket_col(q):
+    """8 hyperplane sign bits packed into one int (exact integer dots)."""
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        dot_j = F.aggregate(
+            F.zip_with(
+                q,
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda x, i: x * (((i * 37 + j * 101) % 19) - 9),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates: query and vector agree on all 8 hyperplane signs;
+    candidates carry the exact quantized score for rescoring."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_col(F.col("q")))
+    queries = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = e.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    return cand.select(
+        "q_id",
+        "vec_id",
+        "bucket",
+        F.round(
+            _dot(F.col("qv"), F.col("q"))
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm").cast("double"))),
+            6,
+        ).alias("score"),
+    )
+
+
+QUERIES = {
+    "sim_topk_cosine": q_topk_cosine,
+    "sim_ann_lsh": q_ann_lsh,
+}
+
+_QUANT_SQL = f"""
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         [CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT) FOR x IN embedding] AS q
+  FROM embeddings"""
+
+_NORM_SQL = "list_sum([v * v FOR v IN q])"
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_sum([q[i+1] * (((i*37 + {j}*101) % 19) - 9) FOR i IN range(0, {DIM})]) >= 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+
+ORACLES = {
+    "sim_topk_cosine": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),
+qs AS (SELECT vec_id AS q_id, q AS qv, norm AS qn FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, e.vec_id,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS BIGINT) AS dot,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
+           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))) AS score
+  FROM e CROSS JOIN qs WHERE e.vec_id <> qs.q_id),
+ranked AS (
+  SELECT q_id, vec_id, dot, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, rank, dot, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}""",
+    "sim_ann_lsh": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm,
+             CAST({_BUCKET_SQL} AS INT) AS bucket
+      FROM qe),
+qs AS (SELECT vec_id AS q_id, q AS qv, norm AS qn, bucket AS q_bucket
+       FROM e WHERE vec_id < {N_QUERIES})
+SELECT q_id, e.vec_id, e.bucket,
+       ROUND(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
+             / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))), 6) AS score
+FROM e JOIN qs ON e.bucket = qs.q_bucket AND e.vec_id <> qs.q_id""",
+}

@@ -1,4 +1,139 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis operators over ``documents`` — the training-data-pipeline
+surface: token counting, quality scoring, language-ID heuristic,
+document fingerprinting. All pure Column expressions (JVM-side), each
+with a DuckDB oracle.
+"""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang", "n_chars"
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + char count + distinct-token count."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars_computed"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality: stopword ratio, mean token length, composite
+    score — the usual pre-training corpus filters.
+
+    Ratios are reported in exact integer parts-per-million (integer
+    ``DIV``, no floats): rounding a ratio like 1/128 to fixed decimals
+    sits exactly on a .5 midpoint where Spark (HALF_UP) and DuckDB
+    (HALF_EVEN) disagree; integer math cannot."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    d2 = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (F.length("text").cast("long") - (n.cast("long") - 1)).alias("tok_chars"),
+    )
+    return d2.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        F.expr("(n_stopwords * 1000000L) DIV n_tokens").alias("stop_ratio_ppm"),
+        F.expr("(tok_chars * 1000000L) DIV n_tokens").alias("mean_token_len_ppm"),
+        F.expr(
+            "5 * ((n_stopwords * 1000000L) DIV n_tokens)"
+            " + (tok_chars * 1000000L) DIV n_tokens"
+        ).alias("quality_score_x10ppm"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic n-gram-ish language heuristic: marker-token votes.
+
+    The corpus is synthetic word salad, so this tests the *machinery*
+    (vectorized token votes + arg-max) — a real model slots into the
+    same shape. Markers: 'the'→en, 'spark'→code, else 'und'."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_the = F.size(F.filter(toks, lambda t: t == "the"))
+    n_spark = F.size(F.filter(toks, lambda t: t == "spark"))
+    pred = (
+        F.when(n_the > n_spark, F.lit("en"))
+        .when(n_spark > n_the, F.lit("code"))
+        .otherwise(F.lit("und"))
+    )
+    return d.select("doc_id", "lang", pred.alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (shingle-free near-dup prefilter; exact portable hash)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_score": q_quality_score,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "text_token_stats": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_computed,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+FROM documents""",
+    "text_quality_score": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS BIGINT) AS n_stopwords,
+         nc - (CAST(len(toks) AS BIGINT) - 1) AS tok_chars
+  FROM t)
+SELECT doc_id, n_tokens, n_stopwords,
+       (n_stopwords * 1000000) // n_tokens AS stop_ratio_ppm,
+       (tok_chars * 1000000) // n_tokens AS mean_token_len_ppm,
+       5 * ((n_stopwords * 1000000) // n_tokens)
+         + (tok_chars * 1000000) // n_tokens AS quality_score_x10ppm
+FROM s""",
+    "text_lang_id": """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x = 'the')) AS n_the,
+         len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS n_spark
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN n_the > n_spark THEN 'en'
+            WHEN n_spark > n_the THEN 'code'
+            ELSE 'und' END AS lang_pred
+FROM t""",
+    "text_fingerprint": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents""",
+}

@@ -1,0 +1,89 @@
+"""Connected components + cross-doc canonicalization (SURVEY.md §7 Stage 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dstlr_spark.operators.canonicalize import (
+    canonicalize_mentions,
+    connected_components,
+    coref_edges,
+    star_edges,
+)
+
+
+def _cc_map(labels):
+    return {r["id"]: r["component"] for r in labels.collect()}
+
+
+def test_cc_simple_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    got = _cc_map(connected_components(edges))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_cc_chain_through_bridges(spark):
+    """A long chain (worst case for naive propagation) still converges."""
+    chain = [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(20)]
+    got = _cc_map(connected_components(spark.createDataFrame(chain, "src string, dst string")))
+    assert set(got.values()) == {"v00"}
+    assert len(got) == 21
+
+
+def test_cc_isolated_vertices(spark):
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    verts = spark.createDataFrame([("a",), ("b",), ("solo",)], "id string")
+    got = _cc_map(connected_components(edges, verts))
+    assert got == {"a": "a", "b": "a", "solo": "solo"}
+
+
+def test_star_edges_linear_not_quadratic(spark):
+    df = spark.createDataFrame(
+        [(f"m{i}", "obama") for i in range(10)] + [("z", "other")],
+        "mention_id string, key string",
+    )
+    e = star_edges(df, "mention_id", "key").collect()
+    # 10-member group → 9 star edges (to min m0); singleton group → 0
+    assert len(e) == 9
+    assert all(r["dst"] == "m0" for r in e)
+
+
+def test_canonicalize_bridges_key_and_entity(spark):
+    """Mentions m1,m2 share a key; m2,m3 share a link target → one cluster."""
+    mentions = spark.createDataFrame(
+        [("m1", "apple"), ("m2", "apple"), ("m3", "apple inc"), ("m4", "kiwi")],
+        "mention_id string, key string",
+    )
+    links = spark.createDataFrame(
+        [("m2", "Q312"), ("m3", "Q312"), ("m4", None)],
+        "mention_id string, entity_id string",
+    )
+    got = {
+        r["mention_id"]: r["canonical_id"]
+        for r in canonicalize_mentions(mentions, links).collect()
+    }
+    assert got["m1"] == got["m2"] == got["m3"] == "m1"
+    assert got["m4"] == "m4"  # null entity never connects anything
+
+
+def test_canonicalize_preserves_reference_ids(spark):
+    """Canonical ids are additive — the mention_id column is untouched."""
+    mentions = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1")], "mention_id string, key string"
+    )
+    out = canonicalize_mentions(mentions)
+    assert set(out.columns) == {"mention_id", "canonical_id"}
+    assert {r["mention_id"] for r in out.collect()} == {"a", "b"}
+
+
+def test_coref_edges_same_doc_and_cross_doc(spark):
+    """The lemma-key signal generalizes the reference's per-doc map (X5)
+    across documents: same key in two docs → same cluster."""
+    mentions = spark.createDataFrame(
+        [("d1-apple", "apple"), ("d2-apple", "apple"), ("d1-paris", "paris")],
+        "mention_id string, key string",
+    )
+    e = coref_edges(mentions).collect()
+    assert {(r["src"], r["dst"]) for r in e} == {("d2-apple", "d1-apple")}
