@@ -298,6 +298,120 @@ def extract_triples_native(
 
 
 # --------------------------------------------------------------------------
+# Fused single-pass extraction (the 100 TB path)
+# --------------------------------------------------------------------------
+
+def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window: int):
+    """One Arrow pass: documents in → full triple bag out (mentions +
+    windowed co-occurrence relations + LINKS_TO), all computed per-doc
+    inside the worker — the reference's own architecture (everything in
+    one flatMap, ExtractTriples.scala:67-134) and the zero-shuffle
+    answer at scale: no token exchange, no relation self-join, no link
+    aggregate. ``best_entity`` is the alias dictionary pre-reduced to
+    its arg-max per alias (valid because our link score depends only on
+    the span; a context-dependent scorer would move back to the
+    aggregate form in operators.linking).
+    """
+    import hashlib
+
+    cols = ("doc", "subjectType", "subjectValue", "relation", "objectType",
+            "objectValue", "meta")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # columnar accumulation: building millions of per-row dicts
+            # dominates the worker profile; lists-of-columns convert to
+            # Arrow an order of magnitude cheaper
+            c: dict[str, list] = {k: [] for k in cols}
+
+            def emit(doc, st, sv, rel, ot, ov, meta):
+                c["doc"].append(doc)
+                c["subjectType"].append(st)
+                c["subjectValue"].append(sv)
+                c["relation"].append(rel)
+                c["objectType"].append(ot)
+                c["objectValue"].append(ov)
+                c["meta"].append(meta)
+
+            for doc_id, contents in zip(pdf["doc_id"], pdf["contents"]):
+                if contents is None:
+                    continue
+                toks = contents.split(" ")
+                pos_l, key_l, beg_l = [], [], []
+                off = 0
+                for i, t in enumerate(toks):
+                    k = t.translate(_PUNCT_TABLE)
+                    if k in gaz:
+                        pos_l.append(i)
+                        key_l.append(k)
+                        beg_l.append(off)
+                    off += len(t) + 1
+                if not pos_l:
+                    continue
+                ids = {}
+                for k in key_l:
+                    if k not in ids:
+                        ids[k] = hashlib.md5(f"{doc_id}\x1f{k}".encode()).hexdigest()
+                # MENTIONS rows (one per occurrence, shared per-key id)
+                for p, k, b in zip(pos_l, key_l, beg_l):
+                    emit(doc_id, "Document", doc_id, "MENTIONS", "Mention", ids[k],
+                         dict(entity_class=gaz[k], span=k, begin=b,
+                              end=b + len(toks[p]), normalized=None, confidence=None))
+                # windowed co-occurrence relations (positions ascending)
+                for a in range(len(pos_l)):
+                    for b2 in range(a + 1, len(pos_l)):
+                        d = pos_l[b2] - pos_l[a]
+                        if d > window:
+                            break
+                        if key_l[a] == key_l[b2]:
+                            continue
+                        emit(doc_id, "Mention", ids[key_l[a]],
+                             f"COOCCURS_{gaz[key_l[a]]}_{gaz[key_l[b2]]}",
+                             "Mention", ids[key_l[b2]],
+                             dict(entity_class=None, span=None, begin=None,
+                                  end=None, normalized=None,
+                                  confidence=1.0 / (1.0 + d)))
+                # LINKS_TO (one per distinct key; null when unresolvable)
+                for k, mid in ids.items():
+                    emit(doc_id, "Mention", mid, "LINKS_TO", "Entity",
+                         best_entity.get(k), None)
+            yield pd.DataFrame(c) if c["doc"] else pd.DataFrame(_EMPTY_BATCH)
+
+    return scan
+
+
+def best_alias_entity(alias_dict: DataFrame) -> dict[str, str]:
+    """Reduce the alias dimension to its deterministic arg-max
+    (max prior, ties → smallest entity_id) — driver-side, broadcastable."""
+    best: dict[str, tuple[float, str]] = {}
+    for r in alias_dict.collect():
+        cur = best.get(r["alias"])
+        cand = (-r["prior"], r["entity_id"])
+        if cur is None or cand < cur:
+            best[r["alias"]] = cand
+    return {a: e for a, (_, e) in best.items()}
+
+
+def extract_bag_fused(
+    documents: DataFrame,
+    gazetteer: DataFrame,
+    alias_dict: DataFrame,
+    cooccur_window: int = 8,
+    sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+) -> DataFrame:
+    """documents → full triple bag in one mapInPandas stage (no shuffles).
+
+    Semantically identical to NativeKG's modular bag minus fact rows —
+    parity is pinned by tests and the DuckDB oracle suite."""
+    docs = apply_sentence_guard(documents, sent_threshold)
+    gaz = {r["term"]: r["entity_class"] for r in gazetteer.collect()}
+    best = best_alias_entity(alias_dict)
+    return docs.select("doc_id", "contents").mapInPandas(
+        _fused_bag_batches(gaz, best, cooccur_window), TRIPLE_DDL
+    )
+
+
+# --------------------------------------------------------------------------
 # Pattern mode: mapInPandas annotator (reference CoreNLP semantics)
 # --------------------------------------------------------------------------
 

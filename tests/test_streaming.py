@@ -1,0 +1,82 @@
+"""Structured Streaming: windowed mention rates, session windows,
+foreachBatch triple sink (SURVEY.md §2.9 — engine addition; the
+reference is batch-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dstlr_spark.operators.assembly import assemble_documents
+from dstlr_spark.operators.extract import extract_triples_pattern
+from dstlr_spark.sources.transcripts import generate_transcripts
+from dstlr_spark.streaming.transcripts_stream import (
+    conversation_sessions_stream,
+    mention_rate_stream,
+    stream_transcripts,
+    write_triples_stream,
+)
+
+
+def _write_input(spark, tmp_path, n_convs=8):
+    path = str(tmp_path / "in")
+    generate_transcripts(spark, n_convs=n_convs).write.parquet(path)
+    return path
+
+
+def _run_to_memory(df, name, mode="complete"):
+    """complete mode: append only emits watermark-closed windows, so the
+    final window would be withheld in a finite test stream."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_mention_rate_stream(spark, tmp_path):
+    path = _write_input(spark, tmp_path)
+    stream = stream_transcripts(spark, path)
+    rates = mention_rate_stream(stream, ["Apple", "Paris"], watermark="0 seconds")
+    _run_to_memory(rates, "rates")
+    got = spark.sql("SELECT * FROM rates").collect()
+    # batch ground truth
+    batch = (
+        spark.read.parquet(path)
+        .where(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("t"))
+        .select(F.regexp_replace("t", r"[.?,:;'\"!]", "").alias("t"))
+        .where(F.col("t").isin(["Apple", "Paris"]))
+        .count()
+    )
+    assert sum(r["n_mentions"] for r in got) == batch
+    assert all(r["window_start"] is not None for r in got)
+
+
+def test_session_window_stream(spark, tmp_path):
+    path = _write_input(spark, tmp_path)
+    stream = stream_transcripts(spark, path)
+    sessions = conversation_sessions_stream(stream, gap="30 minutes")
+    _run_to_memory(sessions, "sessions")
+    got = spark.sql("SELECT * FROM sessions").collect()
+    assert len(got) > 0
+    by_conv = {r["conv_id"]: r for r in got if r["conv_id"] == "smoke-0"}
+    assert by_conv["smoke-0"]["n_turns"] == 1
+
+
+def test_foreachbatch_triple_sink(spark, tmp_path):
+    path = _write_input(spark, tmp_path)
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+
+    def pipeline(batch_df):
+        return extract_triples_pattern(assemble_documents(batch_df))
+
+    stream = stream_transcripts(spark, path)
+    q = write_triples_stream(stream, out, ckpt, pipeline).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out}/epoch=*")
+    assert got.count() > 0
+    # streamed extraction over complete conversations matches batch
+    # (maxFilesPerTrigger may split files; with one input file per write
+    # the conversations stay whole per micro-batch)
+    batch = pipeline(spark.read.parquet(path))
+    assert got.count() == batch.count()
