@@ -67,6 +67,26 @@ DOC_FACTS: list[tuple[str, str, str]] = [
     ("E-join", "COOCCURS_OPERATOR_OBJECT", "window"),
 ]
 
+# (entity_id, property, value) — exercises the EnrichTriples routing:
+# P159 multimap fan-out, P569/P570 date reformat (C6), unmapped drop.
+ENRICH_FACTS: list[tuple[str, str, str]] = [
+    ("E-spark", "P159", "Berkeley"),
+    ("E-spark", "P571", "2014-02-27T00:00:00Z"),  # mapped but NOT routed
+    ("E-customer", "P569", "1970-01-02T03:04:05Z"),
+    ("E-table", "P999", "unmapped-dropped"),
+    ("E-join", "P570", "not-a-date-passes-through"),
+]
+
+PROPERTY_RELATION_DOC: list[tuple[str, str]] = [
+    ("P159", "ORG_CITY_OF_HEADQUARTERS"),
+    ("P159", "ORG_COUNTRY_OF_HEADQUARTERS"),
+    ("P159", "ORG_STATEORPROVINCE_OF_HEADQUARTERS"),
+    ("P571", "ORG_DATE_FOUNDED"),
+    ("P569", "PER_DATE_OF_BIRTH"),
+    ("P570", "PER_DATE_OF_DEATH"),
+    ("", "ORG_DISSOLVED"),  # empty property → filtered
+]
+
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -198,6 +218,49 @@ def q_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return missing_information(_graph(spark, sf_dir)).select(*_clean_cols())
 
 
+def q_enrich_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full EnrichTriples semantics over the doc corpus: distinct linked
+    entities ⨝ facts ⨝ property→relation multimap, P159/P569/P570
+    routing, C6 date reformat, ground-truth provenance rows."""
+    from dstlr_spark.operators.enrich import enrich_triples
+
+    kg = _kg(spark, sf_dir)
+    facts = spark.createDataFrame(
+        ENRICH_FACTS, "entity_id string, property string, value string"
+    )
+    mapping = spark.createDataFrame(
+        PROPERTY_RELATION_DOC, "property string, relation string"
+    )
+    gt = enrich_triples(kg.links_triples(), facts, mapping)
+    return gt.select(
+        F.col("subjectValue").alias("entity_id"),
+        "relation",
+        F.col("objectValue").alias("fact_value"),
+    )
+
+
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document canonicalization (connected components) — NOT
+    SQL-expressible (iterative fixpoint), so this is a rows-only entry:
+    the driver checks shape/rows; exactness is pinned by unit tests."""
+    from dstlr_spark.operators.canonicalize import canonicalize_mentions
+
+    kg = _kg(spark, sf_dir)
+    links = (
+        kg.links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select(F.col("subjectValue").alias("mention_id"),
+                F.col("objectValue").alias("entity_id"))
+    )
+    cc = canonicalize_mentions(
+        kg.mentions.select("mention_id", "key").dropDuplicates(["mention_id"]),
+        links,
+    )
+    return cc.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+
+
 def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention statistics over the linked graph (A4 analog)."""
     g = _graph(spark, sf_dir)
@@ -309,6 +372,19 @@ SELECT relation, CAST(COUNT(*) AS BIGINT) AS n FROM bag GROUP BY relation""",
     "kg_supporting": _clean_sql("o.span = f.value", ""),
     "kg_inconsistent": _clean_sql("o.span <> f.value", ""),
     "kg_missing": _clean_sql("f.value IS NULL", "LEFT"),
+    "kg_enrich_facts": f"""WITH {_base_ctes()},
+ents AS (SELECT DISTINCT entity_id FROM links WHERE entity_id IS NOT NULL),
+{values_cte("efacts", ["entity_id", "property", "value"], ENRICH_FACTS)},
+{values_cte("pmap", ["property", "relation"], PROPERTY_RELATION_DOC)}
+SELECT e.entity_id, m.relation,
+       CASE WHEN f.property IN ('P569', 'P570')
+            THEN COALESCE(strftime(try_strptime(f.value, '%Y-%m-%dT%H:%M:%SZ'),
+                                   '%Y-%m-%d'), f.value)
+            ELSE f.value END AS fact_value
+FROM ents e
+JOIN efacts f ON f.entity_id = e.entity_id
+JOIN pmap m ON m.property = f.property AND m.property <> ''
+WHERE f.property IN ('P159', 'P569', 'P570')""",
     "kg_entity_mention_counts": f"""WITH {_base_ctes()},
 men_edges AS (SELECT DISTINCT doc, mention_id FROM mentions),
 linked AS (
@@ -331,5 +407,7 @@ QUERIES = {
     "kg_supporting": q_supporting,
     "kg_inconsistent": q_inconsistent,
     "kg_missing": q_missing,
+    "kg_enrich_facts": q_enrich_facts,
+    "kg_canonical_clusters": q_canonical_clusters,  # rows-only (iterative CC)
     "kg_entity_mention_counts": q_entity_mention_counts,
 }

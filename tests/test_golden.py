@@ -1,0 +1,117 @@
+"""Golden triple-set parity: P/R scoring against the reference's expected
+extractions for its embedded smoke corpus (ExtractTriples.scala:162;
+demo.md:12-57). The driver's bar is P/R ≥ 0.95; these goldens demand 1.0
+on the smoke conversations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dstlr_spark.operators.extract import _stable_id_py
+from dstlr_spark.plans.pipeline import build_triples
+from dstlr_spark.sources.fixtures import alias_dict, facts, property_relation
+from dstlr_spark.sources.transcripts import generate_transcripts
+
+
+def _mid(doc: str, key: str) -> str:
+    return _stable_id_py(doc, key)
+
+
+def _expected_smoke() -> set[tuple]:
+    """Hand-derived golden triples for the 5 smoke sentences."""
+    g: set[tuple] = set()
+
+    def mention(doc, key):
+        g.add((doc, "Document", doc, "MENTIONS", "Mention", _mid(doc, key)))
+
+    def rel(doc, skey, r, okey):
+        g.add((doc, "Mention", _mid(doc, skey), r, "Mention", _mid(doc, okey)))
+
+    def link(doc, key, ent):
+        g.add((doc, "Mention", _mid(doc, key), "LINKS_TO", "Entity", ent))
+
+    # smoke-0: "Barack Obama was born on August 4th, 1961."
+    mention("smoke-0", "Barack Obama")
+    mention("smoke-0", "August 4th 1961")
+    rel("smoke-0", "Barack Obama", "PER_DATE_OF_BIRTH", "August 4th 1961")
+    link("smoke-0", "Barack Obama", "Q76")
+    link("smoke-0", "August 4th 1961", None)
+    # smoke-1: "Apple is based in Cupertino."
+    mention("smoke-1", "Apple")
+    mention("smoke-1", "Cupertino")
+    rel("smoke-1", "Apple", "ORG_CITY_OF_HEADQUARTERS", "Cupertino")
+    link("smoke-1", "Apple", "Q312")
+    link("smoke-1", "Cupertino", "Q49255")
+    # smoke-2: "Good Technology is a company based in Sunnyvale."
+    mention("smoke-2", "Good Technology")
+    mention("smoke-2", "Sunnyvale")
+    rel("smoke-2", "Good Technology", "ORG_CITY_OF_HEADQUARTERS", "Sunnyvale")
+    link("smoke-2", "Good Technology", "Q17081916")
+    link("smoke-2", "Sunnyvale", "Q110759")
+    # smoke-3: "Isetan is a company based in Paris."
+    mention("smoke-3", "Isetan")
+    mention("smoke-3", "Paris")
+    rel("smoke-3", "Isetan", "ORG_CITY_OF_HEADQUARTERS", "Paris")
+    link("smoke-3", "Isetan", "Q986118")
+    link("smoke-3", "Paris", "Q90")
+    # smoke-4: "The International Arctic Research Center is located in
+    #           Fairbanks, Alaska."
+    mention("smoke-4", "International Arctic Research Center")
+    mention("smoke-4", "Fairbanks")
+    mention("smoke-4", "Alaska")
+    rel("smoke-4", "International Arctic Research Center",
+        "ORG_CITY_OF_HEADQUARTERS", "Fairbanks")
+    rel("smoke-4", "International Arctic Research Center",
+        "ORG_STATEORPROVINCE_OF_HEADQUARTERS", "Alaska")
+    link("smoke-4", "International Arctic Research Center", "Q6049626")
+    link("smoke-4", "Fairbanks", "Q79571")
+    link("smoke-4", "Alaska", "Q797")
+    # enrichment ground truth (fixtures.FACTS_ROWS routed via wikidata map)
+    for ent, relname, val in [
+        ("Q17081916", "ORG_CITY_OF_HEADQUARTERS", "Sunnyvale"),
+        ("Q17081916", "ORG_COUNTRY_OF_HEADQUARTERS", "Sunnyvale"),
+        ("Q17081916", "ORG_STATEORPROVINCE_OF_HEADQUARTERS", "Sunnyvale"),
+        ("Q986118", "ORG_CITY_OF_HEADQUARTERS", "Tokyo"),
+        ("Q986118", "ORG_COUNTRY_OF_HEADQUARTERS", "Tokyo"),
+        ("Q986118", "ORG_STATEORPROVINCE_OF_HEADQUARTERS", "Tokyo"),
+        ("Q312", "ORG_CITY_OF_HEADQUARTERS", "Cupertino"),
+        ("Q312", "ORG_COUNTRY_OF_HEADQUARTERS", "Cupertino"),
+        ("Q312", "ORG_STATEORPROVINCE_OF_HEADQUARTERS", "Cupertino"),
+        ("Q76", "PER_DATE_OF_BIRTH", "1961-08-04"),
+    ]:
+        g.add(("ground-truth", "Entity", ent, relname, "Fact", val))
+    return g
+
+
+def test_smoke_corpus_precision_recall(spark):
+    """P/R of the full pipeline vs the hand-derived golden set = 1.0."""
+    tr = generate_transcripts(spark, n_convs=0, include_pathological=False)
+    triples = build_triples(
+        tr, alias_dict(spark), facts(spark), property_relation(spark)
+    )
+    got = {
+        (r["doc"], r["subjectType"], r["subjectValue"], r["relation"],
+         r["objectType"], r["objectValue"])
+        for r in triples.collect()
+    }
+    expected = _expected_smoke()
+    tp = len(got & expected)
+    precision = tp / len(got)
+    recall = tp / len(expected)
+    assert recall == 1.0, sorted(expected - got)[:5]
+    assert precision == 1.0, sorted(got - expected)[:5]
+
+
+def test_full_corpus_deterministic_snapshot(spark):
+    """The seeded corpus pipeline is bit-stable run-to-run (resume +
+    P/R comparisons depend on it)."""
+    def run():
+        tr = generate_transcripts(spark, n_convs=15)
+        t = build_triples(tr, alias_dict(spark), facts(spark), property_relation(spark))
+        return sorted(
+            (r["doc"], r["subjectValue"], r["relation"], r["objectValue"])
+            for r in t.collect()
+        )
+
+    assert run() == run()

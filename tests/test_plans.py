@@ -1,0 +1,87 @@
+"""Physical-plan audits: the plans the 100 TB design demands, asserted.
+
+These are regression guards on Catalyst behavior, not semantics:
+pushdown reaching the parquet scan, column pruning, broadcast joins for
+dimensions, AQE active, and — the big one — ZERO exchanges in the fused
+extraction stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(spark, df, mode="formatted") -> str:
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice")
+    )
+    plan = _plan(spark, df)
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(spark, df)
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column never read
+
+
+def test_dimension_join_broadcasts(spark):
+    from dstlr_spark.queries.relational import q_revenue_by_nation
+
+    plan = _plan(spark, q_revenue_by_nation(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan  # nation never shuffles
+
+
+def test_fused_extraction_has_no_exchange(spark):
+    """The flagship: documents → full triple bag with ZERO shuffles."""
+    from dstlr_spark.operators.extract import extract_bag_fused
+    from dstlr_spark.queries.doc_kg import _aliases, _documents, _gazetteer
+
+    bag = extract_bag_fused(
+        _documents(spark, "/root/testdata/sf0.001"),
+        _gazetteer(spark),
+        _aliases(spark),
+        sent_threshold=10_000,
+    )
+    plan = _plan(spark, bag)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_aqe_enabled_on_aggregates(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    assert "AdaptiveSparkPlan" in _plan(spark, df, "simple")
+
+
+def test_linking_is_single_aggregate_no_sort(spark):
+    """Arg-max linking uses min_by hash aggregation — no window sort."""
+    from dstlr_spark.plans.native_kg import NativeKG
+    from dstlr_spark.queries.doc_kg import _aliases, _documents, _gazetteer
+
+    kg = NativeKG(
+        _documents(spark, "/root/testdata/sf0.001"),
+        _gazetteer(spark),
+        _aliases(spark),
+        sent_threshold=10_000,
+        persist=False,
+    )
+    plan = _plan(spark, kg.links_triples())
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan  # alias dict broadcast, not shuffled
