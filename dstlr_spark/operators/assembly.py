@@ -56,6 +56,35 @@ def assemble_documents(transcripts: DataFrame, sep: str = " ") -> DataFrame:
     )
 
 
+def assemble_documents_grouped(transcripts: DataFrame, sep: str = " ") -> DataFrame:
+    """Grouped-map (``applyInPandas``) variant of :func:`assemble_documents`
+    (SURVEY.md §2.11): per-conversation pandas DataFrame in, one document
+    row out. Semantics identical to the native aggregate (pinned by a
+    parity test); this is the slot a custom Python assembly policy
+    (e.g. role-aware templating of turns) plugs into — the native
+    ``array_sort`` + ``array_join`` path stays the default because it is
+    whole-stage-codegen'd and needs no Python workers.
+    """
+    import pandas as pd
+
+    filtered = transcripts.where(
+        F.col("conv_id").isNotNull()
+        & (F.col("conv_id") != "")
+        & F.col("text").isNotNull()
+        & (F.col("text") != "")
+    ).select("conv_id", "turn_idx", "text")
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["turn_idx", "text"], kind="mergesort")
+        return pd.DataFrame(
+            {"doc_id": [pdf["conv_id"].iloc[0]], "contents": [sep.join(pdf["text"])]}
+        )
+
+    return filtered.groupBy("conv_id").applyInPandas(
+        assemble, "doc_id string, contents string"
+    )
+
+
 def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets: int = 8) -> DataFrame:
     """Salted repartition before the CPU-heavy extraction stage.
 

@@ -64,9 +64,15 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         "q_id",
         "vec_id",
-        _dot(F.col("qv"), F.col("q")).alias("dot"),
+        _dot(F.col("qv"), F.col("q")).alias("dot"),  # integer dot, computed once
+        "qn",
+        "norm",
+    ).select(
+        "q_id",
+        "vec_id",
+        "dot",
         (
-            _dot(F.col("qv"), F.col("q"))
+            F.col("dot")
             / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm").cast("double")))
         ).alias("score"),
     )
@@ -121,9 +127,39 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_TAU_PPM = 350_000  # cosine ≥ 0.35 (synthetic corpus max ≈ 0.46)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family).
+
+    Exact all-pairs threshold join — the correctness semantics (near-dup
+    must not miss). At 100 TB the same predicate runs per LSH bucket
+    (see q_ann_lsh) or per IVF cell, turning O(N²) into O(Σ bucket²);
+    the threshold filter itself is unchanged. Score is reported in exact
+    integer ppm (floor(1e6·cos)) so the threshold compare is engine-exact.
+    """
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+                 F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+                 F.col("norm").alias("nb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    score_ppm = F.floor(
+        _dot(F.col("qa"), F.col("qb"))
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        * 1_000_000
+    ).cast("long")
+    return (
+        pairs.select("vec_a", "vec_b", score_ppm.alias("score_ppm"))
+        .where(F.col("score_ppm") >= NEARDUP_TAU_PPM)
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": q_topk_cosine,
     "sim_ann_lsh": q_ann_lsh,
+    "dedup_embedding_neardup": q_embedding_neardup,
 }
 
 _QUANT_SQL = f"""
@@ -166,4 +202,15 @@ SELECT q_id, e.vec_id, e.bucket,
        ROUND(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
              / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))), 6) AS score
 FROM e JOIN qs ON e.bucket = qs.q_bucket AND e.vec_id <> qs.q_id""",
+    "dedup_embedding_neardup": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(floor(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS DOUBLE)
+            / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+            * 1000000) AS BIGINT) AS score_ppm
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE CAST(floor(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS DOUBLE)
+           / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+           * 1000000) AS BIGINT) >= {NEARDUP_TAU_PPM}""",
 }

@@ -4,7 +4,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dstlr_spark.operators.assembly import assemble_documents
+from dstlr_spark.operators.assembly import (
+    assemble_documents,
+    assemble_documents_grouped,
+)
 from dstlr_spark.schemas import TRANSCRIPT_SCHEMA
 from dstlr_spark.sources.transcripts import derive_transcripts, generate_transcripts
 
@@ -53,6 +56,14 @@ def test_derive_assemble_roundtrip(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_grouped_map_assembly_parity(spark):
+    """applyInPandas variant ≡ native aggregate variant (SURVEY §2.11)."""
+    tr = generate_transcripts(spark, n_convs=8)
+    a = sorted(map(tuple, assemble_documents(tr).collect()))
+    b = sorted(map(tuple, assemble_documents_grouped(tr).collect()))
+    assert a == b
 
 
 def test_generated_corpus_deterministic(spark):
