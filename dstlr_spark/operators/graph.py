@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dstlr_spark.functions.text import span_index_label
+from dstlr_spark.functions.text import span_index_label, utf8_truncate_1024
 
 
 def split_triples(triples: DataFrame) -> dict[str, DataFrame]:
@@ -77,7 +77,10 @@ def materialize_graph(triples: DataFrame) -> dict[str, DataFrame]:
         .select(
             "mention_id",
             F.col("attrs")["entity_class"].alias("entity_class"),
-            F.col("attrs")["span"].alias("span"),
+            # C9: the reference caps spans at 1024 BYTES for the Neo4j
+            # index (LoadTriples.scala:16-17,55-59); we truncate on a
+            # code-point boundary (documented divergence, SURVEY C9)
+            utf8_truncate_1024(F.col("attrs")["span"]).alias("span"),
             F.col("attrs")["normalized"].alias("normalized"),
             "index",
         )
@@ -124,6 +127,27 @@ def materialize_graph(triples: DataFrame) -> dict[str, DataFrame]:
         "fact_edges": fact_edges,
         "entity_nodes": entity_nodes,
     }
+
+
+def register_graph_views(spark, graph: dict[str, DataFrame], prefix: str = "") -> None:
+    """Expose the graph tables as temp views so the Cypher-analog queries
+    can also be written in plain ``spark.sql`` (dual API surface)."""
+    for name, df in graph.items():
+        df.createOrReplaceTempView(f"{prefix}{name}")
+
+
+SUPPORTING_SQL = """
+SELECT r.doc_id, r.subject_mention_id, r.type AS relation,
+       r.object_mention_id, o.span AS object_span,
+       l.entity_id, f.value AS fact_value, r.confidence
+FROM relation_edges r
+JOIN (SELECT DISTINCT doc_id, mention_id FROM mentions_edges) d
+  ON d.doc_id = r.doc_id AND d.mention_id = r.subject_mention_id
+JOIN mention_nodes o ON o.mention_id = r.object_mention_id
+JOIN links_to l ON l.mention_id = r.subject_mention_id
+JOIN fact_edges f ON f.entity_id = l.entity_id AND f.relation = r.type
+WHERE o.span = f.value
+"""
 
 
 def validate_fk(graph: dict[str, DataFrame]) -> dict[str, int]:

@@ -24,6 +24,7 @@ from dstlr_spark.operators.extract import (
     mention_triples,
     relation_triples,
 )
+from dstlr_spark.functions.text import utf8_truncate_1024
 from dstlr_spark.operators.graph import materialize_graph
 from dstlr_spark.operators.linking import resolve_aliases
 
@@ -134,7 +135,8 @@ class NativeKG:
             .select(
                 "mention_id",
                 F.col("attrs")["entity_class"].alias("entity_class"),
-                F.col("attrs")["span"].alias("span"),
+                # C9 parity with materialize_graph (1024-byte span cap)
+                utf8_truncate_1024(F.col("attrs")["span"]).alias("span"),
                 F.col("attrs")["normalized"].alias("normalized"),
                 "index",
             )

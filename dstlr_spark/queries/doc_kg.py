@@ -240,9 +240,11 @@ def q_enrich_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document canonicalization (connected components) — NOT
-    SQL-expressible (iterative fixpoint), so this is a rows-only entry:
-    the driver checks shape/rows; exactness is pinned by unit tests."""
+    """Cross-document canonicalization: connected components over the
+    mention-coreference graph (shared lemma key ∪ shared link target).
+    The oracle expresses the same fixpoint as a DuckDB recursive CTE
+    (reachability closure + MIN), so even the iterative operator is
+    value-checked end-to-end."""
     from dstlr_spark.operators.canonicalize import canonicalize_mentions
 
     kg = _kg(spark, sf_dir)
@@ -385,6 +387,31 @@ FROM ents e
 JOIN efacts f ON f.entity_id = e.entity_id
 JOIN pmap m ON m.property = f.property AND m.property <> ''
 WHERE f.property IN ('P159', 'P569', 'P570')""",
+    "kg_canonical_clusters": f"""WITH RECURSIVE {_base_ctes()},
+dm AS (SELECT DISTINCT mention_id, key FROM mentions),
+key_star AS (
+    SELECT mention_id AS src,
+           MIN(mention_id) OVER (PARTITION BY key) AS dst
+    FROM dm),
+lk AS (SELECT DISTINCT mention_id, entity_id FROM links
+       WHERE entity_id IS NOT NULL),
+ent_star AS (
+    SELECT mention_id AS src,
+           MIN(mention_id) OVER (PARTITION BY entity_id) AS dst
+    FROM lk),
+star AS (
+    SELECT src, dst FROM key_star WHERE src <> dst
+    UNION
+    SELECT src, dst FROM ent_star WHERE src <> dst),
+sym AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
+verts AS (SELECT DISTINCT mention_id AS id FROM dm),
+reach(id, comp) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id),
+cc AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
+SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM cc GROUP BY canonical_id""",
     "kg_entity_mention_counts": f"""WITH {_base_ctes()},
 men_edges AS (SELECT DISTINCT doc, mention_id FROM mentions),
 linked AS (
@@ -408,6 +435,6 @@ QUERIES = {
     "kg_inconsistent": q_inconsistent,
     "kg_missing": q_missing,
     "kg_enrich_facts": q_enrich_facts,
-    "kg_canonical_clusters": q_canonical_clusters,  # rows-only (iterative CC)
+    "kg_canonical_clusters": q_canonical_clusters,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }
