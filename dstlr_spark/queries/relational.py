@@ -133,6 +133,14 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
 # --- events: sessionization + time windows ------------------------------------
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,6 +193,28 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(*aggs)
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'error' event, the latest 'signup' event by
+    the same user at-or-before it (engine addition — Spark has no native
+    as-of join; DuckDB's ASOF JOIN is the oracle)."""
+    from dstlr_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    joined = asof_join(errors, signups, on="ts", key="user_id", right_cols=["signup_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.col("asof_signup_id").alias("signup_id"),
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_by_nation": q_revenue_by_nation,
@@ -193,9 +223,11 @@ QUERIES = {
     "rel_priority_with_lineitems": q_priority_with_lineitems,
     "rel_returned_not_shipped_parts": q_returned_not_shipped_parts,
     "rel_rollup_counts": q_rollup_counts,
+    "rel_cube_quantities": q_cube_quantities,
     "events_sessions": q_event_sessions,
     "events_hourly": q_events_hourly,
     "events_pivot": q_events_pivot,
+    "events_asof_join": q_events_asof_join,
 }
 
 ORACLES = {
@@ -242,6 +274,10 @@ SELECT DISTINCT l_partkey FROM (
     "rel_rollup_counts": """
 SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "rel_cube_quantities": """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "events_sessions": """
 WITH g AS (
   SELECT user_id,
@@ -268,4 +304,12 @@ SELECT user_id,
        CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
        CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase
 FROM events GROUP BY user_id""",
+    "events_asof_join": """
+WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+sgn AS (SELECT user_id, ts, event_id AS signup_id FROM events WHERE event_type = 'signup')
+SELECT e.event_id, e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       s.signup_id
+FROM err e ASOF LEFT JOIN sgn s
+  ON e.user_id = s.user_id AND e.ts >= s.ts""",
 }

@@ -127,6 +127,69 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_STRIDE = 50  # centroid set = vectors with vec_id % 50 == 0 (seeded, fixed)
+IVF_TOP_K = 3
+
+
+def _l2_int(a, b):
+    """Exact integer squared-L2 between quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid
+    (integer L2, deterministic ties), then answer queries by searching
+    ONLY the query's cell — the inverted-file index pattern. Centroids
+    here are a fixed seeded subset standing in for k-means (the
+    assignment/search dataflow — broadcast centroids, map-side argmin,
+    cell-equi-join — is the part that must scale; training the
+    codebook is an offline job).
+    """
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    # map-side argmin over broadcast centroids: one hash agg, no sort
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))).alias("cell"),
+            F.first("q").alias("q"),
+            F.first("norm").alias("norm"),
+        )
+    )
+    queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("cell").alias("q_cell"),
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        "vec_id",
+        "cell",
+        (
+            _dot(F.col("qv"), F.col("q"))
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm").cast("double")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("q_id", "vec_id", "cell", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 NEARDUP_TAU_PPM = 350_000  # cosine ≥ 0.35 (synthetic corpus max ≈ 0.46)
 
 
@@ -159,6 +222,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_topk_cosine": q_topk_cosine,
     "sim_ann_lsh": q_ann_lsh,
+    "sim_ann_ivf": q_ann_ivf,
     "dedup_embedding_neardup": q_embedding_neardup,
 }
 
@@ -202,6 +266,32 @@ SELECT q_id, e.vec_id, e.bucket,
        ROUND(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
              / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))), 6) AS score
 FROM e JOIN qs ON e.bucket = qs.q_bucket AND e.vec_id <> qs.q_id""",
+    "sim_ann_ivf": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),
+cents AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {IVF_STRIDE} = 0),
+dists AS (
+  SELECT e.vec_id, e.q, e.norm, c.cid,
+         CAST(list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip(e.q, c.cq)]) AS BIGINT) AS d
+  FROM e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, q, norm, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dists) z
+  WHERE rn = 1),
+qs AS (SELECT vec_id AS q_id, q AS qv, norm AS qn, cell AS q_cell
+       FROM assigned WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, a.vec_id, a.cell,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, a.q)]) AS DOUBLE)
+           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(a.norm AS DOUBLE))) AS score
+  FROM assigned a JOIN qs ON a.cell = qs.q_cell AND a.vec_id <> qs.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cell, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, cell, rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= {IVF_TOP_K}""",
     "dedup_embedding_neardup": f"""
 WITH qe AS ({_QUANT_SQL}),
 e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe)

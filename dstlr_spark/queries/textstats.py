@@ -89,14 +89,40 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+#: the usual pre-merge segmentation; identical regex semantics in both engines
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (vs plain whitespace) — the
+    pre-training cost-estimation counter."""
+    d = _docs(spark, sf_dir)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    ws = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(pieces).alias("n_bpe_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "text_bpe_tokens": q_bpe_tokens,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
 }
 
 ORACLES = {
+    "text_bpe_tokens": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INT) AS n_bpe_pieces,
+       CAST(len(list_distinct(regexp_extract_all(text, '{BPE_RE}'))) AS INT) AS n_distinct_pieces
+FROM documents""",
     "text_token_stats": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
