@@ -21,9 +21,8 @@ def entry(spark: SparkSession) -> DataFrame:
     → link → facts → triple bag) on /root/testdata/sf0.001 documents."""
     from pyspark.sql import functions as F
 
-    from dstlr_spark.operators.extract import extract_triples_native
-    from dstlr_spark.operators.linking import link_mentions
     from dstlr_spark.operators.assembly import assemble_documents
+    from dstlr_spark.operators.extract import extract_bag_fused
     from dstlr_spark.queries.doc_kg import (
         COOCCUR_WINDOW,
         _aliases,
@@ -36,14 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
-    # transcripts → documents (stable-order reassembly), then extraction
+    # transcripts → documents (stable-order reassembly), then the fused
+    # single-pass extraction (mentions + relations + links, zero shuffles)
     assembled = assemble_documents(derive_transcripts(docs))
-    triples = extract_triples_native(
-        assembled, _gazetteer(spark), COOCCUR_WINDOW, sent_threshold=10_000
-    )
-    bag = triples.unionByName(link_mentions(triples, _aliases(spark))).unionByName(
-        _doc_fact_triples(spark)
-    )
+    bag = extract_bag_fused(
+        assembled, _gazetteer(spark), _aliases(spark), COOCCUR_WINDOW,
+        sent_threshold=10_000,
+    ).unionByName(_doc_fact_triples(spark))
     return bag
 
 

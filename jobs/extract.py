@@ -34,6 +34,15 @@ def main() -> None:
         "--alias-dict", default=None,
         help="parquet (alias, entity_id, prior); default: built-in fixture",
     )
+    p.add_argument(
+        "--where", default=None,
+        help="SQL predicate pushed to the transcripts scan "
+             "(the Solr --query option's analog, ExtractTriples.scala:175)",
+    )
+    p.add_argument(
+        "--max-rows", type=int, default=None,
+        help="input row cap (the Solr --max_rows paging analog)",
+    )
     p.add_argument("--partitions", type=int, default=8)  # package.scala:30
     p.add_argument(
         "--sent-length-threshold", type=int, default=DEFAULT_SENT_THRESHOLD
@@ -43,6 +52,10 @@ def main() -> None:
 
     spark = get_spark("dstlr-extract")
     transcripts = read_table(spark, args.input)
+    if args.where:
+        transcripts = transcripts.where(args.where)  # Catalyst pushes to the scan
+    if args.max_rows:
+        transcripts = transcripts.limit(args.max_rows)
     if args.alias_dict:
         aliases = read_table(spark, args.alias_dict)
     else:

@@ -1,0 +1,55 @@
+"""Seeded fuzz: the Python annotator twins and the Column implementations
+agree on adversarial unicode/punctuation inputs (one batched Spark call,
+500 random strings)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from dstlr_spark.functions.text import lemma_key, stable_mention_id, utf8_truncate_1024
+from dstlr_spark.operators.extract import _lemma_key_py, _stable_id_py
+
+_ALPHABET = (
+    list("abcXYZ019 ") + list(".?,:;'\"!") + list("日本語áéßø€") + ["  ", "\t"]
+)
+
+
+def _random_strings(n=500, seed=1234):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 40)
+        out.append("".join(rng.choice(_ALPHABET) for _ in range(k)))
+    return out
+
+
+def test_lemma_key_fuzz(spark):
+    samples = [s for s in _random_strings() if s.strip()]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["k"] for r in df.select(lemma_key("s").alias("k")).collect()]
+    want = [_lemma_key_py(s) for s in samples]
+    mismatches = [(s, g, w) for s, g, w in zip(samples, got, want) if g != w]
+    assert not mismatches, mismatches[:3]
+
+
+def test_stable_id_fuzz(spark):
+    samples = _random_strings(200, seed=99)
+    df = spark.createDataFrame([(f"d{i}", s) for i, s in enumerate(samples)],
+                               "d string, s string")
+    got = [r["m"] for r in df.select(stable_mention_id("d", "s").alias("m")).collect()]
+    want = [_stable_id_py(f"d{i}", s) for i, s in enumerate(samples)]
+    assert got == want
+
+
+def test_utf8_truncate_fuzz(spark):
+    samples = [s * 80 for s in _random_strings(100, seed=7)]  # force long strings
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["t"] for r in df.select(utf8_truncate_1024("s").alias("t")).collect()]
+    for orig, t in zip(samples, got):
+        b = t.encode("utf-8")
+        assert len(b) <= 1024
+        assert orig.startswith(t)  # truncation is a prefix, never mangled
+        if len(orig.encode("utf-8")) <= 1024:
+            assert t == orig
