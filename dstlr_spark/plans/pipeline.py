@@ -49,11 +49,20 @@ def build_graph(triples: DataFrame) -> dict[str, DataFrame]:
     return materialize_graph(triples)
 
 
-def observe_metrics(df: DataFrame, name: str = "metrics") -> DataFrame:
+def observe_metrics(df: DataFrame, name: str = "metrics"):
     """X10/A5: row counters without a second pass — Spark ``observe``
-    replaces the reference's accumulators (ExtractTriples.scala:46-48)."""
-    return df.observe(
-        name,
+    replaces the reference's accumulators (ExtractTriples.scala:46-48).
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    first action. Exact DISTINCT is not allowed inside observed metrics;
+    the sketch is the right tool for a progress counter anyway.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
         F.count(F.lit(1)).alias("triples"),
-        F.count_distinct(F.col("doc")).alias("docs"),
+        F.approx_count_distinct(F.col("doc")).alias("docs"),
     )
+    return observed, obs

@@ -91,6 +91,46 @@ def conversation_sessions_stream(transcripts: DataFrame, gap: str = "30 minutes"
     )
 
 
+def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: tracks
+    per-conversation running state (turn count, max turn_idx, char sum)
+    across micro-batches and emits one updated row per conversation per
+    batch — the slot for stateful logic that ``groupBy`` can't express
+    incrementally (e.g. conversation-completeness heuristics deciding
+    when a conversation is ready for extraction).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, n_turns long, max_turn int, n_chars long"
+    state_schema = "n_turns long, max_turn int, n_chars long"
+
+    def update(key, pdfs, state):
+        n_turns, max_turn, n_chars = (
+            state.get if state.exists else (0, -1, 0)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            if len(pdf):
+                max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+                n_chars += int(pdf["text"].str.len().sum())
+        state.update((n_turns, max_turn, n_chars))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "n_turns": [n_turns],
+             "max_turn": [max_turn], "n_chars": [n_chars]}
+        )
+
+    return (
+        transcripts.where(F.col("conv_id").isNotNull() & F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def write_triples_stream(
     transcripts: DataFrame,
     out_dir: str,

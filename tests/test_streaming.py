@@ -10,6 +10,7 @@ from dstlr_spark.operators.assembly import assemble_documents
 from dstlr_spark.operators.extract import extract_triples_pattern
 from dstlr_spark.sources.transcripts import generate_transcripts
 from dstlr_spark.streaming.transcripts_stream import (
+    conversation_progress_stream,
     conversation_sessions_stream,
     mention_rate_stream,
     stream_transcripts,
@@ -59,6 +60,35 @@ def test_session_window_stream(spark, tmp_path):
     assert len(got) > 0
     by_conv = {r["conv_id"]: r for r in got if r["conv_id"] == "smoke-0"}
     assert by_conv["smoke-0"]["n_turns"] == 1
+
+
+def test_stateful_progress_stream(spark, tmp_path):
+    """applyInPandasWithState: per-conversation running state survives
+    across micro-batches and matches the batch ground truth."""
+    path = _write_input(spark, tmp_path)
+    progress = conversation_progress_stream(stream_transcripts(spark, path))
+    _run_to_memory(progress, "progress", mode="update")
+    # per conversation, the row with the highest n_turns = final state
+    # (earlier micro-batches emit running partials)
+    got = {}
+    for r in spark.sql("SELECT * FROM progress").collect():
+        cur = got.get(r["conv_id"])
+        cand = (r["n_turns"], r["max_turn"], r["n_chars"])
+        if cur is None or cand[0] > cur[0]:
+            got[r["conv_id"]] = cand
+    batch = (
+        spark.read.parquet(path)
+        .where(F.col("conv_id").isNotNull() & F.col("text").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("turn_idx").alias("m"),
+            F.sum(F.length("text")).alias("c"),
+        )
+        .collect()
+    )
+    for r in batch:
+        assert got[r["conv_id"]] == (r["n"], r["m"], r["c"])
 
 
 def test_foreachbatch_triple_sink(spark, tmp_path):
