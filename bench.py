@@ -72,6 +72,31 @@ def main() -> None:
 
     counters["supporting_rows"] = timed("kg_clean_supporting", run_clean)
 
+    # q2b: reference-shaped end-to-end (transcripts → assemble → PATTERN
+    # annotator → link → triples) on a seeded transcript corpus — the
+    # doc/s + triple/s the reference's own instrumentation prints
+    # (ExtractTriples.scala:140); our annotator is deterministic, so this
+    # measures the pipeline, not a model
+    from dstlr_spark.operators.assembly import assemble_documents
+    from dstlr_spark.operators.extract import extract_triples_pattern
+    from dstlr_spark.operators.linking import link_mentions
+    from dstlr_spark.sources.fixtures import alias_dict
+    from dstlr_spark.sources.transcripts import generate_transcripts
+
+    n_convs = max(200, int(2000 * (sf / 0.1))) if sf > 0 else 500
+    transcripts = generate_transcripts(spark, n_convs=n_convs).persist()
+    n_convs_real = transcripts.select("conv_id").distinct().count()
+    ref_aliases = alias_dict(spark)
+
+    def pattern_e2e():
+        docs = assemble_documents(transcripts).repartition(max(cpus, 8))
+        t = extract_triples_pattern(docs)
+        return t.unionByName(link_mentions(t, ref_aliases)).count()
+
+    counters["pattern_triples"] = timed("kg_pattern_e2e", pattern_e2e)
+    counters["pattern_convs"] = n_convs_real
+    transcripts.unpersist()
+
     # q3: assembly round-trip (shred + reassemble the corpus)
     qs = all_queries()
     counters["assembly_rows"] = timed(
@@ -87,6 +112,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings["kg_pipeline"]
+    pat_sec = timings.get("kg_pattern_e2e")
     result = {
         "metric": "headline_queries_total",
         "value": total,
@@ -98,6 +124,13 @@ def main() -> None:
         "triples": n_triples,
         "docs_per_sec": round(n_docs / pipeline_sec, 1) if pipeline_sec else None,
         "triples_per_sec": round(n_triples / pipeline_sec, 1) if pipeline_sec else None,
+        "pattern_convs": counters.get("pattern_convs"),
+        "pattern_docs_per_sec": (
+            round(counters["pattern_convs"] / pat_sec, 1) if pat_sec else None
+        ),
+        "pattern_triples_per_sec": (
+            round(counters["pattern_triples"] / pat_sec, 1) if pat_sec else None
+        ),
     }
     spark.stop()
     print(json.dumps(result))
