@@ -141,6 +141,39 @@ def q_cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated subquery (Catalyst decorrelation) ------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: lineitems below 20% of their part's average
+    quantity — a correlated scalar subquery Catalyst decorrelates into
+    an aggregate + join. (l_quantity is integer-valued, so the AVG
+    threshold is exact in both engines regardless of summation order.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_q17")
+    return spark.sql(
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM li_q17 l
+        WHERE l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM li_q17 l2
+            WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+# --- exact percentiles (interpolated, engine-identical) -------------------------
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("q90"),
+        F.percentile("l_quantity", F.lit(0.37)).alias("q37"),
+    )
+
+
 # --- events: sessionization + time windows ------------------------------------
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -224,6 +257,8 @@ QUERIES = {
     "rel_returned_not_shipped_parts": q_returned_not_shipped_parts,
     "rel_rollup_counts": q_rollup_counts,
     "rel_cube_quantities": q_cube_quantities,
+    "rel_small_quantity_revenue": q_small_quantity_revenue,
+    "rel_quantity_percentiles": q_quantity_percentiles,
     "events_sessions": q_event_sessions,
     "events_hourly": q_events_hourly,
     "events_pivot": q_events_pivot,
@@ -278,6 +313,19 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "rel_small_quantity_revenue": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)""",
+    "rel_quantity_percentiles": """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS q50,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.9) AS q90,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.37) AS q37
+FROM lineitem GROUP BY l_returnflag""",
     "events_sessions": """
 WITH g AS (
   SELECT user_id,

@@ -70,6 +70,27 @@ def test_aqe_enabled_on_aggregates(spark):
     assert "AdaptiveSparkPlan" in _plan(spark, df, "simple")
 
 
+def test_join_strategy_hints_respected(spark):
+    """The engine can force a physical join strategy when Catalyst's
+    default is wrong for a known distribution."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    shj = li.join(orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "ShuffledHashJoin" in _plan(spark, shj)
+    smj = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "SortMergeJoin" in _plan(spark, smj)
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Q17-shaped correlated scalar subquery becomes an aggregate+join,
+    not a per-row subplan."""
+    from dstlr_spark.queries.relational import q_small_quantity_revenue
+
+    plan = _plan(spark, q_small_quantity_revenue(spark, "/root/testdata/sf0.001"))
+    assert "HashAggregate" in plan
+    assert "SubqueryExec" not in plan  # decorrelated into the main plan
+
+
 def test_linking_is_single_aggregate_no_sort(spark):
     """Arg-max linking uses min_by hash aggregation — no window sort."""
     from dstlr_spark.plans.native_kg import NativeKG
