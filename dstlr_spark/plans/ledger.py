@@ -34,8 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LEDGER_SCHEMA = (
-    "bucket int, n_input_rows long, n_triples long, wall_sec double, "
-    "finished_ts timestamp"
+    "bucket int, n_input_rows long, input_fingerprint long, n_triples long, "
+    "wall_sec double, finished_ts timestamp"
 )
 
 
@@ -77,14 +77,22 @@ def run_with_ledger(
             continue
         t0 = time.perf_counter()
         chunk = bucketed.where(F.col("_bucket") == b).drop("_bucket")
-        n_input = chunk.count()
+        # lineage: row count + order-independent xor-fold content hash of
+        # the bucket's input — a resume after upstream data changed is
+        # detectable by comparing fingerprints, and xor-folding is exact
+        # under any partitioning/order (north rule: per-partition lineage)
+        stats = chunk.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({key}, turn_idx, text))").alias("fp"),
+        ).first()
+        n_input, fingerprint = stats["n"], stats["fp"]
         triples = pipeline_fn(chunk)
         triples.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
         n_triples = spark.read.parquet(f"{out_dir}/bucket={b}").count()
         wall = time.perf_counter() - t0
         # ledger commit strictly after the data commit (watermark rule)
         spark.createDataFrame(
-            [(b, n_input, n_triples, wall, None)], LEDGER_SCHEMA
+            [(b, n_input, fingerprint, n_triples, wall, None)], LEDGER_SCHEMA
         ).withColumn("finished_ts", F.current_timestamp()).write.mode(
             "append"
         ).parquet(ledger_dir)

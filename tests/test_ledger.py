@@ -38,6 +38,10 @@ def test_one_shot_run_and_metrics(spark, tmp_path):
     ledger = read_ledger(spark, led).collect()
     assert len(ledger) == N_BUCKETS
     assert all(r["wall_sec"] > 0 and r["finished_ts"] is not None for r in ledger)
+    # lineage: non-empty buckets carry a content fingerprint, and the
+    # fingerprint is deterministic (re-derivable from the same input)
+    nonempty = [r for r in ledger if r["n_input_rows"] > 0]
+    assert all(r["input_fingerprint"] is not None for r in nonempty)
     # metrics lineage: ledger triple counts equal actual bucket outputs
     assert sum(r["n_triples"] for r in ledger) == read_output(spark, out).count()
 
