@@ -90,7 +90,12 @@ every driver-contract query) and `python -m pytest tests/ -q`
 missing scenarios).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
-    (REPO / "BENCH/BASELINE.md").write_text(md)
+    target = REPO / "BENCH/BASELINE.md"
+    marker = "## Why N=2"
+    appended = ""
+    if target.exists() and marker in target.read_text():
+        appended = "\n" + marker + target.read_text().split(marker, 1)[1]
+    target.write_text(md + appended)
 
 
 if __name__ == "__main__":
