@@ -199,8 +199,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
+def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production near-dup pipeline: LSH band buckets propose
+    candidates (linear), exact n-gram Jaccard rescores ONLY those pairs
+    (the quadratic step runs on a vanishing fraction of N²). Emits
+    verified pairs ≥ threshold with exact ppm scores."""
+    cand = q_dedup_minhash_pairs(spark, sf_dir)  # (doc_a, doc_b)
+    sh = _shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    thr_ppm = int(JACCARD_THRESHOLD * 1_000_000)
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr("(n_common * 1000000L) DIV (sz_a + sz_b - n_common)").alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= thr_ppm)
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_minhash_rescored": q_dedup_minhash_rescored,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_simhash": q_dedup_simhash,
@@ -247,6 +276,35 @@ banded AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+    "dedup_minhash_rescored": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id,
+       {_BAND_KEYS_SQL}
+  FROM sig),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b,
+       (n_common * 1000000) // (sa.sz + sb.sz - n_common) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= {int(JACCARD_THRESHOLD * 1_000_000)}""",
     "dedup_simhash": f"""
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
