@@ -91,6 +91,19 @@ def conversation_sessions_stream(transcripts: DataFrame, gap: str = "30 minutes"
     )
 
 
+def dedup_turns_stream(transcripts: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop re-delivered turns (same conv_id,
+    turn_idx, text-hash) within the watermark horizon — the streaming
+    twin of ``dedup_exact``, with state bounded by the watermark so the
+    dedup map cannot grow unboundedly at 10^12-turn scale."""
+    keyed = transcripts.where(
+        F.col("conv_id").isNotNull() & F.col("ts").isNotNull()
+    ).withColumn("text_hash", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx", "text_hash"]
+    )
+
+
 def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: tracks
     per-conversation running state (turn count, max turn_idx, char sum)

@@ -12,6 +12,7 @@ from dstlr_spark.sources.transcripts import generate_transcripts
 from dstlr_spark.streaming.transcripts_stream import (
     conversation_progress_stream,
     conversation_sessions_stream,
+    dedup_turns_stream,
     mention_rate_stream,
     stream_transcripts,
     write_triples_stream,
@@ -60,6 +61,23 @@ def test_session_window_stream(spark, tmp_path):
     assert len(got) > 0
     by_conv = {r["conv_id"]: r for r in got if r["conv_id"] == "smoke-0"}
     assert by_conv["smoke-0"]["n_turns"] == 1
+
+
+def test_streaming_dedup_drops_redelivered_turns(spark, tmp_path):
+    """Exactly-once-style dedup: duplicated input rows survive once."""
+    path = str(tmp_path / "in")
+    tr = generate_transcripts(spark, n_convs=4)
+    tr.unionByName(tr).write.parquet(path)  # every turn delivered twice
+    dedup = dedup_turns_stream(stream_transcripts(spark, path))
+    _run_to_memory(dedup, "dedup", mode="append")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT conv_id || '#' || turn_idx) AS d "
+        "FROM dedup"
+    ).first()
+    want = tr.where(
+        F.col("conv_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("conv_id", "turn_idx").distinct().count()
+    assert got["n"] == got["d"] == want
 
 
 def test_stateful_progress_stream(spark, tmp_path):
