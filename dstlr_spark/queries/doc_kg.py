@@ -263,6 +263,34 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph: edges between entities linked within the
+    same document, weighted by document count — the KG-analytics
+    aggregate layered on the links table (demo.md-style graph queries
+    generalized to entity granularity)."""
+    links = (
+        _kg(spark, sf_dir)
+        .links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select("doc", F.col("objectValue").alias("entity_id"))
+        .dropDuplicates(["doc", "entity_id"])
+    )
+    a = links.alias("a")
+    b = links.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .groupBy(
+            F.col("a.entity_id").alias("entity_a"),
+            F.col("b.entity_id").alias("entity_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention statistics over the linked graph (A4 analog)."""
     g = _graph(spark, sf_dir)
@@ -412,6 +440,14 @@ reach(id, comp) AS (
 cc AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
 SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM cc GROUP BY canonical_id""",
+    "kg_entity_comention": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL)
+SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ent_docs a JOIN ent_docs b
+  ON a.doc = b.doc AND a.entity_id < b.entity_id
+GROUP BY a.entity_id, b.entity_id""",
     "kg_entity_mention_counts": f"""WITH {_base_ctes()},
 men_edges AS (SELECT DISTINCT doc, mention_id FROM mentions),
 linked AS (
@@ -436,5 +472,6 @@ QUERIES = {
     "kg_missing": q_missing,
     "kg_enrich_facts": q_enrich_facts,
     "kg_canonical_clusters": q_canonical_clusters,
+    "kg_entity_comention": q_entity_comention,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }
