@@ -161,6 +161,81 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction: byte-value histogram per payload → fixed-width
+    ``array<int>`` feature vector. Unlike pixel decode this needs no
+    codec, so the features are REAL (numpy bincount over the raw bytes);
+    a model-based extractor drops into the same batch shape and schema.
+    """
+    import numpy as np
+
+    width = 256 // n_bins
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
+                rows.append(dict(doc_id=doc_id, features=[int(x) for x in hist],
+                                 n_bytes=len(arr)))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        body, "doc_id string, features array<int>, n_bytes int"
+    )
+
+
+def resize_image(media: DataFrame, max_side: int = 64, fake: bool = False) -> DataFrame:
+    """Resize → (doc_id, width, height, thumb binary).
+
+    STUB without an imaging library (same gating contract as
+    :func:`decode_image`); ``fake=True`` exercises the plumbing with a
+    deterministic byte-stride 'thumbnail' of the payload.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil and not fake:
+        raise NotImplementedError(
+            "STUB: resize requires Pillow (not in this container); "
+            "pass fake=True for the deterministic plumbing test"
+        )
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if have_pil and not fake:
+                    import io
+
+                    import PIL.Image
+
+                    img = PIL.Image.open(io.BytesIO(b))
+                    img.thumbnail((max_side, max_side))
+                    out = io.BytesIO()
+                    img.save(out, format="PNG")
+                    rows.append(dict(doc_id=doc_id, width=img.width,
+                                     height=img.height, thumb=out.getvalue()))
+                else:
+                    w, h = (
+                        struct.unpack(">II", b[16:24]) if len(b) >= 24 else (0, 0)
+                    )
+                    scale = max(1, -(-max(w, h) // max_side)) if w and h else 1
+                    rows.append(dict(doc_id=doc_id, width=(w // scale) or None,
+                                     height=(h // scale) or None,
+                                     thumb=b[::scale][:max_side]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        body, "doc_id string, width int, height int, thumb binary"
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: deterministic byte-stride sampling of
     the payload (the video path swaps the stride for a codec GOP reader;

@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from dstlr_spark.operators.multimodal import (
     decode_image,
+    extract_features,
     frame_sample,
     media_metadata,
+    resize_image,
     sniff_media_type,
     synth_media,
 )
@@ -52,6 +54,29 @@ def test_decode_stub_gating(spark):
             decode_image(_media(spark))
     rows = {r["doc_id"]: r for r in decode_image(_media(spark), fake=True).collect()}
     assert rows["d1"]["width"] == 12 and len(rows["d1"]["pixels"]) == 16
+
+
+def test_feature_histogram(spark):
+    """Byte-histogram features are real (no codec) and sum to n_bytes."""
+    rows = {r["doc_id"]: r for r in extract_features(_media(spark)).collect()}
+    for r in rows.values():
+        assert len(r["features"]) == 16
+        assert sum(r["features"]) == r["n_bytes"]
+
+
+def test_resize_stub_gating(spark):
+    try:
+        import PIL  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="STUB"):
+            resize_image(_media(spark))
+    rows = {r["doc_id"]: r for r in resize_image(_media(spark), fake=True).collect()}
+    for r in rows.values():  # every thumb fits within max_side
+        assert r["width"] is not None and r["width"] <= 64
+        assert r["height"] is not None and r["height"] <= 64
 
 
 def test_frame_sample_stride(spark):
