@@ -28,6 +28,10 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    # workers must import dstlr_spark regardless of the invoking cwd
+    import __spark_entry__ as _entry_mod
+
+    _entry_mod._ensure_workers_can_import(spark)
 
     from dstlr_spark.operators.clean import supporting_information
     from dstlr_spark.queries.doc_kg import _documents, _kg
