@@ -17,30 +17,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def _ensure_workers_can_import(spark: SparkSession) -> None:
-    """Ship dstlr_spark to Python workers via addPyFile.
+    """Ship dstlr_spark to Python workers (see session.ship_package);
+    needed here because the driver harness supplies its own session."""
+    from dstlr_spark.session import ship_package
 
-    The driver's sys.path patch does not reach worker processes: a
-    mapInPandas UDF pickled by reference fails with ModuleNotFoundError
-    when the harness runs from a cwd other than the repo root. A
-    freshly-zipped copy of the package makes the contract
-    location-independent (the spark-submit path uses --py-files, see
-    scripts/package.sh).
-    """
-    if getattr(spark, "_dstlr_pyfiles_added", False):
-        return
-    import tempfile
-    import zipfile
-
-    pkg = Path(__file__).resolve().parent / "dstlr_spark"
-    fd, zpath = tempfile.mkstemp(prefix="dstlr_spark_", suffix=".zip")
-    import os
-
-    os.close(fd)
-    with zipfile.ZipFile(zpath, "w") as z:
-        for p in sorted(pkg.rglob("*.py")):
-            z.write(p, f"dstlr_spark/{p.relative_to(pkg)}")
-    spark.sparkContext.addPyFile(zpath)
-    spark._dstlr_pyfiles_added = True
+    ship_package(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -56,4 +56,30 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``dstlr_spark`` importable inside Python WORKERS.
+
+    Workers never inherit the driver's sys.path, so a mapInPandas UDF
+    pickled by module reference raises ModuleNotFoundError whenever the
+    process was launched from a cwd outside the repo and no --py-files
+    was passed. Zipping our own package once per session and registering
+    it with addPyFile makes every entrypoint location-independent.
+    """
+    if getattr(spark, "_dstlr_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent
+    fd, zpath = tempfile.mkstemp(prefix="dstlr_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for p in sorted(pkg.rglob("*.py")):
+            z.write(p, f"dstlr_spark/{p.relative_to(pkg)}")
+    spark.sparkContext.addPyFile(zpath)
+    spark._dstlr_pyfiles_added = True
