@@ -155,9 +155,18 @@ def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets:
     conversation pin a partition. Salting on ``(key, salt)`` keeps
     documents of one conversation co-located *per salt bucket* while
     spreading hot keys across ``salt_buckets`` partitions.
+
+    The salt is derived ONLY from row content (``xxhash64`` over every
+    column), never from ``monotonically_increasing_id()`` or ``rand()``:
+    a nondeterministic partitioning expression re-deals rows differently
+    when a stage retries after a shuffle-fetch failure — the
+    SPARK-23207 lost/duplicated-row class — and would break the
+    ledger's resume-equals-one-shot guarantee. Content hashing keeps
+    retries byte-identical.
     """
+    cols = [F.col(c) for c in df.columns]
     return df.repartition(
         n,
         F.col(key),
-        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(salt_buckets)),
+        F.pmod(F.xxhash64(*cols), F.lit(salt_buckets)),
     )

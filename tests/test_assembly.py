@@ -93,3 +93,28 @@ def test_generated_corpus_deterministic(spark):
     b = generate_transcripts(spark, seed=7, n_convs=5).collect()
     key = lambda r: tuple(str(x) for x in r)  # noqa: E731 — null-safe sort key
     assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
+
+
+def test_salted_repartition_is_deterministic(spark):
+    """Retry safety: partition assignment must be a pure function of row
+    content (no monotonically_increasing_id / rand in the salt), so a
+    stage retry re-deals rows identically."""
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.operators.assembly import salted_repartition
+
+    docs = assemble_documents(generate_transcripts(spark, n_convs=40))
+
+    def placement(df):
+        out = salted_repartition(df, 12).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        return sorted((r["doc_id"], r["pid"]) for r in out.collect())
+
+    first = placement(docs)
+    # fresh lineage (re-read the source) → identical placement
+    second = placement(assemble_documents(generate_transcripts(spark, n_convs=40)))
+    assert first == second
+    # and the salt actually spreads one hot key across buckets when the
+    # frame carries distinct content per row
+    assert len({p for _, p in first}) > 1
