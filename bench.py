@@ -83,7 +83,6 @@ def main() -> None:
     # measures the pipeline, not a model
     from dstlr_spark.operators.assembly import assemble_documents
     from dstlr_spark.operators.extract import extract_triples_pattern
-    from dstlr_spark.operators.linking import link_mentions
     from dstlr_spark.sources.fixtures import alias_dict
     from dstlr_spark.sources.transcripts import generate_transcripts
 
@@ -94,8 +93,10 @@ def main() -> None:
 
     def pattern_e2e():
         docs = assemble_documents(transcripts).repartition(max(cpus, 8))
-        t = extract_triples_pattern(docs)
-        return t.unionByName(link_mentions(t, ref_aliases)).count()
+        # fused in-annotator linking: ONE annotator pass for mentions +
+        # relations + LINKS_TO (the union-with-link_mentions shape runs
+        # the annotator stage twice)
+        return extract_triples_pattern(docs, alias_dict=ref_aliases).count()
 
     counters["pattern_triples"] = timed("kg_pattern_e2e", pattern_e2e)
     counters["pattern_convs"] = n_convs_real
@@ -107,12 +108,13 @@ def main() -> None:
         "kg_assembly_roundtrip", lambda: qs["kg_assembly_roundtrip"](spark, sf_dir).count()
     )
 
-    # any registered non-KG headline queries (filled in as modules land)
-    for name in ("dedup_minhash_pairs", "sim_topk_cosine", "text_quality"):
-        if name in qs:
-            counters[f"{name}_rows"] = timed(
-                name, lambda n=name: qs[n](spark, sf_dir).count()
-            )
+    # registered non-KG headline queries — names asserted against the
+    # registry so a rename can't silently drop a benchmark
+    for name in ("dedup_minhash_pairs", "sim_topk_cosine", "text_quality_score"):
+        assert name in qs, f"headline query {name!r} missing from registry"
+        counters[f"{name}_rows"] = timed(
+            name, lambda n=name: qs[n](spark, sf_dir).count()
+        )
 
     total = round(sum(timings.values()), 3)
     pipeline_sec = timings["kg_pipeline"]
@@ -136,8 +138,39 @@ def main() -> None:
             round(counters["pattern_triples"] / pat_sec, 1) if pat_sec else None
         ),
     }
+    result["deltas_vs_prev"] = _deltas_vs_prev(timings)
     spark.stop()
     print(json.dumps(result))
+
+
+def _deltas_vs_prev(timings: dict[str, float]) -> dict:
+    """Per-query regression view vs the newest BENCH_r{N}.json the driver
+    recorded: positive delta = slower than last round."""
+    import re
+
+    here = Path(__file__).resolve().parent
+    rounds = sorted(
+        (int(m.group(1)), p)
+        for p in here.glob("BENCH_r*.json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", p.name))
+    )
+    if not rounds:
+        return {"prev_round": None}
+    n, path = rounds[-1]
+    try:
+        rec = json.loads(path.read_text())
+        # the driver wraps our JSON line under "parsed"
+        prev = rec.get("parsed", rec).get("queries", {})
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return {"prev_round": None}
+    return {
+        "prev_round": n,
+        **{
+            q: round(t - prev[q], 3)
+            for q, t in timings.items()
+            if q in prev
+        },
+    }
 
 
 if __name__ == "__main__":

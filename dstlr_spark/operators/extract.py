@@ -98,6 +98,18 @@ def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
 _PUNCT_TABLE = str.maketrans("", "", ".?,:;'\"!")
 
 
+def _bc_value(obj):
+    """Unwrap a ``sc.broadcast`` handle (once, at generator start) or pass
+    a plain object through — lets every UDF factory accept either."""
+    return obj.value if hasattr(obj, "value") else obj
+
+
+def _broadcast(df: DataFrame, obj):
+    """Ship a driver-built dictionary to executors as a broadcast variable
+    (once per executor) instead of a task-closure capture (once per task)."""
+    return df.sparkSession.sparkContext.broadcast(obj)
+
+
 def _mention_scan_batches(gaz: dict[str, str]):
     """Build the mapInPandas body for the Arrow mention scanner.
 
@@ -106,10 +118,16 @@ def _mention_scan_batches(gaz: dict[str, str]):
     vectorized), keep only tokens whose punctuation-stripped key is a
     gazetteer term, and emit the mention frame directly. The token
     stream never leaves the worker — no shuffle, no 20x exchange.
+
+    ``gaz`` may be a plain dict (tests) or a ``sc.broadcast`` handle
+    (production path): a 10^7-entry dictionary captured in the closure
+    would be re-serialized into EVERY task binary, while a broadcast
+    ships once per executor (see :func:`_bc_value`).
     """
     import numpy as np
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz_d = _bc_value(gaz)
         for pdf in batches:
             doc_ids: list[str] = []
             toks: list[list[str]] = []
@@ -134,7 +152,7 @@ def _mention_scan_batches(gaz: dict[str, str]):
             docs_rep = np.repeat(np.array(doc_ids, dtype=object), counts)
 
             keys = np.array([t.translate(_PUNCT_TABLE) for t in flat], dtype=object)
-            hit = np.fromiter((k in gaz for k in keys), dtype=bool, count=len(flat))
+            hit = np.fromiter((k in gaz_d for k in keys), dtype=bool, count=len(flat))
             if not hit.any():
                 yield pd.DataFrame(_EMPTY_MENTIONS)
                 continue
@@ -149,7 +167,7 @@ def _mention_scan_batches(gaz: dict[str, str]):
                         hashlib.md5(f"{dd}\x1f{kk}".encode()).hexdigest()
                         for dd, kk in zip(d, k)
                     ],
-                    "entity_class": [gaz[kk] for kk in k],
+                    "entity_class": [gaz_d[kk] for kk in k],
                     "span": k,
                     "begin": b.astype(np.int32),
                     "end": (b + tl).astype(np.int32),
@@ -213,7 +231,7 @@ def extract_mentions_native(
         )
     gaz = {r["term"]: r["entity_class"] for r in gazetteer.collect()}
     return documents.select("doc_id", "contents").mapInPandas(
-        _mention_scan_batches(gaz), _MENTION_DDL
+        _mention_scan_batches(_broadcast(documents, gaz)), _MENTION_DDL
     )
 
 
@@ -310,7 +328,8 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
     aggregate. ``best_entity`` is the alias dictionary pre-reduced to
     its arg-max per alias (valid because our link score depends only on
     the span; a context-dependent scorer would move back to the
-    aggregate form in operators.linking).
+    aggregate form in operators.linking). Both dictionaries may arrive
+    as ``sc.broadcast`` handles (see :func:`_bc_value`).
     """
     import hashlib
 
@@ -318,6 +337,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
             "objectValue", "meta")
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz_d, best_d = _bc_value(gaz), _bc_value(best_entity)
         for pdf in batches:
             # columnar accumulation: building millions of per-row dicts
             # dominates the worker profile; lists-of-columns convert to
@@ -341,7 +361,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
                 off = 0
                 for i, t in enumerate(toks):
                     k = t.translate(_PUNCT_TABLE)
-                    if k in gaz:
+                    if k in gaz_d:
                         pos_l.append(i)
                         key_l.append(k)
                         beg_l.append(off)
@@ -355,7 +375,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
                 # MENTIONS rows (one per occurrence, shared per-key id)
                 for p, k, b in zip(pos_l, key_l, beg_l):
                     emit(doc_id, "Document", doc_id, "MENTIONS", "Mention", ids[k],
-                         dict(entity_class=gaz[k], span=k, begin=b,
+                         dict(entity_class=gaz_d[k], span=k, begin=b,
                               end=b + len(toks[p]), normalized=None, confidence=None))
                 # windowed co-occurrence relations (positions ascending)
                 for a in range(len(pos_l)):
@@ -366,7 +386,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
                         if key_l[a] == key_l[b2]:
                             continue
                         emit(doc_id, "Mention", ids[key_l[a]],
-                             f"COOCCURS_{gaz[key_l[a]]}_{gaz[key_l[b2]]}",
+                             f"COOCCURS_{gaz_d[key_l[a]]}_{gaz_d[key_l[b2]]}",
                              "Mention", ids[key_l[b2]],
                              dict(entity_class=None, span=None, begin=None,
                                   end=None, normalized=None,
@@ -374,7 +394,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
                 # LINKS_TO (one per distinct key; null when unresolvable)
                 for k, mid in ids.items():
                     emit(doc_id, "Mention", mid, "LINKS_TO", "Entity",
-                         best_entity.get(k), None)
+                         best_d.get(k), None)
             yield pd.DataFrame(c) if c["doc"] else pd.DataFrame(_EMPTY_BATCH)
 
     return scan
@@ -407,7 +427,10 @@ def extract_bag_fused(
     gaz = {r["term"]: r["entity_class"] for r in gazetteer.collect()}
     best = best_alias_entity(alias_dict)
     return docs.select("doc_id", "contents").mapInPandas(
-        _fused_bag_batches(gaz, best, cooccur_window), TRIPLE_DDL
+        _fused_bag_batches(
+            _broadcast(documents, gaz), _broadcast(documents, best), cooccur_window
+        ),
+        TRIPLE_DDL,
     )
 
 
@@ -485,8 +508,19 @@ class PatternAnnotator:
             (sc, re.compile(cue), oc, rel) for sc, cue, oc, rel in RELATION_PATTERNS
         ]
 
-    def annotate(self, doc_id: str, contents: str) -> list[dict]:
-        """One document → list of TripleRow dicts (X2-X9)."""
+    def annotate(
+        self, doc_id: str, contents: str, link_best: dict[str, str] | None = None
+    ) -> list[dict]:
+        """One document → list of TripleRow dicts (X2-X9).
+
+        With ``link_best`` (alias → arg-max entity id), one LINKS_TO row
+        per distinct mention key is emitted in the SAME pass — the fused
+        shape of ExtractTriples.scala:216-218, so the annotator (model
+        inference in production) never runs twice per document. Parity
+        with the modular ``link_mentions`` operator is pinned by tests
+        (valid because the link score depends only on the surface form,
+        and linkable gazetteer spans are punctuation-free, so span ≡
+        lemma key for every resolvable mention)."""
         triples: list[dict] = []
         uuids: dict[str, str] = {}  # lemma key → id, per doc (X5)
 
@@ -543,6 +577,17 @@ class PatternAnnotator:
                                           end=None, normalized=None, confidence=conf),
                             )
                         )
+
+        # --- fused linking pass (X7): one LINKS_TO per distinct key
+        if link_best is not None:
+            for key, mid in uuids.items():
+                triples.append(
+                    dict(
+                        doc=doc_id, subjectType="Mention", subjectValue=mid,
+                        relation="LINKS_TO", objectType="Entity",
+                        objectValue=link_best.get(key), meta=None,
+                    )
+                )
         return triples
 
 
@@ -567,30 +612,55 @@ _EMPTY_BATCH = {
 }
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches_factory(link_best=None):
     """mapInPandas body: document batches in, triple batches out (X9 fan-out).
 
     Per-document try/except mirrors the reference's failure isolation
     (ExtractTriples.scala:88,117-119): a failing document contributes 0
-    triples and never kills the job.
+    triples and never kills the job. ``link_best`` (plain dict or
+    ``sc.broadcast`` handle) enables the fused linking pass.
     """
-    annotator = _get_annotator()
-    for pdf in batches:
-        out: list[dict] = []
-        for doc_id, contents in zip(pdf["doc_id"], pdf["contents"]):
-            try:
-                out.extend(annotator.annotate(doc_id, contents))
-            except Exception:
-                continue  # quarantine path: counted via observe upstream
-        yield pd.DataFrame(out) if out else pd.DataFrame(_EMPTY_BATCH)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        annotator = _get_annotator()
+        best = _bc_value(link_best)
+        for pdf in batches:
+            out: list[dict] = []
+            for doc_id, contents in zip(pdf["doc_id"], pdf["contents"]):
+                try:
+                    out.extend(annotator.annotate(doc_id, contents, best))
+                except Exception:
+                    continue  # quarantine path: counted via observe upstream
+            yield pd.DataFrame(out) if out else pd.DataFrame(_EMPTY_BATCH)
+
+    return extract
+
+
+# default body kept under the historical name (tests import it)
+_extract_batches = _extract_batches_factory()
 
 
 def extract_triples_pattern(
-    documents: DataFrame, sent_threshold: int = DEFAULT_SENT_THRESHOLD
+    documents: DataFrame,
+    sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+    alias_dict: DataFrame | None = None,
 ) -> DataFrame:
-    """Pattern-annotator extraction (reference semantics) → TripleRow bag."""
+    """Pattern-annotator extraction (reference semantics) → TripleRow bag.
+
+    With ``alias_dict``, LINKS_TO rows are emitted inside the SAME
+    annotator pass (arg-max-reduced, broadcast) — the single-pass shape:
+    the expensive annotator stage must never be computed twice, which is
+    exactly what ``extracted.unionByName(link_mentions(extracted, …))``
+    does without a persist."""
     docs = apply_sentence_guard(documents, sent_threshold)
-    return docs.select("doc_id", "contents").mapInPandas(_extract_batches, TRIPLE_DDL)
+    link_best = (
+        _broadcast(documents, best_alias_entity(alias_dict))
+        if alias_dict is not None
+        else None
+    )
+    return docs.select("doc_id", "contents").mapInPandas(
+        _extract_batches_factory(link_best), TRIPLE_DDL
+    )
 
 
 def with_meta_map(triples: DataFrame) -> DataFrame:

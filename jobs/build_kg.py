@@ -22,7 +22,6 @@ from dstlr_spark.operators.canonicalize import canonicalize_mentions
 from dstlr_spark.operators.enrich import enrich_triples
 from dstlr_spark.operators.extract import extract_triples_pattern
 from dstlr_spark.operators.graph import materialize_graph, validate_fk
-from dstlr_spark.operators.linking import link_mentions
 from dstlr_spark.plans.ledger import read_output, run_with_ledger
 from dstlr_spark.schemas import PROPERTY_RELATION_SCHEMA
 from dstlr_spark.session import get_spark
@@ -53,8 +52,11 @@ def main() -> None:
 
     def pipeline(chunk):
         docs = salted_repartition(assemble_documents(chunk), args.partitions)
-        extracted = extract_triples_pattern(docs, args.sent_length_threshold)
-        return extracted.unionByName(link_mentions(extracted, aliases))
+        # alias_dict → fused in-annotator linking: mentions + relations +
+        # LINKS_TO in ONE annotator pass (the modular
+        # extracted.unionByName(link_mentions(extracted, …)) shape computes
+        # the most expensive stage twice unless persisted)
+        return extract_triples_pattern(docs, args.sent_length_threshold, aliases)
 
     stats = run_with_ledger(
         transcripts, f"{args.output}/triples", f"{args.output}/_progress",

@@ -112,10 +112,10 @@ def test_annotator_failure_isolation(monkeypatch):
 
     orig = PatternAnnotator.annotate
 
-    def flaky(self, doc_id, contents):
+    def flaky(self, doc_id, contents, link_best=None):
         if doc_id == "boom":
             raise ValueError("synthetic failure")
-        return orig(self, doc_id, contents)
+        return orig(self, doc_id, contents, link_best)
 
     monkeypatch.setattr(PatternAnnotator, "annotate", flaky)
     monkeypatch.setattr(ex, "_ANNOTATOR", None)
@@ -165,3 +165,55 @@ def test_meta_map_compat_view(spark):
     assert m["normalized"] == "1961-08-04"
     assert m["begin"] == "25" and m["end"] == "41"  # stringified, reference shape
     assert "confidence" not in m  # null entries omitted, as the reference's MMap
+
+
+def test_pattern_fused_linking_parity(spark):
+    """In-annotator LINKS_TO (one annotator pass) must equal the modular
+    extract → link_mentions union, row for row."""
+    from dstlr_spark.operators.assembly import assemble_documents
+    from dstlr_spark.operators.extract import extract_triples_pattern
+    from dstlr_spark.operators.linking import link_mentions
+    from dstlr_spark.sources.fixtures import alias_dict
+    from dstlr_spark.sources.transcripts import generate_transcripts
+
+    docs = assemble_documents(generate_transcripts(spark, n_convs=30))
+    aliases = alias_dict(spark)
+
+    fused = extract_triples_pattern(docs, alias_dict=aliases)
+    modular = extract_triples_pattern(docs)
+    expected = modular.unionByName(link_mentions(modular, aliases))
+
+    key = lambda r: tuple(str(x) for x in r)  # noqa: E731
+    assert sorted(map(tuple, fused.collect()), key=key) == sorted(
+        map(tuple, expected.collect()), key=key
+    )
+
+
+def test_udf_factories_accept_broadcast_handles(spark):
+    """Dictionaries ship as sc.broadcast (once per executor), never as
+    task-closure captures; the factories must unwrap handles lazily."""
+    import pandas as pd
+
+    from dstlr_spark.operators.extract import (
+        _extract_batches_factory,
+        _fused_bag_batches,
+        _mention_scan_batches,
+    )
+
+    sc = spark.sparkContext
+    gaz_bc = sc.broadcast({"Apple": "ORGANIZATION", "Cupertino": "CITY"})
+    best_bc = sc.broadcast({"Apple": "Q312"})
+    batch = pd.DataFrame(
+        {"doc_id": ["d1"], "contents": ["Apple is based in Cupertino."]}
+    )
+
+    mentions = pd.concat(list(_mention_scan_batches(gaz_bc)([batch])))
+    assert set(mentions["span"]) == {"Apple", "Cupertino"}
+
+    bag = pd.concat(list(_fused_bag_batches(gaz_bc, best_bc, 8)([batch])))
+    assert (bag["relation"] == "LINKS_TO").any()
+    linked = bag[bag["relation"] == "LINKS_TO"]
+    assert "Q312" in set(linked["objectValue"])
+
+    pat = pd.concat(list(_extract_batches_factory(best_bc)([batch])))
+    assert (pat["relation"] == "LINKS_TO").any()
