@@ -130,13 +130,13 @@ def _minhash_sql_cols() -> str:
     )
 
 
-def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1 band.
+LSH_MAX_BUCKET = 10_000  # band buckets above this are skipped, not joined
 
-    Bands are md5 digests of their row minhashes; the bucket join is an
-    equi-join on (band_idx, band_key) — the only place candidates meet.
-    """
-    sh = _shingles(_docs(spark, sf_dir))
+
+def _banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key): md5 digests of each band's row
+    minhashes — the LSH posting list."""
+    sh = _shingles(docs)
     sig = sh.groupBy("doc_id").agg(*_minhash_cols())
     bands = []
     for b in range(LSH_BANDS):
@@ -151,8 +151,39 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = bands[0]
     for x in bands[1:]:
         banded = banded.unionByName(x)
-    a = banded.alias("a")
-    b2 = banded.alias("b")
+    return banded
+
+
+def skipped_band_buckets(banded: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:
+    """Band buckets larger than ``max_bucket`` — the skew guard's audit
+    table (band_idx, band_key, n_docs). A degenerate band key shared by
+    10⁵ docs would otherwise explode into 10¹⁰ join rows; the cap makes
+    the self-join O(Σ min(bucket, cap)²) and this frame makes the drop
+    LOUD (exposed as the ``dedup_lsh_skipped_buckets`` driver query — no
+    silent caps)."""
+    return (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1
+    surviving band bucket. The bucket join is an equi-join on
+    (band_idx, band_key) — the only place candidates meet; buckets over
+    ``max_bucket`` are anti-joined away first (see
+    :func:`skipped_band_buckets`)."""
+    banded = _banded(docs)
+    kept = banded.join(
+        F.broadcast(skipped_band_buckets(banded, max_bucket).select("band_idx", "band_key")),
+        ["band_idx", "band_key"],
+        "left_anti",
+    )
+    a = kept.alias("a")
+    b2 = kept.alias("b")
     return (
         a.join(
             b2,
@@ -165,6 +196,16 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_lsh_skipped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guard audit: band buckets the LSH join refused (none on the
+    well-behaved sf corpora; adversarial fixtures exercise it in tests)."""
+    return skipped_band_buckets(_banded(_docs(spark, sf_dir)))
 
 
 # --- SimHash -----------------------------------------------------------------------
@@ -204,7 +245,7 @@ def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (linear), exact n-gram Jaccard rescores ONLY those pairs
     (the quadratic step runs on a vanishing fraction of N²). Emits
     verified pairs ≥ threshold with exact ppm scores."""
-    cand = q_dedup_minhash_pairs(spark, sf_dir)  # (doc_a, doc_b)
+    cand = minhash_candidate_pairs(_docs(spark, sf_dir))  # (doc_a, doc_b)
     sh = _shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
@@ -232,6 +273,7 @@ QUERIES = {
     "dedup_minhash_rescored": q_dedup_minhash_rescored,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_lsh_skipped_buckets": q_dedup_lsh_skipped_buckets,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -272,10 +314,29 @@ keys AS (
        {_BAND_KEYS_SQL}
   FROM sig),
 banded AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))})
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
+sizes AS (SELECT band_idx, band_key, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2),
+kept AS (
+  SELECT banded.* FROM banded JOIN sizes USING (band_idx, band_key)
+  WHERE sizes.n_docs <= {LSH_MAX_BUCKET})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
+FROM kept a JOIN kept b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+    "dedup_lsh_skipped_buckets": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id,
+       {_BAND_KEYS_SQL}
+  FROM sig),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))})
+SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM banded GROUP BY 1, 2
+HAVING COUNT(*) > {LSH_MAX_BUCKET}""",
     "dedup_minhash_rescored": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS (
@@ -288,9 +349,13 @@ keys AS (
   FROM sig),
 banded AS (
   {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
+bsizes AS (SELECT band_idx, band_key, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2),
+bkept AS (
+  SELECT banded.* FROM banded JOIN bsizes USING (band_idx, band_key)
+  WHERE bsizes.n_docs <= {LSH_MAX_BUCKET}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM bkept a JOIN bkept b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 inter AS (

@@ -1,0 +1,53 @@
+"""LSH band-bucket skew guard: a degenerate band key (e.g. 10⁵ identical
+docs) must not silently explode into O(bucket²) join rows — oversize
+buckets are dropped from the join and reported LOUDLY via
+``skipped_band_buckets`` / the ``dedup_lsh_skipped_buckets`` query."""
+
+from __future__ import annotations
+
+from dstlr_spark.queries.dedup import (
+    LSH_BANDS,
+    _banded,
+    minhash_candidate_pairs,
+    skipped_band_buckets,
+)
+
+
+def _adversarial_docs(spark, n_identical: int = 40):
+    rows = [
+        (f"dup{i:03d}", "alpha beta gamma delta epsilon zeta eta theta")
+        for i in range(n_identical)
+    ]
+    rows += [
+        ("pair_a", "one two three four five six seven"),
+        ("pair_b", "one two three four five six seven"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_lsh_bucket_guard_skips_degenerate_buckets(spark):
+    docs = _adversarial_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs, max_bucket=10).collect()
+    }
+    # the 40-identical group is over the cap in every band → no pairs from it
+    assert not any(a.startswith("dup") or b.startswith("dup") for a, b in pairs)
+    # small buckets still join: the 2-doc group survives
+    assert ("pair_a", "pair_b") in pairs
+
+    skipped = skipped_band_buckets(_banded(docs), max_bucket=10).collect()
+    # identical docs share ALL band keys → one oversize bucket per band
+    assert len(skipped) == LSH_BANDS
+    assert all(r["n_docs"] == 40 for r in skipped)
+
+
+def test_lsh_bucket_guard_inactive_below_cap(spark):
+    docs = _adversarial_docs(spark, n_identical=5)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(docs, max_bucket=10).collect()
+    }
+    # 5 ≤ cap: the identical group pairs normally (C(5,2) pairs)
+    assert sum(a.startswith("dup") and b.startswith("dup") for a, b in pairs) == 10
+    assert skipped_band_buckets(_banded(docs), max_bucket=10).count() == 0
