@@ -289,9 +289,13 @@ def relation_triples(m: DataFrame, cooccur_window: int = 8) -> DataFrame:
                 F.lit(None).cast("int").alias("begin"),
                 F.lit(None).cast("int").alias("end"),
                 F.lit(None).cast("string").alias("normalized"),
-                (F.lit(1.0) / (F.lit(1.0) + F.col("b.pos") - F.col("a.pos"))).alias(
-                    "confidence"
-                ),
+                # d ≥ 1 inside the join, but a confidence filter pushed
+                # below the join's ordering conjunct may evaluate this at
+                # d ≤ 0 — the when() guard keeps ANSI mode happy
+                F.when(
+                    F.col("b.pos") > F.col("a.pos"),
+                    F.lit(1.0) / (F.lit(1.0) + F.col("b.pos") - F.col("a.pos")),
+                ).alias("confidence"),
             ).alias("meta"),
         )
     )
@@ -463,6 +467,46 @@ _MONTHS = {
 _DATE_RE = re.compile(
     r"\b(" + "|".join(_MONTHS) + r") (\d{1,2})(?:st|nd|rd|th)?, (\d{4})\b"
 )
+
+# SUTime parity beyond DATE (ExtractTriples.scala:209-211 normalizes all
+# four temporal classes): TIME → Thh:mm, DURATION → ISO-8601 P…/PT…,
+# SET → TIMEX3 periodic P1<unit>. Deterministic regex stand-ins.
+_NUM_WORDS = {
+    "one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+    "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10,
+}
+_DUR_UNIT_ISO = {
+    "year": "P{n}Y", "month": "P{n}M", "week": "P{n}W", "day": "P{n}D",
+    "hour": "PT{n}H", "minute": "PT{n}M",
+}
+_DURATION_RE = re.compile(
+    r"\b(" + "|".join(_NUM_WORDS) + r"|\d{1,3}) "
+    r"(year|month|week|day|hour|minute)s?\b",
+    re.IGNORECASE,
+)
+_TIME_RE = re.compile(r"\b(\d{1,2}):(\d{2})(?:\s?([APap])\.?[Mm]\.?)?\b")
+_SET_UNIT_ISO = {"year": "P1Y", "month": "P1M", "week": "P1W", "day": "P1D", "hour": "PT1H"}
+_SET_RE = re.compile(r"\bevery (year|month|week|day|hour)\b", re.IGNORECASE)
+
+
+def _normalize_duration(num: str, unit: str) -> str:
+    n = _NUM_WORDS.get(num.lower(), None)
+    if n is None:
+        n = int(num)
+    return _DUR_UNIT_ISO[unit.lower()].format(n=n)
+
+
+def _normalize_time(hh: str, mm: str, ampm: str | None) -> str:
+    h = int(hh)
+    if ampm is not None:
+        ap = ampm.lower()
+        if ap == "p" and h != 12:
+            h += 12
+        elif ap == "a" and h == 12:
+            h = 0
+    return f"T{h:02d}:{int(mm):02d}"
+
+
 _SENT_SPLIT_RE = re.compile(r"(?<=[.?!])\s+")
 
 # KBP-style relation patterns: (subject class, cue regex, object class,
@@ -535,6 +579,19 @@ class PatternAnnotator:
             normalized = f"{year:04d}-{_MONTHS[month]:02d}-{day:02d}"
             key = _lemma_key_py(dm.group(0))
             mentions.append((key, "DATE", dm.group(0), dm.start(), dm.end(), normalized))
+        # SUTime parity: TIME / DURATION / SET normalized like DATE
+        for tm in _TIME_RE.finditer(contents):
+            normalized = _normalize_time(tm.group(1), tm.group(2), tm.group(3))
+            key = _lemma_key_py(tm.group(0))
+            mentions.append((key, "TIME", tm.group(0), tm.start(), tm.end(), normalized))
+        for du in _DURATION_RE.finditer(contents):
+            normalized = _normalize_duration(du.group(1), du.group(2))
+            key = _lemma_key_py(du.group(0))
+            mentions.append((key, "DURATION", du.group(0), du.start(), du.end(), normalized))
+        for st in _SET_RE.finditer(contents):
+            normalized = _SET_UNIT_ISO[st.group(1).lower()]
+            key = _lemma_key_py(st.group(0))
+            mentions.append((key, "SET", st.group(0), st.start(), st.end(), normalized))
 
         for key, cls, span, begin, end, normalized in mentions:
             mid = uuids.setdefault(key, _stable_id_py(doc_id, key))
@@ -567,7 +624,13 @@ class PatternAnnotator:
                     for om in objs:
                         if sm[0] not in uuids or om[0] not in uuids:
                             continue  # gate
-                        conf = 1.0
+                        # deterministic confidence: cue proximity, the
+                        # analog of the reference's per-triple
+                        # confidenceGloss (ExtractTriples.scala:224) —
+                        # endpoints hugging the cue score 1.0, each ten
+                        # chars of separation halves the odds once
+                        gap = (cue_lo - sm[4]) + (om[3] - cue_hi)
+                        conf = 1.0 / (1.0 + gap / 10.0)
                         triples.append(
                             dict(
                                 doc=doc_id, subjectType="Mention",

@@ -20,7 +20,6 @@ from dstlr_spark.operators.extract import (
     extract_triples_pattern,
 )
 from dstlr_spark.operators.graph import materialize_graph
-from dstlr_spark.operators.linking import link_mentions
 
 
 def build_triples(
@@ -35,12 +34,11 @@ def build_triples(
     docs = assemble_documents(transcripts)
     if n_partitions:
         docs = salted_repartition(docs, n_partitions)
-    extracted = extract_triples_pattern(docs, sent_threshold)
-    # The extraction output feeds three consumers — cache it once rather
-    # than re-running the annotator per branch.
-    extracted = extracted.persist()
-    links = link_mentions(extracted, alias_dict)
-    base = extracted.unionByName(links)
+    # Fused in-annotator linking: mentions + relations + LINKS_TO in ONE
+    # annotator pass; persisted because the bag still feeds two consumers
+    # (enrich + the final union) — without it the annotator would run per
+    # consumer.
+    base = extract_triples_pattern(docs, sent_threshold, alias_dict).persist()
     gt = enrich_triples(base, facts, property_relation)
     return base.unionByName(gt)
 

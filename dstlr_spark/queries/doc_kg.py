@@ -210,6 +210,31 @@ def q_supporting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return supporting_information(_graph(spark, sf_dir)).select(*_clean_cols())
 
 
+ANCHOR_RELATION = "COOCCURS_SYSTEM_OPERATOR"
+SUPPORT_MIN_CONF = 0.5  # exact IEEE halves: conf = 1/(1+d) ≥ 0.5 ⇔ d ≤ 1
+
+
+def q_supporting_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary CleanTriples usage: the clean query
+    anchored on ONE relation type (README.md:147-151,
+    ``{type: "ORG_CITY_OF_HEADQUARTERS"}``) — the anchor is an equi-key
+    pushed into the relation scan, never a post-join filter."""
+    return supporting_information(
+        _graph(spark, sf_dir), relation_type=ANCHOR_RELATION
+    ).select(*_clean_cols())
+
+
+def q_supporting_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-thresholded supporting information: only corroborations
+    whose extraction confidence (1/(1+distance), ExtractTriples'
+    ``confidenceGloss`` analog) clears SUPPORT_MIN_CONF."""
+    return (
+        supporting_information(_graph(spark, sf_dir))
+        .where(F.col("confidence") >= SUPPORT_MIN_CONF)
+        .select(*_clean_cols())
+    )
+
+
 def q_inconsistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inconsistent_information(_graph(spark, sf_dir)).select(*_clean_cols())
 
@@ -400,6 +425,12 @@ bag AS (
     UNION ALL SELECT relation FROM fact_edges)
 SELECT relation, CAST(COUNT(*) AS BIGINT) AS n FROM bag GROUP BY relation""",
     "kg_supporting": _clean_sql("o.span = f.value", ""),
+    "kg_supporting_anchored": _clean_sql(
+        f"o.span = f.value AND r.relation = '{ANCHOR_RELATION}'", ""
+    ),
+    "kg_supporting_confident": _clean_sql(
+        f"o.span = f.value AND r.confidence >= {SUPPORT_MIN_CONF}", ""
+    ),
     "kg_inconsistent": _clean_sql("o.span <> f.value", ""),
     "kg_missing": _clean_sql("f.value IS NULL", "LEFT"),
     "kg_enrich_facts": f"""WITH {_base_ctes()},
@@ -468,6 +499,8 @@ QUERIES = {
     "kg_links": q_links,
     "kg_triples_by_relation": q_triples_by_relation,
     "kg_supporting": q_supporting,
+    "kg_supporting_anchored": q_supporting_anchored,
+    "kg_supporting_confident": q_supporting_confident,
     "kg_inconsistent": q_inconsistent,
     "kg_missing": q_missing,
     "kg_enrich_facts": q_enrich_facts,

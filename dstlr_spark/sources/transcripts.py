@@ -26,13 +26,17 @@ from pyspark.sql import functions as F
 
 from dstlr_spark.schemas import TRANSCRIPT_SCHEMA
 
-# The reference's embedded smoke corpus, verbatim (ExtractTriples.scala:162).
+# The reference's embedded smoke corpus, verbatim (ExtractTriples.scala:162),
+# plus two sentences exercising the non-DATE temporal classes the reference
+# normalizes via SUTime (TIME / DURATION / SET, ExtractTriples.scala:209-211).
 SMOKE_SENTENCES = [
     "Barack Obama was born on August 4th, 1961.",
     "Apple is based in Cupertino.",
     "Good Technology is a company based in Sunnyvale.",
     "Isetan is a company based in Paris.",
     "The International Arctic Research Center is located in Fairbanks, Alaska.",
+    "Barack Obama spoke for three hours at 9:30 AM.",
+    "Isetan announces a sale every month.",
 ]
 
 _ROLES = ["user", "assistant", "system", "tool"]

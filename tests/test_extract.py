@@ -40,8 +40,10 @@ def test_smoke_mentions_and_relations(spark):
     assert ("smoke-0", "PER_DATE_OF_BIRTH") in by_doc_rel
 
     # smoke-2: Good Technology based in Sunnyvale → ORG_CITY_OF_HEADQUARTERS
+    # confidence is cue-distance-derived (1/(1 + gap/10)): subject ends at
+    # 15, cue "based in" spans [30, 38), object begins at 39 → gap 15
     rel2 = by_doc_rel[("smoke-2", "ORG_CITY_OF_HEADQUARTERS")]
-    assert len(rel2) == 1 and rel2[0]["meta"]["confidence"] == 1.0
+    assert len(rel2) == 1 and rel2[0]["meta"]["confidence"] == 1.0 / 2.5
 
     # smoke-4: located-in pattern + STATE_OR_PROVINCE mention
     m4 = {t["meta"]["entity_class"] for t in by_doc_rel[("smoke-4", "MENTIONS")]}

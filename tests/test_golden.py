@@ -67,6 +67,19 @@ def _expected_smoke() -> set[tuple]:
     link("smoke-4", "International Arctic Research Center", "Q6049626")
     link("smoke-4", "Fairbanks", "Q79571")
     link("smoke-4", "Alaska", "Q797")
+    # smoke-5: "Barack Obama spoke for three hours at 9:30 AM."
+    #   DURATION "three hours" → PT3H, TIME "9:30 AM." → T09:30
+    mention("smoke-5", "Barack Obama")
+    mention("smoke-5", "three hours")
+    mention("smoke-5", "930 AM")  # lemma key of span "9:30 AM"
+    link("smoke-5", "Barack Obama", "Q76")
+    link("smoke-5", "three hours", None)
+    link("smoke-5", "930 AM", None)
+    # smoke-6: "Isetan announces a sale every month."  SET → P1M
+    mention("smoke-6", "Isetan")
+    mention("smoke-6", "every month")
+    link("smoke-6", "Isetan", "Q986118")
+    link("smoke-6", "every month", None)
     # enrichment ground truth (fixtures.FACTS_ROWS routed via wikidata map)
     for ent, relname, val in [
         ("Q17081916", "ORG_CITY_OF_HEADQUARTERS", "Sunnyvale"),
@@ -115,3 +128,59 @@ def test_full_corpus_deterministic_snapshot(spark):
         )
 
     assert run() == run()
+
+
+def test_temporal_normalization_sutime_parity():
+    """TIME / DURATION / SET are normalized like DATE (the reference's
+    SUTime classes, ExtractTriples.scala:209-211)."""
+    from dstlr_spark.operators.extract import PatternAnnotator
+
+    ann = PatternAnnotator()
+    t5 = ann.annotate("d", "Barack Obama spoke for three hours at 9:30 AM.")
+    norm = {
+        r["meta"]["span"]: r["meta"]["normalized"]
+        for r in t5
+        if r["relation"] == "MENTIONS"
+    }
+    assert norm["three hours"] == "PT3H"
+    assert norm["9:30 AM"] == "T09:30"
+    t6 = ann.annotate("d", "Isetan announces a sale every month.")
+    norm6 = {
+        r["meta"]["span"]: r["meta"]["normalized"]
+        for r in t6
+        if r["relation"] == "MENTIONS"
+    }
+    assert norm6["every month"] == "P1M"
+    # a classic date still normalizes
+    t0 = ann.annotate("d", "Barack Obama was born on August 4th, 1961.")
+    norm0 = {
+        r["meta"]["span"]: r["meta"]["normalized"]
+        for r in t0
+        if r["relation"] == "MENTIONS"
+    }
+    assert norm0["August 4th, 1961"] == "1961-08-04"
+
+
+def test_pattern_confidence_is_cue_distance_derived():
+    """Relation confidence = 1/(1 + gap/10) from cue proximity, not a
+    hard-coded 1.0 — deterministic confidenceGloss analog."""
+    from dstlr_spark.operators.extract import PatternAnnotator
+
+    ann = PatternAnnotator()
+    # "Apple is based in Cupertino.": subject ends at 5, cue at [9,17),
+    # object begins at 18 → gap = (9-5) + (18-17) = 5 → conf = 1/1.5
+    rels = [
+        r for r in ann.annotate("d", "Apple is based in Cupertino.")
+        if r["relation"] == "ORG_CITY_OF_HEADQUARTERS"
+    ]
+    assert len(rels) == 1
+    assert abs(rels[0]["meta"]["confidence"] - 1.0 / 1.5) < 1e-12
+    # farther-apart endpoints score strictly lower
+    far = [
+        r for r in ann.annotate(
+            "d", "Apple announced today it is based in beautiful Cupertino."
+        )
+        if r["relation"] == "ORG_CITY_OF_HEADQUARTERS"
+    ]
+    assert len(far) == 1
+    assert far[0]["meta"]["confidence"] < rels[0]["meta"]["confidence"]
