@@ -87,8 +87,14 @@ def run_with_ledger(
         ).first()
         n_input, fingerprint = stats["n"], stats["fp"]
         triples = pipeline_fn(chunk)
-        triples.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
-        n_triples = spark.read.parquet(f"{out_dir}/bucket={b}").count()
+        # triple count via observe on the write itself (X10 machinery) —
+        # no second read pass over the bucket just for the ledger metric
+        from pyspark.sql import Observation
+
+        obs = Observation(f"ledger-bucket-{b}")
+        observed = triples.observe(obs, F.count(F.lit(1)).alias("n_triples"))
+        observed.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
+        n_triples = obs.get["n_triples"]
         wall = time.perf_counter() - t0
         # ledger commit strictly after the data commit (watermark rule)
         spark.createDataFrame(

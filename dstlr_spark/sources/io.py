@@ -59,3 +59,16 @@ def write_table(
         writer.write.mode(mode).partitionBy("bucket").parquet(location)
         return
     writer.write.mode(mode).parquet(location)
+
+
+def write_text_sink(df: DataFrame, location: str, mode: str = "overwrite") -> None:
+    """K4: dirty-tuple text sink — JSON lines, one object per row (the
+    reference dumps clean-query results with ``saveAsTextFile``,
+    CleanTriples.scala:65; JSON lines are its structured analog and stay
+    a parallel write: one file per partition, no coalesce(1))."""
+    df.write.mode(mode).json(location)
+
+
+def read_text_sink(spark: SparkSession, location: str) -> DataFrame:
+    """Read a :func:`write_text_sink` output back (schema inferred)."""
+    return spark.read.json(location)

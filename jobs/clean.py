@@ -17,6 +17,7 @@ from dstlr_spark.operators.clean import (
     supporting_information,
 )
 from dstlr_spark.session import get_spark
+from dstlr_spark.sources.io import write_text_sink
 
 _QUERIES = {
     "supporting": supporting_information,
@@ -42,7 +43,7 @@ def main() -> None:
         )
     }
     result = _QUERIES[args.query](graph, args.relation)
-    result.write.mode("overwrite").json(args.output)  # K4 text-file sink analog
+    write_text_sink(result, args.output)  # K4 dirty-tuple text sink
     spark.stop()
 
 
