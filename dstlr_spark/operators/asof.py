@@ -32,14 +32,22 @@ def asof_join(
 
     Implementation: tag and union both sides, sort per key by
     (on, side) with right rows first at equal timestamps, and carry the
-    last seen right values forward with ``last(..., ignorenulls=True)``
-    over an unbounded-preceding window — a single exchange on ``key``.
+    last seen right ROW forward as ONE struct with
+    ``last(struct(...), ignorenulls=True)`` over an unbounded-preceding
+    window — a single exchange on ``key``. Carrying the whole row as a
+    struct (not per-column) preserves merge_asof/DuckDB ASOF semantics:
+    the matched row's values travel together, including its NULLs — a
+    per-column carry would backfill a NULL from an OLDER right row and
+    could mix columns from different right rows.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    r_struct_type = T.StructType([right.schema[c] for c in right_cols])
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tagged = right.select(
         *[
@@ -47,7 +55,7 @@ def asof_join(
             for c in lcols
         ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_r"),
     )
     merged = l_tagged.unionByName(r_tagged)
     w = (
@@ -58,12 +66,15 @@ def asof_join(
     carried = merged.select(
         *lcols,
         "_side",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_rlast"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            *lcols,
+            *[F.col("_rlast")[c].alias(f"asof_{c}") for c in right_cols],
+        )
+    )
 
 
 def asof_join_pandas(

@@ -49,6 +49,11 @@ def connected_components(
     ``vertices(id)`` optionally adds isolated vertices (own component).
     Deterministic: the component representative is the lexicographic
     minimum member id.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iter`` rounds — min-label propagation needs diameter-many
+    rounds, and silently returning a partially merged clustering would
+    present non-convergence as a valid result.
     """
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -60,6 +65,7 @@ def connected_components(
     labels = verts.select("id", F.col("id").alias("component")).localCheckpoint()
     sym = sym.localCheckpoint()
 
+    changed = -1
     for _ in range(max_iter):
         # neighbour minimum: for each dst, min over its neighbours' labels
         nbr = (
@@ -86,6 +92,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter — the graph's "
+            "diameter exceeds the round budget"
+        )
     return labels
 
 

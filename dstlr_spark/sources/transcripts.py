@@ -121,13 +121,33 @@ def derive_transcripts(documents: DataFrame, turn_words: int = 8) -> DataFrame:
     :func:`dstlr_spark.operators.assembly.assemble_documents` restores the
     original text byte-for-byte — the round-trip is the per-turn-equality
     invariant check (input_hint).
+
+    Edge case: when the token count is ≡ 1 (mod ``turn_words``) and the
+    final token is the empty string (text ends in a trailing space), the
+    final slice would be a lone ``""`` turn — which assembly's F2 filter
+    drops, breaking the round-trip. That slice is folded into the
+    previous turn instead (its join re-adds the trailing space).
+    Documents whose text is entirely empty still shred to one empty turn
+    and are dropped by F1/F2 — empty contents are invalid input by the
+    reference's own filters (ExtractTriples.scala:64-65).
     """
     toks = F.split(F.col("text"), " ")
-    n_turns = F.ceil(F.size(toks) / F.lit(turn_words)).cast("int")
+    s = F.size(toks)
+    base = F.ceil(s / F.lit(turn_words)).cast("int")
+    lone_empty_tail = (
+        (s % turn_words == 1) & (F.element_at(toks, -1) == "") & (s > 1)
+    )
+    n_turns = F.when(lone_empty_tail, base - 1).otherwise(base)
     turns = F.transform(
         F.sequence(F.lit(0), n_turns - 1),
         lambda i: F.array_join(
-            F.slice(toks, i * turn_words + 1, turn_words), " "
+            # the last turn takes the remainder (at most turn_words + 1
+            # tokens — the folded empty tail), earlier turns exactly w
+            F.when(
+                i == n_turns - 1,
+                F.slice(toks, i * turn_words + 1, turn_words + 1),
+            ).otherwise(F.slice(toks, i * turn_words + 1, turn_words)),
+            " ",
         ),
     )
     return (

@@ -55,3 +55,31 @@ def test_asof_strategies_agree(spark):
         for r in asof_join_pandas(left, right, "ts", "user_id", ["signup_id"]).collect()
     )
     assert a == b
+
+
+def test_asof_carries_matched_row_nulls_together(spark):
+    """merge_asof parity: the MATCHED right row's values travel together,
+    including its NULLs — never backfilled from an older right row."""
+    from dstlr_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 30)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, "old", 1.0), ("k", 20, None, 2.0)],
+        "key string, ts long, label string, score double",
+    )
+    got = {
+        r["ts"]: (r["asof_label"], r["asof_score"])
+        for r in asof_join(left, right, "ts", "key", ["label", "score"]).collect()
+    }
+    # ts=30 matches the ts=20 right row whose label is NULL: it must stay
+    # NULL (not the ts=5 row's "old"), and score must come from the SAME row
+    assert got[10] == ("old", 1.0)
+    assert got[30] == (None, 2.0)
+    # pandas variant agrees
+    pg = {
+        r["ts"]: (r["asof_label"], r["asof_score"])
+        for r in asof_join_pandas(left, right, "ts", "key", ["label", "score"]).collect()
+    }
+    assert pg == got

@@ -118,3 +118,24 @@ def test_salted_repartition_is_deterministic(spark):
     # and the salt actually spreads one hot key across buckets when the
     # frame carries distinct content per row
     assert len({p for _, p in first}) > 1
+
+
+def test_roundtrip_trailing_space_fold(spark):
+    """A text ending in a trailing space whose token count is ≡ 1 (mod
+    turn width) must still round-trip byte-for-byte: the lone empty final
+    slice folds into the previous turn instead of being F2-dropped."""
+    from dstlr_spark.sources.transcripts import derive_transcripts
+
+    texts = [
+        "w1 w2 w3 w4 w5 w6 w7 w8 ",          # 8 words + trailing space → 9 toks
+        "a b c",                              # plain short
+        "x1 x2 x3 x4 x5 x6 x7 x8 x9 ",        # 10 toks, tail "x9 " (no fold)
+        " leading space",                     # leading empty token
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 ",  # 17 toks
+    ]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    rebuilt = assemble_documents(derive_transcripts(docs))
+    got = {r["doc_id"]: r["contents"] for r in rebuilt.collect()}
+    assert got == {f"d{i}": t for i, t in enumerate(texts)}

@@ -87,3 +87,20 @@ def test_coref_edges_same_doc_and_cross_doc(spark):
     )
     e = coref_edges(mentions).collect()
     assert {(r["src"], r["dst"]) for r in e} == {("d2-apple", "d1-apple")}
+
+
+def test_cc_raises_on_non_convergence(spark):
+    """A chain of diameter > max_iter must raise, not return a partially
+    merged clustering as if converged."""
+    import pytest
+
+    from dstlr_spark.operators.canonicalize import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"v{i:02d}", f"v{i + 1:02d}") for i in range(8)], "src string, dst string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain converges to one component
+    cc = connected_components(chain, max_iter=20)
+    assert cc.select("component").distinct().count() == 1
