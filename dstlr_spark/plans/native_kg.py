@@ -24,7 +24,7 @@ from dstlr_spark.operators.extract import (
     mention_triples,
     relation_triples,
 )
-from dstlr_spark.functions.text import utf8_truncate_1024
+from dstlr_spark.functions.text import utf8_truncate_1024_gated
 from dstlr_spark.operators.graph import materialize_graph
 from dstlr_spark.operators.linking import resolve_aliases
 
@@ -136,7 +136,7 @@ class NativeKG:
                 "mention_id",
                 F.col("attrs")["entity_class"].alias("entity_class"),
                 # C9 parity with materialize_graph (1024-byte span cap)
-                utf8_truncate_1024(F.col("attrs")["span"]).alias("span"),
+                utf8_truncate_1024_gated(F.col("attrs")["span"]).alias("span"),
                 F.col("attrs")["normalized"].alias("normalized"),
                 "index",
             )
