@@ -24,18 +24,94 @@ def normalize_relation_name(col: Column | str) -> Column:
     return F.upper(F.regexp_replace(F.col(col) if isinstance(col, str) else col, ":", "_"))
 
 
+# --- C2: lemma fallback -----------------------------------------------------
+# The reference keys mention identity on CoreNLP lemmas with a surface-form
+# fallback (``if (lemma == null) word else lemma``, ExtractTriples.scala:193).
+# No statistical lemmatizer exists in this sandbox; this exception-table +
+# suffix-rule lemmatizer recovers the high-frequency coreference cases
+# ("companies" ~ "company", "tables" ~ "table") deterministically. The SAME
+# spec is implemented three ways — Python (:func:`lemma_token_py`), Spark
+# column (:func:`lemma_token`), DuckDB SQL (:func:`lemma_token_sql`) — and
+# pinned in lockstep by tests. Rules apply only to all-lowercase tokens so
+# proper nouns ("James", "Paris") are never mangled.
+
+LEMMA_IRREGULARS: dict[str, str] = {
+    "children": "child", "men": "man", "women": "woman", "mice": "mouse",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "people": "person",
+    "does": "do", "goes": "go", "indices": "index", "criteria": "criterion",
+}
+
+_IES_RE = r"[a-z]ies$"        # companies → company (len ≥ 6)
+_SIBILANT_ES_RE = r"(ch|sh|ss|x|z)es$"  # boxes/classes/churches → strip es
+_PLAIN_S_RE = r"[a-z]s$"      # tables → table (len ≥ 4, not ss/us/is)
+_S_EXCL_RE = r"(ss|us|is)$"
+
+
+def lemma_token_py(tok: str) -> str:
+    """Python implementation of the C2 lemma rules (one cleaned token)."""
+    import re as _re
+
+    if tok != tok.lower():
+        return tok
+    if tok in LEMMA_IRREGULARS:
+        return LEMMA_IRREGULARS[tok]
+    if len(tok) >= 6 and _re.search(_IES_RE, tok):
+        return tok[:-3] + "y"
+    if _re.search(_SIBILANT_ES_RE, tok):
+        return tok[:-2]
+    if len(tok) >= 4 and _re.search(_PLAIN_S_RE, tok) and not _re.search(_S_EXCL_RE, tok):
+        return tok[:-1]
+    return tok
+
+
+def lemma_token(t: Column) -> Column:
+    """Spark-column implementation of the C2 lemma rules."""
+    irr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in LEMMA_IRREGULARS.items() for x in kv]), t
+    )
+    return (
+        F.when(t != F.lower(t), t)
+        .when(irr.isNotNull(), irr)
+        .when((F.length(t) >= 6) & t.rlike(_IES_RE), F.regexp_replace(t, "ies$", "y"))
+        .when(t.rlike(_SIBILANT_ES_RE), F.regexp_replace(t, "es$", ""))
+        .when(
+            (F.length(t) >= 4) & t.rlike(_PLAIN_S_RE) & ~t.rlike(_S_EXCL_RE),
+            F.regexp_replace(t, "s$", ""),
+        )
+        .otherwise(t)
+    )
+
+
+def lemma_token_sql(expr: str) -> str:
+    """DuckDB-SQL implementation of the C2 lemma rules (oracle twin)."""
+    irr_cases = " ".join(
+        f"WHEN {expr} = '{k}' THEN '{v}'" for k, v in LEMMA_IRREGULARS.items()
+    )
+    return f"""(CASE
+ WHEN {expr} <> lower({expr}) THEN {expr}
+ {irr_cases}
+ WHEN length({expr}) >= 6 AND regexp_matches({expr}, '{_IES_RE}')
+   THEN regexp_replace({expr}, 'ies$', 'y')
+ WHEN regexp_matches({expr}, '{_SIBILANT_ES_RE}')
+   THEN regexp_replace({expr}, 'es$', '')
+ WHEN length({expr}) >= 4 AND regexp_matches({expr}, '{_PLAIN_S_RE}')
+      AND NOT regexp_matches({expr}, '{_S_EXCL_RE}')
+   THEN regexp_replace({expr}, 's$', '')
+ ELSE {expr} END)"""
+
+
 def lemma_key(col: Column | str) -> Column:
     """Mention identity key ≈ reference ``toLemmaString``
     (ExtractTriples.scala:190-195): tokens minus pure-punctuation tokens,
-    with trailing punctuation stripped, space-joined.
-
-    Our deterministic annotator has no statistical lemmatizer; the key is
-    the punctuation-normalized surface form, which is a pure function —
-    exactly what X5's content-addressed ids need.
+    with trailing punctuation stripped, LEMMATIZED (C2 rules above),
+    space-joined — a pure function, exactly what X5's content-addressed
+    ids need.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, r"\s+")
-    cleaned = F.transform(toks, lambda t: F.regexp_replace(t, PUNCT_RE, ""))
+    cleaned = F.transform(
+        toks, lambda t: lemma_token(F.regexp_replace(t, PUNCT_RE, ""))
+    )
     nonempty = F.filter(cleaned, lambda t: t != "")
     return F.array_join(nonempty, " ")
 

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 from dstlr_spark.functions.text import (
     PUNCT_RE,
     lemma_key,
+    lemma_token,
+    lemma_token_py,
     max_sentence_tokens,
     stable_mention_id,
 )
@@ -151,7 +153,10 @@ def _mention_scan_batches(gaz: dict[str, str]):
             pos = np.arange(len(flat)) - np.repeat(doc_first, counts)
             docs_rep = np.repeat(np.array(doc_ids, dtype=object), counts)
 
-            keys = np.array([t.translate(_PUNCT_TABLE) for t in flat], dtype=object)
+            keys = np.array(
+                [lemma_token_py(t.translate(_PUNCT_TABLE)) for t in flat],
+                dtype=object,
+            )
             hit = np.fromiter((k in gaz_d for k in keys), dtype=bool, count=len(flat))
             if not hit.any():
                 yield pd.DataFrame(_EMPTY_MENTIONS)
@@ -214,7 +219,7 @@ def extract_mentions_native(
     """
     if impl == "sql":
         toks = tokenize_with_offsets(documents).withColumn(
-            "key", F.regexp_replace(F.col("token"), PUNCT_RE, "")
+            "key", lemma_token(F.regexp_replace(F.col("token"), PUNCT_RE, ""))
         )
         return (
             toks.join(F.broadcast(gazetteer), toks["key"] == gazetteer["term"], "inner")
@@ -364,7 +369,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
                 pos_l, key_l, beg_l = [], [], []
                 off = 0
                 for i, t in enumerate(toks):
-                    k = t.translate(_PUNCT_TABLE)
+                    k = lemma_token_py(t.translate(_PUNCT_TABLE))
                     if k in gaz_d:
                         pos_l.append(i)
                         key_l.append(k)
@@ -524,7 +529,7 @@ RELATION_PATTERNS: list[tuple[str, str, str, str]] = [
 
 def _lemma_key_py(text: str) -> str:
     """Python twin of functions.text.lemma_key (kept in lockstep by tests)."""
-    toks = [re.sub(PUNCT_RE, "", t) for t in re.split(r"\s+", text)]
+    toks = [lemma_token_py(re.sub(PUNCT_RE, "", t)) for t in re.split(r"\s+", text)]
     return " ".join(t for t in toks if t)
 
 

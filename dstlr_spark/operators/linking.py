@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dstlr_spark.functions.text import lemma_key
+
 _NULL_META = (
     "struct<entity_class:string,span:string,begin:int,end:int,"
     "normalized:string,confidence:double>"
@@ -28,10 +30,12 @@ def resolve_aliases(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     Deterministic arg-max: highest prior wins, ties broken by smallest
     entity_id — implemented as ``min_by(entity_id, struct(-prior,
     entity_id))``, a single hash aggregate. Unresolvable spans keep a
-    null entity_id.
+    null entity_id. Candidates join on the LEMMA KEY of the span (C2) so
+    plural surface forms resolve to their singular aliases, in lockstep
+    with the fused in-annotator lookup (``best.get(key)``).
     """
     cand = mentions.join(
-        F.broadcast(alias_dict), mentions["span"] == alias_dict["alias"], "left"
+        F.broadcast(alias_dict), lemma_key(mentions["span"]) == alias_dict["alias"], "left"
     )
     return cand.groupBy("doc", "mention_id", "span").agg(
         F.min_by(

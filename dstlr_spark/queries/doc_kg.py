@@ -25,6 +25,7 @@ from dstlr_spark.operators.extract import (
     extract_mentions_native,
     extract_triples_native,
 )
+from dstlr_spark.functions.text import lemma_token_sql
 from dstlr_spark.plans.native_kg import NativeKG
 from dstlr_spark.queries.sqlgen import values_cte
 from dstlr_spark.sources.transcripts import derive_transcripts
@@ -349,7 +350,7 @@ toks0 AS (
     FROM documents),
 toks AS (
     SELECT doc, token, pos,
-           regexp_replace(token, '{punct}', '', 'g') AS key,
+           {lemma_token_sql(f"regexp_replace(token, '{punct}', '', 'g')")} AS key,
            CAST(COALESCE(SUM(length(token) + 1) OVER (
                PARTITION BY doc ORDER BY pos
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)

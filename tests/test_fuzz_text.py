@@ -74,3 +74,37 @@ def test_utf8_truncate_gated_lockstep(spark):
     plain = [r["t"] for r in df.select(utf8_truncate_1024("s").alias("t")).collect()]
     assert gated == plain
     assert gated[3] == "a" * 1024
+
+
+def test_lemma_rules_three_way_lockstep(spark):
+    """C2 lemma rules: Python, Spark column, and DuckDB SQL must agree
+    exactly — the oracle recomputes mention keys independently."""
+    import duckdb
+
+    from dstlr_spark.functions.text import lemma_token, lemma_token_py, lemma_token_sql
+
+    words = [
+        "companies", "company", "tables", "queries", "boxes", "classes",
+        "churches", "children", "men", "people", "does", "goes", "houses",
+        "was", "this", "its", "as", "yes", "gas", "miss", "bus", "lens",
+        "James", "Paris", "Apple", "USA", "1960s", "ties", "cities",
+        "indices", "criteria", "scan", "scans", "sorts", "windows", "",
+        "日本語", "x", "ss",
+    ]
+    py = [lemma_token_py(w) for w in words]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sp = [r["l"] for r in df.select(lemma_token(F.col("w")).alias("l")).collect()]
+    values = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+    du = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {lemma_token_sql('w')} FROM (VALUES {values}) AS t(i, w) ORDER BY i"
+        ).fetchall()
+    ]
+    assert py == sp == du
+    # spot checks: the gap C2 exists to close
+    m = dict(zip(words, py))
+    assert m["companies"] == "company" and m["tables"] == "table"
+    assert m["queries"] == "query" and m["boxes"] == "box"
+    assert m["James"] == "James" and m["Paris"] == "Paris"  # proper nouns kept
+    assert m["was"] == "was" and m["this"] == "this"  # stopword-ish guarded

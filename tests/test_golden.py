@@ -70,10 +70,10 @@ def _expected_smoke() -> set[tuple]:
     # smoke-5: "Barack Obama spoke for three hours at 9:30 AM."
     #   DURATION "three hours" → PT3H, TIME "9:30 AM." → T09:30
     mention("smoke-5", "Barack Obama")
-    mention("smoke-5", "three hours")
+    mention("smoke-5", "three hour")  # C2 lemma key of span "three hours"
     mention("smoke-5", "930 AM")  # lemma key of span "9:30 AM"
     link("smoke-5", "Barack Obama", "Q76")
-    link("smoke-5", "three hours", None)
+    link("smoke-5", "three hour", None)
     link("smoke-5", "930 AM", None)
     # smoke-6: "Isetan announces a sale every month."  SET → P1M
     mention("smoke-6", "Isetan")
