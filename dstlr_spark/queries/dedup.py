@@ -208,6 +208,24 @@ def q_dedup_lsh_skipped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipped_band_buckets(_banded(_docs(spark, sf_dir)))
 
 
+HOT_SHINGLE_CAP = 1_000  # posting lists above this make the shingle join quadratic
+
+
+def q_dedup_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit for the exact-Jaccard shingle self-join: shingles whose
+    posting list exceeds HOT_SHINGLE_CAP (each contributes O(list²) join
+    rows in ``dedup_ngram_jaccard``'s standalone mode). Empty on the sf
+    corpora; at scale a non-empty result is the signal to run Jaccard
+    only as the rescorer behind LSH candidates
+    (``dedup_minhash_rescored``), never standalone."""
+    sh = _shingles(_docs(spark, sf_dir))
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > HOT_SHINGLE_CAP)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------------
 
 SIMHASH_BITS = 16  # 16 nibble-majority bits from md5 (portable int math)
@@ -274,6 +292,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_lsh_skipped_buckets": q_dedup_lsh_skipped_buckets,
+    "dedup_hot_shingles": q_dedup_hot_shingles,
     "dedup_simhash": q_dedup_simhash,
 }
 
@@ -337,6 +356,11 @@ banded AS (
 SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM banded GROUP BY 1, 2
 HAVING COUNT(*) > {LSH_MAX_BUCKET}""",
+    "dedup_hot_shingles": f"""
+WITH sh AS ({_SHINGLES_SQL})
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM sh GROUP BY shingle
+HAVING COUNT(*) > {HOT_SHINGLE_CAP}""",
     "dedup_minhash_rescored": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS (
