@@ -287,10 +287,128 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_ITERS = 2
+
+
+def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side argmin over broadcast centroids (min_by hash agg, no sort);
+    ties break on smallest centroid id. One shuffle (the groupBy)."""
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))
+            ).alias("cell"),
+            F.first("q").alias("q"),
+        )
+    )
+
+
+def _update_centroids(assigned: DataFrame) -> DataFrame:
+    """Lloyd update with engine-exact integer math: per (cell, dim) the
+    new coordinate is floor(sum/count) — sums of quantized components are
+    exact in doubles (≪ 2^53), so floor-division is bit-identical in
+    Spark and DuckDB."""
+    exploded = assigned.select(
+        "cell", F.posexplode(F.col("q")).alias("i", "v")
+    )
+    return (
+        exploded.groupBy("cell", "i")
+        .agg(
+            F.floor(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")
+            ).cast("long").alias("val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_kmeans_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF codebook TRAINING: k-means (Lloyd's), KMEANS_ITERS rounds,
+    initialized from the stride-sampled points ``q_ann_ivf`` uses.
+
+    The iterative dataflow per round is broadcast-centroids → map-side
+    argmin assignment (one shuffle) → per-(cell, dim) integer-mean update
+    (one shuffle); centroids (a dimension, K rows) are collected to the
+    driver between rounds exactly like any broadcast dim. All distances
+    and means are exact integer arithmetic, so the DuckDB oracle unrolls
+    the same rounds and matches value-for-value — an iterative algorithm
+    under the full value hash, like ``kg_canonical_clusters``.
+
+    Output: final centroids unnested as (cid, n_members, dim_idx, val).
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "q")
+    cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign_cells(e, cents)
+        upd = _update_centroids(assigned)
+        # rebuild centroid arrays for the next round's distance expression
+        cents = (
+            upd.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "val"))),
+                    lambda x: x["val"],
+                ).alias("cq"),
+                F.first("n").alias("n_members"),
+            )
+            .select(F.col("cell").alias("cid"), "cq", "n_members")
+        )
+        # K rows — a dimension; localCheckpoint cuts the growing lineage
+        # (on a cluster: write the codebook table between rounds)
+        cents = cents.localCheckpoint()
+    return cents.select(
+        "cid",
+        "n_members",
+        F.posexplode(F.col("cq")).alias("dim_idx", "val"),
+    ).select("cid", "n_members", "dim_idx", "val")
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled KMEANS_ITERS Lloyd rounds in DuckDB CTEs over the same
+    quantized vectors (exploded form: distances via per-dim join)."""
+    sql = f"""
+WITH qe AS ({_QUANT_SQL}),
+ev AS (
+  SELECT vec_id, unnest(q) AS v, unnest(range(len(q))) AS i FROM qe),
+c0 AS (
+  SELECT vec_id AS cid, unnest(q) AS val, unnest(range(len(q))) AS i
+  FROM qe WHERE vec_id % {IVF_STRIDE} = 0)"""
+    prev = "c0"
+    for r in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+d{r} AS (
+  SELECT ev.vec_id, c.cid,
+         CAST(SUM((ev.v - c.val) * (ev.v - c.val)) AS BIGINT) AS d
+  FROM ev JOIN {prev} c ON c.i = ev.i
+  GROUP BY ev.vec_id, c.cid),
+a{r} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM d{r}) z
+  WHERE rn = 1),
+c{r} AS (
+  SELECT a.cell AS cid, ev.i,
+         CAST(floor(CAST(SUM(ev.v) AS DOUBLE) / COUNT(DISTINCT ev.vec_id)) AS BIGINT) AS val,
+         CAST(COUNT(DISTINCT ev.vec_id) AS BIGINT) AS n
+  FROM a{r} a JOIN ev ON ev.vec_id = a.vec_id
+  GROUP BY a.cell, ev.i)"""
+        prev = f"c{r}"
+    sql += f"""
+SELECT cid, n AS n_members, CAST(i AS INT) AS dim_idx, val
+FROM {prev}"""
+    return sql
+
+
 QUERIES = {
     "sim_topk_cosine": q_topk_cosine,
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_ivf": q_ann_ivf,
+    "sim_kmeans_iters": q_kmeans_iters,
     "dedup_embedding_neardup": q_embedding_neardup,
 }
 
@@ -307,6 +425,7 @@ _BUCKET_SQL = " + ".join(
 )
 
 ORACLES = {
+    "sim_kmeans_iters": _kmeans_oracle_sql(),
     "sim_topk_cosine": f"""
 WITH qe AS ({_QUANT_SQL}),
 e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),
