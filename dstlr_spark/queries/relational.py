@@ -248,6 +248,36 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (engine addition — Spark's naive non-equi
+    range join plans as a nested-loop product): every 'purchase' event
+    joined to each same-user 'signup' window [ts, ts+1h) containing it.
+    The oracle is DuckDB's plain inequality join; the Spark plan is the
+    bucket equi-join + residual (asserted BNLJ-free in test_plans)."""
+    from dstlr_spark.operators.rangejoin import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        F.col("event_id").alias("signup_id"),
+    )
+    joined = range_join_bucketed(
+        purchases, windows, ts="ts", start="win_start", end="win_end",
+        key="user_id", bucket_width=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "signup_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_by_nation": q_revenue_by_nation,
@@ -263,9 +293,22 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_pivot": q_events_pivot,
     "events_asof_join": q_events_asof_join,
+    "events_range_join": q_events_range_join,
 }
 
 ORACLES = {
+    "events_range_join": """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+windows AS (
+  SELECT user_id, ts AS win_start, ts + INTERVAL 1 HOUR AS win_end,
+         event_id AS signup_id
+  FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, w.signup_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM purchases p JOIN windows w
+  ON p.user_id = w.user_id
+ AND w.win_start <= p.ts AND p.ts < w.win_end""",
     "rel_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
