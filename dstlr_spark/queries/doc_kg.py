@@ -317,6 +317,73 @@ def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 3
+_PR_SCALE = 1_000_000_000  # ranks in exact integer ppb
+
+
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the entity co-mention graph (KG-analytics layer) —
+    the second iterative algorithm under the full value oracle (after
+    connected components / k-means).
+
+    Exact integer fixed-point spec, identical in both engines:
+      r₀(v)   = SCALE DIV N
+      rₖ₊₁(v) = (0.15·SCALE DIV N) + (85 · Σ_{u→v} (rₖ(u) DIV deg(u))) DIV 100
+    All divisions are floor divisions of non-negative ints, so Spark DIV
+    and DuckDB // agree bit-for-bit; the oracle unrolls PAGERANK_ITERS
+    rounds in CTEs. Per round: one join (edges ⨝ ranks ⨝ degrees) + one
+    aggregate — the standard Pregel-free DataFrame PageRank; lineage cut
+    per round with localCheckpoint (a checkpoint dir on a cluster).
+    """
+    links = (
+        _kg(spark, sf_dir)
+        .links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select("doc", F.col("objectValue").alias("entity_id"))
+        .dropDuplicates(["doc", "entity_id"])
+    )
+    a = links.alias("a")
+    b = links.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
+        .distinct()
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    verts = links.select(F.col("entity_id").alias("id")).distinct().localCheckpoint()
+    n = verts.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    teleport = (15 * _PR_SCALE // 100) // n  # exact ints only — no float 0.15
+    ranks = verts.select("id", F.lit(_PR_SCALE // n).cast("long").alias("rank_ppb"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(deg, "src")
+            .select("dst", F.expr("rank_ppb DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(contrib, verts["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(s, 0L) DIV 100")
+                ).cast("long").alias("rank_ppb"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("id").alias("entity_id"), "rank_ppb")
+
+
 def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention statistics over the linked graph (A4 analog)."""
     g = _graph(spark, sf_dir)
@@ -480,6 +547,36 @@ SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
 FROM ent_docs a JOIN ent_docs b
   ON a.doc = b.doc AND a.entity_id < b.entity_id
 GROUP BY a.entity_id, b.entity_id""",
+    "kg_entity_pagerank": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+und AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM ent_docs a JOIN ent_docs b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+verts AS (SELECT DISTINCT entity_id AS id FROM ent_docs),
+nn AS (SELECT COUNT(*) AS n FROM verts),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT id, {_PR_SCALE} // (SELECT n FROM nn) AS rank_ppb FROM verts)"""
+    + "".join(
+        f""",
+s{k} AS (
+    SELECT e.dst, SUM(r.rank_ppb // d.deg) AS s
+    FROM edges e
+    JOIN r{k - 1} r ON r.id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst),
+r{k} AS (
+    SELECT v.id,
+           ({15 * _PR_SCALE // 100} // (SELECT n FROM nn))
+             + (85 * COALESCE(s.s, 0)) // 100 AS rank_ppb
+    FROM verts v LEFT JOIN s{k} s ON s.dst = v.id)"""
+        for k in range(1, PAGERANK_ITERS + 1)
+    )
+    + f"""
+SELECT id AS entity_id, CAST(rank_ppb AS BIGINT) AS rank_ppb
+FROM r{PAGERANK_ITERS}""",
     "kg_entity_mention_counts": f"""WITH {_base_ctes()},
 men_edges AS (SELECT DISTINCT doc, mention_id FROM mentions),
 linked AS (
@@ -507,5 +604,6 @@ QUERIES = {
     "kg_enrich_facts": q_enrich_facts,
     "kg_canonical_clusters": q_canonical_clusters,
     "kg_entity_comention": q_entity_comention,
+    "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }

@@ -144,6 +144,56 @@ def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def reply_latency_stream(
+    transcripts: DataFrame,
+    max_delay: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    'tool' turn joined to the same conversation's 'assistant' turns that
+    arrive within ``max_delay`` — tool-call reply latency, continuously.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark can expire join state (without the bound the state
+    store grows forever at 10^12-turn scale). The batch twin is a plain
+    range join (see operators/rangejoin.py); parity pinned by test.
+    """
+    tool = (
+        transcripts.where((F.col("role") == "tool") & F.col("ts").isNotNull())
+        .select(
+            F.col("conv_id"),
+            F.col("turn_idx").alias("tool_idx"),
+            F.col("ts").alias("tool_ts"),
+        )
+        .withWatermark("tool_ts", watermark)
+    )
+    asst = (
+        transcripts.where((F.col("role") == "assistant") & F.col("ts").isNotNull())
+        .select(
+            F.col("conv_id").alias("conv_id_r"),
+            F.col("turn_idx").alias("reply_idx"),
+            F.col("ts").alias("reply_ts"),
+        )
+        .withWatermark("reply_ts", watermark)
+    )
+    joined = tool.join(
+        asst,
+        (F.col("conv_id") == F.col("conv_id_r"))
+        & (F.col("reply_ts") >= F.col("tool_ts"))
+        & (F.col("reply_ts") <= F.col("tool_ts") + F.expr(f"INTERVAL {max_delay}"))
+        & (F.col("reply_idx") > F.col("tool_idx")),
+    )
+    return joined.select(
+        "conv_id",
+        "tool_idx",
+        "reply_idx",
+        (
+            F.col("reply_ts").cast("timestamp").cast("long")
+            - F.col("tool_ts").cast("timestamp").cast("long")
+        ).alias("latency_sec"),
+    )
+
+
 def write_triples_stream(
     transcripts: DataFrame,
     out_dir: str,

@@ -128,3 +128,48 @@ def test_foreachbatch_triple_sink(spark, tmp_path):
     # the conversations stay whole per micro-batch)
     batch = pipeline(spark.read.parquet(path))
     assert got.count() == batch.count()
+
+
+def test_reply_latency_stream_stream_join(spark, tmp_path):
+    """Stream-stream watermarked interval join == the equivalent batch
+    range join, row for row."""
+    from dstlr_spark.streaming.transcripts_stream import reply_latency_stream
+
+    path = _write_input(spark, tmp_path, n_convs=12)
+    stream = stream_transcripts(spark, path)
+    joined = reply_latency_stream(stream, max_delay="10 minutes", watermark="0 seconds")
+    _run_to_memory(joined, "latency", mode="append")
+    got = sorted(
+        (r["conv_id"], r["tool_idx"], r["reply_idx"], r["latency_sec"])
+        for r in spark.sql("SELECT * FROM latency").collect()
+    )
+
+    batch = spark.read.parquet(path)
+    tool = batch.where(F.col("role") == "tool").select(
+        "conv_id", F.col("turn_idx").alias("tool_idx"), F.col("ts").alias("tool_ts")
+    )
+    asst = batch.where(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("c2"),
+        F.col("turn_idx").alias("reply_idx"),
+        F.col("ts").alias("reply_ts"),
+    )
+    want = sorted(
+        (r["conv_id"], r["tool_idx"], r["reply_idx"], r["latency_sec"])
+        for r in tool.join(
+            asst,
+            (F.col("conv_id") == F.col("c2"))
+            & (F.col("reply_ts") >= F.col("tool_ts"))
+            & (F.col("reply_ts") <= F.col("tool_ts") + F.expr("INTERVAL 10 minutes"))
+            & (F.col("reply_idx") > F.col("tool_idx")),
+        )
+        .select(
+            "conv_id", "tool_idx", "reply_idx",
+            (
+                F.col("reply_ts").cast("timestamp").cast("long")
+                - F.col("tool_ts").cast("timestamp").cast("long")
+            ).alias("latency_sec"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    assert all(0 <= lat <= 600 for *_ , lat in got)
