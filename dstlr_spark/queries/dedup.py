@@ -258,6 +258,63 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
+SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: ≤3 flipped bits
+_BLOCK_BITS = SIMHASH_BITS // _SIMHASH_BLOCKS
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance ≤ SIMHASH_MAX_HAMMING.
+
+    Candidate generation is EXACT by pigeonhole (not probabilistic): the
+    16-bit signature splits into 4 disjoint 4-bit blocks; ≤3 differing
+    bits cannot touch all 4 blocks, so every qualifying pair shares at
+    least one identical block — an equi-join on (block_idx, block_val).
+    The exact Hamming distance (bit_count of xor) rescores candidates
+    only. Same two-stage shape as the MinHash and embedding paths; at 64
+    bits / Hamming ≤ 3 production scale this is the Google-Detecting-
+    Near-Duplicates table decomposition.
+    """
+    sig = q_dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), i * _BLOCK_BITS)
+                        .bitwiseAND(F.lit((1 << _BLOCK_BITS) - 1))
+                        .alias("block_val"),
+                    )
+                    for i in range(_SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.block_idx").alias("block_idx"),
+             F.col("b.block_val").alias("block_val"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "block_idx", "block_val",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "block_idx", "block_val",
+    )
+    cand = (
+        a.join(b, ["block_idx", "block_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
 def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup pipeline: LSH band buckets propose
     candidates (linear), exact n-gram Jaccard rescores ONLY those pairs
@@ -294,6 +351,7 @@ QUERIES = {
     "dedup_lsh_skipped_buckets": q_dedup_lsh_skipped_buckets,
     "dedup_hot_shingles": q_dedup_hot_shingles,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
 
 _BAND_KEYS_SQL = ",\n       ".join(
@@ -406,4 +464,23 @@ agg AS (
 SELECT doc_id,
        CAST({" + ".join(f"(CASE WHEN c{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
 FROM agg""",
+    # oracle for the pairs query is the EXACT all-pairs Hamming join (the
+    # pigeonhole block decomposition must lose nothing, by construction)
+    "dedup_simhash_pairs": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         md5(unnest(string_split(text, ' '))) AS h
+  FROM documents),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         {", ".join(f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS c{i}" for i in range(SIMHASH_BITS))}
+  FROM toks GROUP BY doc_id),
+sig AS (
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN c{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+  FROM agg)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
 }
