@@ -108,8 +108,62 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_RATE_HEX = "1" + "9" * 31  # md5-hex threshold ≈ rate 0.1 (0x0.1999… = 1/10)
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling — the training-data split/sample
+    primitive. ``rand()``-based sampling is nondeterministic across
+    retries and resumes (the SPARK-23207 class again); instead each doc
+    draws a content-addressed ticket ``md5('sample|' ‖ doc_id)`` and is
+    kept iff the ticket is lexicographically below a fixed hex threshold
+    (monotone in the hash value, so the compare IS the uniform draw) —
+    stable under re-runs, resumes, and engine choice. 0x0.1999… ≈ 10%.
+    """
+    d = _docs(spark, sf_dir)
+    ticket = F.md5(F.concat_ws("|", F.lit("sample"), F.col("doc_id")))
+    return (
+        d.select("doc_id", ticket.alias("ticket"))
+        .where(F.col("ticket") < SAMPLE_RATE_HEX)
+    )
+
+
+CHUNK_TOKENS = 64  # context-window size (tokens)
+CHUNK_STRIDE = 48  # stride → 16-token overlap between windows
+
+
+def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap — LLM pre-training
+    segmentation: every document splits into windows of CHUNK_TOKENS
+    whitespace tokens advancing CHUNK_STRIDE per step (the overlap keeps
+    boundary context). Pure column expressions: one posexplode, no UDF,
+    no shuffle. Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_hash)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    k = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)) + 1).cast("int"),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.array_join(F.col("chunk"), " ")).alias("chunk_hash"),
+        )
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "text_sample_deterministic": q_sample_deterministic,
+    "text_context_chunks": q_context_chunks,
     "text_bpe_tokens": q_bpe_tokens,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
@@ -117,6 +171,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_sample_deterministic": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       md5('sample' || '|' || CAST(doc_id AS VARCHAR)) AS ticket
+FROM documents
+WHERE md5('sample' || '|' || CAST(doc_id AS VARCHAR)) < '{SAMPLE_RATE_HEX}'""",
+    "text_context_chunks": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         GREATEST(1, CAST(CEIL((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT) + 1) AS n_chunks
+  FROM t),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(n_chunks)) AS chunk_idx
+  FROM k)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
+FROM x""",
     "text_bpe_tokens": f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
