@@ -110,7 +110,14 @@ def main() -> None:
 
     # registered non-KG headline queries — names asserted against the
     # registry so a rename can't silently drop a benchmark
-    for name in ("dedup_minhash_pairs", "sim_topk_cosine", "text_quality_score"):
+    for name in (
+        "dedup_minhash_pairs",
+        "sim_topk_cosine",
+        "text_quality_score",
+        "dedup_embedding_neardup",  # LSH-bucketed two-stage (r2 rewrite)
+        "sim_kmeans_iters",
+        "kg_entity_pagerank",
+    ):
         assert name in qs, f"headline query {name!r} missing from registry"
         counters[f"{name}_rows"] = timed(
             name, lambda n=name: qs[n](spark, sf_dir).count()

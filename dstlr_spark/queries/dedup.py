@@ -113,20 +113,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------------
 
-def _minhash_cols() -> list:
-    """K minwise signatures: min over shingles of md5(seed ‖ shingle).
+_MH_MOD = 1 << 32
 
-    A keyed-hash minimum is a classic permutation substitute; md5 hex
-    strings order identically everywhere."""
+
+def _minhash_cols() -> list:
+    """K minwise signatures via Kirsch-Mitzenmacher: hash every shingle
+    ONCE (md5 → two 32-bit ints h1, h2), then the K 'permutations' are
+    gᵢ = (h1 + i·h2) mod 2³² — pure integer math. One md5 per shingle
+    instead of K (the md5s dominate minhash cost at corpus scale);
+    integers compare identically in every engine."""
+    h = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
     return [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(_MH_MOD))).alias(f"mh{i}")
         for i in range(MINHASH_K)
     ]
 
 
 def _minhash_sql_cols() -> str:
+    h1 = "CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)"
+    h2 = "CAST(concat('0x', substr(md5(shingle), 9, 8)) AS BIGINT)"
     return ",\n         ".join(
-        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(MINHASH_K)
+        f"min(({h1} + {i} * {h2}) % {_MH_MOD}) AS mh{i}" for i in range(MINHASH_K)
     )
 
 
@@ -172,28 +181,37 @@ def minhash_candidate_pairs(
     docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1
-    surviving band bucket. The bucket join is an equi-join on
-    (band_idx, band_key) — the only place candidates meet; buckets over
-    ``max_bucket`` are anti-joined away first (see
-    :func:`skipped_band_buckets`)."""
+    surviving band bucket.
+
+    Single-pass shape: ONE aggregation collects each bucket's (sorted)
+    member list — the expensive shingle→minhash pipeline under it is
+    computed exactly once, instead of the 3× a self-join + size-filter
+    formulation costs — then in-bucket pairs expand as a column
+    expression. The skew guard falls out of the same aggregate: buckets
+    over ``max_bucket`` are dropped before expansion (surfaced loudly by
+    :func:`skipped_band_buckets` / ``dedup_lsh_skipped_buckets``), so a
+    degenerate bucket costs O(cap²), never O(bucket²)."""
     banded = _banded(docs)
-    kept = banded.join(
-        F.broadcast(skipped_band_buckets(banded, max_bucket).select("band_idx", "band_key")),
-        ["band_idx", "band_key"],
-        "left_anti",
+    grouped = banded.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    a = kept.alias("a")
-    b2 = kept.alias("b")
+    kept = grouped.where(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.size("ids") - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ids") - 1),
+                lambda j: F.struct(
+                    F.col("ids")[i].alias("doc_a"), F.col("ids")[j].alias("doc_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b2,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        kept.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -355,7 +373,11 @@ QUERIES = {
 }
 
 _BAND_KEYS_SQL = ",\n       ".join(
-    "md5(" + " || '|' || ".join(f"mh{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + f") AS band{b}"
+    "md5("
+    + " || '|' || ".join(
+        f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+    )
+    + f") AS band{b}"
     for b in range(LSH_BANDS)
 )
 
