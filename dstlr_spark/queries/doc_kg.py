@@ -341,6 +341,9 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("objectValue").isNotNull())
         .select("doc", F.col("objectValue").alias("entity_id"))
         .dropDuplicates(["doc", "entity_id"])
+        # one materialization of the whole KG upstream: edges AND verts
+        # both derive from this frame, and each round re-reads it
+        .localCheckpoint()
     )
     a = links.alias("a")
     b = links.alias("b")
