@@ -404,8 +404,71 @@ FROM {prev}"""
     return sql
 
 
+PQ_SUBS = 8                    # subspaces
+PQ_SUBDIM = DIM // PQ_SUBS     # dims per subspace
+PQ_STRIDE = IVF_STRIDE         # codebook = stride-sampled subvectors
+PQ_TOP_K = 5
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring — the memory-compressed
+    path for corpora whose raw vectors don't fit (100 TB of float32
+    embeddings → 8 bytes/vector of PQ codes):
+
+    1. encode — each vector's 8 subvectors are assigned their nearest
+       codebook entry per subspace (integer L2 argmin over broadcast
+       codebooks; the codebook here is stride-sampled, standing in for
+       the k-means codebook ``sim_kmeans_iters`` trains);
+    2. ADC — a query scores a candidate as Σ over subspaces of the exact
+       distance from the QUERY subvector to the candidate's CODEWORD
+       (asymmetric distance computation: codes never decode back to
+       floats, queries stay exact).
+
+    All distances are exact integer math → the DuckDB oracle reproduces
+    encode + ADC bit-for-bit. Top-PQ_TOP_K per query by (adc, vec_id).
+    """
+    e = _emb(spark, sf_dir).select("vec_id", "q")
+    s_idx = F.explode(F.sequence(F.lit(0), F.lit(PQ_SUBS - 1))).alias("s")
+    subv = e.select("vec_id", "q", s_idx).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("q"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+    )
+    cb = subv.where(F.col("vec_id") % PQ_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("s").alias("cs"), F.col("sub").alias("csub")
+    )
+    codes = (
+        subv.join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by(
+                F.struct(F.col("cid"), F.col("csub")),
+                F.struct(_l2_int(F.col("sub"), F.col("csub")), F.col("cid")),
+            ).alias("cw")
+        )
+        .select("vec_id", "s", F.col("cw.csub").alias("csub"))
+    )
+    queries = subv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("s").alias("qs"), F.col("sub").alias("qsub")
+    )
+    adc = (
+        codes.join(F.broadcast(queries), F.col("s") == F.col("qs"))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _l2_int(F.col("qsub"), F.col("csub")).alias("d"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("q_id", "vec_id", "rank", "adc")
+    )
+
+
 QUERIES = {
     "sim_topk_cosine": q_topk_cosine,
+    "sim_pq_adc_topk": q_pq_adc_topk,
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_ivf": q_ann_ivf,
     "sim_kmeans_iters": q_kmeans_iters,
@@ -424,7 +487,37 @@ _BUCKET_SQL = " + ".join(
     for j in range(N_PLANES)
 )
 
+_PQ_L2 = "CAST(list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip({a}, {b})]) AS BIGINT)"
+
 ORACLES = {
+    "sim_pq_adc_topk": f"""
+WITH qe AS ({_QUANT_SQL}),
+subv AS (
+  SELECT vec_id, t.s, q[t.s * {PQ_SUBDIM} + 1 : t.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+  FROM qe, (SELECT unnest(range({PQ_SUBS})) AS s) t),
+cb AS (
+  SELECT vec_id AS cid, s AS cs, sub AS csub FROM subv
+  WHERE vec_id % {PQ_STRIDE} = 0),
+enc AS (
+  SELECT vec_id, s, csub FROM (
+    SELECT v.vec_id, v.s, c.csub,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY {_PQ_L2.format(a="v.sub", b="c.csub")} ASC, c.cid ASC) AS rn
+    FROM subv v JOIN cb c ON c.cs = v.s) z
+  WHERE rn = 1),
+qs AS (
+  SELECT vec_id AS q_id, s AS qs, sub AS qsub FROM subv WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(SUM({_PQ_L2.format(a="q.qsub", b="e.csub")}) AS BIGINT) AS adc
+  FROM enc e JOIN qs q ON q.qs = e.s AND e.vec_id <> q.q_id
+  GROUP BY q.q_id, e.vec_id),
+ranked AS (
+  SELECT q_id, vec_id, adc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS INT) AS rank
+  FROM adc)
+SELECT q_id, vec_id, rank, adc FROM ranked WHERE rank <= {PQ_TOP_K}""",
     "sim_kmeans_iters": _kmeans_oracle_sql(),
     "sim_topk_cosine": f"""
 WITH qe AS ({_QUANT_SQL}),

@@ -160,10 +160,60 @@ def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 512  # tokens per pack (sequence length)
+PACK_SHARDS = 8    # independent packing streams
+
+
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the pre-training batch-layout op: documents are
+    concatenated greedily (in deterministic order) into packs of
+    PACK_BUDGET tokens; a document spanning a boundary stays in the pack
+    where it starts (greedy-with-overflow, the usual concat-then-cut
+    semantics before truncation).
+
+    Scale shape: a single global stream would need a one-partition
+    window; instead documents shard into PACK_SHARDS independent streams
+    by content hash (exactly how multi-worker data loaders pack), and the
+    running token offset is a per-shard window cumsum — shuffle on the
+    shard key only, each shard sorted locally. Emits per-pack stats.
+    """
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    # portable content-hash shard: md5 nibbles (xxhash64 has no DuckDB twin)
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id")), 1, 4), 16, 10).cast("long"),
+        F.lit(PACK_SHARDS),
+    ).cast("int")
+    base = d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = base.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) DIV {PACK_BUDGET}").cast("long").alias("pack_id"),
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_sample_deterministic": q_sample_deterministic,
     "text_context_chunks": q_context_chunks,
+    "text_packing": q_packing,
     "text_bpe_tokens": q_bpe_tokens,
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
@@ -195,6 +245,24 @@ SELECT doc_id,
        CAST(len(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}]) AS INT) AS n_chunk_tokens,
        md5(array_to_string(toks[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_hash
 FROM x""",
+    "text_packing": f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+              % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+           // {PACK_BUDGET} AS pack_id
+  FROM base)
+SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed GROUP BY shard, pack_id""",
     "text_bpe_tokens": f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
