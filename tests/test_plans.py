@@ -116,3 +116,34 @@ def test_linking_is_single_aggregate_no_sort(spark):
     plan = _plan(spark, kg.links_triples())
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # alias dict broadcast, not shuffled
+
+
+def test_minhash_pairs_is_single_aggregation_no_join(spark):
+    """The guarded LSH pair generation must stay the one-aggregation
+    shape (bucket collect + in-bucket expansion) — a self-join
+    formulation recomputes the shingle→minhash pipeline per side."""
+    from dstlr_spark.queries.dedup import q_dedup_minhash_pairs
+
+    plan = _plan(spark, q_dedup_minhash_pairs(spark, "/root/testdata/sf0.001"))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan
+
+
+def test_packing_windows_per_shard_not_global(spark):
+    """Packing's cumsum must partition by shard — a global (single
+    partition) window would serialize the whole corpus at scale."""
+    from dstlr_spark.queries.textstats import q_packing
+
+    plan = _plan(spark, q_packing(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pq_adc_topk_broadcasts_codebooks(spark):
+    from dstlr_spark.queries.similarity import q_pq_adc_topk
+
+    plan = _plan(spark, q_pq_adc_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
