@@ -108,3 +108,40 @@ def test_lemma_rules_three_way_lockstep(spark):
     assert m["queries"] == "query" and m["boxes"] == "box"
     assert m["James"] == "James" and m["Paris"] == "Paris"  # proper nouns kept
     assert m["was"] == "was" and m["this"] == "this"  # stopword-ish guarded
+
+
+def test_lemma_rules_lockstep_fuzz(spark):
+    """Seeded-random token fuzz across the three lemma implementations —
+    catches regex/boundary divergence the fixed word list misses."""
+    import random
+
+    import duckdb
+
+    from dstlr_spark.functions.text import lemma_token, lemma_token_py, lemma_token_sql
+
+    rng = random.Random(20260816)
+    alphabet = "abcdefghijklmnopqrsxyz"
+    words = []
+    for _ in range(250):
+        n = rng.randint(1, 9)
+        w = "".join(rng.choice(alphabet) for _ in range(n))
+        if rng.random() < 0.3:
+            w += rng.choice(["s", "es", "ies", "ss", "us", "is"])
+        if rng.random() < 0.15:
+            w = w.capitalize()
+        if rng.random() < 0.1:
+            w += str(rng.randint(0, 99))
+        words.append(w)
+    words = sorted(set(words))
+
+    py = [lemma_token_py(w) for w in words]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    sp = [r["l"] for r in df.select(lemma_token(F.col("w")).alias("l")).collect()]
+    values = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+    du = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {lemma_token_sql('w')} FROM (VALUES {values}) AS t(i, w) ORDER BY i"
+        ).fetchall()
+    ]
+    assert py == sp == du
