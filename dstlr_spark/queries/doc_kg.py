@@ -317,6 +317,44 @@ def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count per entity over the co-mention graph — the motif
+    query of KG analytics. Canonical-order edge list (src < dst) makes
+    each triangle match exactly once as a<b<c via two equi-joins (the
+    standard distributed triangle enumeration: no direction double
+    counting, join keys not inequality residuals); every triangle then
+    credits its three corners."""
+    links = (
+        _kg(spark, sf_dir)
+        .links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select("doc", F.col("objectValue").alias("entity_id"))
+        .dropDuplicates(["doc", "entity_id"])
+        .localCheckpoint()
+    )
+    a = links.alias("a")
+    b = links.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
+        .distinct()
+    )
+    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = edges.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("entity_id"))
+        .unionByName(tri.select(F.col("y").alias("entity_id")))
+        .unionByName(tri.select(F.col("z").alias("entity_id")))
+    )
+    return corners.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 PAGERANK_ITERS = 3
 _PR_SCALE = 1_000_000_000  # ranks in exact integer ppb
 
@@ -550,6 +588,24 @@ SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
 FROM ent_docs a JOIN ent_docs b
   ON a.doc = b.doc AND a.entity_id < b.entity_id
 GROUP BY a.entity_id, b.entity_id""",
+    "kg_entity_triangles": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+edges AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM ent_docs a JOIN ent_docs b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+tri AS (
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+    SELECT x AS entity_id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY entity_id""",
     "kg_entity_pagerank": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -607,6 +663,7 @@ QUERIES = {
     "kg_enrich_facts": q_enrich_facts,
     "kg_canonical_clusters": q_canonical_clusters,
     "kg_entity_comention": q_entity_comention,
+    "kg_entity_triangles": q_entity_triangles,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }
