@@ -183,35 +183,37 @@ def minhash_candidate_pairs(
     """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1
     surviving band bucket.
 
-    Single-pass shape: ONE aggregation collects each bucket's (sorted)
-    member list — the expensive shingle→minhash pipeline under it is
-    computed exactly once, instead of the 3× a self-join + size-filter
-    formulation costs — then in-bucket pairs expand as a column
-    expression. The skew guard falls out of the same aggregate: buckets
-    over ``max_bucket`` are dropped before expansion (surfaced loudly by
-    :func:`skipped_band_buckets` / ``dedup_lsh_skipped_buckets``), so a
-    degenerate bucket costs O(cap²), never O(bucket²)."""
-    banded = _banded(docs)
-    grouped = banded.groupBy("band_idx", "band_key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    Shape: the banded posting list is materialized ONCE
+    (``localCheckpoint`` — an Iceberg stage table on a cluster; the
+    expensive shingle→minhash pipeline must not be recomputed per
+    consumer), oversize buckets are anti-joined away, and candidates
+    meet via the (band_idx, band_key) equi-join. The cap is applied
+    BEFORE anything aggregates or joins per bucket: a degenerate bucket
+    never costs O(bucket²) join rows — and never builds an O(bucket)
+    ``collect_list`` buffer either, which is why this is a join over the
+    staged frame rather than a collect-and-expand aggregate. Dropped
+    buckets are surfaced loudly by :func:`skipped_band_buckets` /
+    ``dedup_lsh_skipped_buckets``."""
+    banded = _banded(docs).localCheckpoint()
+    kept = banded.join(
+        F.broadcast(
+            skipped_band_buckets(banded, max_bucket).select("band_idx", "band_key")
+        ),
+        ["band_idx", "band_key"],
+        "left_anti",
     )
-    kept = grouped.where(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
-    )
-    pair_expr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), F.size("ids") - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, F.size("ids") - 1),
-                lambda j: F.struct(
-                    F.col("ids")[i].alias("doc_a"), F.col("ids")[j].alias("doc_b")
-                ),
-            ),
-        )
-    )
+    a = kept.alias("a")
+    b2 = kept.alias("b")
     return (
-        kept.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        a.join(
+            b2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
 

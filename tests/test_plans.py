@@ -118,16 +118,19 @@ def test_linking_is_single_aggregate_no_sort(spark):
     assert "BroadcastHashJoin" in plan  # alias dict broadcast, not shuffled
 
 
-def test_minhash_pairs_is_single_aggregation_no_join(spark):
-    """The guarded LSH pair generation must stay the one-aggregation
-    shape (bucket collect + in-bucket expansion) — a self-join
-    formulation recomputes the shingle→minhash pipeline per side."""
+def test_minhash_pairs_stages_posting_list_once(spark):
+    """The guarded LSH pair generation must join over the STAGED posting
+    list (localCheckpoint / Iceberg stage table) — if the shingle→minhash
+    pipeline appears in the pairs plan it is being recomputed per
+    consumer, and an unstaged collect-and-expand aggregate would build an
+    O(bucket) buffer before the skew cap can drop it."""
     from dstlr_spark.queries.dedup import q_dedup_minhash_pairs
 
     plan = _plan(spark, q_dedup_minhash_pairs(spark, "/root/testdata/sf0.001"))
-    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
-                    "BroadcastNestedLoopJoin", "CartesianProduct"):
-        assert join_op not in plan
+    assert "ExistingRDD" in plan          # staged posting list
+    assert "md5" not in plan              # minhash pipeline not re-derived
+    assert "ObjectHashAggregate" not in plan  # no collect_list buffers
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_packing_windows_per_shard_not_global(spark):
