@@ -238,6 +238,8 @@ def _neardup_buckets_udf():
 
     @F.pandas_udf("array<int>")
     def buckets(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:  # empty Arrow batch: np.stack would throw
+            return pd.Series([], dtype=object)
         Q = np.stack(qs.values).astype(np.int64)  # (n, 64), exact ints
         signs = (Q @ W.T) >= 0  # (n, T·b)
         bits = signs.reshape(len(Q), NEARDUP_TABLES, NEARDUP_BITS)
