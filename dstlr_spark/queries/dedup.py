@@ -83,8 +83,37 @@ _SHINGLES_SQL = f"""
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard over 3-gram shingle sets for candidate pairs sharing
-    ≥1 shingle; emits pairs over the threshold (ratio in exact ppm ints)."""
-    sh = _shingles(_docs(spark, sf_dir))
+    ≥1 shingle; emits pairs over the threshold (ratio in exact ppm ints).
+
+    Standalone-mode scale guards (the production near-dup path is LSH
+    candidates + rescore, ``dedup_minhash_rescored``; this query is the
+    exact-by-shingle variant):
+    - STOP-SHINGLE CAP: shingles in more than HOT_SHINGLE_CAP documents
+      are excluded from the shingle SET (both intersection and sizes —
+      true stop-shingle semantics, mirrored in the oracle), so one viral
+      shingle cannot emit O(posting²) join rows. No shingle on the sf
+      corpora reaches the cap (``dedup_hot_shingles`` audits = 0 rows),
+      so results are unchanged there; at scale dropped shingles are
+      LOUD via the same audit query.
+    - the filtered shingle frame is staged once (localCheckpoint; an
+      Iceberg stage table on a cluster) — it feeds both join sides and
+      the size dimension.
+    """
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def ngram_jaccard_pairs(d: DataFrame, hot_cap: int = None) -> DataFrame:
+    """Operator form of ``dedup_ngram_jaccard`` (docstring above);
+    ``hot_cap`` overrides HOT_SHINGLE_CAP for tests."""
+    cap = HOT_SHINGLE_CAP if hot_cap is None else hot_cap
+    raw = _shingles(d)
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > cap)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -392,7 +421,9 @@ SELECT doc_id, h.text_hash, n_dups, keep_doc_id,
        doc_id = keep_doc_id AS is_canonical
 FROM h JOIN g ON h.text_hash = g.text_hash""",
     "dedup_ngram_jaccard": f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh0 AS ({_SHINGLES_SQL}),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > {HOT_SHINGLE_CAP}),
+sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common

@@ -51,3 +51,34 @@ def test_lsh_bucket_guard_inactive_below_cap(spark):
     # 5 ≤ cap: the identical group pairs normally (C(5,2) pairs)
     assert sum(a.startswith("dup") and b.startswith("dup") for a, b in pairs) == 10
     assert skipped_band_buckets(_banded(docs), max_bucket=10).count() == 0
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """A viral shingle shared by every doc must not drive O(posting²)
+    pair generation: above the cap it drops from the shingle SET (both
+    intersection and sizes), below the cap it participates normally."""
+    from dstlr_spark.queries.dedup import ngram_jaccard_pairs
+
+    viral = "common common common common"  # shingles shared by all docs
+    rows = [(f"d{i:02d}", f"{viral} unique{i}a unique{i}b unique{i}c") for i in range(20)]
+    rows += [("twin_a", f"{viral} twin twin twin"),
+             ("twin_b", f"{viral} twin twin twin")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in ngram_jaccard_pairs(docs, hot_cap=5).collect()
+    }
+    # the viral shingles (22 docs each) are dropped: the d* docs share
+    # nothing else, so no d*-d* pair survives the 0.6 threshold
+    assert not any(a.startswith("d") and b.startswith("d") for a, b in capped)
+    # the twins still match on their OWN shingles, now with Jaccard 1.0
+    assert capped[("twin_a", "twin_b")] == 1_000_000
+
+    # below the cap the viral shingles count: d-d pairs share 2 of 8
+    # shingles → 250000 ppm (under threshold) but twins stay perfect
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard_ppm"]
+        for r in ngram_jaccard_pairs(docs, hot_cap=1000).collect()
+    }
+    assert uncapped[("twin_a", "twin_b")] > 900_000
