@@ -289,32 +289,77 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity co-mention graph: edges between entities linked within the
-    same document, weighted by document count — the KG-analytics
-    aggregate layered on the links table (demo.md-style graph queries
-    generalized to entity granularity)."""
-    links = (
+COMENTION_MAX_ENTITIES = 1_000  # per-doc entity cap for co-mention edges
+
+
+def _ent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc, entity_id) links — the co-mention family's shared
+    input, materialized once per query."""
+    return (
         _kg(spark, sf_dir)
         .links_triples()
         .where(F.col("objectValue").isNotNull())
         .select("doc", F.col("objectValue").alias("entity_id"))
         .dropDuplicates(["doc", "entity_id"])
+        .localCheckpoint()
     )
-    a = links.alias("a")
-    b = links.alias("b")
+
+
+def skipped_comention_docs(ent_docs: DataFrame, cap: int = COMENTION_MAX_ENTITIES) -> DataFrame:
+    """Documents linking more than ``cap`` distinct entities — excluded
+    from co-mention edge generation (a 10⁴-entity doc would emit 10⁸
+    pairs) and surfaced LOUDLY here (``kg_comention_skipped_docs``)."""
+    return (
+        ent_docs.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .where(F.col("n_entities") > cap)
+    )
+
+
+def _comention_und(ent_docs: DataFrame, cap: int = COMENTION_MAX_ENTITIES) -> DataFrame:
+    """Distinct undirected co-mention edges (src < dst) over docs at or
+    below the per-doc entity cap — O(Σ min(doc_entities, cap)²)."""
+    kept = ent_docs.join(
+        F.broadcast(skipped_comention_docs(ent_docs, cap).select("doc")),
+        "doc",
+        "left_anti",
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     return (
         a.join(
             b,
             (F.col("a.doc") == F.col("b.doc"))
             & (F.col("a.entity_id") < F.col("b.entity_id")),
         )
+        .select(
+            F.col("a.doc").alias("doc"),
+            F.col("a.entity_id").alias("src"),
+            F.col("b.entity_id").alias("dst"),
+        )
+    )
+
+
+def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention graph: edges between entities linked within the
+    same document, weighted by document count — the KG-analytics
+    aggregate layered on the links table (demo.md-style graph queries
+    generalized to entity granularity). Per-doc entity cap + audit:
+    see :func:`skipped_comention_docs`."""
+    return (
+        _comention_und(_ent_docs(spark, sf_dir))
         .groupBy(
-            F.col("a.entity_id").alias("entity_a"),
-            F.col("b.entity_id").alias("entity_b"),
+            F.col("src").alias("entity_a"),
+            F.col("dst").alias("entity_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def q_comention_skipped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit: docs excluded from co-mention edges by the entity cap
+    (none on the sf corpora; the cap is exercised by tests)."""
+    return skipped_comention_docs(_ent_docs(spark, sf_dir))
 
 
 def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,25 +369,7 @@ def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed triangle enumeration: no direction double
     counting, join keys not inequality residuals); every triangle then
     credits its three corners."""
-    links = (
-        _kg(spark, sf_dir)
-        .links_triples()
-        .where(F.col("objectValue").isNotNull())
-        .select("doc", F.col("objectValue").alias("entity_id"))
-        .dropDuplicates(["doc", "entity_id"])
-        .localCheckpoint()
-    )
-    a = links.alias("a")
-    b = links.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.doc") == F.col("b.doc"))
-            & (F.col("a.entity_id") < F.col("b.entity_id")),
-        )
-        .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
-        .distinct()
-    )
+    edges = _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
     e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     e3 = edges.select(F.col("src").alias("x"), F.col("dst").alias("z"))
@@ -373,31 +400,16 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the standard Pregel-free DataFrame PageRank; lineage cut
     per round with localCheckpoint (a checkpoint dir on a cluster).
     """
-    links = (
-        _kg(spark, sf_dir)
-        .links_triples()
-        .where(F.col("objectValue").isNotNull())
-        .select("doc", F.col("objectValue").alias("entity_id"))
-        .dropDuplicates(["doc", "entity_id"])
-        # one materialization of the whole KG upstream: edges AND verts
-        # both derive from this frame, and each round re-reads it
-        .localCheckpoint()
-    )
-    a = links.alias("a")
-    b = links.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.doc") == F.col("b.doc"))
-            & (F.col("a.entity_id") < F.col("b.entity_id")),
-        )
-        .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
-        .distinct()
-    )
+    # one materialization of the whole KG upstream: edges AND verts both
+    # derive from this frame, and each round re-reads it
+    ed = _ent_docs(spark, sf_dir)
+    und = _comention_und(ed).select("src", "dst").distinct()
     edges = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    verts = links.select(F.col("entity_id").alias("id")).distinct().localCheckpoint()
+    # verts include entities seen ONLY in capped docs: isolated vertices
+    # keep the teleport rank rather than vanishing
+    verts = ed.select(F.col("entity_id").alias("id")).distinct().localCheckpoint()
     n = verts.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
@@ -582,18 +594,34 @@ SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM cc GROUP BY canonical_id""",
     "kg_entity_comention": f"""WITH {_base_ctes()},
 ent_docs AS (
-    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL)
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES})
 SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
        CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM ent_docs a JOIN ent_docs b
+FROM kept a JOIN kept b
   ON a.doc = b.doc AND a.entity_id < b.entity_id
 GROUP BY a.entity_id, b.entity_id""",
+    "kg_comention_skipped_docs": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL)
+SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM ent_docs GROUP BY doc
+HAVING COUNT(*) > {COMENTION_MAX_ENTITIES}""",
     "kg_entity_triangles": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
 edges AS (
     SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
-    FROM ent_docs a JOIN ent_docs b
+    FROM kept a JOIN kept b
       ON a.doc = b.doc AND a.entity_id < b.entity_id),
 tri AS (
     SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
@@ -609,9 +637,14 @@ FROM corners GROUP BY entity_id""",
     "kg_entity_pagerank": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
 und AS (
     SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
-    FROM ent_docs a JOIN ent_docs b
+    FROM kept a JOIN kept b
       ON a.doc = b.doc AND a.entity_id < b.entity_id),
 edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
 verts AS (SELECT DISTINCT entity_id AS id FROM ent_docs),
@@ -663,6 +696,7 @@ QUERIES = {
     "kg_enrich_facts": q_enrich_facts,
     "kg_canonical_clusters": q_canonical_clusters,
     "kg_entity_comention": q_entity_comention,
+    "kg_comention_skipped_docs": q_comention_skipped_docs,
     "kg_entity_triangles": q_entity_triangles,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,

@@ -82,3 +82,21 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
         for r in ngram_jaccard_pairs(docs, hot_cap=1000).collect()
     }
     assert uncapped[("twin_a", "twin_b")] > 900_000
+
+
+def test_comention_entity_cap(spark):
+    """A doc linking more entities than the cap contributes NO co-mention
+    edges (it would emit O(E²) pairs) and is loudly auditable."""
+    from dstlr_spark.queries.doc_kg import _comention_und, skipped_comention_docs
+
+    rows = [("mega", f"E{i:03d}") for i in range(30)]
+    rows += [("ok1", "E001"), ("ok1", "E002"), ("ok2", "E001"), ("ok2", "E003")]
+    ent_docs = spark.createDataFrame(rows, "doc string, entity_id string")
+
+    und = {(r["doc"], r["src"], r["dst"])
+           for r in _comention_und(ent_docs, cap=10).collect()}
+    assert not any(d == "mega" for d, *_ in und)
+    assert ("ok1", "E001", "E002") in und and ("ok2", "E001", "E003") in und
+
+    skipped = skipped_comention_docs(ent_docs, cap=10).collect()
+    assert [(r["doc"], r["n_entities"]) for r in skipped] == [("mega", 30)]
