@@ -323,6 +323,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Same two-stage shape as the MinHash and embedding paths; at 64
     bits / Hamming ≤ 3 production scale this is the Google-Detecting-
     Near-Duplicates table decomposition.
+
+    Scale precondition: run AFTER exact dedup (``dedup_exact``) — byte-
+    identical documents share every block, and a mass of them would make
+    one block bucket quadratic (the 4-bit blocks here are the 16-bit
+    demo decomposition; production uses 64-bit signatures with 16-bit
+    blocks = 65536 bucket values per table).
     """
     sig = q_dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
     blocks = sig.select(
