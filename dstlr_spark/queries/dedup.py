@@ -398,8 +398,29 @@ def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: verified near-dup PAIRS (LSH candidates +
+    exact-Jaccard rescore) merged into CLUSTERS via connected components,
+    each doc mapped to its canonical (minimum) cluster member — pairwise
+    keep/drop decisions are inconsistent when near-duplication chains
+    (a~b, b~c but a≁c); the component closure is the correct keep set.
+    Iterative operator, still fully value-checked: the oracle expresses
+    the same fixpoint as a DuckDB recursive CTE (like
+    ``kg_canonical_clusters``)."""
+    from dstlr_spark.operators.canonicalize import connected_components
+
+    pairs = q_dedup_minhash_rescored(spark, sf_dir)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "dedup_minhash_rescored": q_dedup_minhash_rescored,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -408,6 +429,45 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
 }
+
+def _rescored_ctes() -> str:
+    """Shared CTE chain ending in ``verified(doc_a, doc_b, jaccard_ppm)``
+    — the LSH-candidates → exact-Jaccard-rescore pipeline, used by both
+    the pairs oracle and the cluster (recursive-CTE) oracle."""
+    return f"""sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id,
+       {_BAND_KEYS_SQL}
+  FROM sig),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
+bsizes AS (SELECT band_idx, band_key, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2),
+bkept AS (
+  SELECT banded.* FROM banded JOIN bsizes USING (band_idx, band_key)
+  WHERE bsizes.n_docs <= {LSH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bkept a JOIN bkept b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b),
+verified AS (
+  SELECT doc_a, doc_b,
+         (n_common * 1000000) // (sa.sz + sb.sz - n_common) AS jaccard_ppm
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= {int(JACCARD_THRESHOLD * 1_000_000)})"""
+
 
 _BAND_KEYS_SQL = ",\n       ".join(
     "md5("
@@ -481,38 +541,20 @@ SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM sh GROUP BY shingle
 HAVING COUNT(*) > {HOT_SHINGLE_CAP}""",
     "dedup_minhash_rescored": f"""
-WITH sh AS ({_SHINGLES_SQL}),
-sig AS (
-  SELECT doc_id,
-         {_minhash_sql_cols()}
-  FROM sh GROUP BY doc_id),
-keys AS (
-  SELECT doc_id,
-       {_BAND_KEYS_SQL}
-  FROM sig),
-banded AS (
-  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
-bsizes AS (SELECT band_idx, band_key, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2),
-bkept AS (
-  SELECT banded.* FROM banded JOIN bsizes USING (band_idx, band_key)
-  WHERE bsizes.n_docs <= {LSH_MAX_BUCKET}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bkept a JOIN bkept b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM cand c
-  JOIN sh a ON a.doc_id = c.doc_a
-  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b,
-       (n_common * 1000000) // (sa.sz + sb.sz - n_common) AS jaccard_ppm
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= {int(JACCARD_THRESHOLD * 1_000_000)}""",
+WITH {{RESCORED}}
+SELECT doc_a, doc_b, jaccard_ppm FROM verified""",
+    "dedup_neardup_clusters": f"""
+WITH RECURSIVE {{RESCORED}},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b AS src, doc_a AS dst FROM verified),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id)
+SELECT id AS doc_id, MIN(comp) AS canonical_doc_id
+FROM reach GROUP BY id""",
     "dedup_simhash": f"""
 WITH toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -545,3 +587,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
 }
+
+# late substitution: the shared rescored-pipeline CTEs depend on the band
+# constants defined above
+for _name in ("dedup_minhash_rescored", "dedup_neardup_clusters"):
+    ORACLES[_name] = ORACLES[_name].replace("{RESCORED}", _rescored_ctes())
