@@ -128,6 +128,34 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language sampling rates as md5-hex ticket thresholds (0x0.<hex> of
+# the rate): the language-rebalancing primitive of corpus mixing
+STRATA_THRESHOLDS: dict[str, str] = {
+    "en": "8" + "0" * 31,   # 1/2 — downweight nothing, majority class
+    "zh": "4" + "0" * 31,   # 1/4
+    "es": "4" + "0" * 31,   # 1/4
+}
+STRATA_DEFAULT_HEX = "2" + "0" * 31  # 1/8 for everything else
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (per-language) deterministic sampling — corpus mixing:
+    each stratum draws at its own rate from the same content-addressed
+    ticket stream as :func:`q_sample_deterministic`, so changing one
+    stratum's rate never reshuffles another's kept set (the property
+    corpus-mixing sweeps rely on)."""
+    d = _docs(spark, sf_dir)
+    ticket = F.md5(F.concat_ws("|", F.lit("sample"), F.col("doc_id")))
+    thr = F.lit(STRATA_DEFAULT_HEX)
+    for lang, hx in STRATA_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(hx)).otherwise(thr)
+    return (
+        d.select("doc_id", "lang", ticket.alias("ticket"), thr.alias("threshold"))
+        .where(F.col("ticket") < F.col("threshold"))
+        .select("doc_id", "lang", "ticket")
+    )
+
+
 CHUNK_TOKENS = 64  # context-window size (tokens)
 CHUNK_STRIDE = 48  # stride → 16-token overlap between windows
 
@@ -212,6 +240,7 @@ def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_token_stats": q_token_stats,
     "text_sample_deterministic": q_sample_deterministic,
+    "text_sample_stratified": q_sample_stratified,
     "text_context_chunks": q_context_chunks,
     "text_packing": q_packing,
     "text_bpe_tokens": q_bpe_tokens,
@@ -226,6 +255,14 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        md5('sample' || '|' || CAST(doc_id AS VARCHAR)) AS ticket
 FROM documents
 WHERE md5('sample' || '|' || CAST(doc_id AS VARCHAR)) < '{SAMPLE_RATE_HEX}'""",
+    "text_sample_stratified": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         md5('sample' || '|' || CAST(doc_id AS VARCHAR)) AS ticket,
+         CASE {" ".join(f"WHEN lang = '{lang}' THEN '{hx}'" for lang, hx in STRATA_THRESHOLDS.items())}
+              ELSE '{STRATA_DEFAULT_HEX}' END AS threshold
+  FROM documents)
+SELECT doc_id, lang, ticket FROM t WHERE ticket < threshold""",
     "text_context_chunks": f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
