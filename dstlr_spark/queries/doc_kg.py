@@ -163,15 +163,28 @@ def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_CACHE: dict[tuple[int, str], NativeKG] = {}
+
+
 def _kg(spark: SparkSession, sf_dir: str) -> NativeKG:
-    return NativeKG(
-        _documents(spark, sf_dir),
-        _gazetteer(spark),
-        _aliases(spark),
-        _doc_fact_triples(spark),
-        cooccur_window=COOCCUR_WINDOW,
-        sent_threshold=10_000,
-    )
+    """Memoized per (session, sf_dir): ~14 kg_* queries derive from the
+    same persisted mention frame, so a correctness-gate run builds it
+    once instead of once per query (the production analog: all consumers
+    read one Iceberg mentions stage table). Correctness is unaffected by
+    external unpersist — the frame just recomputes uncached."""
+    key = (id(spark), sf_dir)
+    kg = _KG_CACHE.get(key)
+    if kg is None:
+        kg = NativeKG(
+            _documents(spark, sf_dir),
+            _gazetteer(spark),
+            _aliases(spark),
+            _doc_fact_triples(spark),
+            cooccur_window=COOCCUR_WINDOW,
+            sent_threshold=10_000,
+        )
+        _KG_CACHE[key] = kg
+    return kg
 
 
 def q_links(spark: SparkSession, sf_dir: str) -> DataFrame:
