@@ -376,7 +376,8 @@ def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the quadratic step runs on a vanishing fraction of N²). Emits
     verified pairs ≥ threshold with exact ppm scores."""
     cand = minhash_candidate_pairs(_docs(spark, sf_dir))  # (doc_a, doc_b)
-    sh = _shingles(_docs(spark, sf_dir))
+    # staged once: the shingle frame feeds both rescore sides + sizes
+    sh = _shingles(_docs(spark, sf_dir)).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
