@@ -139,3 +139,34 @@ def test_roundtrip_trailing_space_fold(spark):
     rebuilt = assemble_documents(derive_transcripts(docs))
     got = {r["doc_id"]: r["contents"] for r in rebuilt.collect()}
     assert got == {f"d{i}": t for i, t in enumerate(texts)}
+
+
+def test_roundtrip_property_random_spacing(spark):
+    """Property: ANY non-empty text round-trips through shred+assemble
+    byte-for-byte, including runs of spaces, trailing/leading spaces,
+    and token counts landing on every modulus of the turn width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dstlr_spark.sources.transcripts import derive_transcripts
+
+    texts_strategy = st.lists(
+        st.text(alphabet="ab 日", min_size=0, max_size=30).filter(lambda t: t != ""),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts_strategy)
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+        )
+        for w in (3, 8):
+            rebuilt = {
+                r["doc_id"]: r["contents"]
+                for r in assemble_documents(derive_transcripts(docs, turn_words=w)).collect()
+            }
+            assert rebuilt == {f"d{i}": t for i, t in enumerate(texts)}
+
+    check()
