@@ -202,6 +202,36 @@ _MENTION_DDL = (
 )
 
 
+def _mention_scan_arrow_batches(gaz):
+    """``mapInArrow`` wrapper of the mention scanner: pyarrow
+    RecordBatches in/out, sharing the exact scan body with the
+    mapInPandas path (parity-pinned) — the zero-copy variant for callers
+    whose downstream is Arrow-native anyway."""
+    import pyarrow as pa
+
+    inner = _mention_scan_batches(gaz)
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()), ("mention_id", pa.string()),
+            ("entity_class", pa.string()), ("span", pa.string()),
+            ("begin", pa.int32()), ("end", pa.int32()),
+            ("pos", pa.int32()), ("key", pa.string()),
+        ]
+    )
+
+    def scan(batches):
+        def as_pandas():
+            for b in batches:
+                yield b.to_pandas()
+
+        for out in inner(as_pandas()):
+            yield pa.RecordBatch.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            )
+
+    return scan
+
+
 def extract_mentions_native(
     documents: DataFrame, gazetteer: DataFrame, impl: str = "arrow"
 ) -> DataFrame:
@@ -212,6 +242,10 @@ def extract_mentions_native(
     ``impl="arrow"`` (default, scale path): Arrow-batched mapInPandas
     scanner — tokenize + offsets + gazetteer membership entirely inside
     the worker, emitting only mention rows. No shuffle.
+
+    ``impl="arrow_stream"``: the same scanner through ``mapInArrow``
+    (pyarrow RecordBatch in/out) — §2.11's fourth vectorized-UDF API,
+    parity-pinned against the default.
 
     ``impl="sql"`` (parity path): posexplode + window offsets +
     broadcast gazetteer join — pure Catalyst, used to cross-check the
@@ -235,6 +269,10 @@ def extract_mentions_native(
             )
         )
     gaz = {r["term"]: r["entity_class"] for r in gazetteer.collect()}
+    if impl == "arrow_stream":
+        return documents.select("doc_id", "contents").mapInArrow(
+            _mention_scan_arrow_batches(_broadcast(documents, gaz)), _MENTION_DDL
+        )
     return documents.select("doc_id", "contents").mapInPandas(
         _mention_scan_batches(_broadcast(documents, gaz)), _MENTION_DDL
     )

@@ -219,3 +219,18 @@ def test_udf_factories_accept_broadcast_handles(spark):
 
     pat = pd.concat(list(_extract_batches_factory(best_bc)([batch])))
     assert (pat["relation"] == "LINKS_TO").any()
+
+
+def test_mapinarrow_scanner_parity(spark):
+    """§2.11: the mapInArrow variant of the mention scanner is
+    row-identical to the mapInPandas default."""
+    from dstlr_spark.operators.extract import extract_mentions_native
+    from dstlr_spark.queries.doc_kg import _documents, _gazetteer
+
+    docs = _documents(spark, "/root/testdata/sf0.001").limit(100)
+    gaz = _gazetteer(spark)
+    a = sorted(map(tuple, extract_mentions_native(docs, gaz).collect()))
+    b = sorted(
+        map(tuple, extract_mentions_native(docs, gaz, impl="arrow_stream").collect())
+    )
+    assert a == b and len(a) > 0
