@@ -1,18 +1,19 @@
 """Deduplication operators over ``documents`` — training-data-pipeline
 first-class citizens: exact hash, n-gram Jaccard, MinHash+LSH, SimHash.
 
-Portability design: all hashes are md5 HEX STRINGS (identical in Spark
-and DuckDB); MinHash uses the lexicographic minimum of seeded md5
-strings (a permutation-free minwise scheme that both engines evaluate
-identically); SimHash reduces md5 nibbles by majority vote with pure
-integer arithmetic.
+Portability design: content hashes are md5 (identical in Spark and
+DuckDB); MinHash hashes each shingle ONCE (md5 → two 32-bit ints) and
+derives the K permutations as Kirsch-Mitzenmacher combinations
+(h1 + i·h2 mod 2³²) — exact integer minima in both engines; SimHash
+reduces md5 nibbles by majority vote with pure integer arithmetic.
 
 Scale notes (100 TB): exact dedup is one hash-aggregate; MinHash-LSH is
 the linear-candidate path (shingle → K minhashes → B bands → bucket
-join) — candidate pairs only ever meet inside a band bucket, never via
-an all-pairs product; n-gram Jaccard is reserved for candidate RESCORING
-(its shingle-join is quadratic in bucket size, so it runs after LSH
-pruning, here exposed standalone for oracle checking at small sf).
+join over a STAGED posting list, oversize buckets capped + audited) —
+candidate pairs only ever meet inside a band bucket, never via an
+all-pairs product; n-gram Jaccard is the RESCORING predicate (standalone
+mode carries a stop-shingle cap); verified pairs close into clusters
+via connected components (``dedup_neardup_clusters``).
 """
 
 from __future__ import annotations
