@@ -28,9 +28,12 @@ Shared semantics (both modes):
 - mention identity: one id per distinct lemma key per document
   (X5) — content-addressed ``md5(doc ‖ key)`` instead of the
   reference's nondeterministic ``UUID.randomUUID``.
-- every mention occurrence emits a MENTIONS row; LINKS_TO rows are
-  produced by the linking operator (broadcast alias join — the
-  in-annotator Wikidict lookup has no local model).
+- every mention occurrence emits a MENTIONS row; LINKS_TO rows come
+  either from the linking operator (broadcast alias join) or — the
+  single-pass shape — from inside the annotator itself when an alias
+  dict is supplied (the fused path and ``extract_triples_pattern``'s
+  ``alias_dict`` parameter), so the expensive annotator stage never
+  runs twice.
 """
 
 from __future__ import annotations
@@ -117,8 +120,8 @@ def _mention_scan_batches(gaz: dict[str, str]):
 
     Per Arrow batch of (doc_id, contents): split on single spaces,
     compute char offsets with a numpy segmented cumsum (O(tokens),
-    vectorized), keep only tokens whose punctuation-stripped key is a
-    gazetteer term, and emit the mention frame directly. The token
+    vectorized), keep only tokens whose punctuation-stripped, LEMMATIZED
+    (C2) key is a gazetteer term, and emit the mention frame directly. The token
     stream never leaves the worker — no shuffle, no 20x exchange.
 
     ``gaz`` may be a plain dict (tests) or a ``sc.broadcast`` handle

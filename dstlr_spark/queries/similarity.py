@@ -1,6 +1,9 @@
 """Similarity search over the ``embeddings`` table (array<float>, 64-d).
 
-Two paths, both driver-contract queries with DuckDB oracles:
+All driver-contract queries with DuckDB value oracles — brute-force
+cosine top-k, hyperplane-LSH, IVF cells, k-means codebook training,
+product-quantization ADC, and the LSH-bucketed embedding near-dup.
+The two foundational paths:
 
 - ``sim_topk_cosine`` — brute-force cosine top-k: the correctness
   baseline. Embeddings are QUANTIZED to integers (floor(x·10⁴)) so the
