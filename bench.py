@@ -40,9 +40,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     counters: dict[str, int] = {}
 
-    def timed(name: str, fn, repeats: int = 2):
+    def timed(name: str, fn, repeats: int = 3):
         """Best-of-N: the first run pays whole-stage-codegen JIT (a fresh
-        JVM cost a long-lived cluster never sees); report the warm run."""
+        JVM cost a long-lived cluster never sees) and host steal load
+        fluctuates ±30%+, so best-of-3 keeps noise from masquerading as
+        regressions (the r2 +48% on dedup_minhash_pairs lesson)."""
         best, out = None, None
         for _ in range(repeats):
             t0 = time.perf_counter()

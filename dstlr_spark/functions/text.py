@@ -181,3 +181,21 @@ def max_sentence_tokens(contents: Column | str) -> Column:
         sentences, lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"), lambda t: t != ""))
     )
     return F.coalesce(F.array_max(counts), F.lit(0))
+
+
+def url_escape_entity(col: Column | str) -> Column:
+    """C7 (EnrichTriples.scala:104): escape ``"`` → ``%22`` and `` ` `` →
+    ``%60`` in an entity name when building its Wikipedia-URL key — the
+    two characters the reference hand-escapes for its SPARQL lookup.
+    Kept for parity with URL-keyed alias dictionaries; our default alias
+    dictionary is name-keyed, so the engine itself never needs it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.regexp_replace(c, '"', "%22"), "`", "%60")
+
+
+def uri_suffix(col: Column | str) -> Column:
+    """C8 (EnrichTriples.scala:136): extract the id after the last ``/``
+    of a URI (``…/prop/direct/P159`` → ``P159``); a string with no ``/``
+    passes through whole, exactly like ``substring(lastIndexOf('/')+1)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(c, "/", -1)

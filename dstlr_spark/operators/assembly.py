@@ -164,7 +164,15 @@ def salted_repartition(df: DataFrame, n: int, key: str = "doc_id", salt_buckets:
     ledger's resume-equals-one-shot guarantee. Content hashing keeps
     retries byte-identical.
     """
-    cols = [F.col(c) for c in df.columns]
+    # xxhash64 rejects MapType columns (e.g. a TripleRow meta map) — hash
+    # only hashable column types; the salt stays content-derived as long
+    # as at least one non-map column exists (all realistic inputs do)
+    cols = [
+        F.col(f.name) for f in df.schema.fields
+        if not f.dataType.typeName().startswith("map")
+    ]
+    if not cols:
+        raise ValueError("salted_repartition needs at least one non-map column")
     return df.repartition(
         n,
         F.col(key),

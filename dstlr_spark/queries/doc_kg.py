@@ -163,7 +163,7 @@ def q_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KG_CACHE: dict[tuple[int, str], NativeKG] = {}
+_KG_CACHE: dict[tuple[str, str], NativeKG] = {}
 
 
 def _kg(spark: SparkSession, sf_dir: str) -> NativeKG:
@@ -171,10 +171,20 @@ def _kg(spark: SparkSession, sf_dir: str) -> NativeKG:
     same persisted mention frame, so a correctness-gate run builds it
     once instead of once per query (the production analog: all consumers
     read one Iceberg mentions stage table). Correctness is unaffected by
-    external unpersist — the frame just recomputes uncached."""
-    key = (id(spark), sf_dir)
+    external unpersist — the frame just recomputes uncached.
+
+    Keyed by ``applicationId`` (unique per SparkContext), NOT
+    ``id(spark)``: CPython reuses object addresses after GC, so an
+    id-keyed cache could hand a new session a stale NativeKG whose
+    persisted DataFrames belong to a stopped context."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     kg = _KG_CACHE.get(key)
     if kg is None:
+        # evict entries of other applications: their contexts are stopped
+        # (one live context per process), so their cached frames are dead
+        for stale in [k for k in _KG_CACHE if k[0] != app_id]:
+            del _KG_CACHE[stale]
         kg = NativeKG(
             _documents(spark, sf_dir),
             _gazetteer(spark),

@@ -48,10 +48,13 @@ def write_table(
     """Write a table, optionally partitioned by a key bucket.
 
     Catalog-table locations (no path separator) on an Iceberg-enabled
-    session go through ``writeTo``: ``overwritePartitions()`` gives
-    atomic snapshot-isolated partition replacement (K1/K2 — the
-    idempotent re-run semantics the parquet fallback approximates with
-    directory overwrite). The parquet fallback writes a ``bucket=<i>``
+    session go through ``writeTo``: a missing table is bootstrapped with
+    ``createOrReplace()`` (with the hidden ``bucket(n, key)`` partition
+    transform when ``bucket_key`` is set), after which
+    ``overwritePartitions()`` gives atomic snapshot-isolated partition
+    replacement (K1/K2 — the idempotent re-run semantics the parquet
+    fallback approximates with directory overwrite). The parquet
+    fallback writes a ``bucket=<i>``
     partition dir; on Iceberg the bucketing intent is the hidden
     ``bucket(n, key)`` partition transform instead of a physical column.
     This branch is exercised only where an Iceberg runtime jar exists —
@@ -59,7 +62,14 @@ def write_table(
     """
     spark = df.sparkSession
     if "/" not in location and _iceberg_available(spark):
-        writer = df.writeTo(location)
+        writer = df.writeTo(location).using("iceberg")
+        if bucket_key is not None:
+            writer = writer.partitionedBy(F.bucket(n_buckets, F.col(bucket_key)))
+        if not spark.catalog.tableExists(location):
+            # first write bootstraps the table (writeTo append/overwrite
+            # both fail with TABLE_OR_VIEW_NOT_FOUND on a missing target)
+            writer.createOrReplace()
+            return
         if mode == "overwrite":
             writer.overwritePartitions()
         else:

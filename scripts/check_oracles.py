@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -82,20 +83,25 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
+    t_total = time.monotonic()
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         if name not in oracles:
             n = fn(spark, sf_dir).count()
-            print(f"{name:35s} rows-only ({n} rows)")
+            print(f"{name:35s} rows-only ({n} rows)  [{time.monotonic() - t0:6.2f}s]")
             continue
         try:
             ok, msg = compare(name, fn(spark, sf_dir), oracles[name], con)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION: {e}"
-        print(f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}")
+        print(
+            f"{name:35s} {'PASS' if ok else 'FAIL'} {msg}  [{time.monotonic() - t0:6.2f}s]"
+        )
         if not ok:
             failures.append(name)
+    print(f"total gate wall time: {time.monotonic() - t_total:.1f}s")
     spark.stop()
     if failures:
         print(f"\nFAILED: {failures}")

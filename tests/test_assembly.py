@@ -170,3 +170,23 @@ def test_roundtrip_property_random_spacing(spark):
             assert rebuilt == {f"d{i}": t for i, t in enumerate(texts)}
 
     check()
+
+
+def test_salted_repartition_tolerates_map_columns(spark):
+    """xxhash64 rejects MapType — the salt must hash only hashable
+    columns so a TripleRow-shaped frame (meta map) can be salted too."""
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.operators.assembly import salted_repartition
+
+    df = spark.createDataFrame(
+        [("c1", "x"), ("c2", "y")], "doc_id string, text string"
+    ).withColumn("meta", F.create_map(F.lit("k"), F.col("text")))
+    out = salted_repartition(df, 4)
+    assert out.count() == 2
+
+    only_map = df.select("meta")
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_repartition(only_map, 4, key="meta")

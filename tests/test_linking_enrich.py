@@ -119,3 +119,34 @@ def test_utf8_truncate_1024(spark):
     # 1024 // 3 = 341 complete code points survive; no split code point
     assert got[0] == "日" * 341
     assert got[1] == "short" and got[2] is None
+
+
+def test_url_escape_and_uri_suffix_lockstep(spark):
+    """C7/C8 lockstep vs the reference's Java semantics
+    (EnrichTriples.scala:104,136): replaceAll on " and `, and
+    substring(lastIndexOf('/')+1)."""
+    from dstlr_spark.functions.text import uri_suffix, url_escape_entity
+
+    cases = [
+        'Good "Tech" Inc',
+        "back`tick`co",
+        'mix "q" and `b`',
+        "plain",
+        "",
+    ]
+    expected = [c.replace('"', "%22").replace("`", "%60") for c in cases]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["e"] for r in df.select(url_escape_entity("s").alias("e")).collect()]
+    assert got == expected
+
+    uris = [
+        "http://www.wikidata.org/prop/direct/P159",
+        "https://en.wikipedia.org/wiki/Sunnyvale,_California",
+        "no-slash-at-all",
+        "trailing/slash/",
+    ]
+    # java: uri.substring(uri.lastIndexOf('/') + 1) — no '/' → whole string
+    exp = [u[u.rfind("/") + 1 :] for u in uris]
+    df2 = spark.createDataFrame([(u,) for u in uris], "u string")
+    got2 = [r["s"] for r in df2.select(uri_suffix("u").alias("s")).collect()]
+    assert got2 == exp
