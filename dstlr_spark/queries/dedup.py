@@ -278,96 +278,109 @@ def q_dedup_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash -----------------------------------------------------------------------
 
-SIMHASH_BITS = 16  # 16 nibble-majority bits from md5 (portable int math)
+SIMHASH_BITS = 64        # full Manku-shape signature (md5-nibble bit majorities)
+SIMHASH_MAX_HAMMING = 3
+_SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: ≤3 flipped bits
+_BLOCK_BITS = SIMHASH_BITS // _SIMHASH_BLOCKS  # 16-bit blocks → 65536 buckets/table
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc SimHash: for each of 16 hex positions of md5(token), take
-    the majority bit of (nibble >= 8) over all tokens — a bitwise-mean
-    sketch; identical integer arithmetic in both engines."""
-    d = _docs(spark, sf_dir)
+def _simhash_blocks(d: DataFrame) -> DataFrame:
+    """(doc_id, blk0..blk3): the 64-bit SimHash as four 16-bit block
+    values (bit i of the signature = majority over tokens of bit i%4 of
+    md5-nibble i//4; block b holds bits [16b, 16b+16)). Blocks, not one
+    BIGINT, so bit 63 never collides with the sign bit — and the
+    pigeonhole join needs the block decomposition anyway. Ties
+    (2·count == n) round to 1, identically in both engines."""
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).withColumn("h", F.md5(F.col("token")))
-    pos_bits = [
+    nibs = [
+        F.conv(F.substring(F.col("h"), k + 1, 1), 16, 10).cast("int").alias(f"nib{k}")
+        for k in range(SIMHASH_BITS // 4)
+    ]
+    base = toks.select("doc_id", *nibs)
+    bit_counts = [
         F.sum(
-            F.when(
-                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") >= 8, 1
-            ).otherwise(0)
+            F.shiftright(F.col(f"nib{i // 4}"), i % 4).bitwiseAND(F.lit(1))
         ).alias(f"c{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *pos_bits)
-    bit_exprs = [
-        F.when(F.col(f"c{i}") * 2 >= F.col("n"), F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(SIMHASH_BITS)
-    ]
-    simhash = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        simhash = simhash + e
-    return agg.select("doc_id", simhash.cast("long").alias("simhash"))
+    agg = base.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *bit_counts)
+    block_cols = []
+    for b in range(_SIMHASH_BLOCKS):
+        v = F.lit(0)
+        for j in range(_BLOCK_BITS):
+            i = b * _BLOCK_BITS + j
+            v = v + F.when(
+                F.col(f"c{i}") * 2 >= F.col("n"), F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        block_cols.append(v.cast("int").alias(f"blk{b}"))
+    return agg.select("doc_id", *block_cols)
 
 
-SIMHASH_MAX_HAMMING = 3
-_SIMHASH_BLOCKS = SIMHASH_MAX_HAMMING + 1  # pigeonhole: ≤3 flipped bits
-_BLOCK_BITS = SIMHASH_BITS // _SIMHASH_BLOCKS
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 64-bit SimHash, rendered as a 16-hex-char string (block 3
+    = most significant 16 bits) — a bitwise-mean sketch with identical
+    integer arithmetic in both engines."""
+    blk = _simhash_blocks(_docs(spark, sf_dir))
+    return blk.select(
+        "doc_id",
+        F.format_string(
+            "%04x%04x%04x%04x",
+            F.col("blk3"), F.col("blk2"), F.col("blk1"), F.col("blk0"),
+        ).alias("simhash"),
+    )
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at Hamming distance ≤ SIMHASH_MAX_HAMMING.
 
     Candidate generation is EXACT by pigeonhole (not probabilistic): the
-    16-bit signature splits into 4 disjoint 4-bit blocks; ≤3 differing
+    64-bit signature splits into 4 disjoint 16-bit blocks; ≤3 differing
     bits cannot touch all 4 blocks, so every qualifying pair shares at
-    least one identical block — an equi-join on (block_idx, block_val).
-    The exact Hamming distance (bit_count of xor) rescores candidates
-    only. Same two-stage shape as the MinHash and embedding paths; at 64
-    bits / Hamming ≤ 3 production scale this is the Google-Detecting-
-    Near-Duplicates table decomposition.
+    least one identical block — an equi-join on (block_idx, block_val)
+    over 65536 bucket values per table (the Google Detecting-Near-
+    Duplicates / Manku table decomposition at its production shape). The
+    exact Hamming distance (Σ bit_count per block xor) rescores
+    candidates only. Same two-stage shape as the MinHash and embedding
+    paths.
 
     Scale precondition: run AFTER exact dedup (``dedup_exact``) — byte-
     identical documents share every block, and a mass of them would make
-    one block bucket quadratic (the 4-bit blocks here are the 16-bit
-    demo decomposition; production uses 64-bit signatures with 16-bit
-    blocks = 65536 bucket values per table).
+    one block bucket quadratic.
     """
-    sig = q_dedup_simhash(spark, sf_dir)  # (doc_id, simhash)
-    blocks = sig.select(
+    sig = _simhash_blocks(_docs(spark, sf_dir)).withColumn(
+        "blocks", F.array("blk0", "blk1", "blk2", "blk3")
+    )
+    kv = sig.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_idx"),
-                        F.shiftright(F.col("simhash"), i * _BLOCK_BITS)
-                        .bitwiseAND(F.lit((1 << _BLOCK_BITS) - 1))
-                        .alias("block_val"),
-                    )
-                    for i in range(_SIMHASH_BLOCKS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.block_idx").alias("block_idx"),
-             F.col("b.block_val").alias("block_val"))
-    a = blocks.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "blocks",
+        F.posexplode(F.col("blocks")).alias("block_idx", "block_val"),
+    )
+    a = kv.select(
+        F.col("doc_id").alias("doc_a"), F.col("blocks").alias("ba"),
         "block_idx", "block_val",
     )
-    b = blocks.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    b = kv.select(
+        F.col("doc_id").alias("doc_b"), F.col("blocks").alias("bb"),
         "block_idx", "block_val",
     )
     cand = (
         a.join(b, ["block_idx", "block_val"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b", "ba", "bb")
         .distinct()
     )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("ba"), F.col("bb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return cand.select(
-        "doc_a",
-        "doc_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
@@ -558,37 +571,62 @@ reach(id, comp) AS (
 SELECT id AS doc_id, MIN(comp) AS canonical_doc_id
 FROM reach GROUP BY id""",
     "dedup_simhash": f"""
-WITH toks AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         md5(unnest(string_split(text, ' '))) AS h
-  FROM documents),
-agg AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
-         {", ".join(f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS c{i}" for i in range(SIMHASH_BITS))}
-  FROM toks GROUP BY doc_id)
-SELECT doc_id,
-       CAST({" + ".join(f"(CASE WHEN c{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-FROM agg""",
+WITH {{SIMHASH_BLOCKS}}
+SELECT doc_id, printf('%04x%04x%04x%04x', blk3, blk2, blk1, blk0) AS simhash
+FROM blk""",
     # oracle for the pairs query is the EXACT all-pairs Hamming join (the
     # pigeonhole block decomposition must lose nothing, by construction)
     "dedup_simhash_pairs": f"""
-WITH toks AS (
+WITH {{SIMHASH_BLOCKS}}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST({" + ".join(f"bit_count(xor(a.blk{k}, b.blk{k}))" for k in range(_SIMHASH_BLOCKS))} AS INT) AS hamming
+FROM blk a JOIN blk b ON a.doc_id < b.doc_id
+WHERE {" + ".join(f"bit_count(xor(a.blk{k}, b.blk{k}))" for k in range(_SIMHASH_BLOCKS))} <= {SIMHASH_MAX_HAMMING}""",
+}
+
+
+def _simhash_blocks_sql() -> str:
+    """Shared CTE chain ending in ``blk(doc_id, blk0..blk3)`` — the
+    DuckDB twin of :func:`_simhash_blocks` (same nibble-bit majorities,
+    same tie rule)."""
+    n_nibs = SIMHASH_BITS // 4
+    nib_exprs = ",\n         ".join(
+        f"strpos('0123456789abcdef', substr(h, {k + 1}, 1)) - 1 AS nib{k}"
+        for k in range(n_nibs)
+    )
+    count_exprs = ",\n         ".join(
+        f"SUM((nib{i // 4} // {1 << (i % 4)}) % 2) AS c{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    blk_exprs = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN c{b * _BLOCK_BITS + j} * 2 >= n THEN {1 << j} ELSE 0 END)"
+            for j in range(_BLOCK_BITS)
+        )
+        + f" AS INT) AS blk{b}"
+        for b in range(_SIMHASH_BLOCKS)
+    )
+    return f"""toks AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          md5(unnest(string_split(text, ' '))) AS h
   FROM documents),
+nib AS (
+  SELECT doc_id,
+         {nib_exprs}
+  FROM toks),
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
-         {", ".join(f"SUM(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS c{i}" for i in range(SIMHASH_BITS))}
-  FROM toks GROUP BY doc_id),
-sig AS (
+         {count_exprs}
+  FROM nib GROUP BY doc_id),
+blk AS (
   SELECT doc_id,
-         CAST({" + ".join(f"(CASE WHEN c{i} * 2 >= n THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-  FROM agg)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}""",
-}
+         {blk_exprs}
+  FROM agg)"""
+
+
+for _name in ("dedup_simhash", "dedup_simhash_pairs"):
+    ORACLES[_name] = ORACLES[_name].replace("{SIMHASH_BLOCKS}", _simhash_blocks_sql())
 
 # late substitution: the shared rescored-pipeline CTEs depend on the band
 # constants defined above
