@@ -220,24 +220,22 @@ def _neardup_plane(t: int, j: int, dim: int = DIM) -> list[int]:
     return vals
 
 
-def _neardup_buckets_udf():
-    """All NEARDUP_TABLES bucket ids per vector in ONE Arrow-batched
+def _neardup_buckets_udf(bits: int = None, tables: int = None):
+    """All ``tables`` bucket ids per vector in ONE Arrow-batched
     matmul: (n × 64) @ (64 × T·b) sign test — exact int64 arithmetic,
     identical to the per-plane column expressions it replaces, but a
     single vectorized kernel instead of T·b codegen'd higher-order
     aggregates (measured ~4 s of plan/codegen overhead at 48 planes).
-    Returns array<int> of length NEARDUP_TABLES (index = table id)."""
+    Returns array<int> of length ``tables`` (index = table id)."""
     import numpy as np
 
+    bits = NEARDUP_BITS if bits is None else bits
+    tables = NEARDUP_TABLES if tables is None else tables
     W = np.array(
-        [
-            _neardup_plane(t, j)
-            for t in range(NEARDUP_TABLES)
-            for j in range(NEARDUP_BITS)
-        ],
+        [_neardup_plane(t, j) for t in range(tables) for j in range(bits)],
         dtype=np.int64,
     )  # (T·b, 64)
-    bitw = 1 << np.arange(NEARDUP_BITS, dtype=np.int64)
+    bitw = 1 << np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf("array<int>")
     def buckets(qs: pd.Series) -> pd.Series:
@@ -245,11 +243,32 @@ def _neardup_buckets_udf():
             return pd.Series([], dtype=object)
         Q = np.stack(qs.values).astype(np.int64)  # (n, 64), exact ints
         signs = (Q @ W.T) >= 0  # (n, T·b)
-        bits = signs.reshape(len(Q), NEARDUP_TABLES, NEARDUP_BITS)
-        bkt = (bits * bitw).sum(axis=2).astype(np.int32)
+        bt = signs.reshape(len(Q), tables, bits)
+        bkt = (bt * bitw).sum(axis=2).astype(np.int32)
         return pd.Series(list(bkt))
 
     return buckets
+
+
+def _neardup_candidates(e: DataFrame, bits: int, tables: int) -> DataFrame:
+    """(vec_a, vec_b) distinct LSH candidate pairs: vectors agreeing on
+    all ``bits`` hyperplane signs of ≥1 of the ``tables`` hash tables —
+    candidates only ever meet via the (table, bucket) equi-join, never an
+    all-pairs product."""
+    keys = e.select(
+        "vec_id",
+        F.posexplode(_neardup_buckets_udf(bits, tables)(F.col("q"))).alias(
+            "tbl", "bkt"
+        ),
+    )
+    a = keys.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
+    b = keys.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,24 +289,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is a deterministic property, not a probability — tuned to
     100% of cos ≥ τ pairs with a ≥2-table margin on the sf0.001/0.01/0.1
     corpora (pinned by tests/test_similarity_recall.py + the all-pairs
-    DuckDB oracle). τ=0.35 here sits near the random-pair background of
-    the synthetic corpus, so few bits/many tables are needed; at a
-    production near-dup threshold (cos ≥ 0.8) the same machinery runs
-    with 12-16 bits per table and a handful of tables, making candidate
-    volume a vanishing fraction of N².
+    DuckDB oracle).
+
+    WHY 2 bits / 24 tables — the measured discrimination limit: τ=0.35
+    sits at ~p99.97 of the synthetic corpus's pair-cosine distribution
+    (max cos ≈ 0.5-0.6), i.e. qualifying pairs are 60-70° apart. A
+    calibration sweep over the same deterministic planes
+    (:func:`calibrate_neardup` — b ∈ {4,6,8}, T ≤ 64) shows EVERY config
+    reaching total recall at this τ has union candidate fraction ≥ 0.91
+    of all pairs: at these angles, exact + sub-quadratic is not
+    available to any hyperplane family, so the exact mode keeps the
+    recall-tuned wide-bucket config and the corpus-regeneration caveat
+    below. The genuinely sub-quadratic production operator at a real
+    near-dup threshold is :func:`q_embedding_neardup_prod`.
+
+    Corpus-regeneration caveat: the all-pairs oracle hash-match encodes
+    this corpus's deterministic 100%-recall property; regenerating or
+    growing the corpus requires re-running the calibration
+    (tests/test_similarity_recall.py fails loudly if recall slips).
     """
     e = _emb(spark, sf_dir)
-    keys = e.select(
-        "vec_id", F.posexplode(_neardup_buckets_udf()(F.col("q"))).alias("tbl", "bkt")
-    )
-    a = keys.select(F.col("vec_id").alias("vec_a"), "tbl", "bkt")
-    b = keys.select(F.col("vec_id").alias("vec_b"), "tbl", "bkt")
-    cand = (
-        a.join(b, ["tbl", "bkt"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    cand = _neardup_candidates(e, NEARDUP_BITS, NEARDUP_TABLES)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
                   F.col("norm").alias("na"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
@@ -302,6 +324,115 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", score_ppm.alias("score_ppm"))
         .where(F.col("score_ppm") >= NEARDUP_TAU_PPM)
+    )
+
+
+NEARDUP_PROD_TAU_PPM = 990_000  # cos ≥ 0.99: re-encoded / jittered duplicates
+NEARDUP_PROD_BITS = 12          # 4096 buckets per table
+NEARDUP_PROD_TABLES = 8
+
+
+def q_embedding_neardup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at the PRODUCTION operating point: the
+    100 TB-shaped config (12-bit tables → 4096 buckets, 8 tables,
+    τ=0.99 — re-encoded/jittered duplicate detection, the regime where
+    near-dups are near-parallel vectors).
+
+    Candidate volume is sub-quadratic by construction AND by
+    measurement: per-table candidate fraction ≤ 0.11% of N(N−1)/2 and
+    union ≤ 0.3% on every sf corpus and on the planted-duplicate
+    calibration corpus (asserted in tests/test_similarity_recall.py,
+    alongside 100% planted-pair recall with a ≥2-table margin). Output
+    is every scored candidate with its verdict — (vec_a, vec_b,
+    score_ppm, is_neardup) — so the gate value-checks bucket assignment
+    AND rescore on the real candidate set even when the corpus contains
+    no true 0.99-duplicates (the synthetic tables don't; the
+    planted-corpus test is where recall is proven). The DuckDB oracle
+    replays the identical plane matrix (inlined integer weights), so
+    this gate verifies the implementation exactly rather than encoding a
+    corpus-specific recall accident — the complement of
+    ``dedup_embedding_neardup``'s exact all-pairs gate.
+    """
+    e = _emb(spark, sf_dir)
+    cand = _neardup_candidates(e, NEARDUP_PROD_BITS, NEARDUP_PROD_TABLES)
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
+                  F.col("norm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
+                  F.col("norm").alias("nb"))
+    score_ppm = F.floor(
+        _dot(F.col("qa"), F.col("qb"))
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        * 1_000_000
+    ).cast("long")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", score_ppm.alias("score_ppm"))
+        .withColumn(
+            "is_neardup",
+            (F.col("score_ppm") >= NEARDUP_PROD_TAU_PPM).cast("int"),
+        )
+    )
+
+
+def calibrate_neardup(
+    q_vectors,
+    tau_ppm: int,
+    bits_options=(2, 4, 6, 8, 12),
+    max_tables: int = 64,
+    margin: int = 2,
+):
+    """Offline LSH calibration (numpy twin of the Spark math; run on a
+    sample at cluster scale): for each bits option, the smallest table
+    count whose recall of cos ≥ τ pairs is total with ``margin`` + 1
+    table hits per pair, plus its measured per-table candidate volume.
+    Returns a list of dicts sorted by total candidate work; empty where
+    no config within ``max_tables`` reaches total recall — which is the
+    measured outcome on the synthetic corpora at τ=0.35 for every
+    bits ≥ 6 (the discrimination limit documented on
+    :func:`q_embedding_neardup`)."""
+    import numpy as np
+
+    q = np.asarray(q_vectors, dtype=np.int64)
+    n = len(q)
+    norms = (q * q).sum(1).astype(np.float64)
+    ppm = np.floor(
+        (q @ q.T) / (np.sqrt(norms)[:, None] * np.sqrt(norms)[None, :]) * 1e6
+    ).astype(np.int64)
+    qual = np.argwhere(np.triu(ppm >= tau_ppm, 1))
+    tot = n * (n - 1) / 2
+    out = []
+    for bits in bits_options:
+        planes = np.array(
+            [[_neardup_plane(t, j) for j in range(bits)] for t in range(max_tables)],
+            dtype=np.int64,
+        )
+        signs = np.einsum("tbd,nd->tbn", planes, q) >= 0
+        buckets = np.zeros((max_tables, n), dtype=np.int64)
+        for j in range(bits):
+            buckets += signs[:, j, :].astype(np.int64) << j
+        hits = (
+            (buckets[:, qual[:, 0]] == buckets[:, qual[:, 1]]) if len(qual) else None
+        )
+        for tables in range(1, max_tables + 1):
+            if len(qual) and hits[:tables].sum(0).min() < margin + 1:
+                continue
+            frac = []
+            for t in range(tables):
+                _, c = np.unique(buckets[t], return_counts=True)
+                frac.append(float((c * (c - 1) / 2).sum() / tot))
+            out.append(
+                {
+                    "bits": bits,
+                    "tables": tables,
+                    "qualifying_pairs": int(len(qual)),
+                    "per_table_candidate_fraction_max": max(frac),
+                }
+            )
+            break
+    return sorted(
+        out,
+        key=lambda d: d["per_table_candidate_fraction_max"] * d["tables"],
     )
 
 
@@ -491,7 +622,20 @@ QUERIES = {
     "sim_ann_ivf": q_ann_ivf,
     "sim_kmeans_iters": q_kmeans_iters,
     "dedup_embedding_neardup": q_embedding_neardup,
+    "dedup_embedding_neardup_prod": q_embedding_neardup_prod,
 }
+
+
+def _prod_planes_sql() -> str:
+    """The production plane matrix as an inline VALUES table — the
+    oracle replays the identical integer weights, so the gate verifies
+    the LSH computation itself (seeds → buckets → join → rescore)."""
+    rows = []
+    for t in range(NEARDUP_PROD_TABLES):
+        for j in range(NEARDUP_PROD_BITS):
+            w = _neardup_plane(t, j)
+            rows.append(f"({t}, {j}, [{','.join(map(str, w))}])")
+    return "planes(t, j, w) AS (VALUES\n  " + ",\n  ".join(rows) + ")"
 
 _QUANT_SQL = f"""
   SELECT CAST(vec_id AS BIGINT) AS vec_id,
@@ -590,6 +734,30 @@ ranked AS (
   FROM scored)
 SELECT q_id, vec_id, cell, rank, ROUND(score, 6) AS score
 FROM ranked WHERE rank <= {IVF_TOP_K}""",
+    "dedup_embedding_neardup_prod": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),
+{_prod_planes_sql()},
+sb AS (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_sum([x[1] * x[2] FOR x IN list_zip(e.q, p.w)]) >= 0
+                  THEN (1 << p.j) ELSE 0 END) AS INT) AS bkt
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sb a JOIN sb b ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(floor(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS DOUBLE)
+              / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+              * 1000000) AS BIGINT) AS score_ppm
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_a
+  JOIN e b ON b.vec_id = c.vec_b)
+SELECT vec_a, vec_b, score_ppm,
+       CAST(CASE WHEN score_ppm >= {NEARDUP_PROD_TAU_PPM} THEN 1 ELSE 0 END AS INT) AS is_neardup
+FROM scored""",
     "dedup_embedding_neardup": f"""
 WITH qe AS ({_QUANT_SQL}),
 e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe)
