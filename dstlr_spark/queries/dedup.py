@@ -172,10 +172,11 @@ def _minhash_sql_cols() -> str:
 LSH_MAX_BUCKET = 10_000  # band buckets above this are skipped, not joined
 
 
-def _banded(docs: DataFrame) -> DataFrame:
+def _banded(sh: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key): md5 digests of each band's row
-    minhashes — the LSH posting list."""
-    sh = _shingles(docs)
+    minhashes — the LSH posting list. Input is a shingle frame
+    (``_shingles``), so a caller that also rescores can derive signatures
+    and rescore joins from ONE staged shingle scan."""
     sig = sh.groupBy("doc_id").agg(*_minhash_cols())
     bands = []
     for b in range(LSH_BANDS):
@@ -208,7 +209,9 @@ def skipped_band_buckets(banded: DataFrame, max_bucket: int = LSH_MAX_BUCKET) ->
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+    docs: DataFrame = None,
+    max_bucket: int = LSH_MAX_BUCKET,
+    shingles: DataFrame = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1
     surviving band bucket.
@@ -216,15 +219,21 @@ def minhash_candidate_pairs(
     Shape: the banded posting list is materialized ONCE
     (``localCheckpoint`` — an Iceberg stage table on a cluster; the
     expensive shingle→minhash pipeline must not be recomputed per
-    consumer), oversize buckets are anti-joined away, and candidates
-    meet via the (band_idx, band_key) equi-join. The cap is applied
-    BEFORE anything aggregates or joins per bucket: a degenerate bucket
-    never costs O(bucket²) join rows — and never builds an O(bucket)
-    ``collect_list`` buffer either, which is why this is a join over the
-    staged frame rather than a collect-and-expand aggregate. Dropped
-    buckets are surfaced loudly by :func:`skipped_band_buckets` /
-    ``dedup_lsh_skipped_buckets``."""
-    banded = _banded(docs).localCheckpoint()
+    consumer — it has THREE consumers here: the oversize-bucket audit
+    and both self-join sides), oversize buckets are anti-joined away,
+    and candidates meet via the (band_idx, band_key) equi-join. The cap
+    is applied BEFORE anything aggregates or joins per bucket: a
+    degenerate bucket never costs O(bucket²) join rows — and never
+    builds an O(bucket) ``collect_list`` buffer either, which is why
+    this is a join over the staged frame rather than a
+    collect-and-expand aggregate. Dropped buckets are surfaced loudly by
+    :func:`skipped_band_buckets` / ``dedup_lsh_skipped_buckets``.
+
+    Pass ``shingles`` (a ``_shingles`` frame, ideally already staged) to
+    share one shingle scan with a downstream rescore; otherwise the
+    frame is derived from ``docs``."""
+    sh = _shingles(docs) if shingles is None else shingles
+    banded = _banded(sh).localCheckpoint()
     kept = banded.join(
         F.broadcast(
             skipped_band_buckets(banded, max_bucket).select("band_idx", "band_key")
@@ -255,7 +264,7 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_lsh_skipped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guard audit: band buckets the LSH join refused (none on the
     well-behaved sf corpora; adversarial fixtures exercise it in tests)."""
-    return skipped_band_buckets(_banded(_docs(spark, sf_dir)))
+    return skipped_band_buckets(_banded(_shingles(_docs(spark, sf_dir))))
 
 
 HOT_SHINGLE_CAP = 1_000  # posting lists above this make the shingle join quadratic
@@ -388,10 +397,13 @@ def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production near-dup pipeline: LSH band buckets propose
     candidates (linear), exact n-gram Jaccard rescores ONLY those pairs
     (the quadratic step runs on a vanishing fraction of N²). Emits
-    verified pairs ≥ threshold with exact ppm scores."""
-    cand = minhash_candidate_pairs(_docs(spark, sf_dir))  # (doc_a, doc_b)
-    # staged once: the shingle frame feeds both rescore sides + sizes
+    verified pairs ≥ threshold with exact ppm scores.
+
+    ONE shingle scan: the staged shingle frame feeds the minhash
+    signature pipeline AND both rescore sides AND the size dimension
+    (r2 derived it twice and checkpointed both — pure waste)."""
     sh = _shingles(_docs(spark, sf_dir)).localCheckpoint()
+    cand = minhash_candidate_pairs(shingles=sh)  # (doc_a, doc_b)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

@@ -52,10 +52,11 @@ def curate(spark, input_path: str, sample_hex: str, max_stop_ratio_ppm: int):
 
     # 3. near-dup drop: LSH candidates → exact Jaccard ≥ threshold →
     #    drop the larger doc id of each verified pair (anti-join)
-    cand = minhash_candidate_pairs(exact)
-    # the shingle frame feeds the candidate generator (via exact) plus
-    # both rescore sides and the size dim — persist the narrow waist once
+    # the shingle frame feeds the candidate generator plus both rescore
+    # sides and the size dim — persist the narrow waist ONCE and derive
+    # everything (signatures included) from it: one scan of the corpus
     sh = _shingles(exact).persist()
+    cand = minhash_candidate_pairs(shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")

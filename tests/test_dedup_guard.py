@@ -6,6 +6,7 @@ buckets are dropped from the join and reported LOUDLY via
 from __future__ import annotations
 
 from dstlr_spark.queries.dedup import (
+    _shingles,
     LSH_BANDS,
     _banded,
     minhash_candidate_pairs,
@@ -36,7 +37,7 @@ def test_lsh_bucket_guard_skips_degenerate_buckets(spark):
     # small buckets still join: the 2-doc group survives
     assert ("pair_a", "pair_b") in pairs
 
-    skipped = skipped_band_buckets(_banded(docs), max_bucket=10).collect()
+    skipped = skipped_band_buckets(_banded(_shingles(docs)), max_bucket=10).collect()
     # identical docs share ALL band keys → one oversize bucket per band
     assert len(skipped) == LSH_BANDS
     assert all(r["n_docs"] == 40 for r in skipped)
@@ -50,7 +51,7 @@ def test_lsh_bucket_guard_inactive_below_cap(spark):
     }
     # 5 ≤ cap: the identical group pairs normally (C(5,2) pairs)
     assert sum(a.startswith("dup") and b.startswith("dup") for a, b in pairs) == 10
-    assert skipped_band_buckets(_banded(docs), max_bucket=10).count() == 0
+    assert skipped_band_buckets(_banded(_shingles(docs)), max_bucket=10).count() == 0
 
 
 def test_ngram_jaccard_stop_shingle_cap(spark):

@@ -150,3 +150,16 @@ def test_pq_adc_topk_broadcasts_codebooks(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rescored_pipeline_derives_shingles_once(spark):
+    """The LSH→rescore pipeline must feed signatures AND rescore joins
+    from ONE staged shingle frame: the final plan reads checkpoints only
+    — any parquet scan or md5 re-derivation means the shingle pipeline
+    runs again per consumer (the r2 double-derivation)."""
+    from dstlr_spark.queries.dedup import q_dedup_minhash_rescored
+
+    plan = _plan(spark, q_dedup_minhash_rescored(spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in plan       # staged shingles / posting list
+    assert "md5" not in plan           # shingle+minhash pipeline not re-derived
+    assert "FileScan" not in plan      # documents scanned only during staging
