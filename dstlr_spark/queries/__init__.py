@@ -21,32 +21,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dstlr_spark.queries import (
-        dedup,
-        doc_kg,
-        multimodal,
-        relational,
-        similarity,
-        textstats,
-    )
-
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (doc_kg, relational, textstats, dedup, similarity, multimodal):
+    for mod in _modules():
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(mod.ORACLES)
+    return out
+
+
+def _modules():
+    """Registry module order == the order the driver's gate runs
+    queries. The similarity / multimodal / streaming modules run right
+    after the KG block: the r2 gate ran out of budget at the tail and
+    truncated exactly there, so the historically-at-risk surface runs
+    early and the cheap relational/text modules absorb any truncation."""
     from dstlr_spark.queries import (
         dedup,
         doc_kg,
         multimodal,
         relational,
         similarity,
+        streamgate,
         textstats,
     )
 
-    out: dict[str, str] = {}
-    for mod in (doc_kg, relational, textstats, dedup, similarity, multimodal):
-        out.update(mod.ORACLES)
-    return out
+    return (doc_kg, similarity, multimodal, streamgate, relational, textstats, dedup)

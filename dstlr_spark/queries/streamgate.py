@@ -1,0 +1,249 @@
+"""Driver-gated Structured Streaming queries (SURVEY.md §2.9 additions).
+
+The streaming operators in :mod:`dstlr_spark.streaming` were previously
+pytest-only; these queries put the same operator classes — watermarked
+tumbling-window aggregation, within-watermark dedup, watermarked
+stream-stream interval join, session windows — under the driver's DuckDB
+value oracle by running them as ``availableNow`` micro-batch jobs over
+the sf ``events`` parquet and comparing the materialized result to the
+batch-equivalent SQL.
+
+Determinism: ``availableNow`` over a static source drains everything;
+windowed/session aggregations run in *complete* mode (output equals the
+batch aggregation regardless of micro-batch boundaries), the
+stream-stream inner join and dedup in *append* mode project only key
+columns (first-seen row choice can't leak). Watermarks are present on
+every stateful operator — at 10^12-turn scale they are what bounds the
+state store; they do not affect these drained results.
+
+Timestamps are emitted as formatted strings (never raw) per the oracle
+portability rules.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+SESSION_GAP_SEC = 1800
+
+_SINK_SEQ = itertools.count()
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file-stream source lists a DIRECTORY; the sf tables are single
+    read-only files. Stage a temp directory containing a symlink to the
+    events parquet once per sf_dir (a production deployment streams from
+    the table's real directory/Iceberg location — this shim exists only
+    for the single-file sandbox layout)."""
+    d = _STREAM_DIRS.get(sf_dir)
+    if d is None:
+        import os
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dstlr_stream_events_")
+        src = f"{sf_dir}/events.parquet"
+        dst = os.path.join(d, "events.parquet")
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        _STREAM_DIRS[sf_dir] = d
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the sf events parquet (explicit schema —
+    streaming sources never infer)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _events_stream_dir(sf_dir)
+    )
+
+
+def _drain(df: DataFrame, mode: str) -> DataFrame:
+    """Run ``df`` to completion with an ``availableNow`` trigger into a
+    uniquely named in-memory sink; return the materialized table. The
+    unique name keeps repeated invocations (bench best-of-N) isolated."""
+    name = f"streamgate_{next(_SINK_SEQ)}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hourly``: watermarked tumbling 1-hour
+    window counts + exact decimal value sums per event type, drained in
+    complete mode — the result must value-match the batch aggregation."""
+    ev = _events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("win")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, "complete")
+
+
+def q_stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming re-delivery dedup (``dropDuplicatesWithinWatermark``,
+    the watermark-bounded state form of ``dropDuplicates``): first event
+    per (user_id, event_type) within the horizon; projecting only the
+    key columns makes the drained result exactly the distinct key set."""
+    ev = _events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
+    dd = (
+        ev.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain(dd, "append")
+
+
+def q_stream_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_range_join``: watermarked stream-stream
+    INNER join of purchases to same-user signup windows with the
+    event-time range condition carried in the join (what lets Spark
+    expire join state at scale). Inner-join matches are emitted as they
+    arrive, so the drained append-mode result equals the batch join."""
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    signups = (
+        _events_stream(spark, sf_dir)
+        .where((F.col("event_type") == "signup") & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("win_start"),
+        )
+        .withWatermark("win_start", "2 hours")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts") >= F.col("win_start"))
+        & (F.col("ts") < F.col("win_start") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "event_id",
+        "user_id",
+        "signup_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
+    return _drain(joined, "append")
+
+
+def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows per user (30-minute silence gap) in
+    complete mode: one row per closed session with its extent and event
+    count — the per-session grain under the full value oracle (the batch
+    twin ``events_sessions`` checks per-user session counts only)."""
+    ev = _events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
+    sess = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("win"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("win")["end"], "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    return _drain(sess, "complete")
+
+
+QUERIES = {
+    "stream_events_hourly": q_stream_events_hourly,
+    "stream_events_dedup": q_stream_events_dedup,
+    "stream_events_range_join": q_stream_events_range_join,
+    "stream_events_sessions": q_stream_events_sessions,
+}
+
+ORACLES = {
+    # identical to the batch events_hourly oracle — the stream must
+    # reproduce the batch aggregation exactly
+    "stream_events_hourly": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""",
+    "stream_events_dedup": """
+SELECT DISTINCT user_id, event_type
+FROM events WHERE ts IS NOT NULL""",
+    # identical to the batch events_range_join oracle
+    "stream_events_range_join": """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+windows AS (
+  SELECT user_id, ts AS win_start, ts + INTERVAL 1 HOUR AS win_end,
+         event_id AS signup_id
+  FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, w.signup_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM purchases p JOIN windows w
+  ON p.user_id = w.user_id
+ AND w.win_start <= p.ts AND p.ts < w.win_end""",
+    # island detection: a session breaks when the gap is >= 1800 s
+    # (Spark's session_window end is exclusive: ts == prev + gap starts
+    # a new session); session_end = last event + gap
+    "stream_events_sessions": f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - LAG(CAST(epoch(ts) AS BIGINT), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE ts IS NOT NULL),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL {SESSION_GAP_SEC} SECOND,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid""",
+}
