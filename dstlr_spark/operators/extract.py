@@ -452,14 +452,58 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
 
 def best_alias_entity(alias_dict: DataFrame) -> dict[str, str]:
     """Reduce the alias dimension to its deterministic arg-max
-    (max prior, ties → smallest entity_id) — driver-side, broadcastable."""
+    (max prior, ties → smallest entity_id) — driver-side, broadcastable.
+    Keys are LEMMA-normalized (C2) like the mention keys they are probed
+    with, so inflected dictionary entries are not silently dead — in
+    lockstep with :func:`~dstlr_spark.operators.linking.resolve_aliases`,
+    which lemma-normalizes both join sides."""
     best: dict[str, tuple[float, str]] = {}
     for r in alias_dict.collect():
-        cur = best.get(r["alias"])
+        key = " ".join(lemma_token_py(t) for t in r["alias"].split(" "))
+        cur = best.get(key)
         cand = (-r["prior"], r["entity_id"])
         if cur is None or cand < cur:
-            best[r["alias"]] = cand
+            best[key] = cand
     return {a: e for a, (_, e) in best.items()}
+
+
+def _fused_bag_arrow_batches(gaz, best_entity, window: int):
+    """``mapInArrow`` wrapper of the fused bag annotator: pyarrow
+    RecordBatches in/out, sharing the exact scan body with the
+    mapInPandas path (parity-pinned) — the API-symmetric twin of
+    :func:`_mention_scan_arrow_batches` for the full-bag path."""
+    import pyarrow as pa
+
+    inner = _fused_bag_batches(gaz, best_entity, window)
+    out_schema = pa.schema(
+        [
+            ("doc", pa.string()), ("subjectType", pa.string()),
+            ("subjectValue", pa.string()), ("relation", pa.string()),
+            ("objectType", pa.string()), ("objectValue", pa.string()),
+            (
+                "meta",
+                pa.struct(
+                    [
+                        ("entity_class", pa.string()), ("span", pa.string()),
+                        ("begin", pa.int32()), ("end", pa.int32()),
+                        ("normalized", pa.string()), ("confidence", pa.float64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def scan(batches):
+        def as_pandas():
+            for b in batches:
+                yield b.to_pandas()
+
+        for out in inner(as_pandas()):
+            yield pa.RecordBatch.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            )
+
+    return scan
 
 
 def extract_bag_fused(
@@ -468,19 +512,27 @@ def extract_bag_fused(
     alias_dict: DataFrame,
     cooccur_window: int = 8,
     sent_threshold: int = DEFAULT_SENT_THRESHOLD,
+    impl: str = "pandas",
 ) -> DataFrame:
-    """documents → full triple bag in one mapInPandas stage (no shuffles).
+    """documents → full triple bag in one Arrow-batched stage (no
+    shuffles). ``impl="pandas"`` (default) runs ``mapInPandas``;
+    ``impl="arrow"`` runs the same scan body through ``mapInArrow``
+    (zero-copy RecordBatches for Arrow-native downstreams) — parity
+    between the two is test-pinned like the mention scanner's.
 
     Semantically identical to NativeKG's modular bag minus fact rows —
     parity is pinned by tests and the DuckDB oracle suite."""
     docs = apply_sentence_guard(documents, sent_threshold)
     gaz = {r["term"]: r["entity_class"] for r in gazetteer.collect()}
     best = best_alias_entity(alias_dict)
-    return docs.select("doc_id", "contents").mapInPandas(
-        _fused_bag_batches(
-            _broadcast(documents, gaz), _broadcast(documents, best), cooccur_window
-        ),
-        TRIPLE_DDL,
+    gaz_b, best_b = _broadcast(documents, gaz), _broadcast(documents, best)
+    cols = docs.select("doc_id", "contents")
+    if impl == "arrow":
+        return cols.mapInArrow(
+            _fused_bag_arrow_batches(gaz_b, best_b, cooccur_window), TRIPLE_DDL
+        )
+    return cols.mapInPandas(
+        _fused_bag_batches(gaz_b, best_b, cooccur_window), TRIPLE_DDL
     )
 
 

@@ -30,12 +30,17 @@ def resolve_aliases(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     Deterministic arg-max: highest prior wins, ties broken by smallest
     entity_id — implemented as ``min_by(entity_id, struct(-prior,
     entity_id))``, a single hash aggregate. Unresolvable spans keep a
-    null entity_id. Candidates join on the LEMMA KEY of the span (C2) so
-    plural surface forms resolve to their singular aliases, in lockstep
-    with the fused in-annotator lookup (``best.get(key)``).
+    null entity_id. BOTH join sides are lemma-normalized (C2): the span
+    key so plural surface forms resolve, and the alias so an inflected
+    dictionary entry (e.g. ``systems``) is not silently dead — in
+    lockstep with the fused in-annotator lookup
+    (:func:`~dstlr_spark.operators.extract.best_alias_entity`, which
+    lemma-keys its dictionary the same way).
     """
     cand = mentions.join(
-        F.broadcast(alias_dict), lemma_key(mentions["span"]) == alias_dict["alias"], "left"
+        F.broadcast(alias_dict),
+        lemma_key(mentions["span"]) == lemma_key(alias_dict["alias"]),
+        "left",
     )
     return cand.groupBy("doc", "mention_id", "span").agg(
         F.min_by(

@@ -60,49 +60,89 @@ def run_with_ledger(
     pipeline_fn: Callable[[DataFrame], DataFrame],
     key: str = "conv_id",
     n_buckets: int = 16,
+    group_size: int = 8,
 ) -> dict[str, int]:
     """Process every pending bucket; returns {processed, skipped} counts.
 
     ``pipeline_fn`` maps a transcript chunk to its triple DataFrame.
     Safe to call repeatedly / after a crash: completed buckets are
     skipped, partial buckets are overwritten.
+
+    Pending buckets run in GROUPS of ``group_size``: one job per group,
+    not one per bucket — at the documented 4,096-bucket scale per-bucket
+    jobs would mean 4,096 serial driver submissions; grouping keeps the
+    driver loop O(n_buckets / group_size) while the ledger keeps
+    per-bucket rows (resume granularity is unchanged). Within a group
+    the triples write is ONE dynamic-partition-overwrite job
+    (``bucket=<b>`` dirs, only the group's partitions replaced), input
+    lineage is ONE grouped aggregate, and the group's ledger rows are
+    appended strictly AFTER the data commit — a crash inside a group
+    re-runs that whole group, never skips a bucket (the conservative-
+    watermark rule, now at group granularity).
     """
     spark = transcripts.sparkSession
     done = completed_buckets(spark, ledger_dir)
     processed = 0
     bucketed = transcripts.withColumn("_bucket", bucket_expr(key, n_buckets))
+    pending = [b for b in range(n_buckets) if b not in done]
 
-    for b in range(n_buckets):
-        if b in done:
-            continue
+    for g in range(0, len(pending), group_size):
+        group = pending[g : g + group_size]
         t0 = time.perf_counter()
-        chunk = bucketed.where(F.col("_bucket") == b).drop("_bucket")
-        # lineage: row count + order-independent xor-fold content hash of
-        # the bucket's input — a resume after upstream data changed is
-        # detectable by comparing fingerprints, and xor-folding is exact
-        # under any partitioning/order (north rule: per-partition lineage)
-        stats = chunk.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(f"bit_xor(xxhash64({key}, turn_idx, text))").alias("fp"),
-        ).first()
-        n_input, fingerprint = stats["n"], stats["fp"]
-        triples = pipeline_fn(chunk)
-        # triple count via observe on the write itself (X10 machinery) —
-        # no second read pass over the bucket just for the ledger metric
-        from pyspark.sql import Observation
-
-        obs = Observation(f"ledger-bucket-{b}")
-        observed = triples.observe(obs, F.count(F.lit(1)).alias("n_triples"))
-        observed.write.mode("overwrite").parquet(f"{out_dir}/bucket={b}")
-        n_triples = obs.get["n_triples"]
+        chunk = bucketed.where(F.col("_bucket").isin(group))
+        # lineage: per-bucket row count + order-independent xor-fold
+        # content hash of the bucket's input — a resume after upstream
+        # data changed is detectable by comparing fingerprints, and
+        # xor-folding is exact under any partitioning/order (north rule:
+        # per-partition lineage). One grouped aggregate for the group.
+        stats = {
+            r["_bucket"]: (r["n"], r["fp"])
+            for r in chunk.groupBy("_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(xxhash64({key}, turn_idx, text))").alias("fp"),
+            )
+            .collect()
+        }
+        triples = pipeline_fn(chunk.drop("_bucket"))
+        # the triple's bucket is re-derived from its provenance key (doc
+        # = conv_id by construction), so one partitioned write commits
+        # every bucket of the group in a single job
+        (
+            triples.withColumn("bucket", bucket_expr("doc", n_buckets))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        # per-bucket triple counts from the just-committed footers — a
+        # metadata-only count, not a second compute pass
+        written = {
+            r["bucket"]: r["n"]
+            for r in spark.read.option("basePath", out_dir)
+            .parquet(*[f"{out_dir}/bucket={b}" for b in group if b in stats])
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        } if stats else {}
         wall = time.perf_counter() - t0
-        # ledger commit strictly after the data commit (watermark rule)
-        spark.createDataFrame(
-            [(b, n_input, fingerprint, n_triples, wall, None)], LEDGER_SCHEMA
-        ).withColumn("finished_ts", F.current_timestamp()).write.mode(
-            "append"
-        ).parquet(ledger_dir)
-        processed += 1
+        # ledger commit strictly after the data commit (watermark rule);
+        # one append of the whole group's rows, still one row per bucket
+        rows = [
+            (
+                b,
+                stats.get(b, (0, None))[0],
+                stats.get(b, (0, None))[1],
+                written.get(b, 0),
+                wall / max(len(group), 1),
+                None,
+            )
+            for b in group
+        ]
+        spark.createDataFrame(rows, LEDGER_SCHEMA).withColumn(
+            "finished_ts", F.current_timestamp()
+        ).write.mode("append").parquet(ledger_dir)
+        processed += len(group)
     return {"processed": processed, "skipped": len(done)}
 
 

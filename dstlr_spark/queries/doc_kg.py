@@ -525,7 +525,9 @@ links AS (
         SELECT d.doc, d.mention_id, a.entity_id,
                ROW_NUMBER() OVER (PARTITION BY d.doc, d.mention_id
                                   ORDER BY a.prior DESC, a.entity_id ASC) AS rn
-        FROM dmen d LEFT JOIN alias_d a ON d.span = a.alias) z
+        FROM dmen d LEFT JOIN alias_d a
+          ON d.span = array_to_string(
+               [{lemma_token_sql("x")} FOR x IN string_split(a.alias, ' ')], ' ')) z
     WHERE rn = 1),
 {values_cte("fact_edges", ["entity_id", "relation", "value"], DOC_FACTS)}
 """

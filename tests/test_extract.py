@@ -234,3 +234,36 @@ def test_mapinarrow_scanner_parity(spark):
         map(tuple, extract_mentions_native(docs, gaz, impl="arrow_stream").collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_mapinarrow_fused_bag_parity(spark):
+    """§2.11: the mapInArrow variant of the FUSED full-bag annotator is
+    row-identical to the mapInPandas default (API symmetry with the
+    mention scanner's arrow_stream path)."""
+    from dstlr_spark.operators.assembly import assemble_documents
+    from dstlr_spark.operators.extract import extract_bag_fused
+    from dstlr_spark.queries.doc_kg import COOCCUR_WINDOW, _aliases, _gazetteer
+    from dstlr_spark.sources.transcripts import derive_transcripts
+
+    docs = assemble_documents(
+        derive_transcripts(
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+            .limit(100)
+        )
+    )
+    gaz, ali = _gazetteer(spark), _aliases(spark)
+
+    def rows(df):
+        return sorted(
+            (r["doc"], r["subjectType"], r["subjectValue"], r["relation"],
+             r["objectType"], r["objectValue"],
+             tuple(r["meta"]) if r["meta"] is not None else None)
+            for r in df.collect()
+        )
+
+    a = rows(extract_bag_fused(docs, gaz, ali, COOCCUR_WINDOW, 10_000))
+    b = rows(
+        extract_bag_fused(docs, gaz, ali, COOCCUR_WINDOW, 10_000, impl="arrow")
+    )
+    assert a == b and len(a) > 0

@@ -16,6 +16,7 @@ from dstlr_spark.plans.ledger import (
 from dstlr_spark.sources.transcripts import generate_transcripts
 
 N_BUCKETS = 4
+GROUP_SIZE = 2  # 2 buckets per job: grouped submissions, per-bucket ledger rows
 
 
 def _pipeline(chunk):
@@ -32,7 +33,7 @@ def _triple_set(df):
 def test_one_shot_run_and_metrics(spark, tmp_path):
     tr = generate_transcripts(spark, n_convs=12)
     out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
-    stats = run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS)
+    stats = run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
     assert stats == {"processed": N_BUCKETS, "skipped": 0}
 
     ledger = read_ledger(spark, led).collect()
@@ -51,23 +52,25 @@ def test_one_shot_run_and_metrics(spark, tmp_path):
 
 
 def test_crash_resume_equals_one_shot(spark, tmp_path):
-    """Kill after 2 buckets → rerun → identical to an uninterrupted run."""
+    """Kill after the first 2-bucket group → rerun → identical to an uninterrupted run."""
     tr = generate_transcripts(spark, n_convs=12)
     out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
 
     calls = {"n": 0}
 
     def flaky(chunk):
-        if calls["n"] == 2:
+        # pipeline_fn runs once per GROUP (group_size=2): crash on the
+        # second group, after the first group's 2 buckets committed
+        if calls["n"] == 1:
             raise RuntimeError("synthetic crash")
         calls["n"] += 1
         return _pipeline(chunk)
 
     with pytest.raises(RuntimeError):
-        run_with_ledger(tr, out, led, flaky, n_buckets=N_BUCKETS)
+        run_with_ledger(tr, out, led, flaky, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
     assert len(completed_buckets(spark, led)) == 2
 
-    stats = run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS)
+    stats = run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
     assert stats == {"processed": N_BUCKETS - 2, "skipped": 2}
 
     direct = _pipeline(tr)
@@ -77,8 +80,8 @@ def test_crash_resume_equals_one_shot(spark, tmp_path):
 def test_rerun_is_noop(spark, tmp_path):
     tr = generate_transcripts(spark, n_convs=6)
     out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
-    run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS)
-    stats = run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS)
+    run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
+    stats = run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
     assert stats == {"processed": 0, "skipped": N_BUCKETS}
 
 
@@ -87,7 +90,7 @@ def test_bucketing_keeps_conversations_whole(spark, tmp_path):
     a bucket sees every turn (per-turn equality invariant)."""
     tr = generate_transcripts(spark, n_convs=12)
     out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
-    run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS)
+    run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
     # doc ids in output are unique per bucket dir
     per_doc = (
         read_output(spark, out)

@@ -150,3 +150,26 @@ def test_url_escape_and_uri_suffix_lockstep(spark):
     df2 = spark.createDataFrame([(u,) for u in uris], "u string")
     got2 = [r["s"] for r in df2.select(uri_suffix("u").alias("s")).collect()]
     assert got2 == exp
+
+
+def test_inflected_alias_entries_resolve(spark):
+    """Both join sides are lemma-normalized: an alias-dict entry that is
+    itself an inflected surface form ('systems') must still match
+    mentions whose lemma key is the singular — previously it was
+    silently dead (ADVICE r2)."""
+    from dstlr_spark.operators.extract import best_alias_entity
+    from dstlr_spark.operators.linking import resolve_aliases
+
+    mentions = spark.createDataFrame(
+        [("d1", "m1", "systems"), ("d1", "m2", "system")],
+        "doc string, mention_id string, span string",
+    )
+    aliases = spark.createDataFrame(
+        [("systems", "E-sys", 0.9)],  # inflected dictionary entry
+        "alias string, entity_id string, prior double",
+    )
+    out = {r["mention_id"]: r["entity_id"] for r in resolve_aliases(mentions, aliases).collect()}
+    assert out == {"m1": "E-sys", "m2": "E-sys"}
+
+    # fused in-annotator dictionary reduces through the same lemma key
+    assert best_alias_entity(aliases) == {"system": "E-sys"}

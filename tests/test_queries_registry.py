@@ -16,13 +16,13 @@ def test_registry_consistency():
     assert set(os_) <= set(qs)
     # every query family is represented
     fams = {n.split("_")[0] for n in qs}
-    assert {"kg", "rel", "events", "text", "dedup", "sim"} <= fams
+    assert {"kg", "rel", "events", "text", "dedup", "sim", "stream", "mm"} <= fams
 
 
 @pytest.mark.parametrize(
     "name",
     ["kg_mentions", "rel_pricing_summary", "text_token_stats", "dedup_exact",
-     "sim_topk_cosine", "events_sessions"],
+     "sim_topk_cosine", "events_sessions", "stream_events_hourly"],
 )
 def test_queries_execute(spark, name):
     import __spark_entry__ as entry_mod
