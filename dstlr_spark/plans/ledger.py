@@ -116,15 +116,19 @@ def run_with_ledger(
             .parquet(out_dir)
         )
         # per-bucket triple counts from the just-committed footers — a
-        # metadata-only count, not a second compute pass
+        # metadata-only count, not a second compute pass (whole-dir read
+        # + filter: a bucket whose pipeline emitted zero triples has no
+        # partition dir, so explicit per-bucket paths would error)
+        has_partitions = any(Path(out_dir).glob("bucket=*"))
         written = {
             r["bucket"]: r["n"]
             for r in spark.read.option("basePath", out_dir)
-            .parquet(*[f"{out_dir}/bucket={b}" for b in group if b in stats])
+            .parquet(f"{out_dir}/bucket=*")
+            .where(F.col("bucket").isin(group))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
-        } if stats else {}
+        } if stats and has_partitions else {}
         wall = time.perf_counter() - t0
         # ledger commit strictly after the data commit (watermark rule);
         # one append of the whole group's rows, still one row per bucket

@@ -102,3 +102,22 @@ def test_bucketing_keeps_conversations_whole(spark, tmp_path):
         .count()
     )
     assert per_doc == 0
+
+
+def test_zero_triple_bucket_still_gets_ledger_row(spark, tmp_path):
+    """A bucket whose input produces no triples (or no input at all)
+    must still commit its ledger row — otherwise resume re-runs it
+    forever — and must not break the group's footer count read-back."""
+    tr = generate_transcripts(spark, n_convs=3)  # sparse: some buckets empty
+    out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
+
+    def empty_pipeline(chunk):
+        return _pipeline(chunk).limit(0)
+
+    stats = run_with_ledger(
+        tr, out, led, empty_pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE
+    )
+    assert stats == {"processed": N_BUCKETS, "skipped": 0}
+    ledger = read_ledger(spark, led).collect()
+    assert len(ledger) == N_BUCKETS
+    assert all(r["n_triples"] == 0 for r in ledger)
