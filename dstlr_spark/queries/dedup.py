@@ -178,20 +178,22 @@ def _banded(sh: DataFrame) -> DataFrame:
     (``_shingles``), so a caller that also rescores can derive signatures
     and rescore joins from ONE staged shingle scan."""
     sig = sh.groupBy("doc_id").agg(*_minhash_cols())
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+                )
             )
-        )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
-    return banded
+            for b in range(LSH_BANDS)
+        ]
+    )
+    # one posexplode projection, NOT a B-way union: union branches each
+    # re-run the shingle scan + minhash aggregate (B× the dominant cost)
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
 
 
 def skipped_band_buckets(banded: DataFrame, max_bucket: int = LSH_MAX_BUCKET) -> DataFrame:

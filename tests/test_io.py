@@ -74,16 +74,35 @@ def test_write_table_routes_catalog_tables_through_writeTo(monkeypatch):
     import dstlr_spark.sources.io as io
 
     calls = []
+    existing_tables = set()
 
     class FakeWriter:
+        def using(self, fmt):
+            calls.append(("using", fmt))
+            return self
+
+        def partitionedBy(self, transform):
+            calls.append("partitionedBy")
+            return self
+
+        def createOrReplace(self):
+            calls.append("createOrReplace")
+
         def overwritePartitions(self):
             calls.append("overwritePartitions")
 
         def append(self):
             calls.append("append")
 
+    class FakeCatalog:
+        def tableExists(self, location):
+            return location in existing_tables
+
+    class FakeSession:
+        catalog = FakeCatalog()
+
     class FakeDF:
-        sparkSession = object()
+        sparkSession = FakeSession()
 
         def writeTo(self, location):
             calls.append(("writeTo", location))
@@ -94,9 +113,32 @@ def test_write_table_routes_catalog_tables_through_writeTo(monkeypatch):
             raise AssertionError("parquet writer used for a catalog table")
 
     monkeypatch.setattr(io, "_iceberg_available", lambda spark: True)
+
+    # first write of a missing table bootstraps via createOrReplace —
+    # writeTo append/overwrite both throw TABLE_OR_VIEW_NOT_FOUND otherwise
     io.write_table(FakeDF(), "analytics.triples")
-    assert calls == [("writeTo", "analytics.triples"), "overwritePartitions"]
+    assert calls == [
+        ("writeTo", "analytics.triples"), ("using", "iceberg"), "createOrReplace",
+    ]
+
+    # bucket_key maps to the hidden bucket(n, key) partition transform
+    calls.clear()
+    io.write_table(FakeDF(), "analytics.triples", bucket_key="doc_id")
+    assert calls == [
+        ("writeTo", "analytics.triples"), ("using", "iceberg"),
+        "partitionedBy", "createOrReplace",
+    ]
+
+    existing_tables.add("analytics.triples")
+    calls.clear()
+    io.write_table(FakeDF(), "analytics.triples")
+    assert calls == [
+        ("writeTo", "analytics.triples"), ("using", "iceberg"),
+        "overwritePartitions",
+    ]
 
     calls.clear()
     io.write_table(FakeDF(), "analytics.triples", mode="append")
-    assert calls == [("writeTo", "analytics.triples"), "append"]
+    assert calls == [
+        ("writeTo", "analytics.triples"), ("using", "iceberg"), "append",
+    ]
