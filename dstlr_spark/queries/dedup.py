@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dstlr_spark.queries._memo import staged
 from dstlr_spark.queries.sqlgen import values_cte
 
 NGRAM_N = 3
@@ -33,6 +34,29 @@ JACCARD_THRESHOLD = 0.6
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+
+
+def _staged_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw shingle posting list, staged once per (session, sf_dir):
+    six dedup queries consume it (Jaccard, minhash pairs/rescored/
+    clusters, both skew audits), so a correctness-gate run derives the
+    explode + distinct pipeline once, not once per query."""
+    return staged(
+        spark,
+        ("dedup_shingles", sf_dir),
+        lambda: _shingles(_docs(spark, sf_dir)),
+    )
+
+
+def _staged_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH band posting list, staged once per (session, sf_dir) —
+    derived from the staged shingle frame, shared by the pairs /
+    rescored / clusters / skipped-buckets queries."""
+    return staged(
+        spark,
+        ("dedup_banded", sf_dir),
+        lambda: _banded(_staged_shingles(spark, sf_dir)),
     )
 
 
@@ -100,14 +124,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       Iceberg stage table on a cluster) — it feeds both join sides and
       the size dimension.
     """
-    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return ngram_jaccard_pairs(shingles=_staged_shingles(spark, sf_dir))
 
 
-def ngram_jaccard_pairs(d: DataFrame, hot_cap: int = None) -> DataFrame:
+def ngram_jaccard_pairs(
+    d: DataFrame = None, hot_cap: int = None, shingles: DataFrame = None
+) -> DataFrame:
     """Operator form of ``dedup_ngram_jaccard`` (docstring above);
-    ``hot_cap`` overrides HOT_SHINGLE_CAP for tests."""
+    ``hot_cap`` overrides HOT_SHINGLE_CAP for tests; pass ``shingles``
+    (a ``_shingles`` frame, ideally staged) to share one shingle scan
+    with sibling consumers."""
     cap = HOT_SHINGLE_CAP if hot_cap is None else hot_cap
-    raw = _shingles(d)
+    raw = _shingles(d) if shingles is None else shingles
     hot = (
         raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -214,6 +242,7 @@ def minhash_candidate_pairs(
     docs: DataFrame = None,
     max_bucket: int = LSH_MAX_BUCKET,
     shingles: DataFrame = None,
+    banded_staged: DataFrame = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs agreeing on ALL rows of ≥1
     surviving band bucket.
@@ -232,10 +261,14 @@ def minhash_candidate_pairs(
     :func:`skipped_band_buckets` / ``dedup_lsh_skipped_buckets``.
 
     Pass ``shingles`` (a ``_shingles`` frame, ideally already staged) to
-    share one shingle scan with a downstream rescore; otherwise the
-    frame is derived from ``docs``."""
-    sh = _shingles(docs) if shingles is None else shingles
-    banded = _banded(sh).localCheckpoint()
+    share one shingle scan with a downstream rescore, or
+    ``banded_staged`` (an already-checkpointed ``_banded`` frame) to
+    share the whole posting list; otherwise derived from ``docs``."""
+    if banded_staged is not None:
+        banded = banded_staged
+    else:
+        sh = _shingles(docs) if shingles is None else shingles
+        banded = _banded(sh).localCheckpoint()
     kept = banded.join(
         F.broadcast(
             skipped_band_buckets(banded, max_bucket).select("band_idx", "band_key")
@@ -260,13 +293,13 @@ def minhash_candidate_pairs(
 
 
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_candidate_pairs(_docs(spark, sf_dir))
+    return minhash_candidate_pairs(banded_staged=_staged_banded(spark, sf_dir))
 
 
 def q_dedup_lsh_skipped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-guard audit: band buckets the LSH join refused (none on the
     well-behaved sf corpora; adversarial fixtures exercise it in tests)."""
-    return skipped_band_buckets(_banded(_shingles(_docs(spark, sf_dir))))
+    return skipped_band_buckets(_staged_banded(spark, sf_dir))
 
 
 HOT_SHINGLE_CAP = 1_000  # posting lists above this make the shingle join quadratic
@@ -279,7 +312,7 @@ def q_dedup_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora; at scale a non-empty result is the signal to run Jaccard
     only as the rescorer behind LSH candidates
     (``dedup_minhash_rescored``), never standalone."""
-    sh = _shingles(_docs(spark, sf_dir))
+    sh = _staged_shingles(spark, sf_dir)
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -403,9 +436,12 @@ def q_dedup_minhash_rescored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ONE shingle scan: the staged shingle frame feeds the minhash
     signature pipeline AND both rescore sides AND the size dimension
-    (r2 derived it twice and checkpointed both — pure waste)."""
-    sh = _shingles(_docs(spark, sf_dir)).localCheckpoint()
-    cand = minhash_candidate_pairs(shingles=sh)  # (doc_a, doc_b)
+    (r2 derived it twice and checkpointed both — pure waste); both
+    staged frames are session-memoized, so gate siblings reuse them."""
+    sh = _staged_shingles(spark, sf_dir)
+    cand = minhash_candidate_pairs(
+        banded_staged=_staged_banded(spark, sf_dir)
+    )  # (doc_a, doc_b)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

@@ -35,7 +35,17 @@ DIM = 64
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, q: array<long> quantized, norm: long)."""
+    """(vec_id, q: array<long> quantized, norm: long) — staged once per
+    (session, sf_dir): eight similarity/near-dup queries consume the
+    quantized frame, so a correctness-gate run materializes the
+    parquet-read + quantize + norm pipeline once (the production analog:
+    one quantized-embedding stage table all index builds read)."""
+    from dstlr_spark.queries._memo import staged
+
+    return staged(spark, ("emb", sf_dir), lambda: _emb_build(spark, sf_dir))
+
+
+def _emb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = F.transform(
         F.col("embedding"),
