@@ -205,8 +205,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_TAU_PPM = 350_000  # cosine ≥ 0.35 (synthetic corpus max cos ≈ 0.6)
-NEARDUP_BITS = 2  # hyperplane sign bits per hash table
-NEARDUP_TABLES = 24  # hash tables unioned for recall
+NEARDUP_EXACT_MAX_VECS = 250_000  # broadcast cap: N × 64 × 8 B ≈ 128 MB
 
 _M64 = (1 << 64) - 1
 
@@ -230,7 +229,7 @@ def _neardup_plane(t: int, j: int, dim: int = DIM) -> list[int]:
     return vals
 
 
-def _neardup_buckets_udf(bits: int = None, tables: int = None):
+def _neardup_buckets_udf(bits: int, tables: int):
     """All ``tables`` bucket ids per vector in ONE Arrow-batched
     matmul: (n × 64) @ (64 × T·b) sign test — exact int64 arithmetic,
     identical to the per-plane column expressions it replaces, but a
@@ -239,8 +238,6 @@ def _neardup_buckets_udf(bits: int = None, tables: int = None):
     Returns array<int> of length ``tables`` (index = table id)."""
     import numpy as np
 
-    bits = NEARDUP_BITS if bits is None else bits
-    tables = NEARDUP_TABLES if tables is None else tables
     W = np.array(
         [_neardup_plane(t, j) for t in range(tables) for j in range(bits)],
         dtype=np.int64,
@@ -282,59 +279,72 @@ def _neardup_candidates(e: DataFrame, bits: int, tables: int) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family).
+    """Embedding-cosine near-duplicate pairs — the EXACT mode.
 
-    Two-stage production shape (mirrors ``dedup_minhash_rescored``):
+    τ=0.35 sits at ~p99.97 of the corpus pair-cosine distribution
+    (qualifying pairs are 60-70° apart). The offline calibration
+    (:func:`calibrate_neardup`, pinned by tests/test_similarity_recall
+    ::test_calibration_documents_the_discrimination_limit) measures that
+    NO hyperplane-LSH family reaches total recall at this τ with
+    sub-quadratic candidates — every complete config floods ≥91% of all
+    pairs. r2 shipped a 2-bit/24-table LSH here; its candidate equi-join
+    materialized nearly the all-pairs product and re-joined both
+    embedding sides onto it — pure overhead on an inherently all-pairs
+    computation. The exact mode therefore runs the all-pairs kernel
+    directly as a partition-blocked GEMM:
 
-    1. candidates — each vector hashes into NEARDUP_TABLES=24 LSH tables
-       of NEARDUP_BITS=2 hyperplane sign bits; candidate pairs meet ONLY
-       via the (table, bucket) equi-join (never an all-pairs product),
-       then distinct. O(Σ bucketᵢ²) per table, linear posting lists.
-    2. rescore — the exact integer-ppm cosine predicate runs on
-       candidates only; score = floor(1e6·cos) so the threshold compare
-       is engine-exact.
+    - the quantized matrix (N × 64 int-valued float64, exact) broadcasts
+      once (~128 MB at the N ≤ 250k guard);
+    - each partition computes its block of the score matrix in ONE
+      Arrow-batched float64 GEMM — dot values ≤ 64·QUANT² < 2^53, so
+      the float64 products and sums are EXACT integers in any summation
+      order, and the ppm expression is the same IEEE sequence the
+      DuckDB all-pairs oracle evaluates;
+    - only (vec_a < vec_b, score ≥ τ) rows leave the kernel.
 
-    Recall: plane seeds are deterministic (splitmix64) and the quantized
-    sign tests are exact integer math, so candidate recall on a given
-    corpus is a deterministic property, not a probability — tuned to
-    100% of cos ≥ τ pairs with a ≥2-table margin on the sf0.001/0.01/0.1
-    corpora (pinned by tests/test_similarity_recall.py + the all-pairs
-    DuckDB oracle).
+    O(N²·d / P) work at BLAS throughput with ZERO shuffle: each left
+    vector lives in exactly one partition, so every pair is emitted
+    exactly once — no join, no distinct, no exchange in the plan.
 
-    WHY 2 bits / 24 tables — the measured discrimination limit: τ=0.35
-    sits at ~p99.97 of the synthetic corpus's pair-cosine distribution
-    (max cos ≈ 0.5-0.6), i.e. qualifying pairs are 60-70° apart. A
-    calibration sweep over the same deterministic planes
-    (:func:`calibrate_neardup` — b ∈ {4,6,8}, T ≤ 64) shows EVERY config
-    reaching total recall at this τ has union candidate fraction ≥ 0.91
-    of all pairs: at these angles, exact + sub-quadratic is not
-    available to any hyperplane family, so the exact mode keeps the
-    recall-tuned wide-bucket config and the corpus-regeneration caveat
-    below. The genuinely sub-quadratic production operator at a real
-    near-dup threshold is :func:`q_embedding_neardup_prod`.
-
-    Corpus-regeneration caveat: the all-pairs oracle hash-match encodes
-    this corpus's deterministic 100%-recall property; regenerating or
-    growing the corpus requires re-running the calibration
-    (tests/test_similarity_recall.py fails loudly if recall slips).
+    Scale boundary: this is the small-N exact operator (rescoring a
+    corpus slice, validating an index); above NEARDUP_EXACT_MAX_VECS it
+    refuses loudly. The 100 TB operating point is
+    :func:`q_embedding_neardup_prod` — 12-bit/8-table LSH at τ=0.99,
+    sub-quadratic by construction and by measurement.
     """
+    import numpy as np
+
     e = _emb(spark, sf_dir)
-    cand = _neardup_candidates(e, NEARDUP_BITS, NEARDUP_TABLES)
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"),
-                  F.col("norm").alias("na"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"),
-                  F.col("norm").alias("nb"))
-    score_ppm = F.floor(
-        _dot(F.col("qa"), F.col("qb"))
-        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
-        * 1_000_000
-    ).cast("long")
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", score_ppm.alias("score_ppm"))
-        .where(F.col("score_ppm") >= NEARDUP_TAU_PPM)
-    )
+    if e.count() > NEARDUP_EXACT_MAX_VECS:
+        raise ValueError(
+            f"exact near-dup mode is bounded at {NEARDUP_EXACT_MAX_VECS} "
+            "vectors; use q_embedding_neardup_prod (LSH) at scale"
+        )
+    rows = e.select("vec_id", "q", "norm").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["q"] for r in rows], dtype=np.float64)
+    sq = np.sqrt(np.array([r["norm"] for r in rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat, sq))
+
+    def blocks(batches):
+        ids_r, mat_r, sq_r = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(pdf["q"].to_list(), dtype=np.float64)
+            aid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            an = np.sqrt(pdf["norm"].to_numpy(dtype=np.float64))
+            dots = A @ mat_r.T
+            ppm = np.floor(dots / (an[:, None] * sq_r[None, :]) * 1e6).astype(
+                np.int64
+            )
+            keep = (ppm >= NEARDUP_TAU_PPM) & (aid[:, None] < ids_r[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": aid[ai], "vec_b": ids_r[bi], "score_ppm": ppm[ai, bi]}
+            )
+
+    return e.mapInPandas(blocks, "vec_a long, vec_b long, score_ppm long")
 
 
 NEARDUP_PROD_TAU_PPM = 990_000  # cos ≥ 0.99: re-encoded / jittered duplicates

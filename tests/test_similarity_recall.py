@@ -1,15 +1,13 @@
-"""Recall pin for the LSH-bucketed embedding near-dup.
+"""Recall / candidate-volume pins for the embedding near-dup operators.
 
-The driver oracle for ``dedup_embedding_neardup`` is the EXACT all-pairs
-threshold join; the shipped Spark plan generates candidates per LSH
-(table, bucket). Those only agree when bucket recall of qualifying pairs
-is total — which is a *deterministic* property of the fixed corpora and
-the deterministic splitmix64 planes. This test recomputes both sides in
-numpy (exact integer math, same quantization) and asserts:
-
-- zero missed pairs at every sf the driver/bench touch, and
-- a ≥2-table collision margin, so a single marginal bucket flip cannot
-  silently break the oracle.
+``dedup_embedding_neardup`` (exact mode) runs a partition-blocked GEMM —
+its value parity with the all-pairs DuckDB oracle is the driver gate's
+job; here we pin its scale guard. ``dedup_embedding_neardup_prod`` (the
+LSH operating point) is pinned on BOTH properties a 100 TB run needs:
+total recall of true near-dups (planted-duplicate corpus, ≥2-table
+margin) and sub-quadratic per-table candidate volume on every sf corpus.
+All pins are deterministic (splitmix64 plane seeds, exact integer math),
+so these are pins, not flakes.
 """
 
 from __future__ import annotations
@@ -19,8 +17,8 @@ import pytest
 
 from dstlr_spark.queries.similarity import (
     DIM,
-    NEARDUP_BITS,
-    NEARDUP_TABLES,
+    NEARDUP_PROD_BITS,
+    NEARDUP_PROD_TABLES,
     NEARDUP_TAU_PPM,
     QUANT,
     _neardup_plane,
@@ -39,36 +37,50 @@ def _load(sf_dir: str):
     return q
 
 
-@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
-def test_neardup_lsh_recall_is_total_with_margin(sf):
-    q = _load(f"/root/testdata/sf{sf}")
-    n = len(q)
-    norms = (q * q).sum(1)
-    dots = q @ q.T
-    denom = np.sqrt(norms[:, None].astype(np.float64)) * np.sqrt(
-        norms[None, :].astype(np.float64)
-    )
-    ppm = np.floor(dots / denom * 1e6).astype(np.int64)
-    iu = np.triu_indices(n, 1)
-    qualifying = ppm[iu] >= NEARDUP_TAU_PPM
-    assert qualifying.sum() > 0  # the pin is vacuous otherwise
+def test_exact_mode_refuses_oversize_corpus(spark, monkeypatch):
+    """The exact GEMM mode broadcasts the full quantized matrix; above
+    its guard it must refuse LOUDLY and point at the LSH operating
+    point, never silently attempt an over-broadcast."""
+    import dstlr_spark.queries.similarity as sim
 
-    planes = np.array(
+    monkeypatch.setattr(sim, "NEARDUP_EXACT_MAX_VECS", 10)
+    with pytest.raises(ValueError, match="neardup_prod"):
+        sim.q_embedding_neardup(spark, "/root/testdata/sf0.001")
+
+
+def test_exact_mode_matches_numpy_all_pairs(spark):
+    """Block-GEMM kernel parity: the distributed exact mode must emit
+    exactly the numpy all-pairs threshold set with identical ppm scores
+    (the same property the DuckDB driver oracle checks, pinned here so
+    a kernel edit fails fast in unit tests)."""
+    from dstlr_spark.queries.similarity import q_embedding_neardup
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["score_ppm"]
+        for r in q_embedding_neardup(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    ids = np.array(
         [
-            [_neardup_plane(t, j) for j in range(NEARDUP_BITS)]
-            for t in range(NEARDUP_TABLES)
+            r[0]
+            for r in duckdb.sql(
+                "select vec_id from '/root/testdata/sf0.001/embeddings.parquet'"
+                " order by vec_id"
+            ).fetchall()
         ],
         dtype=np.int64,
     )
-    signs = np.einsum("tbd,nd->tbn", planes, q) >= 0
-    buckets = np.zeros((NEARDUP_TABLES, n), dtype=np.int64)
-    for j in range(NEARDUP_BITS):
-        buckets += signs[:, j, :].astype(np.int64) << j
-    hits = np.zeros(iu[0].shape, dtype=np.int32)
-    for t in range(NEARDUP_TABLES):
-        hits += buckets[t][iu[0]] == buckets[t][iu[1]]
-    assert int((qualifying & (hits == 0)).sum()) == 0  # total recall
-    assert int(hits[qualifying].min()) >= 2  # margin: no single-flip fragility
+    q = _load("/root/testdata/sf0.001")
+    norms = (q * q).sum(1).astype(np.float64)
+    ppm = np.floor(
+        (q @ q.T) / (np.sqrt(norms)[:, None] * np.sqrt(norms)[None, :]) * 1e6
+    ).astype(np.int64)
+    want = {}
+    for a, b in np.argwhere(np.triu(ppm >= NEARDUP_TAU_PPM, 1)):
+        lo, hi = sorted((int(ids[a]), int(ids[b])))
+        want[(lo, hi)] = int(ppm[a, b])
+    assert got == want and len(want) > 0
 
 
 def test_neardup_planes_are_independent_across_tables():
@@ -76,10 +88,10 @@ def test_neardup_planes_are_independent_across_tables():
     (t, j) seeds must yield distinct planes."""
     seen = {
         tuple(_neardup_plane(t, j))
-        for t in range(NEARDUP_TABLES)
-        for j in range(NEARDUP_BITS)
+        for t in range(NEARDUP_PROD_TABLES)
+        for j in range(NEARDUP_PROD_BITS)
     }
-    assert len(seen) == NEARDUP_TABLES * NEARDUP_BITS
+    assert len(seen) == NEARDUP_PROD_TABLES * NEARDUP_PROD_BITS
 
 
 def _prod_buckets(q):
