@@ -483,6 +483,50 @@ def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD_PPM = 800_000  # 80% of the smaller doc's shingles
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidate set — the
+    partial-duplicate / quotation detector: containment(A→B) =
+    |A∩B| / |A| flags a small doc embedded in a larger one, which
+    symmetric Jaccard under-scores (|A∩B| / |A∪B| shrinks with the
+    larger doc). Reuses the staged shingle + band posting lists, so in a
+    gate run this adds ONE candidate join + rescore, no new scans.
+    Emits candidate pairs where either direction ≥ threshold, with both
+    directed scores in exact integer ppm."""
+    sh = _staged_shingles(spark, sf_dir)
+    cand = minhash_candidate_pairs(banded_staged=_staged_banded(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "n_common",
+            F.expr("(n_common * 1000000L) DIV sz_a").alias("cont_a_in_b_ppm"),
+            F.expr("(n_common * 1000000L) DIV sz_b").alias("cont_b_in_a_ppm"),
+        )
+        .where(
+            F.greatest(F.col("cont_a_in_b_ppm"), F.col("cont_b_in_a_ppm"))
+            >= CONTAINMENT_THRESHOLD_PPM
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
@@ -493,6 +537,7 @@ QUERIES = {
     "dedup_hot_shingles": q_dedup_hot_shingles,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_containment": q_dedup_containment,
 }
 
 def _rescored_ctes() -> str:
@@ -632,6 +677,16 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST({" + ".join(f"bit_count(xor(a.blk{k}, b.blk{k}))" for k in range(_SIMHASH_BLOCKS))} AS INT) AS hamming
 FROM blk a JOIN blk b ON a.doc_id < b.doc_id
 WHERE {" + ".join(f"bit_count(xor(a.blk{k}, b.blk{k}))" for k in range(_SIMHASH_BLOCKS))} <= {SIMHASH_MAX_HAMMING}""",
+    "dedup_containment": f"""
+WITH {{RESCORED}}
+SELECT doc_a, doc_b, n_common,
+       (n_common * 1000000) // sa.sz AS cont_a_in_b_ppm,
+       (n_common * 1000000) // sb.sz AS cont_b_in_a_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST((n_common * 1000000) // sa.sz,
+               (n_common * 1000000) // sb.sz) >= {CONTAINMENT_THRESHOLD_PPM}""",
 }
 
 
@@ -680,5 +735,5 @@ for _name in ("dedup_simhash", "dedup_simhash_pairs"):
 
 # late substitution: the shared rescored-pipeline CTEs depend on the band
 # constants defined above
-for _name in ("dedup_minhash_rescored", "dedup_neardup_clusters"):
+for _name in ("dedup_minhash_rescored", "dedup_neardup_clusters", "dedup_containment"):
     ORACLES[_name] = ORACLES[_name].replace("{RESCORED}", _rescored_ctes())

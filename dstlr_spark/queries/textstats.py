@@ -89,6 +89,85 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals: duplicate-2-gram
+    fraction (share of 2-gram occurrences that are repeats) and
+    top-2-gram fraction (the most frequent 2-gram's share) — the
+    standard pre-training repetition filters (Rae et al. 2021, app. A)
+    re-expressed as pure Column expressions. Exact integer ppm (DIV),
+    so the gate compare is engine-exact; zero-gram docs report 0, not a
+    divide error."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    g2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select("doc_id", g2.alias("g2")).select(
+        "doc_id",
+        F.size("g2").cast("long").alias("n_2grams"),
+        F.size(F.array_distinct("g2")).cast("long").alias("n_distinct_2grams"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(F.col("g2")),
+                    lambda y: F.size(
+                        F.filter(F.col("g2"), lambda x: x == y)
+                    ),
+                )
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("top_2gram_count"),
+    )
+    return base.select(
+        "doc_id",
+        "n_2grams",
+        "n_distinct_2grams",
+        "top_2gram_count",
+        F.expr(
+            "CASE WHEN n_2grams > 0 THEN"
+            " ((n_2grams - n_distinct_2grams) * 1000000L) DIV n_2grams"
+            " ELSE 0 END"
+        ).alias("dup_2gram_ppm"),
+        F.expr(
+            "CASE WHEN n_2grams > 0 THEN"
+            " (top_2gram_count * 1000000L) DIV n_2grams ELSE 0 END"
+        ).alias("top_2gram_ppm"),
+    )
+
+
+TOPK_NGRAMS = 20
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-K 2-grams with deterministic tie-break
+    (count desc, gram asc) — the vocabulary/contamination probe run
+    before training. Plan shape at scale: partial map-side counts, one
+    exchange on the gram key, then TakeOrderedAndProject (per-partition
+    top-K merged at the driver) — never a global sort materialization."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    g2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(g2).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(TOPK_NGRAMS)
+    )
+
+
 #: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
 #: the usual pre-merge segmentation; identical regex semantics in both engines
 BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
@@ -247,7 +326,14 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
+    "text_repetition": q_repetition,
+    "text_ngram_topk": q_ngram_topk,
 }
+
+_G2_SQL = """CASE WHEN len(string_split(text, ' ')) >= 2
+         THEN [array_to_string(string_split(text, ' ')[i:i+1], ' ')
+               FOR i IN range(1, len(string_split(text, ' ')))]
+         ELSE [] END"""
 
 ORACLES = {
     "text_sample_deterministic": f"""
@@ -345,4 +431,30 @@ FROM t""",
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
 FROM documents""",
+    "text_repetition": f"""
+WITH g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_G2_SQL} AS g2 FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(len(g2) AS BIGINT) AS n_2grams,
+         CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+         CAST(COALESCE(list_max(list_transform(list_distinct(g2),
+              y -> len(list_filter(g2, x -> x = y)))), 0) AS BIGINT)
+           AS top_2gram_count
+  FROM g)
+SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count,
+       CASE WHEN n_2grams > 0
+            THEN ((n_2grams - n_distinct_2grams) * 1000000) // n_2grams
+            ELSE 0 END AS dup_2gram_ppm,
+       CASE WHEN n_2grams > 0
+            THEN (top_2gram_count * 1000000) // n_2grams
+            ELSE 0 END AS top_2gram_ppm
+FROM b""",
+    "text_ngram_topk": f"""
+WITH g AS (
+  SELECT unnest({_G2_SQL}) AS gram FROM documents)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC
+LIMIT {TOPK_NGRAMS}""",
 }
