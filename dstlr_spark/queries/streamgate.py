@@ -190,11 +190,115 @@ def q_stream_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(sess, "complete")
 
 
+def _transcripts_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the document-derived transcripts as a streamable parquet
+    directory once per sf_dir (a production deployment streams the real
+    transcripts table's directory/Iceberg location; the sandbox derives
+    it from ``documents`` exactly like the batch KG pipeline does)."""
+    key = f"transcripts::{sf_dir}"
+    d = _STREAM_DIRS.get(key)
+    if d is None:
+        import tempfile
+
+        from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+        from dstlr_spark.sources.transcripts import derive_transcripts
+
+        d = tempfile.mkdtemp(prefix="dstlr_stream_transcripts_")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+        derive_transcripts(docs).coalesce(4).write.mode("overwrite").parquet(d)
+        _STREAM_DIRS[key] = d
+    return d
+
+
+def _transcripts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstlr_spark.schemas import TRANSCRIPT_SCHEMA
+
+    return spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(
+        _transcripts_stream_dir(spark, sf_dir)
+    )
+
+
+MENTION_TERMS = ["spark", "table", "hash"]
+MENTION_WINDOW_SEC = 5
+
+
+def q_stream_mention_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG-side streaming monitor under the value oracle: gazetteer-
+    term mention counts per tumbling 5 s window over the transcript
+    stream (:func:`dstlr_spark.streaming.transcripts_stream.
+    mention_rate_stream`, previously pytest-only), drained in complete
+    mode. Turn timestamps are epoch + turn_idx, so windows slice
+    conversations deterministically."""
+    from dstlr_spark.streaming.transcripts_stream import mention_rate_stream
+
+    tr = _transcripts_stream(spark, sf_dir)
+    agg = mention_rate_stream(
+        tr,
+        MENTION_TERMS,
+        window=f"{MENTION_WINDOW_SEC} seconds",
+        watermark="1 minute",
+    ).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "term",
+        "n_mentions",
+    )
+    return _drain(agg, "complete")
+
+
+def q_stream_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact turn dedup under the value oracle
+    (:func:`dstlr_spark.streaming.transcripts_stream.dedup_turns_stream`,
+    previously pytest-only): re-delivered turns are dropped within the
+    watermark horizon; projecting the key columns makes the drained
+    append result exactly the distinct (conv_id, turn_idx, text_hash)
+    set."""
+    from dstlr_spark.streaming.transcripts_stream import dedup_turns_stream
+
+    tr = _transcripts_stream(spark, sf_dir)
+    dd = dedup_turns_stream(tr).select("conv_id", "turn_idx", "text_hash")
+    return _drain(dd, "append")
+
+
+#: DuckDB twin of sources.transcripts.derive_transcripts (turn_words=8,
+#: lone-empty-tail fold) ending in turns(conv_id, turn_idx, text) —
+#: DuckDB list slices are 1-based and inclusive.
+_SHRED_SQL = """t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS s
+  FROM documents),
+nt AS (
+  SELECT conv_id, toks, s,
+         CAST(CEIL(s / 8.0) AS INT)
+           - CASE WHEN s % 8 = 1 AND s > 1 AND toks[s] = ''
+                  THEN 1 ELSE 0 END AS n_turns
+  FROM t),
+x AS (
+  SELECT conv_id, toks, n_turns, unnest(range(n_turns)) AS turn_idx
+  FROM nt),
+turns AS (
+  SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         array_to_string(
+           CASE WHEN turn_idx = n_turns - 1
+                THEN toks[turn_idx * 8 + 1 : turn_idx * 8 + 9]
+                ELSE toks[turn_idx * 8 + 1 : turn_idx * 8 + 8] END,
+           ' ') AS text
+  FROM x)"""
+
+
 QUERIES = {
     "stream_events_hourly": q_stream_events_hourly,
     "stream_events_dedup": q_stream_events_dedup,
     "stream_events_range_join": q_stream_events_range_join,
     "stream_events_sessions": q_stream_events_sessions,
+    "stream_mention_rate": q_stream_mention_rate,
+    "stream_dedup_turns": q_stream_dedup_turns,
 }
 
 ORACLES = {
@@ -246,4 +350,29 @@ SELECT user_id,
                 '%Y-%m-%d %H:%M:%S') AS session_end,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM s GROUP BY user_id, sid""",
+    # turn ts = 1704067200 + turn_idx (epoch-aligned to the 5 s grid),
+    # so window_start = 1704067200 + (turn_idx // 15) * 15
+    "stream_mention_rate": f"""
+WITH {_SHRED_SQL},
+tok AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(unnest(regexp_split_to_array(text, '\\s+')),
+                        '[.?,:;''"!]', '', 'g') AS term
+  FROM turns)
+SELECT strftime(make_timestamp(
+         (1704067200 + (turn_idx // {MENTION_WINDOW_SEC}) * {MENTION_WINDOW_SEC})
+         * CAST(1000000 AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(make_timestamp(
+         (1704067200 + (turn_idx // {MENTION_WINDOW_SEC}) * {MENTION_WINDOW_SEC}
+          + {MENTION_WINDOW_SEC}) * CAST(1000000 AS BIGINT)),
+         '%Y-%m-%d %H:%M:%S') AS window_end,
+       term,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM tok
+WHERE term IN ({", ".join(f"'{t}'" for t in MENTION_TERMS)})
+GROUP BY 1, 2, 3""",
+    "stream_dedup_turns": f"""
+WITH {_SHRED_SQL}
+SELECT DISTINCT conv_id, turn_idx, md5(text) AS text_hash
+FROM turns""",
 }
