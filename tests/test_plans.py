@@ -133,6 +133,29 @@ def test_minhash_pairs_stages_posting_list_once(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_topk_is_takeordered_not_global_sort(spark):
+    """Corpus top-K must be per-partition top-K merged at the driver
+    (TakeOrderedAndProject) — a global Sort of the gram-count frame
+    would materialize the whole vocabulary at scale."""
+    from dstlr_spark.queries.textstats import q_ngram_topk
+
+    plan = _plan(spark, q_ngram_topk(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_containment_reads_only_staged_frames(spark):
+    """Containment must reuse the session-staged shingle + band posting
+    lists: no parquet re-scan, no md5 re-derivation, no cartesian."""
+    from dstlr_spark.queries.dedup import q_dedup_containment
+
+    plan = _plan(spark, q_dedup_containment(spark, "/root/testdata/sf0.001"))
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan
+    assert "md5" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_packing_windows_per_shard_not_global(spark):
     """Packing's cumsum must partition by shard — a global (single
     partition) window would serialize the whole corpus at scale."""
