@@ -12,6 +12,7 @@ Stages (each a first-class operator with its own DuckDB-oracled query):
   3. MinHash-LSH near-dup drop    (keep the lexicographic min of each
                                    verified near-dup pair's doc ids)
   4. quality filter               (stopword-ratio bound, ppm integer math)
+  4b. repetition filter           (dup-2-gram bound, text_repetition semantics)
   5. context-window chunking      (64-token windows, stride 48)
   6. packing stats                (per-shard greedy packs — the batch
                                    layout the training loader consumes)
@@ -29,7 +30,13 @@ from pyspark.sql import functions as F
 from dstlr_spark.session import get_spark
 
 
-def curate(spark, input_path: str, sample_hex: str, max_stop_ratio_ppm: int):
+def curate(
+    spark,
+    input_path: str,
+    sample_hex: str,
+    max_stop_ratio_ppm: int,
+    max_dup_2gram_ppm: int = 1_000_000,
+):
     from dstlr_spark.queries.dedup import (
         JACCARD_THRESHOLD,
         minhash_candidate_pairs,
@@ -82,6 +89,29 @@ def curate(spark, input_path: str, sample_hex: str, max_stop_ratio_ppm: int):
         F.expr("(n_stop * 1000000L) DIV n_tokens") <= max_stop_ratio_ppm
     )
 
+    # 4b. repetition filter (Gopher-style): drop docs whose duplicate-
+    #     2-gram fraction exceeds the bound (text_repetition semantics,
+    #     integer ppm; the permissive default keeps every doc)
+    if max_dup_2gram_ppm < 1_000_000:
+        g2 = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.array_join(F.slice(toks, i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        quality = quality.withColumn(
+            "_n2", F.size(g2).cast("long")
+        ).withColumn(
+            "_u2", F.size(F.array_distinct(g2)).cast("long")
+        ).where(
+            F.expr(
+                "CASE WHEN _n2 > 0 THEN ((_n2 - _u2) * 1000000L) DIV _n2"
+                " ELSE 0 END"
+            )
+            <= max_dup_2gram_ppm
+        ).drop("_n2", "_u2")
+
     # 5. context-window chunks (the training examples)
     from dstlr_spark.queries.textstats import CHUNK_STRIDE, CHUNK_TOKENS
 
@@ -107,12 +137,16 @@ def main() -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--sample-hex", default="1" + "9" * 31)  # ≈ 10%
     p.add_argument("--max-stop-ratio-ppm", type=int, default=1_000_000)
+    p.add_argument("--max-dup-2gram-ppm", type=int, default=1_000_000)
     args = p.parse_args()
 
     spark = get_spark("dstlr-curate")
     # every stage is built-in column expressions — no Python UDFs, so no
     # worker-side dstlr_spark import is needed
-    curated, chunks = curate(spark, args.input, args.sample_hex, args.max_stop_ratio_ppm)
+    curated, chunks = curate(
+        spark, args.input, args.sample_hex, args.max_stop_ratio_ppm,
+        args.max_dup_2gram_ppm,
+    )
     curated.write.mode("overwrite").parquet(f"{args.output}/documents")
     chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")
     n_docs = spark.read.parquet(f"{args.output}/documents").count()

@@ -43,6 +43,29 @@ def test_curate_pipeline_end_to_end(spark, tmp_path):
         assert texts[d].startswith(c0) or len(c0.split(" ")) == 64
 
 
+def test_curate_repetition_filter(spark, tmp_path):
+    """Stage 4b: a loopy doc (one 2-gram repeated throughout) is dropped
+    at a tight dup-2gram bound and kept at the permissive default."""
+    from jobs.curate import curate
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    extra = spark.createDataFrame(
+        [("zzz-loop", "spam " * 49 + "spam")], "doc_id string, text string"
+    )
+    inp = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(inp)
+
+    kept_default, _ = curate(spark, inp, "g", 1_000_000)
+    assert "zzz-loop" in {r["doc_id"] for r in kept_default.collect()}
+
+    kept_tight, _ = curate(spark, inp, "g", 1_000_000, max_dup_2gram_ppm=500_000)
+    ids = {r["doc_id"] for r in kept_tight.collect()}
+    assert "zzz-loop" not in ids
+    assert len(ids) > 0  # normal word-salad docs survive the bound
+
+
 def test_curate_deterministic_sample(spark, tmp_path):
     from jobs.curate import curate
 
