@@ -50,4 +50,4 @@ def _modules():
         textstats,
     )
 
-    return (doc_kg, similarity, multimodal, streamgate, relational, textstats, dedup)
+    return (doc_kg, similarity, multimodal, streamgate, dedup, textstats, relational)

@@ -528,6 +528,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # never-truncated-first ordering: queries without a prior-round
+    # CORRECTNESS row lead their module, so any gate truncation falls on
+    # rows with green history
+    "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "dedup_minhash_rescored": q_dedup_minhash_rescored,
@@ -537,7 +541,6 @@ QUERIES = {
     "dedup_hot_shingles": q_dedup_hot_shingles,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
-    "dedup_containment": q_dedup_containment,
 }
 
 def _rescored_ctes() -> str:

@@ -317,6 +317,9 @@ def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # never-truncated-first ordering (see dedup.QUERIES)
+    "text_repetition": q_repetition,
+    "text_ngram_topk": q_ngram_topk,
     "text_token_stats": q_token_stats,
     "text_sample_deterministic": q_sample_deterministic,
     "text_sample_stratified": q_sample_stratified,
@@ -326,8 +329,6 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
-    "text_repetition": q_repetition,
-    "text_ngram_topk": q_ngram_topk,
 }
 
 _G2_SQL = """CASE WHEN len(string_split(text, ' ')) >= 2

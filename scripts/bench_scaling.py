@@ -5,7 +5,7 @@
 Writes BENCH/BASELINE.md with throughput at both levels and
 efficiency = (thr_4N / thr_N) / 4 (bar: ≥ 0.8).
 
-Usage: python scripts/bench_scaling.py [sf_dir] [scale_k] [n_lo] [n_hi]
+Usage: python scripts/bench_scaling.py [sf_dir] [scale_k] [n_lo] [n_hi] [repeats]
 """
 
 from __future__ import annotations
@@ -42,9 +42,10 @@ def main() -> None:
     scale_k = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     n_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    repeats = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 
-    lo = run_level(n_lo, scale_k, sf_dir)
-    hi = run_level(n_hi, scale_k, sf_dir)
+    lo = run_level(n_lo, scale_k, sf_dir, repeats)
+    hi = run_level(n_hi, scale_k, sf_dir, repeats)
     eff = (hi["triples_per_sec"] / lo["triples_per_sec"]) / (n_hi / n_lo)
 
     result = {
