@@ -53,6 +53,70 @@ def completed_buckets(spark: SparkSession, ledger_dir: str) -> set[int]:
     return {r["bucket"] for r in read_ledger(spark, ledger_dir).select("bucket").collect()}
 
 
+def stale_buckets(
+    transcripts: DataFrame,
+    ledger_dir: str,
+    key: str = "conv_id",
+    n_buckets: int = 16,
+) -> set[int]:
+    """Ledgered buckets whose CURRENT input no longer matches the
+    fingerprint recorded at commit time — the lineage check the north
+    rule's 'per-partition lineage' exists for: upstream data changed
+    (backfill, compaction rewrite, late-arriving turns) after a bucket
+    was committed, so its output is silently stale even though the
+    ledger says done. One grouped aggregate over the input; compare is
+    driver-side over n_buckets rows."""
+    spark = transcripts.sparkSession
+    recorded = {
+        r["bucket"]: (r["n_input_rows"], r["input_fingerprint"])
+        for r in read_ledger(spark, ledger_dir)
+        .select("bucket", "n_input_rows", "input_fingerprint")
+        .collect()
+    }
+    if not recorded:
+        return set()
+    current = {
+        r["_bucket"]: (r["n"], r["fp"])
+        for r in transcripts.withColumn("_bucket", bucket_expr(key, n_buckets))
+        .groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"bit_xor(xxhash64({key}, turn_idx, text))").alias("fp"),
+        )
+        .collect()
+    }
+    return {
+        b
+        for b, rec in recorded.items()
+        if current.get(b, (0, None)) != rec
+    }
+
+
+def invalidate_buckets(
+    spark: SparkSession, ledger_dir: str, buckets: set[int]
+) -> None:
+    """Drop the ledger rows of ``buckets`` so the next
+    :func:`run_with_ledger` re-runs them (data dirs are overwritten by
+    the re-run's dynamic partition overwrite — no pre-delete needed).
+    Rewrite-then-swap keeps the ledger readable throughout."""
+    if not buckets:
+        return
+    import shutil
+    import tempfile
+
+    kept = read_ledger(spark, ledger_dir).where(
+        ~F.col("bucket").isin(list(buckets))
+    )
+    tmp = tempfile.mkdtemp(prefix="ledger_rewrite_")
+    kept.write.mode("overwrite").parquet(tmp)
+    rewritten = spark.read.schema(LEDGER_SCHEMA).parquet(tmp).collect()
+    shutil.rmtree(ledger_dir, ignore_errors=True)
+    spark.createDataFrame(rewritten, LEDGER_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(ledger_dir)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_with_ledger(
     transcripts: DataFrame,
     out_dir: str,
@@ -61,12 +125,16 @@ def run_with_ledger(
     key: str = "conv_id",
     n_buckets: int = 16,
     group_size: int = 8,
+    recheck_lineage: bool = False,
 ) -> dict[str, int]:
     """Process every pending bucket; returns {processed, skipped} counts.
 
     ``pipeline_fn`` maps a transcript chunk to its triple DataFrame.
     Safe to call repeatedly / after a crash: completed buckets are
-    skipped, partial buckets are overwritten.
+    skipped, partial buckets are overwritten. With
+    ``recheck_lineage=True`` committed buckets whose input fingerprint
+    no longer matches (:func:`stale_buckets` — upstream backfill /
+    rewrite) are invalidated and re-run first.
 
     Pending buckets run in GROUPS of ``group_size``: one job per group,
     not one per bucket — at the documented 4,096-bucket scale per-bucket
@@ -81,6 +149,15 @@ def run_with_ledger(
     watermark rule, now at group granularity).
     """
     spark = transcripts.sparkSession
+    if recheck_lineage:
+        stale = stale_buckets(transcripts, ledger_dir, key, n_buckets)
+        invalidate_buckets(spark, ledger_dir, stale)
+        for b in stale:
+            # a bucket whose input vanished entirely emits no rows on the
+            # re-run, so dynamic overwrite would leave its old dir behind
+            import shutil
+
+            shutil.rmtree(Path(out_dir) / f"bucket={b}", ignore_errors=True)
     done = completed_buckets(spark, ledger_dir)
     processed = 0
     bucketed = transcripts.withColumn("_bucket", bucket_expr(key, n_buckets))

@@ -121,3 +121,55 @@ def test_zero_triple_bucket_still_gets_ledger_row(spark, tmp_path):
     ledger = read_ledger(spark, led).collect()
     assert len(ledger) == N_BUCKETS
     assert all(r["n_triples"] == 0 for r in ledger)
+
+
+def test_lineage_recheck_reruns_changed_bucket(spark, tmp_path):
+    """Upstream data changes after a bucket commits → stale_buckets
+    flags exactly that bucket, recheck_lineage re-runs it, and the
+    output equals a fresh run over the new input."""
+    from dstlr_spark.plans.ledger import bucket_expr, stale_buckets
+
+    tr = generate_transcripts(spark, n_convs=12)
+    out, led = str(tmp_path / "out"), str(tmp_path / "ledger")
+    run_with_ledger(tr, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE)
+    assert stale_buckets(tr, led, n_buckets=N_BUCKETS) == set()
+
+    # backfill: one smoke conversation's text is rewritten upstream
+    changed_conv = "smoke-1"
+    tr2 = tr.withColumn(
+        "text",
+        F.when(
+            F.col("conv_id") == changed_conv,
+            F.lit("Good Technology is a company based in Sunnyvale."),
+        ).otherwise(F.col("text")),
+    )
+    changed_bucket = (
+        tr2.where(F.col("conv_id") == changed_conv)
+        .select(bucket_expr("conv_id", N_BUCKETS).alias("b"))
+        .first()["b"]
+    )
+    stale = stale_buckets(tr2, led, n_buckets=N_BUCKETS)
+    assert changed_bucket in stale
+    # only buckets sharing the changed bucket can be stale
+    assert stale == {changed_bucket}
+
+    # plain rerun skips everything (the blind-spot this feature closes)
+    assert run_with_ledger(
+        tr2, out, led, _pipeline, n_buckets=N_BUCKETS, group_size=GROUP_SIZE
+    )["processed"] == 0
+
+    stats = run_with_ledger(
+        tr2, out, led, _pipeline,
+        n_buckets=N_BUCKETS, group_size=GROUP_SIZE, recheck_lineage=True,
+    )
+    assert stats["processed"] == 1 and stats["skipped"] == N_BUCKETS - 1
+
+    fresh_out = str(tmp_path / "fresh")
+    run_with_ledger(
+        tr2, fresh_out, str(tmp_path / "fresh_ledger"), _pipeline,
+        n_buckets=N_BUCKETS, group_size=GROUP_SIZE,
+    )
+    assert _triple_set(read_output(spark, out)) == _triple_set(
+        read_output(spark, fresh_out)
+    )
+    assert stale_buckets(tr2, led, n_buckets=N_BUCKETS) == set()
