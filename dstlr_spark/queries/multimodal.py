@@ -41,12 +41,46 @@ _PAYLOAD_SQL = f"""unhex('{PNG_MAGIC}') || unhex('0000000D') || encode('IHDR')
         || unhex(lpad(upper(hex(CAST((n_chars * 7) % 512 + 1 AS BIGINT))), 8, '0'))
         || encode(text)"""
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL feature extraction under the value gate: per-payload byte
+    histogram (16 bins = the byte's high nibble) via the Arrow-batched
+    numpy bincount operator. The oracle re-derives the same histogram
+    WITHOUT touching numpy: bin(byte) == its high hex digit, so the
+    histogram is the count of each hex character at odd positions of
+    hex(payload). Bins are emitted dash-joined (arrays don't round-trip
+    the gate's value compare portably)."""
+    from dstlr_spark.operators.multimodal import extract_features
+
+    media = synth_media(_docs(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("features"), lambda x: x.cast("string")), "-"
+        ).alias("byte_hist"),
+        "n_bytes",
+    )
+
+
 QUERIES = {
+    # never-truncated-first ordering (see dedup.QUERIES)
+    "mm_media_features": q_media_features,
     "mm_media_meta": q_media_meta,
     "mm_media_sniff": q_media_sniff,
 }
 
 ORACLES = {
+    "mm_media_features": f"""
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx
+  FROM documents)
+SELECT doc_id,
+       array_to_string(
+         [len(list_filter([substr(hx, 2*i+1, 1) FOR i IN range(0, length(hx)//2)],
+                          c -> c = d))
+          FOR d IN ['0', '1', '2', '3', '4', '5', '6', '7', '8', '9', 'A', 'B', 'C', 'D', 'E', 'F']], '-') AS byte_hist,
+       CAST(length(hx) // 2 AS INT) AS n_bytes
+FROM p""",
     # independent derivation: dims from the n_chars spec, sizes from text
     "mm_media_meta": f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
