@@ -228,5 +228,13 @@ def run_with_ledger(
 
 
 def read_output(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read all bucket outputs back as one DataFrame."""
+    """Read all bucket outputs back as one DataFrame. A run whose every
+    bucket emitted zero rows has no ``bucket=`` dirs at all (dynamic
+    overwrite writes nothing) — that is an empty result, not an error."""
+    if not any(Path(out_dir).glob("bucket=*")):
+        from dstlr_spark.schemas import TRIPLE_SCHEMA
+
+        return spark.createDataFrame([], TRIPLE_SCHEMA).withColumn(
+            "bucket", F.lit(None).cast("int")
+        )
     return spark.read.option("basePath", out_dir).parquet(f"{out_dir}/bucket=*")
