@@ -204,6 +204,71 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE = 2
+
+
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe search — the production ANN recall knob
+    ``q_ann_ivf`` lacks: a query whose true neighbors sit just across a
+    Voronoi boundary misses them at nprobe=1, so real IVF deployments
+    probe the P nearest cells. Shape: broadcast-centroid argmin assigns
+    every vector to its cell (one hash agg); each query ranks centroids
+    (bounded N_QUERIES × n_cells frame — the window sort never touches
+    the corpus) and probes its IVF_NPROBE nearest cells via the cell
+    equi-join; exact integer-quantized cosine rescores candidates;
+    deterministic per-query top-k. Candidates only ever meet through
+    the cell join — corpus-side work stays one argmin + one equi-join
+    regardless of nprobe."""
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))
+            ).alias("cell"),
+            F.first("q").alias("q"),
+            F.first("norm").alias("norm"),
+        )
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    probes = (
+        e.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("q").alias("qv"),
+            F.col("norm").alias("qn"),
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", _l2_int(F.col("qv"), F.col("cq")))
+        .withColumn("probe_rank", F.row_number().over(qw))
+        .where(F.col("probe_rank") <= IVF_NPROBE)
+        .select("q_id", "qv", "qn", F.col("cid").alias("cell"))
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "cell",
+            (
+                _dot(F.col("qv"), F.col("q"))
+                / (
+                    F.sqrt(F.col("qn").cast("double"))
+                    * F.sqrt(F.col("norm").cast("double"))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select("q_id", "vec_id", "cell", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 NEARDUP_TAU_PPM = 350_000  # cosine ≥ 0.35 (synthetic corpus max cos ≈ 0.6)
 NEARDUP_EXACT_MAX_VECS = 250_000  # broadcast cap: N × 64 × 8 B ≈ 128 MB
 
@@ -640,6 +705,7 @@ QUERIES = {
     "sim_pq_adc_topk": q_pq_adc_topk,
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_ivf": q_ann_ivf,
+    "sim_ivf_probe_topk": q_ivf_probe_topk,
     "sim_kmeans_iters": q_kmeans_iters,
     "dedup_embedding_neardup": q_embedding_neardup,
     "dedup_embedding_neardup_prod": q_embedding_neardup_prod,
@@ -748,6 +814,35 @@ scored AS (
          CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, a.q)]) AS DOUBLE)
            / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(a.norm AS DOUBLE))) AS score
   FROM assigned a JOIN qs ON a.cell = qs.q_cell AND a.vec_id <> qs.q_id),
+ranked AS (
+  SELECT q_id, vec_id, cell, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, cell, rank, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= {IVF_TOP_K}""",
+    "sim_ivf_probe_topk": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),
+cents AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {IVF_STRIDE} = 0),
+dists AS (
+  SELECT e.vec_id, e.q, e.norm, c.cid,
+         CAST(list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip(e.q, c.cq)]) AS BIGINT) AS d
+  FROM e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, q, norm, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dists) z
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, q AS qv, norm AS qn, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dists WHERE vec_id < {N_QUERIES}) z
+  WHERE rn <= {IVF_NPROBE}),
+scored AS (
+  SELECT q_id, a.vec_id, a.cell,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, a.q)]) AS DOUBLE)
+           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(a.norm AS DOUBLE))) AS score
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
 ranked AS (
   SELECT q_id, vec_id, cell, score,
          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
