@@ -58,3 +58,27 @@ def test_kg_cache_keyed_by_application_and_evicts_stale(spark):
     doc_kg._kg(spark, sf + "/../sf0.001")  # different key string, same app
     assert ("dead-app", sf) not in doc_kg._KG_CACHE
     assert (app, sf) in doc_kg._KG_CACHE
+
+
+def test_memo_staged_memoizes_and_evicts(spark):
+    """staged() must hand every same-key caller the one materialized
+    frame, and drop entries of other (stopped) applications on first
+    touch by a live one."""
+    from dstlr_spark.queries import _memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3)
+
+    key = ("memo-test", "frame")
+    a = _memo.staged(spark, key, build)
+    b = _memo.staged(spark, key, build)
+    assert a is b and len(calls) == 1 and a.count() == 3
+
+    dead = ("stopped-app-id", "memo-test", "frame")
+    _memo._CACHE[dead] = a
+    # eviction happens on the next MISS (a new frame build), not on hits
+    _memo.staged(spark, ("memo-test", "other"), lambda: spark.range(1))
+    assert dead not in _memo._CACHE and len(calls) == 1
