@@ -73,12 +73,28 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: follow the label chain one hop
+        # (component := label(component)) — min-label alone needs
+        # diameter-many rounds; compressing through the current mapping
+        # makes chains collapse in O(log diameter) rounds, i.e. fewer
+        # shuffles at 10^12 scale. Component values are always vertex
+        # ids, so the self-join is total (coalesce is belt-and-braces).
+        chain = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("root")
+        )
         new_labels = (
-            labels.join(nbr, "id", "left")
+            stepped.join(chain, "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("root"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()
