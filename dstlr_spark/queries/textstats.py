@@ -140,6 +140,75 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 3        # tokens per rolling-hash gram
+WINNOW_W = 4        # winnowing window (grams per selection window)
+_WIN_B = 1_000_003  # polynomial base
+_WIN_M = (1 << 31) - 1  # Mersenne modulus — products stay < 2^62
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint via winnowing (Schleimer et al.
+    2003, the MOSS scheme): per-token 32-bit hashes → polynomial rolling
+    hash over K-token grams → the minimum gram hash of each W-gram
+    window is selected; the distinct selected hashes are the document's
+    fingerprint set. Near-identical documents share most fingerprints
+    even under edits (the guarantee windowed minima give that a whole-
+    document hash cannot). Pure Column expressions, exact integer
+    arithmetic (< 2^62), identical in DuckDB. Emits the set size and an
+    order-insensitive digest; short docs (< K tokens) fingerprint their
+    whole text hash."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    base = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(_WIN_M),
+    )
+    b2 = (_WIN_B * _WIN_B) % _WIN_M
+    # guard BEFORE building the sequence: sequence(1, n-2) DESCENDS for
+    # n < 3 and element_at(base, 0) throws
+    grams = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: (
+                F.element_at(base, i) * F.lit(b2)
+                + F.element_at(base, i + 1) * F.lit(_WIN_B)
+                + F.element_at(base, i + 2)
+            )
+            % F.lit(_WIN_M),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d2 = d.select("doc_id", F.col("text").alias("text"), grams.alias("g"), n.alias("n"))
+    ng = F.size("g")
+    wins = F.when(
+        ng >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), ng - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_W)),
+        ),
+    ).otherwise(F.col("g"))
+    fps = F.array_sort(F.array_distinct(wins))
+    return d2.select(
+        "doc_id",
+        F.when(F.col("n") >= WINNOW_K, F.size(fps))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_fingerprints"),
+        F.when(
+            F.col("n") >= WINNOW_K,
+            F.md5(
+                F.array_join(
+                    F.transform(fps, lambda x: x.cast("string")), "-"
+                )
+            ),
+        )
+        .otherwise(F.md5(F.col("text")))
+        .alias("fp_digest"),
+    )
+
+
 TOPK_NGRAMS = 20
 
 
@@ -320,6 +389,7 @@ QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
     "text_repetition": q_repetition,
     "text_ngram_topk": q_ngram_topk,
+    "text_winnow_fingerprint": q_winnow_fingerprint,
     "text_token_stats": q_token_stats,
     "text_sample_deterministic": q_sample_deterministic,
     "text_sample_stratified": q_sample_stratified,
@@ -451,6 +521,37 @@ SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count,
             THEN (top_2gram_count * 1000000) // n_2grams
             ELSE 0 END AS top_2gram_ppm
 FROM b""",
+    "text_winnow_fingerprint": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+h AS (
+  SELECT doc_id, text, n,
+         [CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {_WIN_M}
+          FOR tok IN toks] AS base
+  FROM t),
+g AS (
+  SELECT doc_id, text, n,
+         [(base[i] * {(_WIN_B * _WIN_B) % _WIN_M} + base[i+1] * {_WIN_B} + base[i+2])
+          % {_WIN_M}
+          FOR i IN range(1, n - {WINNOW_K - 2})] AS grams
+  FROM h),
+w AS (
+  SELECT doc_id, text, n,
+         CASE WHEN len(grams) >= {WINNOW_W}
+              THEN [list_min(grams[i : i + {WINNOW_W - 1}])
+                    FOR i IN range(1, len(grams) - {WINNOW_W - 2})]
+              ELSE grams END AS wins
+  FROM g)
+SELECT doc_id,
+       CASE WHEN n >= {WINNOW_K}
+            THEN CAST(len(list_distinct(wins)) AS INT) ELSE 0 END AS n_fingerprints,
+       CASE WHEN n >= {WINNOW_K}
+            THEN md5(array_to_string(list_sort(list_distinct(wins)), '-'))
+            ELSE md5(text) END AS fp_digest
+FROM w""",
     "text_ngram_topk": f"""
 WITH g AS (
   SELECT unnest({_G2_SQL}) AS gram FROM documents)
