@@ -362,11 +362,22 @@ def _simhash_blocks(d: DataFrame) -> DataFrame:
     return agg.select("doc_id", *block_cols)
 
 
+def _staged_simhash_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit block-signature frame, staged once per (session,
+    sf_dir) — the token explode + 64 bit-count aggregates dominate both
+    simhash queries' cost."""
+    return staged(
+        spark,
+        ("dedup_simhash_blocks", sf_dir),
+        lambda: _simhash_blocks(_docs(spark, sf_dir)),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc 64-bit SimHash, rendered as a 16-hex-char string (block 3
     = most significant 16 bits) — a bitwise-mean sketch with identical
     integer arithmetic in both engines."""
-    blk = _simhash_blocks(_docs(spark, sf_dir))
+    blk = _staged_simhash_blocks(spark, sf_dir)
     return blk.select(
         "doc_id",
         F.format_string(
@@ -393,7 +404,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical documents share every block, and a mass of them would make
     one block bucket quadratic.
     """
-    sig = _simhash_blocks(_docs(spark, sf_dir)).withColumn(
+    sig = _staged_simhash_blocks(spark, sf_dir).withColumn(
         "blocks", F.array("blk0", "blk1", "blk2", "blk3")
     )
     kv = sig.select(
