@@ -146,6 +146,46 @@ _WIN_B = 1_000_003  # polynomial base
 _WIN_M = (1 << 31) - 1  # Mersenne modulus — products stay < 2^62
 
 
+def _winnow_grams(text_col):
+    """Rolling K-token polynomial gram hashes of a text Column.
+    Guarded BEFORE building the sequence: sequence(1, n-2) DESCENDS for
+    n < 3 and element_at(base, 0) throws."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    base = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(_WIN_M),
+    )
+    b2 = (_WIN_B * _WIN_B) % _WIN_M
+    return F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: (
+                F.element_at(base, i) * F.lit(b2)
+                + F.element_at(base, i + 1) * F.lit(_WIN_B)
+                + F.element_at(base, i + 2)
+            )
+            % F.lit(_WIN_M),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def _winnow_fps(grams_col):
+    """Winnowed fingerprint set (sorted distinct window minima) of a
+    gram-hash array Column."""
+    ng = F.size(grams_col)
+    wins = F.when(
+        ng >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), ng - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(grams_col, i, WINNOW_W)),
+        ),
+    ).otherwise(grams_col)
+    return F.array_sort(F.array_distinct(wins))
+
+
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint via winnowing (Schleimer et al.
     2003, the MOSS scheme): per-token 32-bit hashes → polynomial rolling
@@ -158,38 +198,13 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive digest; short docs (< K tokens) fingerprint their
     whole text hash."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    base = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        % F.lit(_WIN_M),
+    d2 = d.select(
+        "doc_id",
+        F.col("text").alias("text"),
+        _winnow_grams(F.col("text")).alias("g"),
+        F.size(F.split(F.col("text"), " ")).alias("n"),
     )
-    b2 = (_WIN_B * _WIN_B) % _WIN_M
-    # guard BEFORE building the sequence: sequence(1, n-2) DESCENDS for
-    # n < 3 and element_at(base, 0) throws
-    grams = F.when(
-        n >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: (
-                F.element_at(base, i) * F.lit(b2)
-                + F.element_at(base, i + 1) * F.lit(_WIN_B)
-                + F.element_at(base, i + 2)
-            )
-            % F.lit(_WIN_M),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    d2 = d.select("doc_id", F.col("text").alias("text"), grams.alias("g"), n.alias("n"))
-    ng = F.size("g")
-    wins = F.when(
-        ng >= WINNOW_W,
-        F.transform(
-            F.sequence(F.lit(1), ng - (WINNOW_W - 1)),
-            lambda i: F.array_min(F.slice(F.col("g"), i, WINNOW_W)),
-        ),
-    ).otherwise(F.col("g"))
-    fps = F.array_sort(F.array_distinct(wins))
+    fps = _winnow_fps(F.col("g"))
     return d2.select(
         "doc_id",
         F.when(F.col("n") >= WINNOW_K, F.size(fps))

@@ -145,3 +145,36 @@ def test_lemma_rules_lockstep_fuzz(spark):
         ).fetchall()
     ]
     assert py == sp == du
+
+
+def test_winnow_fingerprints_survive_local_edits(spark):
+    """The winnowing guarantee: a single-token edit changes only the
+    fingerprints of windows overlapping the edit, so near-identical
+    documents keep high fingerprint overlap while unrelated documents
+    share (essentially) none — the property that makes rolling-hash
+    fingerprints a near-dup prefilter where a whole-document hash fails."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.queries.textstats import _winnow_fps, _winnow_grams
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(200)]
+    edited = list(words)
+    edited[100] = "EDITED"
+    unrelated = [f"u{rng.randrange(500)}" for _ in range(200)]
+    df = spark.createDataFrame(
+        [("orig", " ".join(words)), ("edit", " ".join(edited)),
+         ("other", " ".join(unrelated))],
+        "doc_id string, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", _winnow_fps(_winnow_grams(F.col("text"))).alias("fps")
+        ).collect()
+    }
+    jacc = lambda a, b: len(a & b) / len(a | b)
+    assert jacc(fps["orig"], fps["edit"]) > 0.8
+    assert jacc(fps["orig"], fps["other"]) < 0.05
