@@ -186,3 +186,41 @@ def test_rescored_pipeline_derives_shingles_once(spark):
     assert "ExistingRDD" in plan       # staged shingles / posting list
     assert "md5" not in plan           # shingle+minhash pipeline not re-derived
     assert "FileScan" not in plan      # documents scanned only during staging
+
+
+#: queries whose plan legitimately contains a broadcast cross product —
+#: the product IS the algorithm (brute-force rescoring baseline;
+#: broadcast-centroid argmin over a dimension-sized centroid table)
+_ALLOWED_BROADCAST_PRODUCT = {
+    "sim_topk_cosine",
+    "sim_ann_ivf",
+    "sim_ivf_probe_topk",
+    "sim_kmeans_iters",
+}
+
+
+def test_every_registry_query_plan_is_antipattern_free(spark):
+    """Registry-wide plan audit: NO query may contain an unplanned
+    cartesian, a row-at-a-time Python eval, or a corpus-wide
+    single-partition window. Broadcast cross products are allowed only
+    on the explicit allowlist above, where they are the algorithm."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    failures = []
+    for name, fn in em.queries().items():
+        plan = _plan(spark, fn(spark, "/root/testdata/sf0.001"))
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _ALLOWED_BROADCAST_PRODUCT
+        ):
+            failures.append(f"{name}: BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in plan:  # row-at-a-time Python UDF
+            failures.append(f"{name}: BatchEvalPython")
+        if "Window" in plan and "SinglePartition" in plan:
+            failures.append(f"{name}: single-partition window")
+    assert not failures, failures
