@@ -119,6 +119,8 @@ def main() -> None:
         "dedup_embedding_neardup",  # LSH-bucketed two-stage (r2 rewrite)
         "sim_kmeans_iters",
         "kg_entity_pagerank",
+        "curate_decision",  # composite keep/drop verdict — one scan, no shuffle
+        "curate_decontaminate",  # eval-gram broadcast vs staged posting list
     ):
         assert name in qs, f"headline query {name!r} missing from registry"
         counters[f"{name}_rows"] = timed(

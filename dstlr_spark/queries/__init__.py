@@ -41,6 +41,7 @@ def _modules():
     truncated exactly there, so the historically-at-risk surface runs
     early and the cheap relational/text modules absorb any truncation."""
     from dstlr_spark.queries import (
+        curation,
         dedup,
         doc_kg,
         multimodal,
@@ -50,4 +51,13 @@ def _modules():
         textstats,
     )
 
-    return (doc_kg, similarity, multimodal, streamgate, dedup, textstats, relational)
+    return (
+        curation,  # round-3 additions: never-gated queries lead the registry
+        doc_kg,
+        similarity,
+        multimodal,
+        streamgate,
+        dedup,
+        textstats,
+        relational,
+    )

@@ -1,0 +1,427 @@
+"""Corpus-curation operators over ``documents`` / ``events`` — the
+pipeline-decision layer a training-data build runs AFTER the per-doc
+signals (textstats) and BEFORE dedup: benchmark decontamination, PII
+detection/redaction, a composite keep/drop verdict, TF-IDF keyword
+ranking, a mergeable HLL-style register sketch, and the two classic
+product-analytics shapes (funnel, cohort retention) over ``events``.
+
+Everything is pure Column expressions (zero Python UDFs) with a DuckDB
+oracle; all ratios use exact integer arithmetic (ppm via integer DIV)
+so the gate compare is engine-exact — see textstats.q_quality_score
+for why fixed-decimal rounding is not portable.
+
+Scale notes (100 TB):
+- decontamination joins the corpus shingle posting list against the
+  EVAL-side shingle set, which is benchmark-sized (thousands of docs,
+  millions of grams — broadcastable); the corpus side is the staged
+  posting list shared with the whole dedup module, so adding
+  decontamination to a curation run adds zero extra document scans.
+- PII / decision / tfidf are embarrassingly parallel map work plus (for
+  tfidf) one vocabulary-sized aggregate that broadcasts back.
+- the HLL register sketch is the canonical mergeable-sketch shape:
+  per-partition partial max per register, one 256-row reduce — the
+  same plan Spark uses for approx_count_distinct, but with a portable
+  md5-derived register function so DuckDB reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dstlr_spark.queries.dedup import _SHINGLES_SQL, _staged_shingles
+
+# --- decontamination ---------------------------------------------------------
+
+# Deterministic stand-in for a held-out benchmark: every 97th doc. At
+# real scale the eval side is an external benchmark table; the plan
+# shape (tiny side broadcast against the corpus posting list) is
+# identical.
+EVAL_SPLIT_MOD = 97
+CONTAM_MIN_HITS = 2  # ≥2 distinct shared n-grams → contaminated
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram collision (the GPT-3 /
+    Llama recipe: a training doc sharing enough distinct n-grams with
+    any eval doc is flagged). Reuses the staged 3-gram shingle posting
+    list from the dedup module (one corpus scan for both surfaces);
+    the eval-side gram set is broadcast — at 100 TB the corpus side
+    never shuffles for this, it streams map-side against the benchmark
+    gram dictionary."""
+    sh = _staged_shingles(spark, sf_dir)
+    is_eval = (F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0
+    eval_grams = sh.where(is_eval).select("shingle").distinct()
+    hits = (
+        sh.where(~is_eval)
+        .join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_shared_grams",
+        (F.col("n_shared_grams") >= CONTAM_MIN_HITS).alias("contaminated"),
+    )
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+# Pattern dialect note: these regexes are valid AND equivalent in Java
+# (Spark) and RE2 (DuckDB) — no backrefs, no lookaround. Redaction
+# applies them in a fixed order (email → ipv4 → number) so both
+# engines produce byte-identical redacted text.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_NUMBER = r"[0-9]+"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: per-doc match counts for email /
+    IPv4 / digit-run patterns and the md5 of the redacted text
+    (placeholders ``<EMAIL>``/``<IP>``/``<NUM>``). Pure JVM-side regex
+    — the hot path of a scrub stage is exactly this shape; a model-
+    based NER scrubber slots in as a mapInPandas stage behind the same
+    schema."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_NUMBER,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_NUMBER), 0)).alias("n_numbers"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+# --- composite curation decision --------------------------------------------
+
+# Gopher-style keep/drop bounds (Rae et al. 2021 app. A shapes; bounds
+# tuned to the synthetic corpus so both branches are exercised).
+MIN_TOKENS = 40
+MAX_TOKENS = 100_000
+MEAN_TOKLEN_PPM_MIN = 3_000_000  # mean token length ≥ 3 chars
+MEAN_TOKLEN_PPM_MAX = 10_000_000  # ≤ 10 chars
+STOP_RATIO_PPM_MIN = 10_000  # ≥1% stopword mass
+DIGIT_RATIO_PPM_MAX = 200_000  # ≤20% digit chars
+
+REASON_TOO_SHORT = 1
+REASON_TOO_LONG = 2
+REASON_TOKLEN = 4
+REASON_STOPWORDS = 8
+REASON_DIGITS = 16
+
+_SW = ["the", "a", "of", "and", "to", "in"]  # textstats.STOPWORDS
+
+
+def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite filter verdict: every heuristic filter evaluated
+    in ONE pass over the corpus, reported as a reason bitmask + keep
+    flag. This is the operator a 100 TB curation run actually executes
+    — one scan, one map stage, no shuffle; the per-signal queries in
+    textstats are its debugging views."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    base = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        (F.length("text").cast("long") - (n - 1)).alias("tok_chars"),
+        F.size(F.filter(toks, lambda t: t.isin(_SW))).cast("long").alias("n_stop"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).cast("long").alias("n_digit_chars"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    mean_len_ppm = F.expr("(tok_chars * 1000000L) DIV n_tokens")
+    stop_ppm = F.expr("(n_stop * 1000000L) DIV n_tokens")
+    digit_ppm = F.expr("(n_digit_chars * 1000000L) DIV n_chars")
+    mask = (
+        F.when(F.col("n_tokens") < MIN_TOKENS, REASON_TOO_SHORT).otherwise(0)
+        + F.when(F.col("n_tokens") > MAX_TOKENS, REASON_TOO_LONG).otherwise(0)
+        + F.when(
+            (mean_len_ppm < MEAN_TOKLEN_PPM_MIN)
+            | (mean_len_ppm > MEAN_TOKLEN_PPM_MAX),
+            REASON_TOKLEN,
+        ).otherwise(0)
+        + F.when(stop_ppm < STOP_RATIO_PPM_MIN, REASON_STOPWORDS).otherwise(0)
+        + F.when(digit_ppm > DIGIT_RATIO_PPM_MAX, REASON_DIGITS).otherwise(0)
+    )
+    return base.select(
+        "doc_id", mask.cast("int").alias("reason_mask"),
+        (mask == 0).alias("keep"),
+    )
+
+
+# --- TF-IDF top-k keywords ---------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k keywords by an exact-integer tf/df score
+    (``tf * 1e6 DIV df`` — monotone in tf·idf for ranking purposes;
+    true log-idf is float and not bit-portable across engines, see the
+    module docstring). Ties break on token ascending, so the top-k set
+    is fully deterministic.
+
+    Plan shape: one explode → one vocabulary aggregate (df) that joins
+    back (vocabulary ≪ corpus at 100 TB: AQE broadcasts it) → per-doc
+    window over each doc's own tokens only (partition key doc_id, no
+    global sort)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(df_, "token").select(
+        "doc_id", "token", "tf", "df",
+        F.expr("(tf * 1000000L) DIV df").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+# --- HLL-style register sketch ----------------------------------------------
+
+HLL_BUCKETS = 256  # 2 hex nibbles of md5 → register index
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality sketch as 256 HLL registers:
+    register = first byte of md5(token), rho = (leading hex zeros of
+    the next 14 nibbles) + 1, register value = max rho. Deliberately
+    REGISTERS, not the float estimate: the registers are the mergeable
+    state (groupBy-max commutes with partitioning — the same partial-
+    aggregate plan as approx_count_distinct), integer-exact in both
+    engines; the harmonic-mean estimate is a driver-side epilogue
+    (``hll_estimate`` below, pinned against exact distinct in tests)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    h = tok.select(F.md5("token").alias("h"))
+    return (
+        h.select(
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+            (
+                F.length(F.regexp_extract(F.substring("h", 3, 14), "^(0*)", 1)) + 1
+            ).cast("int").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_BUCKETS) -> float:
+    """Driver-side HLL estimate from (bucket, max_rho) rows (Flajolet
+    et al. 2007, with the small-range linear-counting correction)."""
+    import math
+
+    reg = dict(registers)
+    z = sum(2.0 ** -reg.get(b, 0) for b in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / z
+    zeros = sum(1 for b in range(m) if b not in reg)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+# --- events: funnel + retention ---------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user converts a stage
+    only with an event strictly after their previous stage's first
+    conversion. Three small per-user aggregates chained by broadcast-
+    able joins (each level shrinks); the counts union at the end.
+    At 100 TB the per-user min-aggregates are the only shuffles, all
+    on the same key — one exchange reused across stages."""
+    e = _events(spark, sf_dir)
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.select(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"))
+        .groupBy("stage", "stage_name").agg(F.count(F.lit(1)).alias("n_users"))
+        .unionByName(
+            c.select(F.lit(2).alias("stage"), F.lit("click").alias("stage_name"))
+            .groupBy("stage", "stage_name").agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        .unionByName(
+            p.select(F.lit(3).alias("stage"), F.lit("purchase").alias("stage_name"))
+            .groupBy("stage", "stage_name").agg(F.count(F.lit(1)).alias("n_users"))
+        )
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date; for each
+    (cohort, day-offset) the count of distinct active users. Two
+    aggregates on user_id (same exchange) + a date diff — all integer/
+    date arithmetic, engine-exact."""
+    e = _events(spark, sf_dir)
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort"))
+    return (
+        e.join(first, "user_id")
+        .select(
+            "user_id", "cohort",
+            F.datediff(F.to_date("ts"), F.col("cohort")).alias("day_offset"),
+        )
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            F.col("cohort").cast("string").alias("cohort"), "day_offset", "n_active"
+        )
+    )
+
+
+# --- registry ----------------------------------------------------------------
+
+QUERIES = {
+    # never-gated queries lead the module (gate-truncation insurance)
+    "curate_decontaminate": q_decontaminate,
+    "curate_pii_scrub": q_pii_scrub,
+    "curate_decision": q_curation_decision,
+    "text_tfidf_topk": q_tfidf_topk,
+    "agg_hll_registers": q_hll_registers,
+    "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
+}
+
+ORACLES = {
+    "curate_decontaminate": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ev AS (SELECT DISTINCT shingle FROM sh
+       WHERE CAST(doc_id AS BIGINT) % {EVAL_SPLIT_MOD} = 0)
+SELECT s.doc_id,
+       COUNT(*) AS n_shared_grams,
+       COUNT(*) >= {CONTAM_MIN_HITS} AS contaminated
+FROM sh s JOIN ev USING (shingle)
+WHERE CAST(s.doc_id AS BIGINT) % {EVAL_SPLIT_MOD} <> 0
+GROUP BY s.doc_id""",
+    "curate_pii_scrub": f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_IPV4}')) AS n_ipv4,
+       len(regexp_extract_all(text, '{PII_NUMBER}')) AS n_numbers,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_NUMBER}', '<NUM>', 'g')) AS redacted_md5
+FROM documents""",
+    "curate_decision": f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         (length(text)::BIGINT - (len(string_split(text, ' '))::BIGINT - 1))
+           AS tok_chars,
+         len(list_filter(string_split(text, ' '),
+             t -> t IN ({", ".join(f"'{w}'" for w in _SW)})))::BIGINT AS n_stop,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT
+           AS n_digit_chars,
+         length(text)::BIGINT AS n_chars
+  FROM documents),
+mask AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens < {MIN_TOKENS} THEN {REASON_TOO_SHORT} ELSE 0 END
+          + CASE WHEN n_tokens > {MAX_TOKENS} THEN {REASON_TOO_LONG} ELSE 0 END
+          + CASE WHEN (tok_chars * 1000000) // n_tokens < {MEAN_TOKLEN_PPM_MIN}
+                   OR (tok_chars * 1000000) // n_tokens > {MEAN_TOKLEN_PPM_MAX}
+                 THEN {REASON_TOKLEN} ELSE 0 END
+          + CASE WHEN (n_stop * 1000000) // n_tokens < {STOP_RATIO_PPM_MIN}
+                 THEN {REASON_STOPWORDS} ELSE 0 END
+          + CASE WHEN (n_digit_chars * 1000000) // n_chars > {DIGIT_RATIO_PPM_MAX}
+                 THEN {REASON_DIGITS} ELSE 0 END)::INT AS reason_mask
+  FROM base)
+SELECT doc_id, reason_mask, reason_mask = 0 AS keep FROM mask""",
+    "text_tfidf_topk": f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) z
+       GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df, (tf.tf * 1000000) // df.df AS score
+  FROM tf JOIN df USING (token)),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, token ASC) AS rank
+  FROM scored)
+SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TFIDF_TOPK}""",
+    "agg_hll_registers": """
+WITH tok AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT md5(token) AS h FROM tok)
+SELECT CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
+       MAX(len(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) + 1)::INT AS max_rho
+FROM h
+GROUP BY 1""",
+    "events_funnel": """
+WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+SELECT 1 AS stage, 'view' AS stage_name, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT 2, 'click', COUNT(*) FROM c
+UNION ALL
+SELECT 3, 'purchase', COUNT(*) FROM p""",
+    "events_retention": """
+WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+               FROM events GROUP BY user_id)
+SELECT CAST(cohort AS VARCHAR) AS cohort,
+       datediff('day', cohort, CAST(e.ts AS DATE)) AS day_offset,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM events e JOIN first USING (user_id)
+GROUP BY 1, 2""",
+}
