@@ -154,6 +154,26 @@ def _l2_int(a, b):
     )
 
 
+def _assigned_cells(e: DataFrame) -> DataFrame:
+    """(vec_id, cell, q, norm): every vector assigned to its nearest
+    seeded centroid — map-side argmin over broadcast centroids (one
+    hash agg, no sort), shared by the IVF queries and semantic dedup."""
+    cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))
+            ).alias("cell"),
+            F.first("q").alias("q"),
+            F.first("norm").alias("norm"),
+        )
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid
     (integer L2, deterministic ties), then answer queries by searching
@@ -164,19 +184,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook is an offline job).
     """
     e = _emb(spark, sf_dir)
-    cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
-    )
-    # map-side argmin over broadcast centroids: one hash agg, no sort
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))).alias("cell"),
-            F.first("q").alias("q"),
-            F.first("norm").alias("norm"),
-        )
-    )
+    assigned = _assigned_cells(e)
     queries = assigned.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("q").alias("qv"),
@@ -223,17 +231,7 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))
-            ).alias("cell"),
-            F.first("q").alias("q"),
-            F.first("norm").alias("norm"),
-        )
-    )
+    assigned = _assigned_cells(e)
     qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     probes = (
         e.where(F.col("vec_id") < N_QUERIES)
@@ -266,6 +264,56 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= IVF_TOP_K)
         .select("q_id", "vec_id", "cell", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+SEMDEDUP_TAU_PPM = 300_000  # cos ≥ 0.30 within a cell → semantic duplicate
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    the embedding space, then drop all-but-one of each within-cluster
+    ε-ball — the pruning pass LLM corpora run AFTER lexical dedup to
+    remove paraphrases and re-encodings lexical hashes can't see.
+
+    Deterministic keep rule: a vector is dropped iff some SMALLER id in
+    the same cell scores ≥ τ against it (keep-min-id; dropped vectors
+    still drop others, matching the EXISTS formulation the oracle
+    replays exactly — no iterative greedy state).
+
+    Scale: pairwise work is CELL-BLOCKED — the self-join key is the
+    cell id, so candidates only meet inside a Voronoi cell (cell count
+    grows with the trained codebook at 100 TB: k ≈ √N cells keeps
+    E[cell²] ≈ N, the same sub-quadratic budget as the LSH paths; the
+    seeded-centroid stand-in here mirrors ``q_ann_ivf``). Integer-
+    quantized scoring — engine-exact ppm verdicts."""
+    e = _emb(spark, sf_dir)
+    assigned = _assigned_cells(e)
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("cell"),
+        F.col("q").alias("qa"), F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("cell"),
+        F.col("q").alias("qb"), F.col("norm").alias("nb"),
+    )
+    score_ppm = F.floor(
+        _dot(F.col("qa"), F.col("qb"))
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        * 1_000_000
+    ).cast("long")
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(score_ppm >= SEMDEDUP_TAU_PPM)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("dropped", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id", "cell",
+        F.coalesce(~F.col("dropped"), F.lit(True)).alias("is_kept"),
     )
 
 
@@ -706,6 +754,7 @@ QUERIES = {
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_ivf": q_ann_ivf,
     "sim_ivf_probe_topk": q_ivf_probe_topk,
+    "sim_semantic_dedup": q_semantic_dedup,
     "sim_kmeans_iters": q_kmeans_iters,
     "dedup_embedding_neardup": q_embedding_neardup,
     "dedup_embedding_neardup_prod": q_embedding_neardup_prod,
@@ -794,6 +843,28 @@ SELECT q_id, e.vec_id, e.bucket,
        ROUND(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
              / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))), 6) AS score
 FROM e JOIN qs ON e.bucket = qs.q_bucket AND e.vec_id <> qs.q_id""",
+    "sim_semantic_dedup": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),
+cents AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id % {IVF_STRIDE} = 0),
+dists AS (
+  SELECT e.vec_id, e.q, e.norm, c.cid,
+         CAST(list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip(e.q, c.cq)]) AS BIGINT) AS d
+  FROM e CROSS JOIN cents c),
+assigned AS (
+  SELECT vec_id, q, norm, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+    FROM dists) z
+  WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE CAST(floor(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(a.q, b.q)]) AS DOUBLE)
+        / (sqrt(CAST(a.norm AS DOUBLE)) * sqrt(CAST(b.norm AS DOUBLE)))
+        * 1000000) AS BIGINT) >= {SEMDEDUP_TAU_PPM})
+SELECT a.vec_id, a.cell, d.vec_id IS NULL AS is_kept
+FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
     "sim_ann_ivf": f"""
 WITH qe AS ({_QUANT_SQL}),
 e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),

@@ -195,6 +195,7 @@ _ALLOWED_BROADCAST_PRODUCT = {
     "sim_topk_cosine",
     "sim_ann_ivf",
     "sim_ivf_probe_topk",
+    "sim_semantic_dedup",
     "sim_kmeans_iters",
 }
 

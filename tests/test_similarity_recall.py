@@ -169,3 +169,50 @@ def test_calibration_documents_the_discrimination_limit():
     assert configs == []  # no sub-quadratic config is complete at this tau
     prod_ok = calibrate_neardup(q, 990_000, bits_options=(12,), max_tables=8)
     assert prod_ok and prod_ok[0]["per_table_candidate_fraction_max"] <= 0.005
+
+
+def test_semantic_dedup_keep_min_id_and_cell_blocking(spark):
+    """SemDeDup invariants: the smallest vec_id of every cell is always
+    kept; every dropped vector has a smaller-id witness ≥ τ in ITS OWN
+    cell (pairs never cross cells)."""
+    import pyspark.sql.functions as F
+
+    from dstlr_spark.queries.similarity import (
+        SEMDEDUP_TAU_PPM,
+        _assigned_cells,
+        _dot,
+        _emb,
+        q_semantic_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_semantic_dedup(spark, sf)
+    mins = out.groupBy("cell").agg(F.min("vec_id").alias("vec_id"))
+    assert (
+        out.join(mins, ["cell", "vec_id"]).where(~F.col("is_kept")).count() == 0
+    )
+
+    assigned = _assigned_cells(_emb(spark, sf))
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("q").alias("qa"), F.col("norm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("q").alias("qb"), F.col("norm").alias("nb"),
+    )
+    ppm = F.floor(
+        _dot(F.col("qa"), F.col("qb"))
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        * 1_000_000
+    ).cast("long")
+    witnesses = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(ppm >= SEMDEDUP_TAU_PPM)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    dropped = out.where(~F.col("is_kept")).select("vec_id")
+    assert dropped.exceptAll(witnesses).count() == 0
+    assert witnesses.exceptAll(dropped).count() == 0
