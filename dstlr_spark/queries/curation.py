@@ -251,6 +251,37 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_BUCKETS) -> floa
     return e
 
 
+# --- Bloom filter over eval grams -------------------------------------------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions (md5 with salted prefixes b0|/b1|/b2|)
+
+
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of the eval-split gram set, materialized as its set
+    bit positions — the 100 TB decontamination shape: when the exact
+    eval-gram dictionary outgrows a broadcast, ship this bit set (KB,
+    not GB) and let the corpus stream map-side through it, with the
+    exact join (``curate_decontaminate``) confirming only the survivors.
+    Portable hash family: position_i = md5('b{i}|' ‖ gram) first 8 hex
+    nibbles mod M — integer-exact in both engines; the distinct-bit
+    output is the mergeable OR of per-partition partial filters."""
+    sh = _staged_shingles(spark, sf_dir)
+    ev = sh.where(
+        (F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0
+    ).select("shingle").distinct()
+    bits = None
+    for i in range(BLOOM_K):
+        b = ev.select(
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}|"), "shingle")), 1, 8), 16, 10)
+                .cast("long") % BLOOM_M
+            ).cast("int").alias("bit_pos")
+        )
+        bits = b if bits is None else bits.unionByName(b)
+    return bits.distinct()
+
+
 # --- events: funnel + retention ---------------------------------------------
 
 
@@ -331,6 +362,7 @@ QUERIES = {
     "curate_decision": q_curation_decision,
     "text_tfidf_topk": q_tfidf_topk,
     "agg_hll_registers": q_hll_registers,
+    "agg_bloom_bits": q_bloom_bits,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
 }
@@ -404,6 +436,16 @@ SELECT CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
        MAX(len(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) + 1)::INT AS max_rho
 FROM h
 GROUP BY 1""",
+    "agg_bloom_bits": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+ev AS (SELECT DISTINCT shingle FROM sh
+       WHERE CAST(doc_id AS BIGINT) % {EVAL_SPLIT_MOD} = 0),
+pos AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST((('0x' || substr(md5('b{i}|' || shingle), 1, 8))::BIGINT "
+      f"% {BLOOM_M}) AS INT) AS bit_pos FROM ev"
+      for i in range(BLOOM_K))})
+SELECT DISTINCT bit_pos FROM pos""",
     "events_funnel": """
 WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
            WHERE event_type = 'view' GROUP BY user_id),

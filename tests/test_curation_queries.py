@@ -124,3 +124,26 @@ def test_funnel_is_monotone_and_retention_has_day_zero(spark):
     cohorts = {r["cohort"] for r in ret}
     day0 = {r["cohort"] for r in ret if r["day_offset"] == 0}
     assert cohorts == day0  # every cohort is active on its first day
+
+
+def test_bloom_bits_membership_and_fpr(spark):
+    """The bloom bit set accepts every eval gram (no false negatives,
+    by construction) and its measured false-positive rate on absent
+    probes tracks the (set_bits/M)^K prediction."""
+    import hashlib
+
+    from dstlr_spark.queries.curation import BLOOM_K, BLOOM_M, q_bloom_bits
+
+    bits = {r["bit_pos"] for r in q_bloom_bits(spark, SF_DIR).collect()}
+    assert bits and max(bits) < BLOOM_M and min(bits) >= 0
+
+    def positions(gram: str):
+        return [
+            int(hashlib.md5(f"b{i}|{gram}".encode()).hexdigest()[:8], 16) % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+
+    probes = [f"absent gram number {i}" for i in range(2000)]
+    fp = sum(1 for g in probes if all(p in bits for p in positions(g)))
+    predicted = (len(bits) / BLOOM_M) ** BLOOM_K
+    assert fp / len(probes) < max(0.05, 4 * predicted), (fp, predicted)
