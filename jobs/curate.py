@@ -7,10 +7,14 @@ spark-submit --py-files dist/dstlr_spark.zip jobs/curate.py \
     [--min-quality-ppm 0 --max-stop-ratio-ppm 900000]
 
 Stages (each a first-class operator with its own DuckDB-oracled query):
+  0. PII scrub (opt-in)           (curate_pii_scrub semantics — redact
+                                   before anything hashes the text)
   1. deterministic hash sample    (text_sample_deterministic semantics)
   2. exact dedup                  (keep the canonical doc per text hash)
   3. MinHash-LSH near-dup drop    (keep the lexicographic min of each
                                    verified near-dup pair's doc ids)
+  3c. decontamination (opt-in)    (curate_decontaminate semantics — drop
+                                   docs colliding with the eval gram set)
   4. quality filter               (stopword-ratio bound, ppm integer math)
   4b. repetition filter           (dup-2-gram bound, text_repetition semantics)
   5. context-window chunking      (64-token windows, stride 48)
@@ -36,6 +40,9 @@ def curate(
     sample_hex: str,
     max_stop_ratio_ppm: int,
     max_dup_2gram_ppm: int = 1_000_000,
+    scrub_pii: bool = False,
+    eval_grams=None,
+    contam_min_hits: int = 2,
 ):
     from dstlr_spark.queries.dedup import (
         JACCARD_THRESHOLD,
@@ -47,6 +54,25 @@ def curate(
     docs = spark.read.parquet(input_path).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
+
+    # 0. PII scrub (opt-in): redact BEFORE anything hashes the text, so
+    #    dedup/shingle decisions see the text the model will train on
+    #    (curate_pii_scrub semantics — byte-exact ordered redaction)
+    if scrub_pii:
+        from dstlr_spark.queries.curation import PII_EMAIL, PII_IPV4, PII_NUMBER
+
+        docs = docs.withColumn(
+            "text",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+                    PII_IPV4,
+                    "<IP>",
+                ),
+                PII_NUMBER,
+                "<NUM>",
+            ),
+        )
 
     # 1. deterministic sample (content-addressed ticket < hex threshold)
     ticket = F.md5(F.concat_ws("|", F.lit("sample"), F.col("doc_id")))
@@ -80,6 +106,22 @@ def curate(
         .distinct()
     )
     deduped = exact.join(dupes, "doc_id", "left_anti")
+
+    # 3c. benchmark decontamination (opt-in): drop docs sharing ≥
+    #     contam_min_hits distinct shingles with the eval gram set
+    #     (curate_decontaminate semantics). ``eval_grams`` is a
+    #     single-column ('shingle') frame — benchmark-sized, so it
+    #     broadcasts; the corpus side reuses the SAME persisted shingle
+    #     frame as the near-dup stage (one scan feeds both).
+    if eval_grams is not None:
+        contaminated = (
+            sh.join(F.broadcast(eval_grams.select("shingle").distinct()), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_hits"))
+            .where(F.col("_hits") >= contam_min_hits)
+            .select("doc_id")
+        )
+        deduped = deduped.join(contaminated, "doc_id", "left_anti")
 
     # 4. quality filter: stopword ratio bound (integer ppm)
     toks = F.split(F.col("text"), " ")
@@ -138,6 +180,13 @@ def main() -> None:
     p.add_argument("--sample-hex", default="1" + "9" * 31)  # ≈ 10%
     p.add_argument("--max-stop-ratio-ppm", type=int, default=1_000_000)
     p.add_argument("--max-dup-2gram-ppm", type=int, default=1_000_000)
+    p.add_argument("--scrub-pii", action="store_true")
+    p.add_argument(
+        "--eval-grams",
+        help="parquet of benchmark n-grams (column 'shingle'); enables "
+        "the decontamination stage",
+    )
+    p.add_argument("--contam-min-hits", type=int, default=2)
     args = p.parse_args()
 
     spark = get_spark("dstlr-curate")
@@ -146,6 +195,11 @@ def main() -> None:
     curated, chunks = curate(
         spark, args.input, args.sample_hex, args.max_stop_ratio_ppm,
         args.max_dup_2gram_ppm,
+        scrub_pii=args.scrub_pii,
+        eval_grams=(
+            spark.read.parquet(args.eval_grams) if args.eval_grams else None
+        ),
+        contam_min_hits=args.contam_min_hits,
     )
     curated.write.mode("overwrite").parquet(f"{args.output}/documents")
     chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")

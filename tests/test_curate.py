@@ -80,3 +80,43 @@ def test_curate_deterministic_sample(spark, tmp_path):
     ra = sorted(r["doc_id"] for r in a.collect())
     rb = sorted(r["doc_id"] for r in b.collect())
     assert ra == rb and 0 < len(ra) < base.count()  # ≈10%, stable
+
+
+def test_curate_pii_and_decontamination_stages(spark, tmp_path):
+    """Stage 0 redacts before hashing (the planted email never reaches
+    the output); stage 3c drops the doc that collides with the eval
+    gram set and leaves the rest untouched."""
+    from jobs.curate import curate
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    extra = spark.createDataFrame(
+        [("zzz-pii", "contact me at leak@example.com for the the of and secret")],
+        "doc_id string, text string",
+    )
+    inp = str(tmp_path / "docs")
+    base.unionByName(extra).write.parquet(inp)
+
+    # eval grams = the 3-gram shingles of one corpus doc → that doc is
+    # contaminated by construction
+    victim = base.orderBy("doc_id").first()
+    victim_toks = victim["text"].split(" ")
+    grams = [
+        " ".join(victim_toks[i : i + 3]) for i in range(len(victim_toks) - 2)
+    ]
+    eval_grams = spark.createDataFrame([(g,) for g in grams], "shingle string")
+
+    curated, _ = curate(
+        spark, inp, "g", 1_000_000, scrub_pii=True, eval_grams=eval_grams
+    )
+    out = {r["doc_id"]: r["text"] for r in curated.select("doc_id", "text").collect()}
+    assert victim["doc_id"] not in out          # decontaminated
+    assert "zzz-pii" in out
+    assert "leak@example.com" not in out["zzz-pii"]
+    assert "<EMAIL>" in out["zzz-pii"]
+
+    # without the flags both docs survive
+    curated_plain, _ = curate(spark, inp, "g", 1_000_000)
+    plain = {r["doc_id"] for r in curated_plain.select("doc_id").collect()}
+    assert victim["doc_id"] in plain and "zzz-pii" in plain
