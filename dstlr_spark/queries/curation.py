@@ -136,19 +136,32 @@ def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.split(F.col("text"), " ")
     n = F.size(toks).cast("long")
+    # null text coalesces to 0 tokens/chars (→ too_short, never a null
+    # verdict); every ratio guards its divisor — ANSI mode turns an
+    # unguarded DIV on an empty doc into a job-killing DIVIDE_BY_ZERO
     base = d.select(
         "doc_id",
-        n.alias("n_tokens"),
-        (F.length("text").cast("long") - (n - 1)).alias("tok_chars"),
-        F.size(F.filter(toks, lambda t: t.isin(_SW))).cast("long").alias("n_stop"),
-        (
-            F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
-        ).cast("long").alias("n_digit_chars"),
-        F.length("text").cast("long").alias("n_chars"),
+        F.coalesce(n, F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.length("text").cast("long") - (n - 1), F.lit(0)).alias("tok_chars"),
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: t.isin(_SW))).cast("long"), F.lit(0)
+        ).alias("n_stop"),
+        F.coalesce(
+            (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+            .cast("long"),
+            F.lit(0),
+        ).alias("n_digit_chars"),
+        F.coalesce(F.length("text").cast("long"), F.lit(0)).alias("n_chars"),
     )
-    mean_len_ppm = F.expr("(tok_chars * 1000000L) DIV n_tokens")
-    stop_ppm = F.expr("(n_stop * 1000000L) DIV n_tokens")
-    digit_ppm = F.expr("(n_digit_chars * 1000000L) DIV n_chars")
+    mean_len_ppm = F.expr(
+        "CASE WHEN n_tokens = 0 THEN 0 ELSE (tok_chars * 1000000L) DIV n_tokens END"
+    )
+    stop_ppm = F.expr(
+        "CASE WHEN n_tokens = 0 THEN 0 ELSE (n_stop * 1000000L) DIV n_tokens END"
+    )
+    digit_ppm = F.expr(
+        "CASE WHEN n_chars = 0 THEN 0 ELSE (n_digit_chars * 1000000L) DIV n_chars END"
+    )
     mask = (
         F.when(F.col("n_tokens") < MIN_TOKENS, REASON_TOO_SHORT).otherwise(0)
         + F.when(F.col("n_tokens") > MAX_TOKENS, REASON_TOO_LONG).otherwise(0)
@@ -391,27 +404,37 @@ FROM documents""",
     "curate_decision": f"""
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         len(string_split(text, ' '))::BIGINT AS n_tokens,
-         (length(text)::BIGINT - (len(string_split(text, ' '))::BIGINT - 1))
-           AS tok_chars,
-         len(list_filter(string_split(text, ' '),
-             t -> t IN ({", ".join(f"'{w}'" for w in _SW)})))::BIGINT AS n_stop,
-         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT
-           AS n_digit_chars,
-         length(text)::BIGINT AS n_chars
+         COALESCE(len(string_split(text, ' '))::BIGINT, 0) AS n_tokens,
+         COALESCE(length(text)::BIGINT - (len(string_split(text, ' '))::BIGINT - 1),
+                  0) AS tok_chars,
+         COALESCE(len(list_filter(string_split(text, ' '),
+             t -> t IN ({", ".join(f"'{w}'" for w in _SW)})))::BIGINT, 0) AS n_stop,
+         COALESCE((length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT,
+                  0) AS n_digit_chars,
+         COALESCE(length(text)::BIGINT, 0) AS n_chars
   FROM documents),
+ratios AS (
+  SELECT doc_id, n_tokens, n_chars,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE (tok_chars * 1000000) // n_tokens END AS mean_len_ppm,
+         CASE WHEN n_tokens = 0 THEN 0
+              ELSE (n_stop * 1000000) // n_tokens END AS stop_ppm,
+         CASE WHEN n_chars = 0 THEN 0
+              ELSE (n_digit_chars * 1000000) // n_chars END AS digit_ppm
+  FROM base),
 mask AS (
   SELECT doc_id,
          (CASE WHEN n_tokens < {MIN_TOKENS} THEN {REASON_TOO_SHORT} ELSE 0 END
           + CASE WHEN n_tokens > {MAX_TOKENS} THEN {REASON_TOO_LONG} ELSE 0 END
-          + CASE WHEN (tok_chars * 1000000) // n_tokens < {MEAN_TOKLEN_PPM_MIN}
-                   OR (tok_chars * 1000000) // n_tokens > {MEAN_TOKLEN_PPM_MAX}
+          + CASE WHEN mean_len_ppm < {MEAN_TOKLEN_PPM_MIN}
+                   OR mean_len_ppm > {MEAN_TOKLEN_PPM_MAX}
                  THEN {REASON_TOKLEN} ELSE 0 END
-          + CASE WHEN (n_stop * 1000000) // n_tokens < {STOP_RATIO_PPM_MIN}
+          + CASE WHEN stop_ppm < {STOP_RATIO_PPM_MIN}
                  THEN {REASON_STOPWORDS} ELSE 0 END
-          + CASE WHEN (n_digit_chars * 1000000) // n_chars > {DIGIT_RATIO_PPM_MAX}
+          + CASE WHEN digit_ppm > {DIGIT_RATIO_PPM_MAX}
                  THEN {REASON_DIGITS} ELSE 0 END)::INT AS reason_mask
-  FROM base)
+  FROM ratios)
 SELECT doc_id, reason_mask, reason_mask = 0 AS keep FROM mask""",
     "text_tfidf_topk": f"""
 WITH toks AS (

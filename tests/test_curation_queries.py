@@ -147,3 +147,23 @@ def test_bloom_bits_membership_and_fpr(spark):
     fp = sum(1 for g in probes if all(p in bits for p in positions(g)))
     predicted = (len(bits) / BLOOM_M) ** BLOOM_K
     assert fp / len(probes) < max(0.05, 4 * predicted), (fp, predicted)
+
+
+def test_curation_decision_survives_pathological_docs(spark, tmp_path):
+    """Null and empty text must produce a deterministic DROP verdict
+    (too_short), never a null verdict or an ANSI DIVIDE_BY_ZERO."""
+    from dstlr_spark.queries.curation import REASON_TOO_SHORT, q_curation_decision
+
+    df = spark.createDataFrame(
+        [("a", None), ("b", ""), ("c", "one"),
+         ("d", "the of and to in " * 20)],
+        "doc_id string, text string",
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+    rows = {r["doc_id"]: r for r in q_curation_decision(spark, str(tmp_path)).collect()}
+    assert len(rows) == 4
+    for did in ("a", "b", "c"):
+        assert rows[did]["keep"] is False
+        assert rows[did]["reason_mask"] & REASON_TOO_SHORT
+    assert rows["d"]["keep"] in (True, False)  # computed, not null
