@@ -53,7 +53,11 @@ def synth_media(documents: DataFrame) -> DataFrame:
         be32(height),
         F.encode(F.col("text"), "UTF-8"),
     )
-    return documents.select(
+    # F1/F2-style guard: a null-text/null-n_chars doc has no payload —
+    # dropping it here keeps every downstream Arrow batch None-free
+    return documents.where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
         F.col("doc_id").cast("string").alias("doc_id"), payload.alias("payload")
     )
 
@@ -78,6 +82,8 @@ def _parse_header_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:  # per-doc isolation (X2): skip, don't die
+                continue
             b = bytes(payload)
             width = height = None
             mtype = "application/octet-stream"
@@ -175,6 +181,8 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # per-doc isolation (X2): skip, don't die
+                    continue
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8)
                 hist = np.bincount(arr // width, minlength=n_bins)[:n_bins]
                 rows.append(dict(doc_id=doc_id, features=[int(x) for x in hist],

@@ -434,6 +434,10 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep the teleport rank rather than vanishing
     verts = ed.select(F.col("entity_id").alias("id")).distinct().localCheckpoint()
     n = verts.count()
+    if n == 0:  # empty graph: no vertices → no ranks (oracle agrees)
+        return verts.select(
+            F.col("id").alias("entity_id"), F.lit(0).cast("long").alias("rank_ppb")
+        )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     teleport = (15 * _PR_SCALE // 100) // n  # exact ints only — no float 0.15

@@ -73,7 +73,8 @@ ORACLES = {
     "mm_media_features": f"""
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx
-  FROM documents)
+  FROM documents
+  WHERE text IS NOT NULL AND n_chars IS NOT NULL)
 SELECT doc_id,
        array_to_string(
          [len(list_filter([substr(hx, 2*i+1, 1) FOR i IN range(0, length(hx)//2)],
@@ -89,11 +90,13 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        md5(upper(hex({_PAYLOAD_SQL}))) AS payload_md5,
        CAST(n_chars % 512 + 1 AS INT) AS width,
        CAST((n_chars * 7) % 512 + 1 AS INT) AS height
-FROM documents""",
+FROM documents
+WHERE text IS NOT NULL AND n_chars IS NOT NULL""",
     "mm_media_sniff": f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        'image/png' AS media_type,
        CAST(24 + octet_length(encode(text)) AS INT) AS n_bytes,
        md5(upper(hex({_PAYLOAD_SQL}))) AS payload_md5
-FROM documents""",
+FROM documents
+WHERE text IS NOT NULL AND n_chars IS NOT NULL""",
 }

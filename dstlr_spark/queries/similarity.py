@@ -51,13 +51,20 @@ def _emb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
     )
-    return e.select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q")).withColumn(
-        "norm",
-        F.aggregate(
-            F.transform(F.col("q"), lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+    return (
+        e.select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q"))
+        .withColumn(
+            "norm",
+            F.aggregate(
+                F.transform(F.col("q"), lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        # cosine is undefined for the zero vector (a failed-encoder
+        # artifact in real corpora) — excluded at ingestion, mirrored in
+        # _QUANT_SQL, so no scoring expression can divide by zero
+        .where(F.col("norm") > 0)
     )
 
 
@@ -749,12 +756,13 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    # never-gated-first ordering (see dedup.QUERIES)
+    "sim_semantic_dedup": q_semantic_dedup,
     "sim_topk_cosine": q_topk_cosine,
     "sim_pq_adc_topk": q_pq_adc_topk,
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_ivf": q_ann_ivf,
     "sim_ivf_probe_topk": q_ivf_probe_topk,
-    "sim_semantic_dedup": q_semantic_dedup,
     "sim_kmeans_iters": q_kmeans_iters,
     "dedup_embedding_neardup": q_embedding_neardup,
     "dedup_embedding_neardup_prod": q_embedding_neardup_prod,
@@ -773,9 +781,11 @@ def _prod_planes_sql() -> str:
     return "planes(t, j, w) AS (VALUES\n  " + ",\n  ".join(rows) + ")"
 
 _QUANT_SQL = f"""
-  SELECT CAST(vec_id AS BIGINT) AS vec_id,
-         [CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT) FOR x IN embedding] AS q
-  FROM embeddings"""
+  SELECT vec_id, q FROM (
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           [CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT) FOR x IN embedding] AS q
+    FROM embeddings) zq
+  WHERE list_sum([v * v FOR v IN q]) > 0"""
 
 _NORM_SQL = "list_sum([v * v FOR v IN q])"
 
