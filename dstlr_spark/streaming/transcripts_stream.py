@@ -144,6 +144,64 @@ def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def conversation_progress_tws(transcripts: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`conversation_progress_stream`: identical per-conversation
+    running state, expressed as a ``StatefulProcessor`` with a named
+    ``ValueState`` — the successor API (multiple named states, timers,
+    TTL, initial-state bootstrap) the applyInPandasWithState operator
+    migrates to.
+
+    ENVIRONMENT-GATED: the TWS driver worker needs working
+    ``google.protobuf`` bindings (absent in this container — the
+    operator raises ImportError up front rather than crashing the
+    stream mid-query; the applyInPandasWithState twin above is the
+    portable path and carries the parity test). Requires the RocksDB
+    state-store provider (set
+    ``spark.sql.streaming.stateStore.providerClass``)."""
+    from google.protobuf import descriptor  # noqa: F401 — runtime gate
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Progress(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState(
+                "progress", "n_turns long, max_turn int, n_chars long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n_turns, max_turn, n_chars = self._state.get()
+            else:
+                n_turns, max_turn, n_chars = 0, -1, 0
+            for pdf in rows:
+                n_turns += len(pdf)
+                if len(pdf):
+                    max_turn = max(max_turn, int(pdf["turn_idx"].max()))
+                    n_chars += int(pdf["text"].str.len().sum())
+            self._state.update((n_turns, max_turn, n_chars))
+            yield pd.DataFrame(
+                {"conv_id": [key[0]], "n_turns": [n_turns],
+                 "max_turn": [max_turn], "n_chars": [n_chars]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        transcripts.where(F.col("conv_id").isNotNull() & F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .transformWithStateInPandas(
+            statefulProcessor=Progress(),
+            outputStructType="conv_id string, n_turns long, max_turn int, n_chars long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def reply_latency_stream(
     transcripts: DataFrame,
     max_delay: str = "10 minutes",

@@ -173,3 +173,54 @@ def test_reply_latency_stream_stream_join(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert all(0 <= lat <= 600 for *_ , lat in got)
+
+
+def test_tws_progress_stream_parity_or_env_gate(spark, tmp_path):
+    """transformWithStateInPandas twin: full parity with the
+    applyInPandasWithState operator where the TWS runtime works;
+    in this container (broken google.protobuf) the operator must
+    refuse up front with ImportError, not crash the stream mid-query."""
+    from dstlr_spark.streaming.transcripts_stream import (
+        conversation_progress_tws,
+        stream_transcripts,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    path = _write_input(spark, tmp_path)
+    if not have_protobuf:
+        import pytest
+
+        with pytest.raises(ImportError):
+            conversation_progress_tws(stream_transcripts(spark, path))
+        return
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    progress = conversation_progress_tws(stream_transcripts(spark, path))
+    _run_to_memory(progress, "tws_progress", mode="update")
+    got = {}
+    for r in spark.sql("SELECT * FROM tws_progress").collect():
+        cur = got.get(r["conv_id"])
+        cand = (r["n_turns"], r["max_turn"], r["n_chars"])
+        if cur is None or cand[0] > cur[0]:
+            got[r["conv_id"]] = cand
+    batch = (
+        spark.read.parquet(path)
+        .where(F.col("conv_id").isNotNull() & F.col("text").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("turn_idx").alias("m"),
+            F.sum(F.length("text")).alias("c"),
+        )
+        .collect()
+    )
+    for r in batch:
+        assert got[r["conv_id"]] == (r["n"], r["m"], r["c"])
