@@ -278,7 +278,65 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Z-order layout (data-skipping file assignment) -------------------------
+
+ZORDER_BITS = 5  # 32×32 rank-space grid (sized to the sf corpus: ~150
+#                  users × 30 days; at 100 TB the dims are rank-space
+#                  mapped — sampled range-partition boundaries per
+#                  dimension, the Delta OPTIMIZE ZORDER scheme — and
+#                  BITS grows with file count, not data size)
+ZORDER_BUCKET_SHIFT = 6  # keep top 4 z bits → 2 bits per dimension:
+#                          every file bucket confines BOTH dims to a
+#                          ≤ 8-of-32 block (pinned in tests)
+
+
+def _interleave_sql(x: str, y: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave expression — valid and identical in Spark SQL and
+    DuckDB (both support >> << & | on BIGINT)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) file layout over (user_id, event-hour): the
+    data-layout operator a 100 TB table needs so per-file min/max stats
+    prune BOTH a user predicate and a time predicate — one
+    interleaved sort key gives every file a bounded range in every
+    dimension (here provably ≤ 1/16 of each axis per bucket, pinned in
+    tests), where a single-column sort leaves the other dimension's
+    stats useless. Emitted as the per-bucket stats table a writer's
+    footer would carry; assignment is one map expression + one hash
+    aggregate — at scale this keys a ``repartitionByRange`` write."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    pre = ev.select(
+        "event_id",
+        (F.col("user_id").cast("long") % (1 << ZORDER_BITS)).alias("x"),
+        F.expr(
+            f"(CAST(CAST(ts AS TIMESTAMP) AS LONG) DIV 86400) % {1 << ZORDER_BITS}"
+        ).alias("y"),  # epoch-day (UTC session — the events_sessions idiom)
+    )
+    z = F.expr(_interleave_sql("x", "y")).cast("long")
+    return (
+        pre.select("event_id", "x", "y", z.alias("zvalue"))
+        .withColumn("file_bucket", F.expr(f"zvalue >> {ZORDER_BUCKET_SHIFT}").cast("int"))
+        .groupBy("file_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("min_user"),
+            F.max("x").alias("max_user"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+    )
+
+
 QUERIES = {
+    "events_zorder": q_events_zorder,  # never-gated-first ordering
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_by_nation": q_revenue_by_nation,
     "rel_top_orders_per_customer": q_top_orders_per_customer,
@@ -297,6 +355,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_zorder": f"""
+WITH pre AS (
+  SELECT event_id,
+         CAST(user_id AS BIGINT) % {1 << ZORDER_BITS} AS x,
+         (epoch(ts)::BIGINT // 86400) % {1 << ZORDER_BITS} AS y
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+z AS (
+  SELECT event_id, x, y,
+         CAST({_interleave_sql("x", "y")} AS BIGINT) AS zvalue
+  FROM pre)
+SELECT CAST(zvalue >> {ZORDER_BUCKET_SHIFT} AS INT) AS file_bucket,
+       COUNT(*) AS n_events,
+       MIN(x) AS min_user, MAX(x) AS max_user,
+       MIN(y) AS min_day, MAX(y) AS max_day
+FROM z
+GROUP BY 1""",
     "events_range_join": """
 WITH purchases AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

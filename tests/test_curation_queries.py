@@ -167,3 +167,23 @@ def test_curation_decision_survives_pathological_docs(spark, tmp_path):
         assert rows[did]["keep"] is False
         assert rows[did]["reason_mask"] & REASON_TOO_SHORT
     assert rows["d"]["keep"] in (True, False)  # computed, not null
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Z-order locality: every file bucket confines BOTH dimensions to
+    a 2^(BITS-2)-wide block (top 2 bits of each dim fixed by the top 4
+    z bits) — the property that makes per-file min/max stats prune on
+    either predicate."""
+    from dstlr_spark.queries.relational import ZORDER_BITS, q_events_zorder
+
+    rows = q_events_zorder(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1, "sf corpus must spread over multiple buckets"
+    block = 1 << (ZORDER_BITS - 2)
+    for r in rows:
+        assert r["max_user"] - r["min_user"] < block, r
+        assert r["max_day"] - r["min_day"] < block, r
+    assert sum(r["n_events"] for r in rows) == (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .where("ts IS NOT NULL AND user_id IS NOT NULL")
+        .count()
+    )
