@@ -295,6 +295,57 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bits.distinct()
 
 
+# --- histogram quantile sketch ----------------------------------------------
+
+QHIST_BUCKET_WIDTH = 5  # lineitem quantity ∈ [1, 50] → 10 buckets
+QHIST_QUANTILES = (50, 95, 99)
+
+
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-quantile sketch over lineitem quantity: the
+    fixed-width-bucket counts ARE the mergeable state (per-partition
+    partial counts + one tiny reduce, like the HLL registers), and each
+    requested quantile reports its bucket's lower bound — the
+    deterministic, integer-exact cousin of percentile_approx whose
+    error bound is the bucket width. At 100 TB the sketch is the only
+    way to answer P99 without a global sort; the exact twin
+    (``rel_quantity_percentiles``) is its small-scale oracle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_quantity").cast("long")).alias("qty")
+    )
+    hist = (
+        li.select(F.expr(f"qty DIV {QHIST_BUCKET_WIDTH}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # cumulative counts via a theta self-join on the BUCKET-COUNT-sized
+    # frame (B = value_range/width, a constant — O(B²) driver-scale
+    # work, never corpus-scale; the scalable stage is the hash-agg
+    # histogram above). A window here would be a single-partition sort.
+    a, b = hist.alias("a"), hist.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.bucket") <= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.sum(F.col("b.n")).alias("cum"))
+    )
+    total = hist.agg(F.sum("n").alias("total"))
+    cum = cum.join(F.broadcast(total), F.lit(True))
+    out = None
+    for q in QHIST_QUANTILES:
+        row = (
+            cum.where(F.col("cum") * 100 >= F.col("total") * q)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(q).alias("quantile_pct"),
+                (F.col("bucket") * QHIST_BUCKET_WIDTH).alias("value_lower_bound"),
+                F.col("cum").alias("rank_at_bucket"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --- corpus data card --------------------------------------------------------
 
 
@@ -417,6 +468,7 @@ QUERIES = {
     "agg_hll_registers": q_hll_registers,
     "agg_bloom_bits": q_bloom_bits,
     "corpus_datacard": q_corpus_datacard,
+    "agg_quantile_hist": q_quantile_hist,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
 }
@@ -510,6 +562,21 @@ pos AS (
       f"% {BLOOM_M}) AS INT) AS bit_pos FROM ev"
       for i in range(BLOOM_K))})
 SELECT DISTINCT bit_pos FROM pos""",
+    "agg_quantile_hist": f"""
+WITH h AS (
+  SELECT CAST(l_quantity AS BIGINT) // {QHIST_BUCKET_WIDTH} AS bucket, COUNT(*) AS n
+  FROM lineitem GROUP BY 1),
+c AS (
+  SELECT bucket,
+         CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM h)
+{" UNION ALL ".join(
+    f'''(SELECT {q} AS quantile_pct,
+          bucket * {QHIST_BUCKET_WIDTH} AS value_lower_bound,
+          cum AS rank_at_bucket
+        FROM c WHERE cum * 100 >= total * {q} ORDER BY bucket LIMIT 1)'''
+    for q in QHIST_QUANTILES)}""",
     "corpus_datacard": """
 WITH per_doc AS (
   SELECT lang,

@@ -319,6 +319,30 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LANG_CAP_K = 40  # per-language doc budget (corpus-mixing cap)
+
+
+def q_sample_lang_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language capped sampling — the corpus-mixing budget rule
+    ("at most K docs per language"): rank each stratum by the SAME
+    content-addressed md5 ticket stream as the other samplers and keep
+    the K smallest tickets. Deterministic (re-runs and resumes pick the
+    identical set), and the window partitions on lang — per-stratum
+    state only, never a global sort. Growing the corpus only ever
+    *replaces* kept docs with smaller-ticket ones; it never reshuffles
+    the rule."""
+    d = _docs(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    ticket = F.md5(F.concat_ws("|", F.lit("sample"), F.col("doc_id")))
+    w = Window.partitionBy("lang").orderBy("ticket", "doc_id")
+    return (
+        d.select("doc_id", "lang", ticket.alias("ticket"))
+        .withColumn("lang_rank", F.row_number().over(w))
+        .where(F.col("lang_rank") <= LANG_CAP_K)
+    )
+
+
 CHUNK_TOKENS = 64  # context-window size (tokens)
 CHUNK_STRIDE = 48  # stride → 16-token overlap between windows
 
@@ -408,6 +432,7 @@ QUERIES = {
     "text_token_stats": q_token_stats,
     "text_sample_deterministic": q_sample_deterministic,
     "text_sample_stratified": q_sample_stratified,
+    "text_sample_lang_capped": q_sample_lang_capped,
     "text_context_chunks": q_context_chunks,
     "text_packing": q_packing,
     "text_bpe_tokens": q_bpe_tokens,
@@ -427,6 +452,17 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        md5('sample' || '|' || CAST(doc_id AS VARCHAR)) AS ticket
 FROM documents
 WHERE md5('sample' || '|' || CAST(doc_id AS VARCHAR)) < '{SAMPLE_RATE_HEX}'""",
+    "text_sample_lang_capped": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         md5('sample' || '|' || CAST(doc_id AS VARCHAR)) AS ticket
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, ticket,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ticket, doc_id)
+              AS INT) AS lang_rank
+  FROM t)
+SELECT doc_id, lang, ticket, lang_rank FROM r WHERE lang_rank <= {LANG_CAP_K}""",
     "text_sample_stratified": f"""
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,

@@ -197,6 +197,7 @@ _ALLOWED_BROADCAST_PRODUCT = {
     "sim_ivf_probe_topk",
     "sim_semantic_dedup",
     "sim_kmeans_iters",
+    "agg_quantile_hist",  # theta-join over the constant bucket-count frame
 }
 
 
