@@ -49,7 +49,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     list from the dedup module (one corpus scan for both surfaces);
     the eval-side gram set is broadcast — at 100 TB the corpus side
     never shuffles for this, it streams map-side against the benchmark
-    gram dictionary."""
+    gram dictionary.
+
+    GATE-VS-PRODUCTION KNOB: n=3 here deliberately rides the dedup
+    shingles so the gate exercises the join on a corpus where
+    collisions actually occur (word salad background-matches 94% of
+    docs at n=3 — measured at sf0.1). The production recipe is n=13
+    (jobs/curate.py's decontamination stage default), where only true
+    overlaps collide; same plan shape, different gram length."""
     sh = _staged_shingles(spark, sf_dir)
     is_eval = (F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0
     eval_grams = sh.where(is_eval).select("shingle").distinct()

@@ -34,6 +34,22 @@ from pyspark.sql import functions as F
 from dstlr_spark.session import get_spark
 
 
+def _word_ngrams(docs, n: int):
+    """(doc_id, shingle): distinct n-token grams per doc (docs shorter
+    than n grams contribute their whole text — same fallback as the
+    dedup shingler)."""
+    toks = F.split(F.col("text"), " ")
+    size = F.size(toks)
+    grams = F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(1), size - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array(F.col("text")))
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
 def curate(
     spark,
     input_path: str,
@@ -42,7 +58,8 @@ def curate(
     max_dup_2gram_ppm: int = 1_000_000,
     scrub_pii: bool = False,
     eval_grams=None,
-    contam_min_hits: int = 2,
+    contam_min_hits: int = 1,
+    contam_ngram_n: int = 13,
 ):
     from dstlr_spark.queries.dedup import (
         JACCARD_THRESHOLD,
@@ -108,14 +125,26 @@ def curate(
     deduped = exact.join(dupes, "doc_id", "left_anti")
 
     # 3c. benchmark decontamination (opt-in): drop docs sharing ≥
-    #     contam_min_hits distinct shingles with the eval gram set
-    #     (curate_decontaminate semantics). ``eval_grams`` is a
-    #     single-column ('shingle') frame — benchmark-sized, so it
-    #     broadcasts; the corpus side reuses the SAME persisted shingle
-    #     frame as the near-dup stage (one scan feeds both).
+    #     contam_min_hits distinct contam_ngram_n-token grams with the
+    #     eval gram set. ``eval_grams`` is a single-column ('shingle')
+    #     frame of grams AT THE SAME n — benchmark-sized, so it
+    #     broadcasts. Default n=13 (the GPT-3/Llama recipe): short
+    #     grams collide by chance — on this corpus 3-grams background-
+    #     match 94% of docs while 13-grams match only true overlaps.
+    #     At n == the dedup shingle width the stage reuses the SAME
+    #     persisted shingle frame as the near-dup stage (zero extra
+    #     corpus scans); otherwise it derives its own gram posting list
+    #     (one extra map-only scan).
     if eval_grams is not None:
+        from dstlr_spark.queries.dedup import NGRAM_N
+
+        doc_grams = sh if contam_ngram_n == NGRAM_N else _word_ngrams(
+            deduped, contam_ngram_n
+        )
         contaminated = (
-            sh.join(F.broadcast(eval_grams.select("shingle").distinct()), "shingle")
+            doc_grams.join(
+                F.broadcast(eval_grams.select("shingle").distinct()), "shingle"
+            )
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("_hits"))
             .where(F.col("_hits") >= contam_min_hits)
@@ -186,7 +215,8 @@ def main() -> None:
         help="parquet of benchmark n-grams (column 'shingle'); enables "
         "the decontamination stage",
     )
-    p.add_argument("--contam-min-hits", type=int, default=2)
+    p.add_argument("--contam-min-hits", type=int, default=1)
+    p.add_argument("--contam-ngram-n", type=int, default=13)
     args = p.parse_args()
 
     spark = get_spark("dstlr-curate")
@@ -200,6 +230,7 @@ def main() -> None:
             spark.read.parquet(args.eval_grams) if args.eval_grams else None
         ),
         contam_min_hits=args.contam_min_hits,
+        contam_ngram_n=args.contam_ngram_n,
     )
     curated.write.mode("overwrite").parquet(f"{args.output}/documents")
     chunks.write.mode("overwrite").parquet(f"{args.output}/chunks")

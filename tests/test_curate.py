@@ -98,12 +98,15 @@ def test_curate_pii_and_decontamination_stages(spark, tmp_path):
     inp = str(tmp_path / "docs")
     base.unionByName(extra).write.parquet(inp)
 
-    # eval grams = the 3-gram shingles of one corpus doc → that doc is
-    # contaminated by construction
-    victim = base.orderBy("doc_id").first()
+    # eval grams = the 13-token grams (the job's production n) of one
+    # corpus doc → that doc is contaminated by construction; word-salad
+    # neighbors are not (13-grams don't background-collide)
+    victim = (
+        base.where(F.size(F.split("text", " ")) >= 13).orderBy("doc_id").first()
+    )
     victim_toks = victim["text"].split(" ")
     grams = [
-        " ".join(victim_toks[i : i + 3]) for i in range(len(victim_toks) - 2)
+        " ".join(victim_toks[i : i + 13]) for i in range(len(victim_toks) - 12)
     ]
     eval_grams = spark.createDataFrame([(g,) for g in grams], "shingle string")
 
