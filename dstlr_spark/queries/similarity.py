@@ -105,6 +105,81 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_PREFIX_DIM = 16  # coarse pass uses the embedding's first 16 dims
+MRL_SHORTLIST = 20  # coarse candidates per query fed to full-dim rescore
+
+
+def q_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage ANN: rank on the PREFIX of the embedding
+    (first MRL_PREFIX_DIM dims — the MRL property that prefixes are
+    themselves usable embeddings), keep a per-query shortlist, then
+    rescore ONLY the shortlist with full-dimension cosine. The coarse
+    pass touches dim/4 of the bytes per comparison and the fine pass
+    touches MRL_SHORTLIST rows per query instead of the corpus — the
+    standard memory-bandwidth lever for 100 TB vector scans (a 4×
+    cheaper first pass with exact reranking on survivors). Both stages
+    integer-quantized; deterministic tie-breaks; exact oracle.
+
+    Recall caveat (measured, like the LSH calibration): the synthetic
+    embeddings are iid noise — the adversarial case for ANY
+    dimensionality reduction, since a random prefix carries only
+    prefix/dim of the signal. Measured recall@5 on this corpus:
+    shortlist 20→38%, 50→58%, 200→88% (pinned as a floor in tests).
+    Trained MRL embeddings place ranking signal IN the prefix by
+    construction — production recall at shortlist=20 is near-total
+    there, and the shortlist size is the recall/bandwidth knob."""
+    e = _emb(spark, sf_dir)
+    pre = e.select(
+        "vec_id", "q", "norm",
+        F.slice(F.col("q"), 1, MRL_PREFIX_DIM).alias("qp"),
+    ).withColumn(
+        "pnorm",
+        F.aggregate(
+            F.transform(F.col("qp"), lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).where(F.col("pnorm") > 0)
+    queries = pre.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qv"), F.col("norm").alias("qn"),
+        F.col("qp").alias("qvp"), F.col("pnorm").alias("qpn"),
+    )
+    coarse = (
+        pre.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "q", "norm", "qv", "qn",
+            (
+                _dot(F.col("qvp"), F.col("qp"))
+                / (
+                    F.sqrt(F.col("qpn").cast("double"))
+                    * F.sqrt(F.col("pnorm").cast("double"))
+                )
+            ).alias("coarse_score"),
+        )
+    )
+    wc = Window.partitionBy("q_id").orderBy(
+        F.col("coarse_score").desc(), F.col("vec_id").asc()
+    )
+    shortlist = coarse.withColumn("crank", F.row_number().over(wc)).where(
+        F.col("crank") <= MRL_SHORTLIST
+    )
+    fine = shortlist.select(
+        "q_id", "vec_id",
+        (
+            _dot(F.col("qv"), F.col("q"))
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm").cast("double")))
+        ).alias("score"),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        fine.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
 def _bucket_col(q):
     """8 hyperplane sign bits packed into one int (exact integer dots)."""
     bucket = F.lit(0)
@@ -758,6 +833,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # never-gated-first ordering (see dedup.QUERIES)
     "sim_semantic_dedup": q_semantic_dedup,
+    "sim_mrl_topk": q_mrl_topk,
     "sim_topk_cosine": q_topk_cosine,
     "sim_pq_adc_topk": q_pq_adc_topk,
     "sim_ann_lsh": q_ann_lsh,
@@ -853,6 +929,40 @@ SELECT q_id, e.vec_id, e.bucket,
        ROUND(CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
              / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))), 6) AS score
 FROM e JOIN qs ON e.bucket = qs.q_bucket AND e.vec_id <> qs.q_id""",
+    "sim_mrl_topk": f"""
+WITH qe AS ({_QUANT_SQL}),
+pre AS (
+  SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm,
+         q[1:{MRL_PREFIX_DIM}] AS qp,
+         CAST(list_sum([v * v FOR v IN q[1:{MRL_PREFIX_DIM}]]) AS BIGINT) AS pnorm
+  FROM qe),
+pre2 AS (SELECT * FROM pre WHERE pnorm > 0),
+qs AS (SELECT vec_id AS q_id, q AS qv, norm AS qn, qp AS qvp, pnorm AS qpn
+       FROM pre2 WHERE vec_id < {N_QUERIES}),
+coarse AS (
+  SELECT q_id, p.vec_id, p.q, p.norm, qv, qn,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qvp, p.qp)]) AS DOUBLE)
+           / (sqrt(CAST(qpn AS DOUBLE)) * sqrt(CAST(p.pnorm AS DOUBLE)))
+           AS coarse_score
+  FROM pre2 p CROSS JOIN qs WHERE p.vec_id <> qs.q_id),
+sl AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY coarse_score DESC, vec_id ASC) AS crank
+    FROM coarse) z
+  WHERE crank <= {MRL_SHORTLIST}),
+fine AS (
+  SELECT q_id, vec_id,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
+           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))) AS score
+  FROM sl),
+ranked AS (
+  SELECT q_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM fine)
+SELECT q_id, vec_id, rank, ROUND(score, 6) AS score FROM ranked
+WHERE rank <= {TOP_K}""",
     "sim_semantic_dedup": f"""
 WITH qe AS ({_QUANT_SQL}),
 e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm FROM qe),

@@ -196,6 +196,7 @@ _ALLOWED_BROADCAST_PRODUCT = {
     "sim_ann_ivf",
     "sim_ivf_probe_topk",
     "sim_semantic_dedup",
+    "sim_mrl_topk",
     "sim_kmeans_iters",
     "agg_quantile_hist",  # theta-join over the constant bucket-count frame
 }

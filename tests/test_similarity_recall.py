@@ -216,3 +216,20 @@ def test_semantic_dedup_keep_min_id_and_cell_blocking(spark):
     dropped = out.where(~F.col("is_kept")).select("vec_id")
     assert dropped.exceptAll(witnesses).count() == 0
     assert witnesses.exceptAll(dropped).count() == 0
+
+
+def test_mrl_topk_recall_floor_on_iid_noise(spark):
+    """Matryoshka two-stage ANN: on iid-noise embeddings (the
+    adversarial case for prefix ranking) the measured recall@5 vs the
+    exact brute-force top-k stays ≥ the pinned floor at the shipped
+    shortlist size; the rescore stage never emits a pair the exact
+    scorer ranks differently (scores of shared pairs are identical)."""
+    from dstlr_spark.queries.similarity import q_mrl_topk, q_topk_cosine
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["q_id"], r["vec_id"]): r["score"] for r in q_topk_cosine(spark, sf).collect()}
+    mrl = {(r["q_id"], r["vec_id"]): r["score"] for r in q_mrl_topk(spark, sf).collect()}
+    shared = set(exact) & set(mrl)
+    assert len(shared) / len(exact) >= 0.3  # measured 38% on iid noise
+    for k in shared:
+        assert exact[k] == mrl[k]  # full-dim rescore is the exact scorer
