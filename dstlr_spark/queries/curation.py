@@ -443,6 +443,42 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_SIGMA = 3  # flag |value − mean| > 3σ within the event type
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical QC: per-event-type 3σ outlier flags with EXACT
+    integer arithmetic — no float mean/stddev anywhere. With v in
+    cents, n rows, s = Σv, ss = Σv²:
+
+        |v − s/n| > σ·√(ss/n − (s/n)²)   ⟺   (n·v − s)² > σ²·(n·ss − s²)
+
+    both sides exact BIGINTs, so Spark and DuckDB agree bit-for-bit
+    where float z-scores would drift. The shape is one hash aggregate
+    (type-keyed moments, broadcast back) + a map-side predicate — the
+    same plan at 100 TB, with the moments mergeable across partitions
+    (sum/sum-of-squares are the canonical distributive aggregates).
+    Overflow is LOUD, not silent: ANSI mode errors if n·ss exceeds
+    BIGINT — at that scale route the moments through DECIMAL(38,0)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    v = F.floor(F.col("value") * 100).cast("long")
+    base = ev.select("event_id", "event_type", v.alias("v_cents"))
+    mom = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v_cents").alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).alias("ss"),
+    )
+    joined = base.join(F.broadcast(mom), "event_type")
+    dev = F.col("n") * F.col("v_cents") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        joined.where(dev * dev > F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA) * var_n2)
+        .select("event_id", "event_type", "v_cents")
+    )
+
+
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen date; for each
     (cohort, day-offset) the count of distinct active users. Two
@@ -478,6 +514,7 @@ QUERIES = {
     "agg_quantile_hist": q_quantile_hist,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_anomaly": q_events_anomaly,
 }
 
 ORACLES = {
@@ -615,6 +652,19 @@ UNION ALL
 SELECT 2, 'click', COUNT(*) FROM c
 UNION ALL
 SELECT 3, 'purchase', COUNT(*) FROM p""",
+    "events_anomaly": f"""
+WITH base AS (
+  SELECT event_id, event_type, CAST(floor(value * 100) AS BIGINT) AS v_cents
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+mom AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(v_cents)::BIGINT AS s,
+         SUM(v_cents * v_cents)::BIGINT AS ss
+  FROM base GROUP BY event_type)
+SELECT event_id, b.event_type, v_cents
+FROM base b JOIN mom m ON b.event_type = m.event_type
+WHERE (m.n * b.v_cents - m.s) * (m.n * b.v_cents - m.s)
+      > {ANOMALY_SIGMA * ANOMALY_SIGMA} * (m.n * m.ss - m.s * m.s)""",
     "events_retention": """
 WITH first AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
                FROM events GROUP BY user_id)
