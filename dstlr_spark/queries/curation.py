@@ -141,6 +141,14 @@ def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
+    return curation_decision_frame(d)
+
+
+def curation_decision_frame(d: DataFrame) -> DataFrame:
+    """Operator form of the verdict over any (doc_id, text) frame —
+    STATELESS column expressions, so it applies unchanged to a
+    Structured Streaming source (the filter-on-ingest path,
+    ``stream_curate_decision``)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks).cast("long")
     # null text coalesces to 0 tokens/chars (→ too_short, never a null

@@ -221,6 +221,47 @@ def _transcripts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the sf documents parquet (same symlink
+    shim as the events stream)."""
+    key = f"documents::{sf_dir}"
+    d = _STREAM_DIRS.get(key)
+    if d is None:
+        import os
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dstlr_stream_docs_")
+        src = f"{sf_dir}/documents.parquet"
+        dst = os.path.join(d, "documents.parquet")
+        try:
+            os.symlink(src, dst)
+        except OSError:
+            shutil.copy(src, dst)
+        _STREAM_DIRS[key] = d
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(d)
+
+
+def q_stream_curate_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``curate_decision`` — the filter-on-ingest
+    path: the composite verdict is STATELESS column expressions
+    (:func:`dstlr_spark.queries.curation.curation_decision_frame`), so
+    it runs in append mode with NO state store at all; per-micro-batch
+    results concatenate to exactly the batch answer, which the shared
+    batch oracle pins."""
+    from dstlr_spark.queries.curation import curation_decision_frame
+
+    d = _docs_stream(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return _drain(curation_decision_frame(d), "append")
+
+
 MENTION_TERMS = ["spark", "table", "hash"]
 MENTION_WINDOW_SEC = 5
 
@@ -299,6 +340,7 @@ QUERIES = {
     "stream_events_sessions": q_stream_events_sessions,
     "stream_mention_rate": q_stream_mention_rate,
     "stream_dedup_turns": q_stream_dedup_turns,
+    "stream_curate_decision": q_stream_curate_decision,
 }
 
 ORACLES = {
@@ -376,3 +418,10 @@ WITH {_SHRED_SQL}
 SELECT DISTINCT conv_id, turn_idx, md5(text) AS text_hash
 FROM turns""",
 }
+
+
+# the streamed verdict must reproduce the batch verdict exactly — share
+# the oracle text so the two gates can never drift apart
+from dstlr_spark.queries import curation as _curation  # noqa: E402
+
+ORACLES["stream_curate_decision"] = _curation.ORACLES["curate_decision"]
