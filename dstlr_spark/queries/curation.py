@@ -84,6 +84,19 @@ PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 PII_NUMBER = r"[0-9]+"
 
 
+def redact_pii(col) -> F.Column:
+    """The byte-exact ordered redaction (email → ipv4 → number) — ONE
+    definition shared by the gated query and the curate job, because
+    the order is load-bearing for oracle md5 parity."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_NUMBER,
+        "<NUM>",
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: per-doc match counts for email /
     IPv4 / digit-run patterns and the md5 of the redacted text
@@ -94,15 +107,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-    red = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-            PII_IPV4,
-            "<IP>",
-        ),
-        PII_NUMBER,
-        "<NUM>",
-    )
+    red = redact_pii(F.col("text"))
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("n_emails"),
@@ -129,7 +134,7 @@ REASON_TOKLEN = 4
 REASON_STOPWORDS = 8
 REASON_DIGITS = 16
 
-_SW = ["the", "a", "of", "and", "to", "in"]  # textstats.STOPWORDS
+from dstlr_spark.queries.textstats import STOPWORDS as _SW  # one list, no drift
 
 
 def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,12 +220,9 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = (
-        toks.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # tf already has exactly one row per distinct (doc, token) — derive
+    # df from it rather than re-scanning and re-exploding the corpus
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "token").select(
         "doc_id", "token", "tf", "df",
         F.expr("(tf * 1000000L) DIV df").alias("score"),
@@ -298,16 +300,24 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sh.where(
         (F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0
     ).select("shingle").distinct()
-    bits = None
-    for i in range(BLOOM_K):
-        b = ev.select(
+    # all K salted positions in ONE pass over the gram set (a K-way
+    # union would rescan it per hash function)
+    positions = F.array(
+        *[
             (
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"b{i}|"), "shingle")), 1, 8), 16, 10)
-                .cast("long") % BLOOM_M
-            ).cast("int").alias("bit_pos")
-        )
-        bits = b if bits is None else bits.unionByName(b)
-    return bits.distinct()
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"b{i}|"), "shingle")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % BLOOM_M
+            ).cast("int")
+            for i in range(BLOOM_K)
+        ]
+    )
+    return ev.select(F.explode(positions).alias("bit_pos")).distinct()
 
 
 # --- histogram quantile sketch ----------------------------------------------
@@ -384,9 +394,8 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.length("text").cast("long"), F.lit(0)).alias("n_chars"),
         F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_hash"),
     )
-    # exact-dup flag: doc is a duplicate iff an identical text exists
-    # with a "smaller" hash-ordering witness — count docs minus distinct
-    # hashes per language = number of redundant copies
+    # redundant-copy arithmetic: docs minus distinct text hashes per
+    # language = number of exact-duplicate copies beyond each canonical
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
@@ -437,17 +446,18 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
+    # scalar aggregates (no groupBy): an EMPTY stage must still emit its
+    # row with n_users = 0, exactly like the oracle's SELECT COUNT(*) —
+    # a groupBy on literals would emit zero rows for an empty frame
+    def stage_count(df, stage: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), F.lit(name).alias("stage_name"), "n_users"
+        )
+
     return (
-        v.select(F.lit(1).alias("stage"), F.lit("view").alias("stage_name"))
-        .groupBy("stage", "stage_name").agg(F.count(F.lit(1)).alias("n_users"))
-        .unionByName(
-            c.select(F.lit(2).alias("stage"), F.lit("click").alias("stage_name"))
-            .groupBy("stage", "stage_name").agg(F.count(F.lit(1)).alias("n_users"))
-        )
-        .unionByName(
-            p.select(F.lit(3).alias("stage"), F.lit("purchase").alias("stage_name"))
-            .groupBy("stage", "stage_name").agg(F.count(F.lit(1)).alias("n_users"))
-        )
+        stage_count(v, 1, "view")
+        .unionByName(stage_count(c, 2, "click"))
+        .unionByName(stage_count(p, 3, "purchase"))
     )
 
 

@@ -78,15 +78,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shingles ----------------------------------------------------------------
 
-def _shingles(d: DataFrame) -> DataFrame:
-    """Distinct token n-grams per doc (n=3), space-joined."""
+def _shingles(d: DataFrame, n_gram: int = NGRAM_N) -> DataFrame:
+    """Distinct token n-grams per doc (default n=3), space-joined;
+    docs shorter than one gram contribute their whole text. The single
+    shingler for dedup AND decontamination (which uses longer grams)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     grams = F.when(
-        n >= NGRAM_N,
+        n >= n_gram,
         F.transform(
-            F.sequence(F.lit(1), n - NGRAM_N + 1),
-            lambda i: F.array_join(F.slice(toks, i, NGRAM_N), " "),
+            F.sequence(F.lit(1), n - n_gram + 1),
+            lambda i: F.array_join(F.slice(toks, i, n_gram), " "),
         ),
     ).otherwise(F.array(F.col("text")))
     return d.select(

@@ -310,8 +310,15 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats useless. Emitted as the per-bucket stats table a writer's
     footer would carry; assignment is one map expression + one hash
     aggregate — at scale this keys a ``repartitionByRange`` write."""
+    # negative epochs (bad-clock events) are excluded: Spark DIV
+    # truncates toward zero while floor-division floors, and bit
+    # interleaving sign-extended values is meaningless — a layout pass
+    # routes such rows to a quarantine partition, it never sorts them
     ev = _t(spark, sf_dir, "events").where(
-        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & (F.col("user_id") >= 0)
+        & (F.col("ts").cast("timestamp").cast("long") >= 0)
     )
     pre = ev.select(
         "event_id",
@@ -361,7 +368,8 @@ WITH pre AS (
          CAST(user_id AS BIGINT) % {1 << ZORDER_BITS} AS x,
          (epoch(ts)::BIGINT // 86400) % {1 << ZORDER_BITS} AS y
   FROM events
-  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND user_id >= 0 AND epoch(ts)::BIGINT >= 0),
 z AS (
   SELECT event_id, x, y,
          CAST({_interleave_sql("x", "y")} AS BIGINT) AS zvalue

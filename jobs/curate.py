@@ -7,16 +7,18 @@ spark-submit --py-files dist/dstlr_spark.zip jobs/curate.py \
     [--min-quality-ppm 0 --max-stop-ratio-ppm 900000]
 
 Stages (each a first-class operator with its own DuckDB-oracled query):
-  0. PII scrub (opt-in)           (curate_pii_scrub semantics — redact
-                                   before anything hashes the text)
   1. deterministic hash sample    (text_sample_deterministic semantics)
   2. exact dedup                  (keep the canonical doc per text hash)
   3. MinHash-LSH near-dup drop    (keep the lexicographic min of each
                                    verified near-dup pair's doc ids)
-  3c. decontamination (opt-in)    (curate_decontaminate semantics — drop
-                                   docs colliding with the eval gram set)
+  3c. decontamination (opt-in)    (raw-vs-raw gram collision vs the eval
+                                   set at production thresholds n=13/
+                                   min_hits=1 — runs BEFORE the scrub so
+                                   redaction can't mask an overlap)
   4. quality filter               (stopword-ratio bound, ppm integer math)
   4b. repetition filter           (dup-2-gram bound, text_repetition semantics)
+  4c. PII scrub (opt-in)          (curate_pii_scrub's byte-exact redaction,
+                                   after all matching, before chunking)
   5. context-window chunking      (64-token windows, stride 48)
   6. packing stats                (per-shard greedy packs — the batch
                                    layout the training loader consumes)
@@ -35,19 +37,11 @@ from dstlr_spark.session import get_spark
 
 
 def _word_ngrams(docs, n: int):
-    """(doc_id, shingle): distinct n-token grams per doc (docs shorter
-    than n grams contribute their whole text — same fallback as the
-    dedup shingler)."""
-    toks = F.split(F.col("text"), " ")
-    size = F.size(toks)
-    grams = F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array(F.col("text")))
-    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    """(doc_id, shingle): distinct n-token grams per doc — the shared
+    dedup shingler at a custom gram length."""
+    from dstlr_spark.queries.dedup import _shingles
+
+    return _shingles(docs, n_gram=n)
 
 
 def curate(
@@ -71,25 +65,6 @@ def curate(
     docs = spark.read.parquet(input_path).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"
     )
-
-    # 0. PII scrub (opt-in): redact BEFORE anything hashes the text, so
-    #    dedup/shingle decisions see the text the model will train on
-    #    (curate_pii_scrub semantics — byte-exact ordered redaction)
-    if scrub_pii:
-        from dstlr_spark.queries.curation import PII_EMAIL, PII_IPV4, PII_NUMBER
-
-        docs = docs.withColumn(
-            "text",
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
-                    PII_IPV4,
-                    "<IP>",
-                ),
-                PII_NUMBER,
-                "<NUM>",
-            ),
-        )
 
     # 1. deterministic sample (content-addressed ticket < hex threshold)
     ticket = F.md5(F.concat_ws("|", F.lit("sample"), F.col("doc_id")))
@@ -126,15 +101,21 @@ def curate(
 
     # 3c. benchmark decontamination (opt-in): drop docs sharing ≥
     #     contam_min_hits distinct contam_ngram_n-token grams with the
-    #     eval gram set. ``eval_grams`` is a single-column ('shingle')
-    #     frame of grams AT THE SAME n — benchmark-sized, so it
-    #     broadcasts. Default n=13 (the GPT-3/Llama recipe): short
-    #     grams collide by chance — on this corpus 3-grams background-
-    #     match 94% of docs while 13-grams match only true overlaps.
-    #     At n == the dedup shingle width the stage reuses the SAME
-    #     persisted shingle frame as the near-dup stage (zero extra
-    #     corpus scans); otherwise it derives its own gram posting list
-    #     (one extra map-only scan).
+    #     eval gram set (q_decontaminate's plan shape at PRODUCTION
+    #     thresholds: n=13 / min_hits=1 — any 13-gram overlap is
+    #     contamination, the GPT-3/Llama recipe; the gated query's
+    #     n=3 / min_hits=2 exists to exercise the join on a corpus
+    #     where grams actually collide). ``eval_grams`` is a
+    #     single-column ('shingle') frame of RAW-text grams at the same
+    #     n — benchmark-sized, so it broadcasts. Short grams collide by
+    #     chance: on this corpus 3-grams background-match 94% of docs
+    #     while 13-grams match only true overlaps. Matching is raw-vs-
+    #     raw — the PII scrub deliberately runs AFTER this stage so
+    #     redaction can never mask a benchmark overlap. At n == the
+    #     dedup shingle width the stage reuses the SAME persisted
+    #     shingle frame as the near-dup stage (zero extra corpus
+    #     scans); otherwise it derives its own gram posting list (one
+    #     extra map-only scan).
     if eval_grams is not None:
         from dstlr_spark.queries.dedup import NGRAM_N
 
@@ -182,6 +163,17 @@ def curate(
             )
             <= max_dup_2gram_ppm
         ).drop("_n2", "_u2")
+
+    # 4c. PII scrub (opt-in): redact AFTER every matching/hashing stage
+    #     (decontamination must compare raw-vs-raw; dedup decisions on
+    #     raw text carry over — redaction never adds/removes spaces, so
+    #     token geometry is unchanged) and BEFORE chunking, so the
+    #     chunks are exactly what the model trains on
+    #     (curate_pii_scrub's byte-exact ordered redaction)
+    if scrub_pii:
+        from dstlr_spark.queries.curation import redact_pii
+
+        quality = quality.withColumn("text", redact_pii(F.col("text")))
 
     # 5. context-window chunks (the training examples)
     from dstlr_spark.queries.textstats import CHUNK_STRIDE, CHUNK_TOKENS

@@ -184,6 +184,9 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         assert r["max_day"] - r["min_day"] < block, r
     assert sum(r["n_events"] for r in rows) == (
         spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .where("ts IS NOT NULL AND user_id IS NOT NULL")
+        .where(
+            "ts IS NOT NULL AND user_id IS NOT NULL AND user_id >= 0 "
+            "AND CAST(CAST(ts AS TIMESTAMP) AS LONG) >= 0"
+        )
         .count()
     )
