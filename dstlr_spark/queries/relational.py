@@ -73,6 +73,69 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation trade volume — revenue between
+    every (supplier nation, customer nation) pair per ship year,
+    excluding domestic trade. Two independent broadcast joins resolve
+    both nation dimensions; the fact table shuffles once for the final
+    aggregate. Money through exact decimals (module conventions)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    supp_n = F.broadcast(
+        supp.join(
+            F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+        ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cust_n = cust.join(
+        F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+    ).select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust_n, orders["o_custkey"] == cust_n["c_custkey"])
+        .join(supp_n, li["l_suppkey"] == supp_n["s_suppkey"])
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_type_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: per ship-month, the revenue share of one part
+    type ('ECONOMY' standing in for PROMO%). Both sums exact decimals;
+    the share divides the two identically-derived doubles, so it is
+    bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        )
+        .agg(
+            _dec_sum(
+                F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)), 4
+            ).alias("economy_revenue"),
+            _dec_sum(rev, 4).alias("total_revenue"),
+        )
+        .select(
+            "ship_month", "economy_revenue", "total_revenue",
+            (F.col("economy_revenue") / F.col("total_revenue")).alias("economy_share"),
+        )
+    )
+
+
 # --- top-k per group (window) ----------------------------------------------
 
 def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +406,10 @@ def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "events_zorder": q_events_zorder,  # never-gated-first ordering
+    # never-gated-first ordering
+    "events_zorder": q_events_zorder,
+    "rel_bilateral_trade": q_bilateral_trade,
+    "rel_type_revenue_share": q_type_revenue_share,
     "rel_pricing_summary": q_pricing_summary,
     "rel_revenue_by_nation": q_revenue_by_nation,
     "rel_top_orders_per_customer": q_top_orders_per_customer,
@@ -362,6 +428,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_bilateral_trade": """
+WITH supp_n AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+cust_n AS (
+  SELECT c_custkey, n_name AS cust_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT supp_nation, cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN cust_n ON o_custkey = c_custkey
+JOIN supp_n ON l_suppkey = s_suppkey
+WHERE supp_nation <> cust_nation
+GROUP BY 1, 2, 3""",
+    "rel_type_revenue_share": """
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                       THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                       ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS economy_revenue,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT ship_month, economy_revenue, total_revenue,
+       economy_revenue / total_revenue AS economy_share
+FROM m""",
     "events_zorder": f"""
 WITH pre AS (
   SELECT event_id,
