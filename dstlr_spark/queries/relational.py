@@ -434,15 +434,21 @@ WITH supp_n AS (
   FROM supplier JOIN nation ON s_nationkey = n_nationkey),
 cust_n AS (
   SELECT c_custkey, n_name AS cust_nation
-  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+-- MATERIALIZED: the inequality must stay a post-join filter; inlined,
+-- DuckDB's optimizer lifts it into a nested-loop join between the two
+-- dimension CTEs (measured 95 s vs ~1 s at sf0.1)
+flat AS MATERIALIZED (
+  SELECT supp_nation, cust_nation, l_shipdate, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cust_n ON o_custkey = c_custkey
+  JOIN supp_n ON l_suppkey = s_suppkey)
 SELECT supp_nation, cust_nation,
        CAST(year(l_shipdate) AS INT) AS ship_year,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS volume,
        CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN cust_n ON o_custkey = c_custkey
-JOIN supp_n ON l_suppkey = s_suppkey
+FROM flat
 WHERE supp_nation <> cust_nation
 GROUP BY 1, 2, 3""",
     "rel_type_revenue_share": """
