@@ -123,3 +123,24 @@ def test_curate_pii_and_decontamination_stages(spark, tmp_path):
     curated_plain, _ = curate(spark, inp, "g", 1_000_000)
     plain = {r["doc_id"] for r in curated_plain.select("doc_id").collect()}
     assert victim["doc_id"] in plain and "zzz-pii" in plain
+
+
+def test_analyze_job_report_tables(spark, tmp_path):
+    """jobs/analyze.py: the four release-report tables materialize with
+    the same row shapes their oracle-gated operators produce."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/analyze.py", "--sf-dir",
+         "/root/testdata/sf0.001", "--output", str(tmp_path / "report")],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "analyze done:" in out.stdout
+    card = spark.read.parquet(str(tmp_path / "report/datacard"))
+    assert card.count() > 0 and "n_exact_dups" in card.columns
+    q = spark.read.parquet(str(tmp_path / "report/quantiles"))
+    assert {r["quantile_pct"] for r in q.collect()} == {50, 95, 99}
