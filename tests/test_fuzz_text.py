@@ -178,3 +178,65 @@ def test_winnow_fingerprints_survive_local_edits(spark):
     jacc = lambda a, b: len(a & b) / len(a | b)
     assert jacc(fps["orig"], fps["edit"]) > 0.8
     assert jacc(fps["orig"], fps["other"]) < 0.05
+
+
+def _decision_mask_py(text):
+    """Pure-Python twin of curation_decision_frame's reason mask —
+    integer arithmetic mirrored expression by expression."""
+    from dstlr_spark.queries import curation as C
+
+    if text is None:
+        n_tokens = tok_chars = n_stop = n_digit = n_chars = 0
+    else:
+        toks = text.split(" ")
+        n_tokens = len(toks)
+        n_chars = len(text)
+        tok_chars = n_chars - (n_tokens - 1)
+        n_stop = sum(1 for t in toks if t in C._SW)
+        n_digit = sum(1 for ch in text if ch.isascii() and ch.isdigit())
+    mean_ppm = 0 if n_tokens == 0 else (tok_chars * 1_000_000) // n_tokens
+    stop_ppm = 0 if n_tokens == 0 else (n_stop * 1_000_000) // n_tokens
+    digit_ppm = 0 if n_chars == 0 else (n_digit * 1_000_000) // n_chars
+    mask = 0
+    if n_tokens < C.MIN_TOKENS:
+        mask += C.REASON_TOO_SHORT
+    if n_tokens > C.MAX_TOKENS:
+        mask += C.REASON_TOO_LONG
+    if mean_ppm < C.MEAN_TOKLEN_PPM_MIN or mean_ppm > C.MEAN_TOKLEN_PPM_MAX:
+        mask += C.REASON_TOKLEN
+    if stop_ppm < C.STOP_RATIO_PPM_MIN:
+        mask += C.REASON_STOPWORDS
+    if digit_ppm > C.DIGIT_RATIO_PPM_MAX:
+        mask += C.REASON_DIGITS
+    return mask
+
+
+def test_curation_decision_fuzz_lockstep(spark, tmp_path):
+    """The curation verdict agrees with an independent pure-Python
+    reimplementation on 400 adversarial strings (unicode, digits,
+    stopword floods, empty, null)."""
+    rng = random.Random(4242)
+    vocab = ["the", "of", "and", "to", "in", "word", "data", "42", "x9",
+             "日本", "ß", "", "a" * 30]
+    samples = [None, "", " ", "the"]
+    for _ in range(400):
+        k = rng.randint(0, 120)
+        samples.append(" ".join(rng.choice(vocab) for _ in range(k)))
+    df = spark.createDataFrame(
+        [(str(i), s) for i, s in enumerate(samples)], "doc_id string, text string"
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.parquet(p)
+
+    from dstlr_spark.queries.curation import q_curation_decision
+
+    got = {
+        int(r["doc_id"]): r["reason_mask"]
+        for r in q_curation_decision(spark, str(tmp_path)).collect()
+    }
+    bad = [
+        (i, s, got[i], _decision_mask_py(s))
+        for i, s in enumerate(samples)
+        if got[i] != _decision_mask_py(s)
+    ]
+    assert not bad, bad[:3]
