@@ -63,9 +63,11 @@ def patho_dir(spark, tmp_path_factory):
 
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem"]:
-        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
-            50
-        ).write.parquet(f"{d}/{t}.parquet")
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(50)
+        all_null = spark.createDataFrame(
+            [tuple(None for _ in df.schema)], df.schema
+        )
+        df.unionByName(all_null).write.parquet(f"{d}/{t}.parquet")
     return d
 
 
