@@ -49,9 +49,11 @@ def _modules():
         similarity,
         streamgate,
         textstats,
+        tokenizer,
     )
 
     return (
+        tokenizer,  # never-gated queries lead the registry
         curation,  # round-3 additions: never-gated queries lead the registry
         doc_kg,
         similarity,

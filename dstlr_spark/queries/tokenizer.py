@@ -1,0 +1,143 @@
+"""Distributed BPE tokenizer training as pure DataFrame operations.
+
+The real BPE recipe (Sennrich 2016 / GPT-2): train on the WORD
+FREQUENCY table, not the raw corpus — one corpus scan builds
+(word, count), and every merge round then works on vocabulary-sized
+state. Per round: count adjacent symbol pairs (weighted by word
+count), pick the most frequent pair (deterministic tie-break), merge
+it corpus-wide, repeat.
+
+Engine-exact portability trick: a word's symbol sequence is encoded as
+a \\x1f-delimited string with every symbol individually wrapped
+(``\\x1fa\\x1f\\x1fb\\x1f``), so the merge step is a plain
+``replace(s, \\x1f a \\x1f\\x1f b \\x1f → \\x1f ab \\x1f)`` — leftmost
+non-overlapping replacement, which is EXACTLY BPE's greedy merge
+order, with identical semantics in Spark and DuckDB. No UDF anywhere;
+the DuckDB oracle unrolls the rounds as CTEs over the same strings.
+
+Scale shape: the corpus is scanned ONCE (word explode + count); every
+round after that is a vocabulary-sized pair aggregate + a top-1
+(``TakeOrderedAndProject``) + a broadcast of the single winning pair
+back onto the vocabulary — the same plan at 100 TB, where vocabulary
+≪ corpus is what makes BPE trainable at all. Lineage is cut per round
+(localCheckpoint → a checkpoint dir on a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BPE_ROUNDS = 6
+_US = "\x1f"  # unit separator: symbol delimiter (absent from the corpora;
+#               if a document ever contained it, both engines would
+#               mis-tokenize that word IDENTICALLY — the gate compares
+#               engines, and determinism is preserved)
+
+
+def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_ROUNDS merge rules learned from the corpus word-frequency
+    table: (round, lhs, rhs, merged, weight) — weight is the pair's
+    corpus frequency at the time it was chosen; ties break on
+    (lhs, rhs) ascending so the rule sequence is fully deterministic."""
+    words = _word_freq(spark, sf_dir)
+    cur = words.select(
+        F.regexp_replace("word", "(.)", _US + "$1" + _US).alias("s"), "cnt"
+    ).localCheckpoint()
+    merges = []
+    for r in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.expr(f"trim(BOTH '{_US}' FROM s)"), _US + _US)
+        # sequence(1, 0) DESCENDS in Spark — single-symbol words must
+        # contribute an empty pair list, not an out-of-bounds probe
+        pair_arr = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("lhs"),
+                    F.element_at(syms, i + 1).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+        pairs = cur.select(F.explode(pair_arr).alias("p"), "cnt").select(
+            "p.lhs", "p.rhs", "cnt"
+        )
+        best = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("weight"))
+            .orderBy(F.col("weight").desc(), "lhs", "rhs")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(r).alias("round"), "lhs", "rhs",
+                F.concat("lhs", "rhs").alias("merged"), "weight",
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(_US), "lhs", F.lit(_US + _US), "rhs", F.lit(_US)),
+                    F.concat(F.lit(_US), "lhs", F.col("rhs"), F.lit(_US)),
+                ).alias("s"),
+                "cnt",
+            )
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_oracle_sql() -> str:
+    u = _US
+    sql = [f"""WITH words AS (
+  SELECT w AS word, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
+  WHERE len(w) > 0 GROUP BY w),
+r0 AS (
+  SELECT regexp_replace(word, '(.)', '{u}\\1{u}', 'g') AS s, cnt FROM words)"""]
+    for r in range(1, BPE_ROUNDS + 1):
+        prev = f"r{r - 1}"
+        sql.append(f""",
+p{r} AS (
+  SELECT pr[1] AS lhs, pr[2] AS rhs, cnt FROM (
+    SELECT unnest([[syms[i], syms[i + 1]] FOR i IN range(1, len(syms))]) AS pr,
+           cnt
+    FROM (SELECT string_split(trim(s, '{u}'), '{u}{u}') AS syms, cnt
+          FROM {prev}) y) z),
+b{r} AS (
+  SELECT lhs, rhs, SUM(cnt)::BIGINT AS weight
+  FROM p{r} GROUP BY lhs, rhs
+  ORDER BY weight DESC, lhs, rhs LIMIT 1),
+m{r} AS (
+  SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, weight FROM b{r}),
+r{r} AS (
+  SELECT replace(s, '{u}' || lhs || '{u}{u}' || rhs || '{u}',
+                    '{u}' || lhs || rhs || '{u}') AS s, cnt
+  FROM {prev} CROSS JOIN b{r})""")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(1, BPE_ROUNDS + 1))
+    sql.append("\n" + union)
+    return "".join(sql)
+
+
+QUERIES = {
+    "text_bpe_train": q_bpe_train,
+}
+
+ORACLES = {
+    "text_bpe_train": _bpe_oracle_sql(),
+}
