@@ -45,14 +45,33 @@ def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE_ROUNDS merge rules learned from the corpus word-frequency
-    table: (round, lhs, rhs, merged, weight) — weight is the pair's
-    corpus frequency at the time it was chosen; ties break on
-    (lhs, rhs) ascending so the rule sequence is fully deterministic."""
+def _train(spark: SparkSession, sf_dir: str):
+    """(merges frame, trained word table): the word table carries every
+    word's final symbol string after BPE_ROUNDS merges — it IS the
+    trained tokenizer's encoding of the vocabulary. Both frames are
+    session-staged so the train/encode gate queries share one training
+    run (the production analog: the tokenizer artifact written once,
+    read by every encode job)."""
+    from dstlr_spark.queries._memo import staged
+
+    state: dict = {}
+
+    def _ensure() -> dict:
+        if not state:  # one training run feeds both staged frames
+            state["m"], state["v"] = _train_build(spark, sf_dir)
+        return state
+
+    merged = staged(spark, ("bpe_merges", sf_dir), lambda: _ensure()["m"])
+    vocab = staged(spark, ("bpe_vocab", sf_dir), lambda: _ensure()["v"])
+    return merged, vocab
+
+
+def _train_build(spark: SparkSession, sf_dir: str):
     words = _word_freq(spark, sf_dir)
     cur = words.select(
-        F.regexp_replace("word", "(.)", _US + "$1" + _US).alias("s"), "cnt"
+        "word",
+        F.regexp_replace("word", "(.)", _US + "$1" + _US).alias("s"),
+        "cnt",
     ).localCheckpoint()
     merges = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -87,6 +106,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(best))
             .select(
+                "word",
                 F.replace(
                     F.col("s"),
                     F.concat(F.lit(_US), "lhs", F.lit(_US + _US), "rhs", F.lit(_US)),
@@ -99,17 +119,65 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out
+    return out, cur
 
 
-def _bpe_oracle_sql() -> str:
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE_ROUNDS merge rules learned from the corpus word-frequency
+    table: (round, lhs, rhs, merged, weight) — weight is the pair's
+    corpus frequency at the time it was chosen; ties break on
+    (lhs, rhs) ascending so the rule sequence is fully deterministic."""
+    merges, _ = _train(spark, sf_dir)
+    return merges
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the trained tokenizer: every document's
+    words resolve through the trained vocabulary table (word → final
+    symbol string — the tokenizer artifact), reported per doc as word /
+    symbol / char counts and the symbols-per-char compression in exact
+    integer ppm. The vocabulary join broadcasts (vocab ≪ corpus at
+    100 TB); encoding is otherwise one explode + one doc-keyed
+    aggregate."""
+    _, vocab = _train(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    n_syms = F.size(F.split(F.expr(f"trim(BOTH '{_US}' FROM s)"), _US + _US))
+    enc = toks.join(F.broadcast(vocab.select("word", "s")), "word")
+    return (
+        enc.select(
+            "doc_id",
+            n_syms.cast("long").alias("w_syms"),
+            F.length("word").cast("long").alias("w_chars"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_syms").alias("n_symbols"),
+            F.sum("w_chars").alias("n_chars"),
+        )
+        .select(
+            "doc_id", "n_words", "n_symbols", "n_chars",
+            F.expr("(n_symbols * 1000000L) DIV n_chars").alias("symbols_per_char_ppm"),
+        )
+    )
+
+
+def _bpe_ctes() -> str:
+    """The shared training CTE chain (words → r0..rN with per-round
+    argmax b{r} and merge-rule row m{r}); both oracles append to it."""
     u = _US
     sql = [f"""WITH words AS (
   SELECT w AS word, COUNT(*) AS cnt FROM (
     SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
   WHERE len(w) > 0 GROUP BY w),
 r0 AS (
-  SELECT regexp_replace(word, '(.)', '{u}\\1{u}', 'g') AS s, cnt FROM words)"""]
+  SELECT word, regexp_replace(word, '(.)', '{u}\\1{u}', 'g') AS s, cnt
+  FROM words)"""]
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"r{r - 1}"
         sql.append(f""",
@@ -126,18 +194,52 @@ b{r} AS (
 m{r} AS (
   SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, weight FROM b{r}),
 r{r} AS (
-  SELECT replace(s, '{u}' || lhs || '{u}{u}' || rhs || '{u}',
-                    '{u}' || lhs || rhs || '{u}') AS s, cnt
+  SELECT word, replace(s, '{u}' || lhs || '{u}{u}' || rhs || '{u}',
+                          '{u}' || lhs || rhs || '{u}') AS s, cnt
   FROM {prev} CROSS JOIN b{r})""")
-    union = "\nUNION ALL\n".join(f"SELECT * FROM m{r}" for r in range(1, BPE_ROUNDS + 1))
-    sql.append("\n" + union)
     return "".join(sql)
+
+
+def _bpe_train_sql() -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM m{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return _bpe_ctes() + "\n" + union
+
+
+def _bpe_encode_sql() -> str:
+    u = _US
+    return (
+        _bpe_ctes()
+        + f""",
+tk AS (
+  SELECT doc_id, word FROM (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents) z
+  WHERE len(word) > 0),
+enc AS (
+  SELECT doc_id,
+         len(string_split(trim(s, '{u}'), '{u}{u}'))::BIGINT AS w_syms,
+         len(word)::BIGINT AS w_chars
+  FROM tk JOIN r{BPE_ROUNDS} USING (word))
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       SUM(w_syms)::BIGINT AS n_symbols,
+       SUM(w_chars)::BIGINT AS n_chars,
+       ((SUM(w_syms) * 1000000) // SUM(w_chars))::BIGINT
+         AS symbols_per_char_ppm
+FROM enc
+GROUP BY doc_id"""
+    )
 
 
 QUERIES = {
     "text_bpe_train": q_bpe_train,
+    "text_bpe_encode": q_bpe_encode,
 }
 
 ORACLES = {
-    "text_bpe_train": _bpe_oracle_sql(),
+    "text_bpe_train": _bpe_train_sql(),
+    "text_bpe_encode": _bpe_encode_sql(),
 }
