@@ -320,6 +320,63 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(F.explode(positions).alias("bit_pos")).distinct()
 
 
+# --- count-min sketch --------------------------------------------------------
+
+CMS_W = 512  # counters per row
+CMS_D = 3  # hash rows (salted md5 family, like the Bloom filter)
+
+
+def q_cms_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus tokens: the frequency-estimation
+    sketch that completes the family (HLL = distinct, Bloom =
+    membership, histogram = quantiles, CMS = point frequency). State =
+    D×W counters, mergeable by cell-wise SUM (one hash aggregate —
+    partial sums combine map-side); estimate(token) =
+    min over d of counter[d][hash_d(token)], always ≥ truth (pinned in
+    tests together with the ε = e/W overcount bound). Same portable
+    salted-md5 hash family as ``q_bloom_bits``."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token")).where(
+        F.length("token") > 0
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"c{i}|"), "token")), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % CMS_W
+                ).cast("int").alias("col"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        tok.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(counters: dict[tuple[int, int], int], token: str) -> int:
+    """Driver-side point estimate from collected (row, col) → n."""
+    import hashlib
+
+    return min(
+        counters.get(
+            (i, int(hashlib.md5(f"c{i}|{token}".encode()).hexdigest()[:8], 16) % CMS_W),
+            0,
+        )
+        for i in range(CMS_D)
+    )
+
+
 # --- histogram quantile sketch ----------------------------------------------
 
 QHIST_BUCKET_WIDTH = 5  # lineitem quantity ∈ [1, 50] → 10 buckets
@@ -528,6 +585,7 @@ QUERIES = {
     "text_tfidf_topk": q_tfidf_topk,
     "agg_hll_registers": q_hll_registers,
     "agg_bloom_bits": q_bloom_bits,
+    "agg_cms_counters": q_cms_counters,
     "corpus_datacard": q_corpus_datacard,
     "agg_quantile_hist": q_quantile_hist,
     "events_funnel": q_events_funnel,
@@ -624,6 +682,16 @@ pos AS (
       f"% {BLOOM_M}) AS INT) AS bit_pos FROM ev"
       for i in range(BLOOM_K))})
 SELECT DISTINCT bit_pos FROM pos""",
+    "agg_cms_counters": f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tk AS (SELECT token FROM tok WHERE len(token) > 0),
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS row, CAST((('0x' || substr(md5('c{i}|' || token), 1, 8))::BIGINT "
+      f"% {CMS_W}) AS INT) AS col FROM tk"
+      for i in range(CMS_D))})
+SELECT row, col, COUNT(*) AS n FROM cells GROUP BY row, col""",
     "agg_quantile_hist": f"""
 WITH h AS (
   SELECT CAST(l_quantity AS BIGINT) // {QHIST_BUCKET_WIDTH} AS bucket, COUNT(*) AS n

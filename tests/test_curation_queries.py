@@ -190,3 +190,31 @@ def test_zorder_buckets_bound_both_dimensions(spark):
         )
         .count()
     )
+
+
+def test_cms_estimate_bounds(spark):
+    """Count-min guarantees: estimate(token) ≥ true count for every
+    token, and total overcount respects the e/W bound in expectation
+    (checked loosely: the top-frequency token's estimate is within
+    N·e/W of truth)."""
+    import math
+    from collections import Counter
+
+    from dstlr_spark.queries.curation import CMS_W, cms_estimate, q_cms_counters
+
+    sf = "/root/testdata/sf0.001"
+    counters = {
+        (r["row"], r["col"]): r["n"] for r in q_cms_counters(spark, sf).collect()
+    }
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+        if r["text"]
+    ]
+    truth = Counter(t for txt in texts for t in txt.split(" ") if t)
+    n_total = sum(truth.values())
+    slack = math.e / CMS_W * n_total
+    for tok, true_n in truth.most_common(30):
+        est = cms_estimate(counters, tok)
+        assert est >= true_n, (tok, est, true_n)
+        assert est <= true_n + 3 * slack, (tok, est, true_n, slack)
