@@ -304,6 +304,42 @@ def q_dedup_lsh_skipped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipped_band_buckets(_staged_banded(spark, sf_dir))
 
 
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7  # docs with id % 10 == 7 stand in for the incoming batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-path dedup: candidates between an INCOMING batch and the
+    existing corpus only — the new-bands probe the corpus posting list
+    via the band equi-join, and batch×batch / corpus×corpus pairs are
+    never generated. This is the shape a continuously-ingesting corpus
+    runs per arrival: corpus-side state is the staged band table
+    (an Iceberg index table on a cluster, appended per batch), probe
+    cost ∝ batch size, and the result is by construction
+    ``dedup_minhash_pairs`` restricted to cross-batch pairs (pinned in
+    tests). Same oversize-bucket cap + audit as batch mode."""
+    banded = _staged_banded(spark, sf_dir)
+    oversize = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > LSH_MAX_BUCKET)
+        .select("band_idx", "band_key")
+    )
+    kept = banded.join(F.broadcast(oversize), ["band_idx", "band_key"], "left_anti")
+    is_new = (F.col("doc_id").cast("long") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    new_side = kept.where(is_new).select(
+        F.col("doc_id").alias("new_doc"), "band_idx", "band_key"
+    )
+    corpus_side = kept.where(~is_new).select(
+        F.col("doc_id").alias("corpus_doc"), "band_idx", "band_key"
+    )
+    return (
+        new_side.join(corpus_side, ["band_idx", "band_key"])
+        .select("new_doc", "corpus_doc")
+        .distinct()
+    )
+
+
 HOT_SHINGLE_CAP = 1_000  # posting lists above this make the shingle join quadratic
 
 
@@ -544,6 +580,7 @@ QUERIES = {
     # never-truncated-first ordering: queries without a prior-round
     # CORRECTNESS row lead their module, so any gate truncation falls on
     # rows with green history
+    "dedup_incremental": q_dedup_incremental,
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
@@ -627,6 +664,27 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= {int(JACCARD_THRESHOLD * 1_000_000)}""",
+    "dedup_incremental": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id,
+       {_BAND_KEYS_SQL}
+  FROM sig),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
+sizes AS (SELECT band_idx, band_key, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2),
+kept AS (
+  SELECT banded.* FROM banded JOIN sizes USING (band_idx, band_key)
+  WHERE sizes.n_docs <= {LSH_MAX_BUCKET})
+SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+FROM kept a JOIN kept b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+WHERE CAST(a.doc_id AS BIGINT) % {INCR_BATCH_MOD} = {INCR_BATCH_REM}
+  AND CAST(b.doc_id AS BIGINT) % {INCR_BATCH_MOD} <> {INCR_BATCH_REM}""",
     "dedup_minhash_pairs": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS (

@@ -101,3 +101,32 @@ def test_comention_entity_cap(spark):
 
     skipped = skipped_comention_docs(ent_docs, cap=10).collect()
     assert [(r["doc"], r["n_entities"]) for r in skipped] == [("mega", 30)]
+
+
+def test_incremental_candidates_are_batch_pairs_cross_restricted(spark):
+    """dedup_incremental == dedup_minhash_pairs restricted to pairs
+    with exactly one side in the incoming batch — the ingest path may
+    never invent or miss a candidate relative to batch mode."""
+    from dstlr_spark.queries.dedup import (
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        q_dedup_incremental,
+        q_dedup_minhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    inc = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in q_dedup_incremental(spark, sf).collect()
+    }
+
+    def is_new(d):
+        return int(d) % INCR_BATCH_MOD == INCR_BATCH_REM
+
+    batch = set()
+    for r in q_dedup_minhash_pairs(spark, sf).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if is_new(a) != is_new(b):
+            new, corp = (a, b) if is_new(a) else (b, a)
+            batch.add((new, corp))
+    assert inc == batch
