@@ -227,3 +227,37 @@ def test_every_registry_query_plan_is_antipattern_free(spark):
         if "Window" in plan and "SinglePartition" in plan:
             failures.append(f"{name}: single-partition window")
     assert not failures, failures
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join evidence: two tables bucketed on the join key
+    join with ZERO Exchange operators — the bucketing path
+    sources/io.py exposes is what pre-paying the shuffle at write time
+    buys on a 100 TB fact table."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).option("path", str(tmp_path / "o")).saveAsTable("t_orders_bucketed")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).option("path", str(tmp_path / "l")).saveAsTable("t_lineitem_bucketed")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_lineitem_bucketed").join(
+            spark.table("t_orders_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(spark, j, "simple")
+        assert "Exchange" not in plan, plan
+        assert j.count() == li.join(
+            orders, li["l_orderkey"] == orders["o_orderkey"]
+        ).count()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")
