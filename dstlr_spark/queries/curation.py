@@ -2,8 +2,11 @@
 pipeline-decision layer a training-data build runs AFTER the per-doc
 signals (textstats) and BEFORE dedup: benchmark decontamination, PII
 detection/redaction, a composite keep/drop verdict, TF-IDF keyword
-ranking, a mergeable HLL-style register sketch, and the two classic
-product-analytics shapes (funnel, cohort retention) over ``events``.
+ranking, the mergeable-sketch family (HLL registers = distinct, Bloom
+bits = membership, count-min counters = frequency, fixed-width
+histogram = quantiles), a per-language data card, and the classic
+product-analytics shapes (funnel, cohort retention, exact-integer 3σ
+anomalies) over ``events``.
 
 Everything is pure Column expressions (zero Python UDFs) with a DuckDB
 oracle; all ratios use exact integer arithmetic (ppm via integer DIV)
