@@ -224,3 +224,42 @@ def test_tws_progress_stream_parity_or_env_gate(spark, tmp_path):
     )
     for r in batch:
         assert got[r["conv_id"]] == (r["n"], r["m"], r["c"])
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """§2.9 exactly-once: a file-sink stream stopped after batch 1 and
+    RESTARTED from its checkpoint over a grown source directory emits
+    each input row exactly once — the union of the two runs' outputs
+    equals one uninterrupted run, no duplicates, no gaps."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = generate_transcripts(spark, n_convs=4)
+    first.write.parquet(src)
+
+    def run_once():
+        q = (
+            stream_transcripts(spark, src)
+            .select("conv_id", "turn_idx", "text")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count()
+
+    # grow the source (a second arrival batch), restart from checkpoint
+    more = generate_transcripts(spark, n_convs=9).where(
+        ~F.col("conv_id").isin([r["conv_id"] for r in first.select("conv_id").distinct().collect()])
+    )
+    more.write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.count() == first.count() + more.count()  # no dupes, no gaps
+    assert got.select("conv_id", "turn_idx").distinct().count() == got.count()
