@@ -121,7 +121,7 @@ def main() -> None:
         "kg_entity_pagerank",
         "curate_decision",  # composite keep/drop verdict — one scan, no shuffle
         "curate_decontaminate",  # eval-gram broadcast vs staged posting list
-        "rel_bilateral_trade",  # 4-way dimensional join, one fact shuffle
+        "rel_bilateral_trade",  # Q7 shape: fact shuffles + broadcast dims
     ):
         assert name in qs, f"headline query {name!r} missing from registry"
         counters[f"{name}_rows"] = timed(

@@ -319,12 +319,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_minhash_pairs`` restricted to cross-batch pairs (pinned in
     tests). Same oversize-bucket cap + audit as batch mode."""
     banded = _staged_banded(spark, sf_dir)
-    oversize = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .where(F.col("n_docs") > LSH_MAX_BUCKET)
-        .select("band_idx", "band_key")
-    )
+    # ONE cap definition: the same audit helper batch mode anti-joins
+    oversize = skipped_band_buckets(banded).select("band_idx", "band_key")
     kept = banded.join(F.broadcast(oversize), ["band_idx", "band_key"], "left_anti")
     is_new = (F.col("doc_id").cast("long") % INCR_BATCH_MOD) == INCR_BATCH_REM
     new_side = kept.where(is_new).select(

@@ -76,9 +76,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bilateral_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: cross-nation trade volume — revenue between
     every (supplier nation, customer nation) pair per ship year,
-    excluding domestic trade. Two independent broadcast joins resolve
-    both nation dimensions; the fact table shuffles once for the final
-    aggregate. Money through exact decimals (module conventions)."""
+    excluding domestic trade. The nation dimension broadcasts into
+    both resolutions and the pre-reduced supplier side broadcasts onto
+    the fact rows; the fact-scale work is the lineitem⨝orders shuffle
+    on the order key, the orders⨝customer shuffle on the customer
+    key, and the final aggregate exchange. Money through exact
+    decimals (module conventions)."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")

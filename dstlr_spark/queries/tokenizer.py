@@ -68,9 +68,12 @@ def _train(spark: SparkSession, sf_dir: str):
 
 def _train_build(spark: SparkSession, sf_dir: str):
     words = _word_freq(spark, sf_dir)
+    # (?s): '.' must match newline too, or a word containing \n gets an
+    # unwrapped character that breaks the one-delimiter-per-symbol
+    # invariant (identically in both engines, but wrongly)
     cur = words.select(
         "word",
-        F.regexp_replace("word", "(.)", _US + "$1" + _US).alias("s"),
+        F.regexp_replace("word", "(?s)(.)", _US + "$1" + _US).alias("s"),
         "cnt",
     ).localCheckpoint()
     merges = []
@@ -103,15 +106,25 @@ def _train_build(spark: SparkSession, sf_dir: str):
                 F.concat("lhs", "rhs").alias("merged"), "weight",
             )
         )
+        # LEFT join on TRUE, not crossJoin: a round with NO pairs has an
+        # empty `best`, and a cross join would annihilate the whole
+        # vocabulary (silently, since the oracle would collapse the same
+        # way) — with the left join the vocabulary passes through
+        # unchanged and later rounds are no-ops
         cur = (
-            cur.crossJoin(F.broadcast(best))
+            cur.join(F.broadcast(best), F.lit(True), "left")
             .select(
                 "word",
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit(_US), "lhs", F.lit(_US + _US), "rhs", F.lit(_US)),
-                    F.concat(F.lit(_US), "lhs", F.col("rhs"), F.lit(_US)),
-                ).alias("s"),
+                F.when(
+                    F.col("lhs").isNotNull(),
+                    F.replace(
+                        F.col("s"),
+                        F.concat(
+                            F.lit(_US), "lhs", F.lit(_US + _US), "rhs", F.lit(_US)
+                        ),
+                        F.concat(F.lit(_US), "lhs", F.col("rhs"), F.lit(_US)),
+                    ),
+                ).otherwise(F.col("s")).alias("s"),
                 "cnt",
             )
             .localCheckpoint()
@@ -176,7 +189,7 @@ def _bpe_ctes() -> str:
     SELECT unnest(string_split(text, ' ')) AS w FROM documents) z
   WHERE len(w) > 0 GROUP BY w),
 r0 AS (
-  SELECT word, regexp_replace(word, '(.)', '{u}\\1{u}', 'g') AS s, cnt
+  SELECT word, regexp_replace(word, '(?s)(.)', '{u}\\1{u}', 'g') AS s, cnt
   FROM words)"""]
     for r in range(1, BPE_ROUNDS + 1):
         prev = f"r{r - 1}"
@@ -194,9 +207,15 @@ b{r} AS (
 m{r} AS (
   SELECT {r} AS round, lhs, rhs, lhs || rhs AS merged, weight FROM b{r}),
 r{r} AS (
-  SELECT word, replace(s, '{u}' || lhs || '{u}{u}' || rhs || '{u}',
-                          '{u}' || lhs || rhs || '{u}') AS s, cnt
-  FROM {prev} CROSS JOIN b{r})""")
+  -- LEFT JOIN ON TRUE (not CROSS JOIN): an empty b{r} must pass the
+  -- vocabulary through unchanged, mirroring the Spark side
+  SELECT word,
+         CASE WHEN lhs IS NOT NULL
+              THEN replace(s, '{u}' || lhs || '{u}{u}' || rhs || '{u}',
+                              '{u}' || lhs || rhs || '{u}')
+              ELSE s END AS s,
+         cnt
+  FROM {prev} LEFT JOIN b{r} ON TRUE)""")
     return "".join(sql)
 
 

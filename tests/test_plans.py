@@ -257,7 +257,12 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
             orders, li["l_orderkey"] == orders["o_orderkey"]
         ).count()
     finally:
+        # conf.get(key, None) is None when never explicitly set — the
+        # restore must UNSET in that case or -1 leaks into every later
+        # test in the session-scoped fixture
         if prev is not None:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")

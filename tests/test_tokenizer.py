@@ -68,12 +68,34 @@ def test_bpe_train_matches_python_reference(spark, tmp_path):
 
 
 def test_bpe_train_deterministic_on_corpus(spark):
-    from dstlr_spark.queries.tokenizer import q_bpe_train
+    from dstlr_spark.queries.tokenizer import _train_build, q_bpe_train
 
     sf = "/root/testdata/sf0.001"
     a = [tuple(r) for r in q_bpe_train(spark, sf).orderBy("round").collect()]
-    b = [tuple(r) for r in q_bpe_train(spark, sf).orderBy("round").collect()]
+    # bypass the session memo: a second INDEPENDENT training run must
+    # reproduce the rule sequence (the memoized frame comparing equal to
+    # itself would prove nothing)
+    b = [tuple(r) for r in _train_build(spark, sf)[0].orderBy("round").collect()]
     assert a == b and len(a) > 0
     # weights are non-increasing only within a symbol generation, but
     # every chosen pair must have been the round's argmax: weight > 0
     assert all(r[4] > 0 for r in a)
+
+
+def test_bpe_rounds_exhaust_without_annihilating_vocab(spark, tmp_path):
+    """A corpus whose pairs dry up before BPE_ROUNDS must keep its
+    vocabulary (and encode output) intact — an empty argmax round used
+    to cross-join the vocab away to zero rows, silently and
+    oracle-symmetrically."""
+    from dstlr_spark.queries.tokenizer import q_bpe_encode, q_bpe_train
+
+    spark.createDataFrame(
+        [("0", "ab ab ab a b"), ("1", "ab a b b")],
+        "doc_id string, text string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    merges = q_bpe_train(spark, str(tmp_path)).collect()
+    assert 1 <= len(merges) < 6  # rounds exhausted early
+    enc = q_bpe_encode(spark, str(tmp_path)).collect()
+    assert {r["doc_id"] for r in enc} == {"0", "1"}  # vocab survived
+    by = {r["doc_id"]: r for r in enc}
+    assert by["0"]["n_words"] == 5 and by["0"]["n_symbols"] == 5  # 'ab' merged
