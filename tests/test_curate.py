@@ -144,3 +144,29 @@ def test_analyze_job_report_tables(spark, tmp_path):
     assert card.count() > 0 and "n_exact_dups" in card.columns
     q = spark.read.parquet(str(tmp_path / "report/quantiles"))
     assert {r["quantile_pct"] for r in q.collect()} == {50, 95, 99}
+
+
+def test_query_cli_runs_any_registry_query(tmp_path):
+    """jobs/query.py: the one-CLI surface over the whole registry —
+    --list enumerates every gated query; running one writes parquet."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    listed = subprocess.run(
+        [sys.executable, "jobs/query.py", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert listed.returncode == 0
+    names = listed.stdout.split()
+    assert len(names) >= 93 and "kg_mentions" in names
+
+    out = subprocess.run(
+        [sys.executable, "jobs/query.py", "--name", "text_token_stats",
+         "--sf-dir", "/root/testdata/sf0.001",
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "text_token_stats: 500 rows" in out.stdout
