@@ -27,6 +27,10 @@ def main() -> int:
     p.add_argument("--output")
     p.add_argument("--show", type=int, default=20)
     p.add_argument("--list", action="store_true")
+    p.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
     args = p.parse_args()
 
     from dstlr_spark.queries import all_queries
@@ -45,6 +49,10 @@ def main() -> int:
     spark = get_spark(f"dstlr-query-{args.name}")
     ship_package(spark)
     df = qs[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        spark.stop()
+        return 0
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         print(f"query {args.name}: {spark.read.parquet(args.output).count()} rows -> {args.output}")
