@@ -136,6 +136,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_registry_queries": len(qs),
         "sf": sf,
         "cpus": cpus,
         "docs": n_docs,
