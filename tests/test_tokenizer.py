@@ -99,3 +99,39 @@ def test_bpe_rounds_exhaust_without_annihilating_vocab(spark, tmp_path):
     assert {r["doc_id"] for r in enc} == {"0", "1"}  # vocab survived
     by = {r["doc_id"]: r for r in enc}
     assert by["0"]["n_words"] == 5 and by["0"]["n_symbols"] == 5  # 'ab' merged
+
+
+def test_bpe_train_fuzz_lockstep(spark, tmp_path):
+    """Seeded fuzz: 5 random corpora (skewed word frequencies, repeated
+    chars, unicode) through the distributed trainer vs the pure-Python
+    reference — merge sequences must be identical, including tie-break
+    order and early exhaustion."""
+    import random
+
+    from dstlr_spark.queries.tokenizer import BPE_ROUNDS, _train_build
+
+    rng = random.Random(20260817)
+    alphabet = list("abcde") + ["ö", "字"]
+    for trial in range(5):
+        vocab_words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        ]
+        docs = [
+            (str(i), " ".join(rng.choice(vocab_words)
+                              for _ in range(rng.randint(1, 15))))
+            for i in range(4)
+        ]
+        p = tmp_path / f"fuzz{trial}"
+        spark.createDataFrame(docs, "doc_id string, text string").write.parquet(
+            str(p / "documents.parquet")
+        )
+        got = [
+            (r["round"], r["lhs"], r["rhs"], r["merged"], r["weight"])
+            for r in _train_build(spark, str(p))[0].orderBy("round").collect()
+        ]
+        from collections import Counter
+
+        counts = Counter(w for _, t in docs for w in t.split(" ") if w)
+        want = _bpe_py(dict(counts), BPE_ROUNDS)
+        assert got == want, (trial, docs, got, want)
