@@ -572,10 +572,43 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance rescoring of the LSH candidates — the
+    character-level verifier for SHORT documents where set-based
+    Jaccard is too coarse (titles, code lines, near-identical template
+    instantiations). Engine-built-in ``levenshtein`` on both sides, but
+    Spark counts CODEPOINTS while DuckDB counts BYTES, so the operator
+    is explicitly ASCII-GUARDED: pairs where either text contains
+    non-ASCII are excluded (identically in both engines) and belong to
+    the codepoint-safe Jaccard rescorer instead — a documented
+    portability boundary, not a silent one. Distance normalized to ppm
+    of the longer text (exact integers)."""
+    cand = minhash_candidate_pairs(banded_staged=_staged_banded(spark, sf_dir))
+    d = _docs(spark, sf_dir)
+    ascii_ok = F.col("text").rlike(r"^[\x00-\x7F]*$")
+    texts = d.where(ascii_ok).select("doc_id", "text")
+    a = texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    dist = F.levenshtein("ta", "tb").cast("long")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b", dist.alias("edit_distance"),
+            F.expr(
+                "CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 0 "
+                "ELSE (CAST(levenshtein(ta, tb) AS BIGINT) * 1000000L) "
+                "DIV greatest(length(ta), length(tb)) END"
+            ).alias("edit_ratio_ppm"),
+        )
+    )
+
+
 QUERIES = {
     # never-truncated-first ordering: queries without a prior-round
     # CORRECTNESS row lead their module, so any gate truncation falls on
     # rows with green history
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_incremental": q_dedup_incremental,
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
@@ -660,6 +693,39 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE (n_common * 1000000) // (sa.sz + sb.sz - n_common) >= {int(JACCARD_THRESHOLD * 1_000_000)}""",
+    "dedup_edit_distance": f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {_minhash_sql_cols()}
+  FROM sh GROUP BY doc_id),
+keys AS (
+  SELECT doc_id,
+       {_BAND_KEYS_SQL}
+  FROM sig),
+banded AS (
+  {" UNION ALL ".join(f"SELECT doc_id, {b} AS band_idx, band{b} AS band_key FROM keys" for b in range(LSH_BANDS))}),
+sizes AS (SELECT band_idx, band_key, COUNT(*) AS n_docs FROM banded GROUP BY 1, 2),
+kept AS (
+  SELECT banded.* FROM banded JOIN sizes USING (band_idx, band_key)
+  WHERE sizes.n_docs <= {LSH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id),
+texts AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE regexp_matches(text, '^[\\x00-\\x7F]*$'))
+SELECT doc_a, doc_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
+       CASE WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 0
+            ELSE (CAST(levenshtein(ta.text, tb.text) AS BIGINT) * 1000000)
+                 // greatest(length(ta.text), length(tb.text)) END
+         AS edit_ratio_ppm
+FROM cand
+JOIN texts ta ON ta.doc_id = cand.doc_a
+JOIN texts tb ON tb.doc_id = cand.doc_b""",
     "dedup_incremental": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sig AS (

@@ -130,3 +130,29 @@ def test_incremental_candidates_are_batch_pairs_cross_restricted(spark):
             new, corp = (a, b) if is_new(a) else (b, a)
             batch.add((new, corp))
     assert inc == batch
+
+
+def test_edit_distance_rescorer_ascii_guard(spark, tmp_path):
+    """Edit-distance rescoring: near-identical ASCII docs in one LSH
+    bucket score their true distance; a non-ASCII twin pair is excluded
+    by the documented codepoint/byte guard (identically in the oracle),
+    not scored divergently."""
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.queries.dedup import q_dedup_edit_distance
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = [
+        ("1", base),
+        ("2", base.replace("dog", "cat")),          # near-dup, ASCII
+        ("3", base.replace("quick", "quíck")),      # near-dup, non-ASCII
+        ("4", "completely different words entirely here nothing shared"),
+    ]
+    spark.createDataFrame(docs, "doc_id string, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = q_dedup_edit_distance(spark, str(tmp_path)).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    assert ("1", "2") in pairs
+    assert pairs[("1", "2")]["edit_distance"] == 3  # dog -> cat
+    assert all("3" not in p for p in pairs)  # non-ASCII excluded, both engines
