@@ -363,6 +363,22 @@ def _comention_und(ent_docs: DataFrame, cap: int = COMENTION_MAX_ENTITIES) -> Da
     )
 
 
+def q_entity_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-mention graph: (degree,
+    n_entities) — the graph-stats table a KG release ships first (hub
+    detection, power-law sanity). Degree = distinct neighbors = edge
+    incidences over the distinct undirected edge set; two hash
+    aggregates over the edge frame, output bounded by max degree."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+    )
+    ends = edges.select(F.col("src").alias("e")).unionByName(
+        edges.select(F.col("dst").alias("e"))
+    )
+    deg = ends.groupBy("e").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
 def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention graph: edges between entities linked within the
     same document, weighted by document count — the KG-analytics
@@ -621,6 +637,24 @@ reach(id, comp) AS (
 cc AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
 SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM cc GROUP BY canonical_id""",
+    "kg_entity_degree_hist": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+edges AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+deg AS (
+    SELECT e, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT src AS e FROM edges UNION ALL SELECT dst AS e FROM edges) z
+    GROUP BY e)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM deg GROUP BY degree""",
     "kg_entity_comention": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -712,6 +746,7 @@ FROM linked GROUP BY entity_id""",
 }
 
 QUERIES = {
+    "kg_entity_degree_hist": q_entity_degree_hist,  # never-gated first
     "kg_assembly_roundtrip": q_assembly_roundtrip,
     "kg_mentions": q_mentions,
     "kg_relations": q_relations,
