@@ -199,3 +199,71 @@ def uri_suffix(col: Column | str) -> Column:
     passes through whole, exactly like ``substring(lastIndexOf('/')+1)``."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring_index(c, "/", -1)
+
+
+def strip_html(col: Column | str) -> Column:
+    """S3 sub-semantic (ExtractTriples.scala:151-159, the WaPo JSONL
+    source's ``Jsoup.parse(content).text()``): strip markup from a
+    sanitized-HTML paragraph, keeping its visible text. Vectorized
+    column-expression analog of jsoup's ``.text()``:
+
+      1. BLOCK-level tags (p/div/br/li/h1-6/…) → a single space
+         (``<p>a</p><p>b</p>`` must not weld ``ab``; jsoup separates
+         block elements), then remaining INLINE tags removed outright
+         (``Second <i>para</i>.`` → ``Second para.`` — jsoup adds no
+         whitespace at inline boundaries);
+      2. the five XML entities + ``&nbsp;``/``&#160;``/``&#39;``
+         decoded, ``&amp;`` LAST so ``&amp;lt;`` decodes once to
+         ``&lt;`` and never double-unescapes — jsoup's one-pass rule;
+      3. whitespace (incl. the decoded NBSPs) collapsed to single
+         spaces and trimmed — jsoup normalizes text whitespace.
+
+    The reference ships this path commented out (its own test source is
+    plain strings), so an exhaustive HTML5 entity table is deliberately
+    out of scope; sanitized_html paragraphs contain only markup-safe
+    escapes by construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    block = (
+        r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|table|tr|td|th|blockquote|pre|"
+        r"hr|section|article|header|footer|figure|figcaption)\b[^>]*>"
+    )
+    c = F.regexp_replace(c, block, " ")
+    c = F.regexp_replace(c, r"<[^>]*>", "")
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&#160;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&amp;", "&"),  # last — never double-unescape
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def ngrams(toks: Column, k: int, sep: str = " ") -> Column:
+    """Space-joined token k-grams of an array Column, O(n·k) per row.
+
+    Built as k-1 ``zip_with`` passes over one-time ``slice`` shifts, so
+    every subexpression sits in ARGUMENT position — evaluated once per
+    row. This is the load-bearing constraint: an expression referenced
+    inside a higher-order-function LAMBDA BODY is re-evaluated per
+    element (measured: the round-3 ``transform(sequence(…), i ->
+    slice(split(text), i, 2))`` shape re-split the whole text per gram —
+    O(n²), 22 s for ONE 16k-token document; this shape is 0.2 s and
+    linear). Trailing zip_with null-pads become null grams; the final
+    slice trims them. Callers must guard ``size(toks) >= k`` (a
+    negative slice length throws) — exactly the guard they already
+    need for their own short-doc semantics.
+    """
+    sz = F.size(toks)
+    g = toks
+    for j in range(1, k):
+        g = F.zip_with(
+            g,
+            F.slice(toks, j + 1, sz - j),
+            lambda a, b: F.concat(a, F.lit(sep), b),
+        )
+    return F.slice(g, 1, sz - (k - 1)) if k > 1 else g

@@ -247,22 +247,35 @@ HLL_BUCKETS = 256  # 2 hex nibbles of md5 → register index
 
 def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-token cardinality sketch as 256 HLL registers:
-    register = first byte of md5(token), rho = (leading hex zeros of
-    the next 14 nibbles) + 1, register value = max rho. Deliberately
+    register = first byte of md5(token), rho = (leading zero BITS of
+    the next 14 hex nibbles = a 56-bit integer) + 1, register value =
+    max rho. rho MUST be bit-geometric (P[rho ≥ k] = 2^-(k-1)) for the
+    standard base-2 estimator in ``hll_estimate`` to apply — a nibble
+    count is base-16 geometric and collapses the estimate ~20× outside
+    the linear-counting regime. Computed portably in both engines as
+    ``57 - bitlength(w)`` via ``bin()`` (both engines render positive
+    integers without leading zeros; w = 0 → rho = 57). Deliberately
     REGISTERS, not the float estimate: the registers are the mergeable
     state (groupBy-max commutes with partitioning — the same partial-
     aggregate plan as approx_count_distinct), integer-exact in both
     engines; the harmonic-mean estimate is a driver-side epilogue
-    (``hll_estimate`` below, pinned against exact distinct in tests)."""
+    (``hll_estimate`` below, pinned against exact distinct in tests at
+    BOTH the linear-counting and the raw-estimator cardinality regime)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
     tok = d.select(F.explode(F.split("text", " ")).alias("token")).distinct()
+    return hll_registers_of_tokens(tok)
+
+
+def hll_registers_of_tokens(tok: DataFrame) -> DataFrame:
+    """(bucket, max_rho) registers from a distinct ``token`` column —
+    shared by the gated query and the high-cardinality pinning test."""
     h = tok.select(F.md5("token").alias("h"))
+    w = F.conv(F.substring("h", 3, 14), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(57)).otherwise(F.lit(57) - F.length(F.bin(w)))
     return (
         h.select(
             F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
-            (
-                F.length(F.regexp_extract(F.substring("h", 3, 14), "^(0*)", 1)) + 1
-            ).cast("int").alias("rho"),
+            rho.cast("int").alias("rho"),
         )
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho"))
@@ -286,25 +299,30 @@ def hll_estimate(registers: list[tuple[int, int]], m: int = HLL_BUCKETS) -> floa
 
 # --- Bloom filter over eval grams -------------------------------------------
 
-BLOOM_M = 4096  # bits
+BLOOM_M = 4096  # MINIMUM bits — actual M auto-sizes to the gram count
 BLOOM_K = 3  # hash functions (md5 with salted prefixes b0|/b1|/b2|)
+BLOOM_BITS_PER_KEY = 15  # m ≥ 15·n → fill ≈ 1-e^(-K/15) ≈ 18%, FPR ≈ 0.6%
 
 
-def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom filter of the eval-split gram set, materialized as its set
-    bit positions — the 100 TB decontamination shape: when the exact
-    eval-gram dictionary outgrows a broadcast, ship this bit set (KB,
-    not GB) and let the corpus stream map-side through it, with the
-    exact join (``curate_decontaminate``) confirming only the survivors.
-    Portable hash family: position_i = md5('b{i}|' ‖ gram) first 8 hex
-    nibbles mod M — integer-exact in both engines; the distinct-bit
-    output is the mergeable OR of per-partition partial filters."""
-    sh = _staged_shingles(spark, sf_dir)
-    ev = sh.where(
-        (F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0
-    ).select("shingle").distinct()
-    # all K salted positions in ONE pass over the gram set (a K-way
-    # union would rescan it per hash function)
+def bloom_m_for(n_grams: int) -> int:
+    """Filter size for ``n_grams`` keys: next power of two ≥ 15·n
+    (min ``BLOOM_M``). Power of two keeps the mod cheap and the sizing
+    deterministic; 15 bits/key holds FPR under ~0.6% at K = 3. Exact
+    integer math (1 << bitlen(x-1)) — NO float log2, so the Spark side
+    and the oracle's ``1 << length(bin(15·n - 1))`` agree bit-for-bit.
+    This is the round-3 saturation fix: a fixed M = 4096 silently
+    degraded to ~58% FPR at sf0.1's 2,397 eval grams and to all-pass at
+    the 250k-gram probe; sizing from n makes saturation impossible by
+    construction instead of a prose rule."""
+    x = max(BLOOM_M, BLOOM_BITS_PER_KEY * max(int(n_grams), 1))
+    return 1 << (x - 1).bit_length()
+
+
+def bloom_bit_positions(ev: DataFrame, m: int) -> DataFrame:
+    """DISTINCT set-bit positions of the Bloom filter over the
+    ``shingle`` column of ``ev`` — the mergeable OR state. All K salted
+    positions in ONE pass over the gram set (a K-way union would
+    rescan it per hash function)."""
     positions = F.array(
         *[
             (
@@ -315,12 +333,35 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     16,
                     10,
                 ).cast("long")
-                % BLOOM_M
+                % m
             ).cast("int")
             for i in range(BLOOM_K)
         ]
     )
     return ev.select(F.explode(positions).alias("bit_pos")).distinct()
+
+
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of the eval-split gram set, materialized as its set
+    bit positions — the 100 TB decontamination shape: when the exact
+    eval-gram dictionary outgrows a broadcast, ship this bit set (KB,
+    not GB) and let the corpus stream map-side through it, with the
+    exact join (``curate_decontaminate``) confirming only the survivors.
+    Portable hash family: position_i = md5('b{i}|' ‖ gram) first 8 hex
+    nibbles mod M — integer-exact in both engines; the distinct-bit
+    output is the mergeable OR of per-partition partial filters. M is
+    AUTO-SIZED to the eval-gram count (``bloom_m_for``) — the count is
+    one cheap job over the (small by construction) eval split, and the
+    oracle derives the identical M in pure SQL from the same count."""
+    sh = _staged_shingles(spark, sf_dir)
+    ev = (
+        sh.where((F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0)
+        .select("shingle")
+        .distinct()
+    )
+    ev = ev.persist()
+    m = bloom_m_for(ev.count())
+    return bloom_bit_positions(ev, m)
 
 
 # --- count-min sketch --------------------------------------------------------
@@ -670,19 +711,23 @@ SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TFIDF_TOPK}
     "agg_hll_registers": """
 WITH tok AS (
   SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents),
-h AS (SELECT md5(token) AS h FROM tok)
+h AS (SELECT md5(token) AS h FROM tok),
+w AS (SELECT h, ('0x' || substr(h, 3, 14))::BIGINT AS w FROM h)
 SELECT CAST(('0x' || substr(h, 1, 2)) AS INT) AS bucket,
-       MAX(len(regexp_extract(substr(h, 3, 14), '^(0*)', 1)) + 1)::INT AS max_rho
-FROM h
+       MAX(CASE WHEN w = 0 THEN 57 ELSE 57 - length(bin(w)) END)::INT AS max_rho
+FROM w
 GROUP BY 1""",
     "agg_bloom_bits": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 ev AS (SELECT DISTINCT shingle FROM sh
        WHERE CAST(doc_id AS BIGINT) % {EVAL_SPLIT_MOD} = 0),
+msz AS (SELECT 1::BIGINT << length(bin(
+          GREATEST({BLOOM_M}, {BLOOM_BITS_PER_KEY} * GREATEST(COUNT(*), 1)) - 1
+        )) AS m FROM ev),
 pos AS (
   {" UNION ALL ".join(
       f"SELECT CAST((('0x' || substr(md5('b{i}|' || shingle), 1, 8))::BIGINT "
-      f"% {BLOOM_M}) AS INT) AS bit_pos FROM ev"
+      f"% (SELECT m FROM msz)) AS INT) AS bit_pos FROM ev"
       for i in range(BLOOM_K))})
 SELECT DISTINCT bit_pos FROM pos""",
     "agg_cms_counters": f"""
@@ -719,11 +764,11 @@ WITH per_doc AS (
   FROM documents)
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        COUNT(DISTINCT text_hash) AS n_unique_texts,
        COUNT(*) - COUNT(DISTINCT text_hash) AS n_exact_dups,
-       (SUM(n_chars) * 1000000) // GREATEST(SUM(n_tokens), 1)
+       CAST((SUM(n_chars) * 1000000) // GREATEST(SUM(n_tokens), 1) AS BIGINT)
          AS chars_per_token_ppm,
        MIN(n_tokens) AS min_doc_tokens,
        MAX(n_tokens) AS max_doc_tokens

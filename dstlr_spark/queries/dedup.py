@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dstlr_spark.functions.text import ngrams
 from dstlr_spark.queries._memo import staged
 from dstlr_spark.queries.sqlgen import values_cte
 
@@ -81,16 +82,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles(d: DataFrame, n_gram: int = NGRAM_N) -> DataFrame:
     """Distinct token n-grams per doc (default n=3), space-joined;
     docs shorter than one gram contribute their whole text. The single
-    shingler for dedup AND decontamination (which uses longer grams)."""
+    shingler for dedup AND decontamination (which uses longer grams).
+    O(n·k) per doc via the zip_with gram builder
+    (:func:`dstlr_spark.functions.text.ngrams`) — the round-3
+    slice-in-transform shape re-split the text per gram, O(n²)."""
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    grams = F.when(
-        n >= n_gram,
-        F.transform(
-            F.sequence(F.lit(1), n - n_gram + 1),
-            lambda i: F.array_join(F.slice(toks, i, n_gram), " "),
-        ),
-    ).otherwise(F.array(F.col("text")))
+    grams = F.when(n >= n_gram, ngrams(toks, n_gram)).otherwise(
+        F.array(F.col("text"))
+    )
     return d.select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
@@ -581,11 +581,16 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is explicitly ASCII-GUARDED: pairs where either text contains
     non-ASCII are excluded (identically in both engines) and belong to
     the codepoint-safe Jaccard rescorer instead — a documented
-    portability boundary, not a silent one. Distance normalized to ppm
-    of the longer text (exact integers)."""
+    portability boundary, not a silent one. The guard tests for the
+    PRESENCE of a non-ASCII char (negated), never an anchored
+    whole-string match: Java's ``$`` matches before a trailing Unicode
+    line terminator (U+0085/U+2028/U+2029), so an anchored
+    ``^[\\x00-\\x7F]*$`` admits such text in Spark while RE2-based
+    DuckDB rejects it. Distance normalized to ppm of the longer text
+    (exact integers)."""
     cand = minhash_candidate_pairs(banded_staged=_staged_banded(spark, sf_dir))
     d = _docs(spark, sf_dir)
-    ascii_ok = F.col("text").rlike(r"^[\x00-\x7F]*$")
+    ascii_ok = ~F.col("text").rlike(r"[^\x00-\x7F]")
     texts = d.where(ascii_ok).select("doc_id", "text")
     a = texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     b = texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
@@ -716,7 +721,7 @@ cand AS (
    AND a.doc_id < b.doc_id),
 texts AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
-  WHERE regexp_matches(text, '^[\\x00-\\x7F]*$'))
+  WHERE NOT regexp_matches(text, '[^\\x00-\\x7F]'))
 SELECT doc_a, doc_b,
        CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance,
        CASE WHEN greatest(length(ta.text), length(tb.text)) = 0 THEN 0

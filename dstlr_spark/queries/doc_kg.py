@@ -435,8 +435,11 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       rₖ₊₁(v) = (0.15·SCALE DIV N) + (85 · Σ_{u→v} (rₖ(u) DIV deg(u))) DIV 100
     All divisions are floor divisions of non-negative ints, so Spark DIV
     and DuckDB // agree bit-for-bit; the oracle unrolls PAGERANK_ITERS
-    rounds in CTEs. Per round: one join (edges ⨝ ranks ⨝ degrees) + one
-    aggregate — the standard Pregel-free DataFrame PageRank; lineage cut
+    rounds in CTEs. Per round: ranks ⨝ deg FIRST (both vertex-sized,
+    same key — the cheap join) to form per-source contributions, then
+    ONE edge-scale join + aggregate — the standard Pregel-free
+    DataFrame PageRank with exactly one shuffle of the edge frame per
+    round (the round-3 shape joined edges twice per round); lineage cut
     per round with localCheckpoint (a checkpoint dir on a cluster).
     """
     # one materialization of the whole KG upstream: edges AND verts both
@@ -459,10 +462,13 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     teleport = (15 * _PR_SCALE // 100) // n  # exact ints only — no float 0.15
     ranks = verts.select("id", F.lit(_PR_SCALE // n).cast("long").alias("rank_ppb"))
     for _ in range(PAGERANK_ITERS):
+        # vertex-sized pre-join: per-source contribution rank/deg —
+        # isolated vertices (no deg row) contribute nothing, as before
+        per_src = ranks.join(deg, ranks["id"] == deg["src"]).select(
+            "src", F.expr("rank_ppb DIV deg").alias("c")
+        )
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["id"])
-            .join(deg, "src")
-            .select("dst", F.expr("rank_ppb DIV deg").alias("c"))
+            edges.join(per_src, "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dstlr_spark.functions.text import ngrams
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 _SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -100,28 +102,40 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    g2 = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+    g2 = F.when(n >= 2, ngrams(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # top-2-gram multiplicity = longest equal-run of the SORTED gram
+    # array, one aggregate pass: O(n log n) per doc and still map-only
+    # (no shuffle). The round-3 distinct×filter nested loop was
+    # O(distinct × n) comparisons per doc — a scale-killer on a single
+    # long repetitive document (one task owns the whole doc). A 2-gram
+    # always contains the joining space, so "" is a safe initial prev.
+    def _max_run(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(F.col("g2")),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+        _max_run,
+        lambda acc: acc["best"],
+    )
     base = d.select("doc_id", g2.alias("g2")).select(
         "doc_id",
         F.size("g2").cast("long").alias("n_2grams"),
         F.size(F.array_distinct("g2")).cast("long").alias("n_distinct_2grams"),
-        F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(F.col("g2")),
-                    lambda y: F.size(
-                        F.filter(F.col("g2"), lambda x: x == y)
-                    ),
-                )
-            ).cast("long"),
-            F.lit(0).cast("long"),
-        ).alias("top_2gram_count"),
+        top_count.alias("top_2gram_count"),
     )
     return base.select(
         "doc_id",
@@ -148,8 +162,14 @@ _WIN_M = (1 << 31) - 1  # Mersenne modulus — products stay < 2^62
 
 def _winnow_grams(text_col):
     """Rolling K-token polynomial gram hashes of a text Column.
-    Guarded BEFORE building the sequence: sequence(1, n-2) DESCENDS for
-    n < 3 and element_at(base, 0) throws."""
+    Guarded BEFORE building: a negative shift-slice length throws for
+    n < K. Gram i = (base[i]·B² + base[i+1]·B + base[i+2]) mod M,
+    assembled from two zip_with passes over shifted copies of ``base``
+    so every subexpression is in ARGUMENT position (the round-3
+    ``element_at(base, i)`` lambda body re-evaluated the whole md5
+    token-hash array per gram — O(n²) per doc; see
+    functions.text.ngrams). Intermediate sums stay < 2^63:
+    base[i]·B² ≤ 2^62, + base·B ≤ +2^51, + base ≤ +2^31."""
     toks = F.split(text_col, " ")
     n = F.size(toks)
     base = F.transform(
@@ -158,17 +178,16 @@ def _winnow_grams(text_col):
         % F.lit(_WIN_M),
     )
     b2 = (_WIN_B * _WIN_B) % _WIN_M
+    t1 = F.zip_with(
+        base,
+        F.slice(base, 2, n - 1),
+        lambda a, b: a * F.lit(b2) + b * F.lit(_WIN_B),
+    )
+    rolled = F.zip_with(
+        t1, F.slice(base, 3, n - 2), lambda a, b: (a + b) % F.lit(_WIN_M)
+    )
     return F.when(
-        n >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
-            lambda i: (
-                F.element_at(base, i) * F.lit(b2)
-                + F.element_at(base, i + 1) * F.lit(_WIN_B)
-                + F.element_at(base, i + 2)
-            )
-            % F.lit(_WIN_M),
-        ),
+        n >= WINNOW_K, F.slice(rolled, 1, n - (WINNOW_K - 1))
     ).otherwise(F.array().cast("array<long>"))
 
 
@@ -236,13 +255,9 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
-    g2 = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.array_join(F.slice(toks, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    g2 = F.when(n >= 2, ngrams(toks, 2)).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         d.select(F.explode(g2).alias("gram"))
         .groupBy("gram")
@@ -354,7 +369,12 @@ def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary context). Pure column expressions: one posexplode, no UDF,
     no shuffle. Emits (doc_id, chunk_idx, n_chunk_tokens, chunk_hash)."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array BEFORE the per-chunk lambda touches it:
+    # a lambda body re-evaluates any embedded expression per element, so
+    # slicing a raw split() expression would re-split the text per chunk
+    # (O(n²/stride) per doc); slicing a projected column is O(CHUNK)
+    mat = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     k = F.greatest(
         F.lit(1),
@@ -365,7 +385,7 @@ def q_context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.slice(toks, i * CHUNK_STRIDE + 1, CHUNK_TOKENS),
     )
     return (
-        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+        mat.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
         .select(
             "doc_id",
             "chunk_idx",
@@ -556,14 +576,15 @@ FROM documents""",
     "text_repetition": f"""
 WITH g AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_G2_SQL} AS g2 FROM documents),
+x AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+cnt AS (SELECT doc_id, gram, COUNT(*) AS c FROM x GROUP BY doc_id, gram),
+top AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY doc_id),
 b AS (
-  SELECT doc_id,
+  SELECT g.doc_id,
          CAST(len(g2) AS BIGINT) AS n_2grams,
          CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
-         CAST(COALESCE(list_max(list_transform(list_distinct(g2),
-              y -> len(list_filter(g2, x -> x = y)))), 0) AS BIGINT)
-           AS top_2gram_count
-  FROM g)
+         CAST(COALESCE(top.top, 0) AS BIGINT) AS top_2gram_count
+  FROM g LEFT JOIN top ON g.doc_id = top.doc_id)
 SELECT doc_id, n_2grams, n_distinct_2grams, top_2gram_count,
        CASE WHEN n_2grams > 0
             THEN ((n_2grams - n_distinct_2grams) * 1000000) // n_2grams

@@ -79,16 +79,19 @@ def _train_build(spark: SparkSession, sf_dir: str):
     merges = []
     for r in range(1, BPE_ROUNDS + 1):
         syms = F.split(F.expr(f"trim(BOTH '{_US}' FROM s)"), _US + _US)
-        # sequence(1, 0) DESCENDS in Spark — single-symbol words must
-        # contribute an empty pair list, not an out-of-bounds probe
+        # adjacent pairs via zip_with (argument-position only — an
+        # element_at(syms, i) lambda body re-evaluates the split per
+        # element); single-symbol words contribute an empty pair list
         pair_arr = F.when(
             F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("lhs"),
-                    F.element_at(syms, i + 1).alias("rhs"),
+            F.slice(
+                F.zip_with(
+                    syms,
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
                 ),
+                1,
+                F.size(syms) - 1,
             ),
         ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
         pairs = cur.select(F.explode(pair_arr).alias("p"), "cnt").select(

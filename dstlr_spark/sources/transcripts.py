@@ -131,7 +131,14 @@ def derive_transcripts(documents: DataFrame, turn_words: int = 8) -> DataFrame:
     and are dropped by F1/F2 — empty contents are invalid input by the
     reference's own filters (ExtractTriples.scala:64-65).
     """
-    toks = F.split(F.col("text"), " ")
+    # materialize the token array before the per-turn lambda slices it:
+    # a lambda body re-evaluates embedded expressions per element, so
+    # slicing a raw split() would re-split the text per turn (O(n²/w)
+    # per doc); slicing the projected column is O(w) per turn
+    documents = documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     s = F.size(toks)
     base = F.ceil(s / F.lit(turn_words)).cast("int")
     lone_empty_tail = (

@@ -6,7 +6,8 @@ spark-submit --py-files dist/dstlr_spark.zip jobs/query.py \
     [--output /path/out] [--show 20] [--list]
 
 This is the "a reference user can run every query they run today"
-surface: all 93 oracle-gated operators (KG construction + cleaning,
+surface: every oracle-gated registry operator — ``--list`` prints the
+live count and names (KG construction + cleaning,
 dedup, similarity/ANN, curation, sketches, text stats, relational,
 streaming twins, tokenizer) behind one CLI. ``--output`` writes
 parquet; otherwise the first ``--show`` rows print.

@@ -112,6 +112,30 @@ def test_hll_registers_estimate_tracks_exact_distinct(spark):
     assert abs(est - exact) / exact < 0.25, (est, exact)
 
 
+def test_hll_estimate_above_linear_counting_regime(spark):
+    """Pin the estimator OUTSIDE the linear-counting branch (n ≫ 2.5·m):
+    the round-3 nibble-rho bug returned ~4% of truth at n = 20,000 and
+    the sf0.001 pin (n ≈ 35 distinct) never left the masking branch.
+    HLL std error with m = 256 is 1.04/√256 ≈ 6.5%; allow 3σ."""
+    from dstlr_spark.queries.curation import (
+        HLL_BUCKETS,
+        hll_estimate,
+        hll_registers_of_tokens,
+    )
+
+    n = 20_000
+    assert n > 2.5 * HLL_BUCKETS
+    tok = spark.range(n).select(
+        F.concat(F.lit("tok_"), F.col("id").cast("string")).alias("token")
+    )
+    regs = [
+        (r["bucket"], r["max_rho"])
+        for r in hll_registers_of_tokens(tok).collect()
+    ]
+    est = hll_estimate(regs)
+    assert abs(est - n) / n < 0.20, (est, n)
+
+
 def test_funnel_is_monotone_and_retention_has_day_zero(spark):
     from dstlr_spark.queries.curation import q_events_funnel, q_events_retention
 
@@ -132,21 +156,57 @@ def test_bloom_bits_membership_and_fpr(spark):
     probes tracks the (set_bits/M)^K prediction."""
     import hashlib
 
-    from dstlr_spark.queries.curation import BLOOM_K, BLOOM_M, q_bloom_bits
+    from dstlr_spark.queries.curation import (
+        BLOOM_K,
+        EVAL_SPLIT_MOD,
+        bloom_m_for,
+        q_bloom_bits,
+    )
+    from dstlr_spark.queries.dedup import _staged_shingles
 
+    n_grams = (
+        _staged_shingles(spark, SF_DIR)
+        .where((F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    m = bloom_m_for(n_grams)
     bits = {r["bit_pos"] for r in q_bloom_bits(spark, SF_DIR).collect()}
-    assert bits and max(bits) < BLOOM_M and min(bits) >= 0
+    assert bits and max(bits) < m and min(bits) >= 0
+    # auto-sizing invariant: the filter can never be saturated
+    assert len(bits) / m < 0.5, (len(bits), m)
 
     def positions(gram: str):
         return [
-            int(hashlib.md5(f"b{i}|{gram}".encode()).hexdigest()[:8], 16) % BLOOM_M
+            int(hashlib.md5(f"b{i}|{gram}".encode()).hexdigest()[:8], 16) % m
             for i in range(BLOOM_K)
         ]
 
     probes = [f"absent gram number {i}" for i in range(2000)]
     fp = sum(1 for g in probes if all(p in bits for p in positions(g)))
-    predicted = (len(bits) / BLOOM_M) ** BLOOM_K
+    predicted = (len(bits) / m) ** BLOOM_K
     assert fp / len(probes) < max(0.05, 4 * predicted), (fp, predicted)
+
+
+def test_bloom_autosize_survives_250k_grams(spark):
+    """The round-3 saturation probe: 250k distinct grams through a
+    fixed M = 4096 filter set every bit (all-pass). With bloom_m_for
+    sizing, the fill ratio stays under the e^(-K/15) design point and
+    the filter keeps discriminating."""
+    from dstlr_spark.queries.curation import bloom_m_for, bloom_bit_positions
+
+    n = 250_000
+    m = bloom_m_for(n)
+    assert m >= 15 * n
+    ev = spark.range(n).select(
+        F.concat(F.lit("gram "), F.col("id").cast("string")).alias("shingle")
+    )
+    set_bits = bloom_bit_positions(ev, m).count()
+    fill = set_bits / m
+    assert fill < 0.25, (set_bits, m)  # design point ≈ 0.18
+    predicted_fpr = fill ** 3
+    assert predicted_fpr < 0.02, predicted_fpr
 
 
 def test_curation_decision_survives_pathological_docs(spark, tmp_path):

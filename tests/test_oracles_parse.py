@@ -1,8 +1,8 @@
 """Every oracle SQL must parse AND execute in DuckDB against empty
 tables with the production schemas — a seconds-fast guard that catches
 SQL syntax/typing regressions without spinning Spark, and pins the
-empty-corpus behavior of all 93 oracles (no divide-by-zero, no bad
-casts on zero rows)."""
+empty-corpus behavior of every registered oracle (the live registry
+count — no divide-by-zero, no bad casts on zero rows)."""
 
 from __future__ import annotations
 

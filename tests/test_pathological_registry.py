@@ -81,3 +81,32 @@ def test_every_registry_query_survives_pathological_corpus(spark, patho_dir):
         except Exception as e:  # noqa: BLE001 — we want the full census
             failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
     assert not failures, failures
+
+
+def test_repetition_handles_one_long_repetitive_doc_fast(spark, tmp_path):
+    """Round-3 regression: the old distinct×filter top-2-gram loop was
+    O(distinct × n) comparisons inside a single task — a 200k-token
+    repetitive doc (50k distinct 2-grams) meant ~10^10 comparisons and
+    a multi-minute stall. The sorted-run-length rewrite finishes the
+    same doc in seconds, with the exact expected counts."""
+    import time
+
+    from dstlr_spark.queries.textstats import q_repetition
+
+    n_tokens = 200_000
+    # 50k distinct tokens cycled 4× → every 2-gram occurs exactly 4
+    # times except the wrap-around grams; top multiplicity is 4.
+    vocab = 50_000
+    text = " ".join(f"w{i % vocab}" for i in range(n_tokens))
+    d = str(tmp_path / "bigdoc")
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    t0 = time.monotonic()
+    row = q_repetition(spark, d).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert row["n_2grams"] == n_tokens - 1
+    assert row["top_2gram_count"] == 4
+    assert elapsed < 60, elapsed

@@ -233,3 +233,27 @@ def test_mrl_topk_recall_floor_on_iid_noise(spark):
     assert len(shared) / len(exact) >= 0.3  # measured 38% on iid noise
     for k in shared:
         assert exact[k] == mrl[k]  # full-dim rescore is the exact scorer
+
+
+def test_calibration_artifact_matches_live_corpus():
+    """The prod-LSH constants are justified by a CHECKED calibration
+    artifact (tests/artifacts/neardup_calibration.json). If the driver
+    regenerates /root/testdata with different embeddings, this fails
+    loudly instead of letting the recall pin rest on stale evidence —
+    re-run `python scripts/calibrate_neardup_artifact.py` and re-review
+    the prod config if it drifts."""
+    import json
+    from pathlib import Path
+
+    from scripts.calibrate_neardup_artifact import corpus_facts
+
+    artifact = json.loads(
+        (Path(__file__).parent / "artifacts" / "neardup_calibration.json")
+        .read_text()
+    )
+    live = corpus_facts(artifact["sf_dir"])
+    assert live == artifact, (
+        "corpus drifted vs checked calibration artifact — re-run "
+        "scripts/calibrate_neardup_artifact.py: "
+        f"live={live} artifact={artifact}"
+    )
