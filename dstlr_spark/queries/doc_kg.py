@@ -618,29 +618,39 @@ FROM ents e
 JOIN efacts f ON f.entity_id = e.entity_id
 JOIN pmap m ON m.property = f.property AND m.property <> ''
 WHERE f.property IN ('P159', 'P569', 'P570')""",
+    # CC is computed on the GROUP graph (key/entity nodes; an edge per
+    # (key, entity) realized by some linked mention), NOT on mentions:
+    # two mentions are co-referent iff a chain of shared key / entity
+    # groups connects them, and any key–entity–key path in the group
+    # graph is realized by exactly such mentions, so the partitions are
+    # identical. The mention-level recursion kept O(Σ component²)
+    # (id, comp) state — with sf0.1's 38k mentions over ~10 lemma keys
+    # that is ~1.5·10⁸ dedup rows and the sweep stalled for >25 min; the
+    # group graph has tens of nodes at any corpus scale that shares
+    # surface forms, and the recursion is instant.
     "kg_canonical_clusters": f"""WITH RECURSIVE {_base_ctes()},
 dm AS (SELECT DISTINCT mention_id, key FROM mentions),
-key_star AS (
-    SELECT mention_id AS src,
-           MIN(mention_id) OVER (PARTITION BY key) AS dst
-    FROM dm),
 lk AS (SELECT DISTINCT mention_id, entity_id FROM links
        WHERE entity_id IS NOT NULL),
-ent_star AS (
-    SELECT mention_id AS src,
-           MIN(mention_id) OVER (PARTITION BY entity_id) AS dst
-    FROM lk),
-star AS (
-    SELECT src, dst FROM key_star WHERE src <> dst
-    UNION
-    SELECT src, dst FROM ent_star WHERE src <> dst),
-sym AS (SELECT src, dst FROM star UNION SELECT dst AS src, src AS dst FROM star),
-verts AS (SELECT DISTINCT mention_id AS id FROM dm),
+kedges AS (
+    SELECT DISTINCT 'k:' || m.key AS src, 'e:' || l.entity_id AS dst
+    FROM dm m JOIN lk l ON l.mention_id = m.mention_id),
+gsym AS (SELECT src, dst FROM kedges
+         UNION SELECT dst AS src, src AS dst FROM kedges),
+gverts AS (SELECT DISTINCT 'k:' || key AS id FROM dm
+           UNION SELECT DISTINCT 'e:' || entity_id AS id FROM lk),
 reach(id, comp) AS (
-    SELECT id, id FROM verts
+    SELECT id, id FROM gverts
     UNION
-    SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id),
-cc AS (SELECT id, MIN(comp) AS canonical_id FROM reach GROUP BY id)
+    SELECT e.dst, r.comp FROM reach r JOIN gsym e ON e.src = r.id),
+gcc AS (SELECT id, MIN(comp) AS gcomp FROM reach GROUP BY id),
+mcomp AS (
+    SELECT m.mention_id, g.gcomp
+    FROM dm m JOIN gcc g ON g.id = 'k:' || m.key),
+cc AS (
+    SELECT mention_id,
+           MIN(mention_id) OVER (PARTITION BY gcomp) AS canonical_id
+    FROM mcomp)
 SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM cc GROUP BY canonical_id""",
     "kg_entity_degree_hist": f"""WITH {_base_ctes()},
