@@ -27,6 +27,12 @@ from pyspark.sql import DataFrame, SparkSession
 # reaching the tail modules), followed by queries whose implementation
 # or oracle changed this round and therefore needs a fresh gate row.
 _GATE_FIRST = [
+    # new in round 4 — must land inside the driver's gate window NOW,
+    # not discover the r3 truncation problem a round later
+    "text_token_rarity",
+    "curate_domain_mix",
+    "text_html_strip",
+    "text_dup_segments",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

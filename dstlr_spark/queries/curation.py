@@ -619,10 +619,57 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) corpus composition + rebalancing weight —
+    the data-mixing table every pre-training run is configured from:
+    for each ``source``, its doc count, token count, token share in
+    ppm, and the sampling weight (ppm) that would equalize the mix
+    toward a uniform per-source target, capped at 10× so a tiny domain
+    can never be oversampled into degeneracy. All floor-div integer
+    ppm — bit-identical across engines.
+
+    Scale shape: one source-keyed hash aggregate over the corpus (the
+    only shuffle; map-side partials do the heavy lifting since sources
+    ≪ docs), then a broadcast of the 1-row totals frame. The output is
+    dimension-sized (one row per source)."""
+    # null text → null token count (skipped by SUM) — EXPLICITLY, not
+    # via size(null), whose -1/NULL result is a legacy-config coin flip
+    n_toks = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.split(F.col("text"), " ")).cast("long"),
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", n_toks.alias("n_toks")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_toks"), F.lit(0).cast("long")).alias("n_tokens"),
+    )
+    # 1-row scalar broadcast; audited under _ALLOWED_SCALAR_BROADCAST
+    # in tests/test_plans.py
+    totals = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 DIV greatest(total_tokens, 1)").alias(
+            "token_share_ppm"
+        ),
+        F.expr(
+            "least(10000000, (1000000 DIV n_sources) * 1000000"
+            " DIV greatest(n_tokens * 1000000 DIV greatest(total_tokens, 1), 1))"
+        ).alias("mix_weight_ppm"),
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 QUERIES = {
     # never-gated queries lead the module (gate-truncation insurance)
+    "curate_domain_mix": q_domain_mix,
     "curate_decontaminate": q_decontaminate,
     "curate_pii_scrub": q_pii_scrub,
     "curate_decision": q_curation_decision,
@@ -638,6 +685,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curate_domain_mix": """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_sources FROM per)
+SELECT source, n_docs, n_tokens,
+       CAST((n_tokens * 1000000) // GREATEST(total_tokens, 1) AS BIGINT)
+         AS token_share_ppm,
+       CAST(LEAST(10000000,
+            ((1000000 // n_sources) * 1000000)
+            // GREATEST((n_tokens * 1000000) // GREATEST(total_tokens, 1), 1))
+         AS BIGINT) AS mix_weight_ppm
+FROM per, tot""",
     "curate_decontaminate": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 ev AS (SELECT DISTINCT shingle FROM sh

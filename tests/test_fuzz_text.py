@@ -240,3 +240,79 @@ def test_curation_decision_fuzz_lockstep(spark, tmp_path):
         if got[i] != _decision_mask_py(s)
     ]
     assert not bad, bad[:3]
+
+
+def test_ngrams_builder_fuzz(spark):
+    """The zip_with/slice k-gram builder equals the obvious Python
+    sliding window for k in 2..5 over random token arrays (the shape
+    every shingle/2-gram/BPE consumer now rides). Callers guard
+    size >= k, so only such arrays are fed here."""
+    from dstlr_spark.functions.text import ngrams
+
+    rng = random.Random(4242)
+    rows = []
+    for i in range(300):
+        k = rng.randint(2, 5)
+        n = rng.randint(k, 30)
+        toks = [rng.choice(["a", "bb", "c0", "日本", "x"]) for _ in range(n)]
+        rows.append((i, k, toks))
+    df = spark.createDataFrame(rows, "i int, k int, toks array<string>")
+    for k in range(2, 6):
+        sub = df.where(F.col("k") == k)
+        got = {
+            r["i"]: r["g"]
+            for r in sub.select("i", ngrams(F.col("toks"), k).alias("g")).collect()
+        }
+        want = {
+            i: [" ".join(toks[j : j + kk]) for j in range(len(toks) - kk + 1)]
+            for i, kk, toks in rows
+            if kk == k
+        }
+        assert got == want, (k, next(iter(got.items())))
+
+
+def test_dup_segments_fuzz_lockstep(spark, tmp_path):
+    """The sorted-run-length dup-char accumulator in q_dup_segments
+    equals a Counter-based pure-Python reference on 300 random docs
+    with forced segment duplicates (incl. unicode and empty segments)."""
+    from collections import Counter
+
+    rng = random.Random(777)
+    seg_vocab = ["hello world", "the boiler plate", "日本 text", "", "x",
+                 "a b c", "repeat me"]
+    samples = []
+    for _ in range(300):
+        k = rng.randint(1, 20)
+        segs = [rng.choice(seg_vocab) for _ in range(k)]
+        if rng.random() < 0.5 and k > 2:  # force a heavy duplicate run
+            segs += [segs[0]] * rng.randint(1, 5)
+        samples.append(".".join(segs))
+    df = spark.createDataFrame(
+        [(str(i), s, "en", len(s)) for i, s in enumerate(samples)],
+        "doc_id string, text string, lang string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from dstlr_spark.queries.textstats import q_dup_segments
+
+    def want(s):
+        c = Counter(s.split("."))
+        n = sum(c.values())
+        nd = len(c)
+        dup = sum(len(k) * v for k, v in c.items() if v > 1)
+        tot = sum(len(k) * v for k, v in c.items())
+        return (n, nd, (n - nd) * 1000000 // n, dup * 1000000 // max(tot, 1))
+
+    got = {
+        int(r["doc_id"]): (
+            r["n_segments"], r["n_distinct_segments"],
+            r["dup_segment_frac_ppm"], r["dup_char_frac_ppm"],
+        )
+        for r in q_dup_segments(spark, str(tmp_path)).collect()
+    }
+    bad = [
+        (i, s, got[i], want(s))
+        for i, s in enumerate(samples)
+        if got[i] != want(s)
+    ]
+    assert not bad, bad[:3]

@@ -201,6 +201,16 @@ _ALLOWED_BROADCAST_PRODUCT = {
     "agg_quantile_hist",  # theta-join over the constant bucket-count frame
 }
 
+#: queries that broadcast a 1-ROW corpus-totals frame (scalar join —
+#: `crossJoin(F.broadcast(agg_frame))`). The nested-loop "loop" runs
+#: exactly once per probe row, so the shape is a map-side scalar
+#: attach, not a product; a constant-key equi-join would be
+#: constant-folded back to this same plan.
+_ALLOWED_SCALAR_BROADCAST = {
+    "text_token_rarity",
+    "curate_domain_mix",
+}
+
 
 def test_every_registry_query_plan_is_antipattern_free(spark):
     """Registry-wide plan audit: NO query may contain an unplanned
@@ -220,6 +230,7 @@ def test_every_registry_query_plan_is_antipattern_free(spark):
         if (
             "BroadcastNestedLoopJoin" in plan
             and name not in _ALLOWED_BROADCAST_PRODUCT
+            and name not in _ALLOWED_SCALAR_BROADCAST
         ):
             failures.append(f"{name}: BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:  # row-at-a-time Python UDF
