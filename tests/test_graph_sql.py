@@ -65,3 +65,26 @@ def test_span_capped_at_1024_bytes(spark):
     span_bytes = node["span"].encode("utf-8")
     assert len(span_bytes) <= 1024
     assert node["span"] == "日" * 341  # whole code points only
+
+
+def test_fk_elision_equals_cypher_literal_plan(spark):
+    """The default MENTIONS-edge semijoin elision (assume_fk_integrity)
+    is row-for-row identical to the Cypher-literal plan on a graph from
+    our own materializer — for all three clean patterns."""
+    from dstlr_spark.operators.clean import (
+        inconsistent_information,
+        missing_information,
+    )
+
+    tr = generate_transcripts(spark, n_convs=8)
+    g = materialize_graph(
+        build_triples(tr, alias_dict(spark), facts(spark), property_relation(spark))
+    )
+    key = ["doc_id", "subject_mention_id", "type", "object_mention_id", "entity_id"]
+    for fn in (supporting_information, inconsistent_information, missing_information):
+        fast = sorted(map(tuple, fn(g).select(*key).collect()))
+        literal = sorted(
+            map(tuple, fn(g, assume_fk_integrity=False).select(*key).collect())
+        )
+        assert fast == literal, fn.__name__
+        assert len(fast) > 0 or fn is missing_information, fn.__name__
