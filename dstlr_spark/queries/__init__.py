@@ -33,6 +33,7 @@ _GATE_FIRST = [
     "curate_domain_mix",
     "text_html_strip",
     "text_dup_segments",
+    "curate_token_budget",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

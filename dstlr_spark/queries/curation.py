@@ -665,10 +665,84 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget — keep the highest-quality
+    documents (by the `text_quality_score` composite, ties broken by
+    doc_id) until half the corpus' tokens are spent. The global
+    quality-ordered running token sum every budgeted pre-training run
+    needs, WITHOUT a global single-partition window:
+
+      1. coarse score bands (score DIV 100000) — a bounded dimension
+         (the composite is a ppm sum, so ≲ a few hundred bands);
+      2. tokens-before-band via a triangular self-join on the BAND
+         frame (dimension², not corpus²);
+      3. intra-band running sums via a window PARTITIONED by band
+         (parallel, skew bounded by band width);
+      4. global cumsum = before-band + intra-band — exact, because
+         band is monotone in score (floor-div), so band order extends
+         score order and equal scores never straddle bands.
+
+    The 1-row totals broadcast is audited under
+    _ALLOWED_SCALAR_BROADCAST; kept is 1/0 int (cross-engine bool-free).
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(_SW))).cast("long")
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            n.alias("n_tokens"),
+            n_stop.alias("n_stop"),
+            (F.length("text").cast("long") - (n - 1)).alias("tok_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                "5 * ((n_stop * 1000000L) DIV n_tokens)"
+                " + (tok_chars * 1000000L) DIV n_tokens"
+            ).alias("score"),
+        )
+        .withColumn("band", F.expr("score DIV 100000L"))
+    )
+    bands = d.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    total = bands.agg(F.sum("band_tokens").alias("total_tokens"))
+    hi = bands.select(
+        F.col("band").alias("hband"), F.col("band_tokens").alias("htokens")
+    )
+    before = (
+        bands.join(hi, F.col("hband") > F.col("band"), "left")
+        .groupBy("band")
+        .agg(F.coalesce(F.sum("htokens"), F.lit(0).cast("long")).alias("before_band"))
+    )
+    w = (
+        Window.partitionBy("band")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(before), "band")
+        .withColumn("intra", F.sum("n_tokens").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            F.expr("before_band + intra").alias("cum_tokens"),
+            F.expr(
+                "CAST(before_band + intra <= total_tokens DIV 2 AS INT)"
+            ).alias("kept"),
+        )
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 QUERIES = {
     # never-gated queries lead the module (gate-truncation insurance)
+    "curate_token_budget": q_token_budget,
     "curate_domain_mix": q_domain_mix,
     "curate_decontaminate": q_decontaminate,
     "curate_pii_scrub": q_pii_scrub,
@@ -685,6 +759,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    # global quality-ordered cumsum directly (DuckDB pays the single
+    # sort; the Spark side's band decomposition must equal it exactly)
+    "curate_token_budget": f"""
+WITH s AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ({", ".join(f"'{w}'" for w in _SW)}))) AS BIGINT) AS n_stop,
+         CAST(length(text) AS BIGINT)
+           - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS tok_chars
+  FROM documents WHERE text IS NOT NULL),
+q AS (
+  SELECT doc_id, n_tokens,
+         5 * ((n_stop * 1000000) // n_tokens)
+           + (tok_chars * 1000000) // n_tokens AS score
+  FROM s),
+t AS (SELECT SUM(n_tokens) AS total_tokens FROM q),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q)
+SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST(cum <= (SELECT total_tokens FROM t) // 2 AS INT) AS kept
+FROM c""",
     "curate_domain_mix": """
 WITH per AS (
   SELECT source,
