@@ -34,6 +34,7 @@ _GATE_FIRST = [
     "text_html_strip",
     "text_dup_segments",
     "curate_token_budget",
+    "kg_label_propagation",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

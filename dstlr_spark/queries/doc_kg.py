@@ -486,6 +486,56 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("id").alias("entity_id"), "rank_ppb")
 
 
+LABELPROP_ITERS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the entity co-mention graph by
+    deterministic synchronous label propagation (Raghavan et al. 2007,
+    made oracle-exact): every vertex starts labeled with its own id;
+    each round it adopts the MOST FREQUENT label among its neighbors,
+    ties broken by smallest label (lexicographic — binary collation in
+    both engines), keeping its current label when it has no neighbors.
+    Unlike connected components (`kg_canonical_clusters`), LPA splits a
+    connected region into densely-linked communities.
+
+    Scale shape per round (same budget as `q_entity_pagerank`): ONE
+    edge-scale join + two hash aggregates — the (vertex, label) count
+    and the min_by mode pick (no windows); lineage cut per round with
+    localCheckpoint. The oracle unrolls LABELPROP_ITERS rounds as CTEs
+    with ROW_NUMBER mode-picking — same (cnt DESC, label ASC) order.
+    """
+    ed = _ent_docs(spark, sf_dir)
+    und = _comention_und(ed).select("src", "dst").distinct()
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    verts = ed.select(F.col("entity_id").alias("id")).distinct().localCheckpoint()
+    labels = verts.select("id", F.col("id").alias("label"))
+    for _ in range(LABELPROP_ITERS):
+        cnts = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        mode = cnts.groupBy("dst").agg(
+            F.min_by(
+                F.col("label"), F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("nl")
+        )
+        labels = (
+            labels.join(mode, labels["id"] == mode["dst"], "left")
+            .select("id", F.coalesce(F.col("nl"), F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id").alias("entity_id"),
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
 def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity mention statistics over the linked graph (A4 analog)."""
     g = _graph(spark, sf_dir)
@@ -759,9 +809,46 @@ SELECT entity_id,
        CAST(COUNT(*) AS BIGINT) AS n_mentions,
        CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
 FROM linked GROUP BY entity_id""",
+    "kg_label_propagation": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+und AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+verts AS (SELECT DISTINCT entity_id AS id FROM ent_docs),
+l0 AS (SELECT id, id AS label FROM verts)"""
+    + "".join(
+        f""",
+c{k} AS (
+    SELECT e.dst AS id, l.label, COUNT(*) AS cnt
+    FROM edges e JOIN l{k - 1} l ON l.id = e.src
+    GROUP BY e.dst, l.label),
+m{k} AS (
+    SELECT id, label FROM c{k}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY cnt DESC, label ASC) = 1),
+l{k} AS (
+    SELECT p.id, COALESCE(m.label, p.label) AS label
+    FROM l{k - 1} p LEFT JOIN m{k} m ON m.id = p.id)"""
+        for k in range(1, LABELPROP_ITERS + 1)
+    )
+    + f"""
+SELECT l.id AS entity_id, l.label AS community,
+       CAST(s.community_size AS BIGINT) AS community_size
+FROM l{LABELPROP_ITERS} l
+JOIN (SELECT label, COUNT(*) AS community_size
+      FROM l{LABELPROP_ITERS} GROUP BY label) s ON s.label = l.label""",
 }
 
 QUERIES = {
+    "kg_label_propagation": q_label_propagation,  # never-gated first
     "kg_entity_degree_hist": q_entity_degree_hist,  # never-gated first
     "kg_assembly_roundtrip": q_assembly_roundtrip,
     "kg_mentions": q_mentions,
