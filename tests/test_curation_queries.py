@@ -278,3 +278,36 @@ def test_cms_estimate_bounds(spark):
         est = cms_estimate(counters, tok)
         assert est >= true_n, (tok, est, true_n)
         assert est <= true_n + 3 * slack, (tok, est, true_n, slack)
+
+
+def test_token_budget_mid_band_cut_is_doc_id_ordered(spark, tmp_path):
+    """All docs share one quality score (single band), so the budget cut
+    lands mid-band and the kept set is decided purely by the intra-band
+    doc_id ordering — the exact case the band decomposition must get
+    right. Pinned against a pure-Python global cumsum."""
+    # identical text → identical score; doc_ids chosen to make
+    # lexicographic order differ from numeric order ("10" < "9")
+    text = "alpha beta gamma delta epsilon zeta"
+    ids = [str(i) for i in range(3, 13)]
+    df = spark.createDataFrame(
+        [(i, text, "en", len(text)) for i in ids],
+        "doc_id string, text string, lang string, n_chars long",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    from dstlr_spark.queries.curation import q_token_budget
+
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["kept"])
+        for r in q_token_budget(spark, str(tmp_path)).collect()
+    }
+    n_toks = len(text.split(" "))
+    total = n_toks * len(ids)
+    cum, want = 0, {}
+    for d in sorted(ids):  # same score → global order is doc_id asc
+        cum += n_toks
+        want[d] = (cum, int(cum <= total // 2))
+    assert got == want
+    # the cut really is mid-band: some kept, some dropped
+    kept = {d for d, (_, k) in got.items() if k}
+    assert 0 < len(kept) < len(ids)
