@@ -58,7 +58,12 @@ _GATE_FIRST = [
 
 
 def _reorder(full: dict) -> dict:
-    out = {k: full[k] for k in _GATE_FIRST if k in full}
+    # a typo/rename in _GATE_FIRST must fail LOUDLY: silently skipping
+    # it would push the query back outside the driver's rolling gate
+    # window — the exact truncation problem this list exists to fix
+    unknown = [k for k in _GATE_FIRST if k not in full]
+    assert not unknown, f"_GATE_FIRST names not in the registry: {unknown}"
+    out = {k: full[k] for k in _GATE_FIRST}
     out.update(full)
     return out
 

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from dstlr_spark.queries import _memo
 from dstlr_spark.queries.dedup import _SHINGLES_SQL, _staged_shingles
 
 # --- decontamination ---------------------------------------------------------
@@ -137,7 +138,13 @@ REASON_TOKLEN = 4
 REASON_STOPWORDS = 8
 REASON_DIGITS = 16
 
-from dstlr_spark.queries.textstats import STOPWORDS as _SW  # one list, no drift
+from dstlr_spark.queries.textstats import (  # one definition, no drift
+    QUALITY_SCORE_EXPR,
+    QUALITY_SCORE_SQL,
+    STOPWORDS as _SW,
+    quality_base,
+    quality_base_sql,
+)
 
 
 def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -353,13 +360,18 @@ def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUTO-SIZED to the eval-gram count (``bloom_m_for``) — the count is
     one cheap job over the (small by construction) eval split, and the
     oracle derives the identical M in pure SQL from the same count."""
-    sh = _staged_shingles(spark, sf_dir)
-    ev = (
-        sh.where((F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0)
+    # memoized stage, not an ad-hoc persist: the frame is consumed
+    # twice (the sizing count + the bit build), and repeated query
+    # construction (gate sweeps, plan lints) must reuse ONE owned
+    # cache entry instead of leaking a new pinned frame per call
+    ev = _memo.staged(
+        spark,
+        ("bloom_eval_grams", sf_dir),
+        lambda: _staged_shingles(spark, sf_dir)
+        .where((F.col("doc_id").cast("long") % EVAL_SPLIT_MOD) == 0)
         .select("shingle")
-        .distinct()
+        .distinct(),
     )
-    ev = ev.persist()
     m = bloom_m_for(ev.count())
     return bloom_bit_positions(ev, m)
 
@@ -685,29 +697,25 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1-row totals broadcast is audited under
     _ALLOWED_SCALAR_BROADCAST; kept is 1/0 int (cross-engine bool-free).
     """
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks).cast("long")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(_SW))).cast("long")
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .where(F.col("text").isNotNull())
-        .select(
-            F.col("doc_id").cast("string").alias("doc_id"),
-            n.alias("n_tokens"),
-            n_stop.alias("n_stop"),
-            (F.length("text").cast("long") - (n - 1)).alias("tok_chars"),
+        quality_base(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("text").isNotNull())
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
         )
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.expr(
-                "5 * ((n_stop * 1000000L) DIV n_tokens)"
-                " + (tok_chars * 1000000L) DIV n_tokens"
-            ).alias("score"),
-        )
+        .select("doc_id", "n_tokens", F.expr(QUALITY_SCORE_EXPR).alias("score"))
         .withColumn("band", F.expr("score DIV 100000L"))
     )
-    bands = d.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens"))
+    # stage the DIMENSION-sized band table: totals/before derive from
+    # it, so the corpus is scanned exactly twice (band build + the main
+    # probe) instead of four times — the remaining 2-scan shape is the
+    # deliberate scan-vs-stage tradeoff (staging the per-doc frame
+    # itself would be an Iceberg stage table at 100 TB)
+    bands = _memo.staged(
+        spark,
+        ("token_budget_bands", sf_dir),
+        lambda: d.groupBy("band").agg(F.sum("n_tokens").alias("band_tokens")),
+    )
     total = bands.agg(F.sum("band_tokens").alias("total_tokens"))
     hi = bands.select(
         F.col("band").alias("hband"), F.col("band_tokens").alias("htokens")
@@ -762,18 +770,9 @@ ORACLES = {
     # global quality-ordered cumsum directly (DuckDB pays the single
     # sort; the Spark side's band decomposition must equal it exactly)
     "curate_token_budget": f"""
-WITH s AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(string_split(text, ' '),
-              t -> t IN ({", ".join(f"'{w}'" for w in _SW)}))) AS BIGINT) AS n_stop,
-         CAST(length(text) AS BIGINT)
-           - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS tok_chars
-  FROM documents WHERE text IS NOT NULL),
+WITH s AS ({quality_base_sql("WHERE text IS NOT NULL")}),
 q AS (
-  SELECT doc_id, n_tokens,
-         5 * ((n_stop * 1000000) // n_tokens)
-           + (tok_chars * 1000000) // n_tokens AS score
+  SELECT doc_id, n_tokens, {QUALITY_SCORE_SQL} AS score
   FROM s),
 t AS (SELECT SUM(n_tokens) AS total_tokens FROM q),
 c AS (

@@ -33,6 +33,49 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_base(d: DataFrame) -> DataFrame:
+    """(doc_id, text) → the quality-signal base columns (n_tokens,
+    n_stopwords, tok_chars). ONE definition feeding both the
+    per-signal view (`text_quality_score`) and every consumer that
+    ranks by the composite (`curate_token_budget`) — the formula must
+    not fork."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+        .cast("long")
+        .alias("n_stopwords"),
+        (F.length("text").cast("long") - (n - 1)).alias("tok_chars"),
+    )
+
+
+#: the composite quality score over quality_base's columns — Spark
+#: SQL-expression form and the DuckDB twin, kept adjacent so a weight
+#: change cannot silently fork
+QUALITY_SCORE_EXPR = (
+    "5 * ((n_stopwords * 1000000L) DIV n_tokens)"
+    " + (tok_chars * 1000000L) DIV n_tokens"
+)
+QUALITY_SCORE_SQL = (
+    "5 * ((n_stopwords * 1000000) // n_tokens)"
+    " + (tok_chars * 1000000) // n_tokens"
+)
+
+
+def quality_base_sql(where: str = "") -> str:
+    """DuckDB twin of :func:`quality_base` (same column names)."""
+    return f"""
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ({_SW_LIST}))) AS BIGINT) AS n_stopwords,
+         CAST(length(text) AS BIGINT)
+           - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS tok_chars
+  FROM documents {where}"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality: stopword ratio, mean token length, composite
     score — the usual pre-training corpus filters.
@@ -41,26 +84,14 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``DIV``, no floats): rounding a ratio like 1/128 to fixed decimals
     sits exactly on a .5 midpoint where Spark (HALF_UP) and DuckDB
     (HALF_EVEN) disagree; integer math cannot."""
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-    d2 = d.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        n_stop.cast("long").alias("n_stopwords"),
-        (F.length("text").cast("long") - (n.cast("long") - 1)).alias("tok_chars"),
-    )
+    d2 = quality_base(_docs(spark, sf_dir))
     return d2.select(
         "doc_id",
         "n_tokens",
         "n_stopwords",
         F.expr("(n_stopwords * 1000000L) DIV n_tokens").alias("stop_ratio_ppm"),
         F.expr("(tok_chars * 1000000L) DIV n_tokens").alias("mean_token_len_ppm"),
-        F.expr(
-            "5 * ((n_stopwords * 1000000L) DIV n_tokens)"
-            " + (tok_chars * 1000000L) DIV n_tokens"
-        ).alias("quality_score_x10ppm"),
+        F.expr(QUALITY_SCORE_EXPR).alias("quality_score_x10ppm"),
     )
 
 
@@ -459,15 +490,22 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits), one per-doc hash-aggregate. No windows, no driver loops."""
     d = _docs(spark, sf_dir)
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    # 1-row scalar broadcast (a constant-key equi-join would be
-    # constant-folded back to this same plan shape); audited under
-    # _ALLOWED_SCALAR_BROADCAST in tests/test_plans.py
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
-    freq = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(F.broadcast(total))
-        .select("token", F.expr("cnt * 1000000 DIV total").alias("freq_ppm"))
+    # stage the Zipf-bounded VOCABULARY: the corpus total is Σcnt over
+    # it (no separate corpus-scan branch), so the corpus is scanned
+    # exactly twice (vocab agg + the probe join) instead of three times
+    from dstlr_spark.queries import _memo
+
+    vocab = _memo.staged(
+        spark,
+        ("token_rarity_vocab", sf_dir),
+        lambda: tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    # 1-row scalar broadcast onto the vocab (a constant-key equi-join
+    # would be constant-folded back to this same plan shape); audited
+    # under _ALLOWED_SCALAR_BROADCAST in tests/test_plans.py
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    freq = vocab.crossJoin(F.broadcast(total)).select(
+        "token", F.expr("cnt * 1000000 DIV total").alias("freq_ppm")
     )
     return (
         tok.join(freq, "token")
@@ -729,22 +767,11 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
 FROM documents""",
     "text_quality_score": f"""
-WITH t AS (
-  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         string_split(text, ' ') AS toks,
-         CAST(length(text) AS BIGINT) AS nc
-  FROM documents),
-s AS (
-  SELECT doc_id,
-         CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(toks, x -> x IN ({_SW_LIST}))) AS BIGINT) AS n_stopwords,
-         nc - (CAST(len(toks) AS BIGINT) - 1) AS tok_chars
-  FROM t)
+WITH s AS ({quality_base_sql()})
 SELECT doc_id, n_tokens, n_stopwords,
        (n_stopwords * 1000000) // n_tokens AS stop_ratio_ppm,
        (tok_chars * 1000000) // n_tokens AS mean_token_len_ppm,
-       5 * ((n_stopwords * 1000000) // n_tokens)
-         + (tok_chars * 1000000) // n_tokens AS quality_score_x10ppm
+       {QUALITY_SCORE_SQL} AS quality_score_x10ppm
 FROM s""",
     "text_lang_id": """
 WITH t AS (

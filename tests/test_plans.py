@@ -215,6 +215,23 @@ _ALLOWED_SCALAR_BROADCAST = {
 }
 
 
+def _has_single_partition_window(jplan) -> bool:
+    """True if any Window node in the (Scala) physical plan has a
+    SinglePartition-distributed child — i.e. a corpus-funneling global
+    window, regardless of where its Exchange sits in the plan text."""
+    name = jplan.nodeName()
+    if name == "Window":
+        child = jplan.children().apply(0)
+        if "SinglePartition" in child.outputPartitioning().toString():
+            return True
+    if name == "AdaptiveSparkPlan":  # LeafExecNode — unwrap explicitly
+        return _has_single_partition_window(jplan.executedPlan())
+    for i in range(jplan.children().size()):
+        if _has_single_partition_window(jplan.children().apply(i)):
+            return True
+    return False
+
+
 def test_every_registry_query_plan_is_antipattern_free(spark):
     """Registry-wide plan audit: NO query may contain an unplanned
     cartesian, a row-at-a-time Python eval, or a corpus-wide
@@ -227,7 +244,8 @@ def test_every_registry_query_plan_is_antipattern_free(spark):
 
     failures = []
     for name, fn in em.queries().items():
-        plan = _plan(spark, fn(spark, "/root/testdata/sf0.001"))
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = _plan(spark, df)
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct")
         if (
@@ -238,17 +256,13 @@ def test_every_registry_query_plan_is_antipattern_free(spark):
             failures.append(f"{name}: BroadcastNestedLoopJoin")
         if "BatchEvalPython" in plan:  # row-at-a-time Python UDF
             failures.append(f"{name}: BatchEvalPython")
-        # a GLOBAL window physically requires its child exchange to be
-        # SinglePartition (Exchange → Sort → Window, adjacent lines);
-        # an unrelated 1-row aggregate elsewhere in the plan must not
-        # condemn a properly partitioned window
-        lines = plan.split("\n")
-        for i, ln in enumerate(lines):
-            if "Window " in ln and any(
-                "Exchange SinglePartition" in nxt for nxt in lines[i + 1 : i + 4]
-            ):
-                failures.append(f"{name}: single-partition window")
-                break
+        # a GLOBAL window's child is physically distributed as
+        # SinglePartition — walk the executed plan and check each
+        # Window node's child partitioning exactly (text adjacency is
+        # fooled by AQE wrapper lines; an unrelated 1-row aggregate
+        # elsewhere must not condemn a properly partitioned window)
+        if _has_single_partition_window(df._jdf.queryExecution().executedPlan()):
+            failures.append(f"{name}: single-partition window")
     assert not failures, failures
 
 
