@@ -30,6 +30,10 @@ _GATE_FIRST = [
     # new in round 4 — must land inside the driver's gate window NOW,
     # not discover the r3 truncation problem a round later
     "text_token_rarity",
+    "conv_role_transitions",
+    "conv_turn_stats",
+    "conv_tool_stats",
+    "conv_sessionize",
     "curate_domain_mix",
     "text_html_strip",
     "text_dup_segments",
@@ -89,6 +93,7 @@ def _modules():
     truncated exactly there, so the historically-at-risk surface runs
     early and the cheap relational/text modules absorb any truncation."""
     from dstlr_spark.queries import (
+        conv,
         curation,
         dedup,
         doc_kg,
@@ -102,6 +107,7 @@ def _modules():
 
     return (
         tokenizer,  # never-gated queries lead the registry
+        conv,  # round-4 additions: never-gated queries lead the registry
         curation,  # round-3 additions: never-gated queries lead the registry
         doc_kg,
         similarity,

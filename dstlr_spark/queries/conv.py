@@ -1,0 +1,256 @@
+"""Conversation-analytics queries over the transcript shape.
+
+The engine's primary input is an Iceberg table of multi-turn agent
+transcripts ``(conv_id, turn_idx, role, text, tool, ts)`` — these
+queries are the operational analytics a transcript corpus owner runs
+before/alongside KG construction: turn-taking structure (role
+transition matrix), per-conversation shape stats, tool-call usage, and
+batch sessionization on timestamp gaps.
+
+Input derivation: the sandbox's checkable corpus is ``documents``, so
+each query derives the transcript frame with
+:func:`dstlr_spark.sources.transcripts.derive_transcripts` (the
+shred whose reassembly round-trips byte-for-byte — gate query
+``kg_assembly_roundtrip``) and then ENRICHES it with deterministic
+role / tool / timestamp columns that are pure integer functions of
+``turn_idx`` (:func:`enrich_turns`), reproduced exactly in the DuckDB
+oracles. On a real corpus the enrichment is dropped and the same
+queries run over the native columns — the analytics are written
+against the enriched schema only.
+
+Scale notes (100 TB / 10^12 turns): every window here is partitioned
+by ``conv_id`` and ordered by ``turn_idx`` — per-conversation state
+only, never a corpus-wide window (asserted registry-wide by
+tests/test_plans.py). Long-conversation skew is the same skew the
+extraction pipeline already defuses with salted repartitioning
+(operators/assembly.py P1); a single conversation's turns always fit
+one task. The aggregates are plain hash aggregates with map-side
+partials on low-cardinality keys (role pairs, tools) or on conv_id
+(conversation-sized output — the natural shape at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dstlr_spark.queries.streamgate import _SHRED_SQL
+from dstlr_spark.sources.transcripts import derive_transcripts
+
+#: sessionization gap threshold (seconds) — a new session starts when
+#: consecutive turns are further apart than this
+SESSION_GAP_S = 1800
+
+#: epoch for the derived per-turn timestamps (2024-01-01 UTC), as in
+#: sources/transcripts.py
+_EPOCH_S = 1_704_067_200
+
+
+def enrich_turns(turns: DataFrame) -> DataFrame:
+    """Add deterministic (role, tool, ts_s) to shredded turns.
+
+    Pure integer functions of ``turn_idx`` so the DuckDB oracle twin
+    (:data:`_ENRICH_SQL`) is exact:
+
+    - role: every 7th turn (idx % 7 == 3) is a tool turn; otherwise
+      user/assistant alternate — mirroring the fixture generator's
+      role rule (sources/transcripts.py);
+    - tool: 'search' / 'code' alternating between tool turns;
+    - ts_s: epoch + 17 s per turn, plus a one-hour jump every 10
+      turns — the jump makes gap-based sessionization non-trivial
+      while staying a pure integer column (BIGINT seconds, not a
+      timestamp, so value-hash parity never touches timezone or
+      micro/second rendering differences between engines).
+    """
+    i = F.col("turn_idx").cast("long")
+    role = (
+        F.when(i % 7 == 3, F.lit("tool"))
+        .when(i % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    tool = F.when(
+        i % 7 == 3, F.when(i % 14 == 3, F.lit("search")).otherwise(F.lit("code"))
+    )
+    ts_s = F.expr(
+        f"{_EPOCH_S}L + CAST(turn_idx AS LONG) * 17"
+        " + (CAST(turn_idx AS LONG) DIV 10) * 3600"
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        "text",
+        tool.alias("tool"),
+        ts_s.cast("long").alias("ts_s"),
+    )
+
+
+#: DuckDB twin of enrich_turns over the ``turns`` CTE from _SHRED_SQL
+_ENRICH_SQL = f"""e AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN turn_idx % 7 = 3 THEN 'tool'
+              WHEN turn_idx % 2 = 0 THEN 'user'
+              ELSE 'assistant' END AS role,
+         text,
+         CASE WHEN turn_idx % 7 = 3
+              THEN CASE WHEN turn_idx % 14 = 3 THEN 'search' ELSE 'code' END
+              END AS tool,
+         CAST({_EPOCH_S} + turn_idx * 17
+              + (turn_idx // 10) * 3600 AS BIGINT) AS ts_s
+  FROM turns)"""
+
+
+def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return enrich_turns(derive_transcripts(docs))
+
+
+def q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role→role transition matrix — turn-taking structure over the
+    whole corpus (conversation-start modeled as prev_role='START').
+
+    One conv-partitioned lag + one hash aggregate on a ≤ (R+1)·R-row
+    key space — both map-side-combining; nothing corpus-wide."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(F.lag("role").over(w), F.lit("START")).alias("prev_role"),
+    )
+    return t.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_turn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation shape stats: turn counts by kind, token volume,
+    mean turn length (ppm int), closing role — the per-conversation
+    profile table (conversation-sized output, one hash agg)."""
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_turns"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.expr("sum(n_toks) * 1000000 DIV count(1)").alias("mean_turn_tokens_ppm"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    )
+
+
+def q_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage: call count, distinct conversations, token volume
+    of tool turns. distinct-conv is an exact distinct inside a
+    tool-keyed hash agg — at 10^12 turns swap for approx_count_distinct
+    or the HLL-register operator (q_hll_registers) if exactness can be
+    relaxed; kept exact here because the oracle must match."""
+    t = _turns(spark, sf_dir).where(F.col("tool").isNotNull())
+    return t.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("tool_turn_tokens"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a new session starts at each > 30-min gap
+    between consecutive turns of a conversation; emits per-session turn
+    count, duration, and tool-call count.
+
+    The streaming twin is ``stream_events_sessions``
+    (applyInPandasWithState); this is the backfill shape — two
+    conv-partitioned window passes (lag, running sum) then one hash
+    aggregate on (conv_id, session_idx)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "ts_s",
+        F.when(
+            F.col("ts_s") - F.lag("ts_s").over(w) > SESSION_GAP_S, 1
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    t = t.select(
+        "conv_id",
+        "tool",
+        "ts_s",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return t.groupBy("conv_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.max("ts_s") - F.min("ts_s")).cast("long").alias("duration_s"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tool_calls"),
+    )
+
+
+QUERIES = {
+    "conv_role_transitions": q_role_transitions,
+    "conv_turn_stats": q_turn_stats,
+    "conv_tool_stats": q_tool_stats,
+    "conv_sessionize": q_sessionize,
+}
+
+ORACLES = {
+    "conv_role_transitions": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+p AS (
+  SELECT role,
+         COALESCE(LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                  'START') AS prev_role
+  FROM e)
+SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY prev_role, role""",
+    "conv_turn_stats": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+s AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM e)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_toks) * 1000000 // COUNT(*) AS BIGINT)
+         AS mean_turn_tokens_ppm,
+       arg_max(role, turn_idx) AS last_role
+FROM s GROUP BY conv_id""",
+    "conv_tool_stats": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL}
+SELECT tool,
+       CAST(COUNT(*) AS BIGINT) AS n_calls,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tool_turn_tokens
+FROM e WHERE tool IS NOT NULL GROUP BY tool""",
+    "conv_sessionize": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+g AS (
+  SELECT conv_id, turn_idx, tool, ts_s,
+         CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx)
+                   > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e),
+s AS (
+  SELECT conv_id, tool, ts_s,
+         CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM g)
+SELECT conv_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(MAX(ts_s) - MIN(ts_s) AS BIGINT) AS duration_s,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_calls
+FROM s GROUP BY conv_id, session_idx""",
+}
