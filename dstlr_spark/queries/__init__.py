@@ -34,6 +34,7 @@ _GATE_FIRST = [
     "conv_turn_stats",
     "conv_tool_stats",
     "conv_sessionize",
+    "curate_lm_surprisal",
     "curate_domain_mix",
     "text_html_strip",
     "text_dup_segments",

@@ -746,10 +746,89 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_SPLIT_MOD = 10  # train = 9/10 of the corpus, score the held-out tenth
+
+
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bigram LM surprisal scoring — the perplexity-filter shape
+    (CCNet / Gopher style: train a cheap LM on an in-domain split,
+    rank candidate documents by how surprising the LM finds them;
+    high-surprisal docs are boilerplate/garbage candidates).
+
+    Everything is exact integer math so the oracle hashes identically:
+    per-bigram surprisal is the add-one-smoothed ratio in INTEGER
+    log2 via bit lengths (both engines render ``bin(x)`` of a positive
+    int without leading zeros — the same invariant the HLL rho uses):
+
+        surprisal(w1, w2) = bitlen(c(w1·) + V) - bitlen(c(w1 w2) + 1)
+
+    with ``c(w1·)`` the train count of w1 in bigram-PREFIX position,
+    ``V`` the train prefix vocabulary, so unseen-prefix bigrams score
+    bitlen(V) - 1 (≈ log2 of uniform) and frequent pairs ≈ 0. The doc
+    score is the ppm-scaled mean over its bigrams.
+
+    Scale shape: the LM is ONE hash aggregate over exploded train
+    bigrams (map-side partials; Zipf head combines in-map), the prefix
+    table a second; scoring is two hash equi-joins on (w1[, w2]) — the
+    frequent-pair skew is bounded because both join SIDES are keyed on
+    the same Zipf distribution and AQE splits oversized partitions.
+    No windows, no driver loops; the 1-row V frame is a scalar
+    broadcast (audited under _ALLOWED_SCALAR_BROADCAST)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull() & (n >= 2))
+        .select(
+            F.col("doc_id").cast("long").alias("did"),
+            F.slice(toks, 1, n - 1).alias("w1s"),
+            F.slice(toks, 2, n - 1).alias("w2s"),
+        )
+    )
+    pairs = base.select(
+        "did",
+        F.explode(F.arrays_zip(F.col("w1s").alias("w1"), F.col("w2s").alias("w2"))).alias("p"),
+    ).select("did", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    train = pairs.where(F.col("did") % LM_SPLIT_MOD != 0)
+    bigram_lm = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    prefix_lm = train.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = prefix_lm.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    scored = (
+        pairs.where(F.col("did") % LM_SPLIT_MOD == 0)
+        .join(prefix_lm, "w1", "left")
+        .join(bigram_lm, ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "did",
+            (
+                F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")))
+                - F.length(F.bin(F.coalesce(F.col("c12"), F.lit(0)) + 1))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("did").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("s").alias("sum_surprisal"),
+        F.expr("sum(s) * 1000000 DIV count(1)").alias("avg_surprisal_ppm"),
+    ).select(
+        F.col("did").cast("string").alias("doc_id"),
+        "n_bigrams",
+        "sum_surprisal",
+        "avg_surprisal_ppm",
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 QUERIES = {
     # never-gated queries lead the module (gate-truncation insurance)
+    "curate_lm_surprisal": q_lm_surprisal,
     "curate_token_budget": q_token_budget,
     "curate_domain_mix": q_domain_mix,
     "curate_decontaminate": q_decontaminate,
@@ -767,6 +846,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curate_lm_surprisal": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS s
+  FROM documents
+  WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 2),
+p AS (
+  SELECT did, tk[i] AS w1, tk[i + 1] AS w2
+  FROM (SELECT did, tk, unnest(range(1, s)) AS i FROM t) z),
+tr AS (SELECT w1, w2 FROM p WHERE did % {LM_SPLIT_MOD} <> 0),
+c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM tr GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tr GROUP BY w1),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+sc AS (
+  SELECT p.did,
+         CAST(length(bin(COALESCE(c1.c1, 0) + v.v))
+            - length(bin(COALESCE(c12.c12, 0) + 1)) AS BIGINT) AS s
+  FROM p
+  LEFT JOIN c1 ON c1.w1 = p.w1
+  LEFT JOIN c12 ON c12.w1 = p.w1 AND c12.w2 = p.w2
+  CROSS JOIN v
+  WHERE p.did % {LM_SPLIT_MOD} = 0)
+SELECT CAST(did AS VARCHAR) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(s) AS BIGINT) AS sum_surprisal,
+       CAST(SUM(s) * 1000000 // COUNT(*) AS BIGINT) AS avg_surprisal_ppm
+FROM sc GROUP BY did""",
     # global quality-ordered cumsum directly (DuckDB pays the single
     # sort; the Spark side's band decomposition must equal it exactly)
     "curate_token_budget": f"""

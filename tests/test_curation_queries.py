@@ -311,3 +311,19 @@ def test_token_budget_mid_band_cut_is_doc_id_ordered(spark, tmp_path):
     # the cut really is mid-band: some kept, some dropped
     kept = {d for d, (_, k) in got.items() if k}
     assert 0 < len(kept) < len(ids)
+
+
+def test_lm_surprisal_ranks_unseen_text_above_in_domain(spark, tmp_path):
+    """Held-out docs made of train-frequent bigrams must score strictly
+    below docs made of never-seen tokens; only did % 10 == 0 docs are
+    scored; surprisal is non-negative by the add-one construction."""
+    from dstlr_spark.queries.curation import q_lm_surprisal
+
+    train = [(str(i), "the cat sat on the mat " * 5) for i in range(1, 10)]
+    heldout = [("10", "the cat sat on the mat"), ("20", "zq xv qqj wpl zq kfg")]
+    df = spark.createDataFrame(train + heldout, "doc_id string, text string")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q_lm_surprisal(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"10", "20"}  # the held-out tenth only
+    assert rows["10"]["avg_surprisal_ppm"] < rows["20"]["avg_surprisal_ppm"]
+    assert all(r["sum_surprisal"] >= 0 for r in rows.values())

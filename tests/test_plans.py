@@ -212,6 +212,7 @@ _ALLOWED_BROADCAST_PRODUCT = {
 _ALLOWED_SCALAR_BROADCAST = {
     "text_token_rarity",
     "curate_domain_mix",
+    "curate_lm_surprisal",  # 1-row train-vocab frame
 }
 
 
