@@ -40,6 +40,7 @@ _GATE_FIRST = [
     "text_dup_segments",
     "curate_token_budget",
     "kg_label_propagation",
+    "kg_comention_pmi",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

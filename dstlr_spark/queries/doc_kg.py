@@ -401,6 +401,69 @@ def q_comention_skipped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipped_comention_docs(_ent_docs(spark, sf_dir))
 
 
+def q_comention_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-mention pairs — the
+    association-strength ranking that separates genuinely related
+    entity pairs from pairs that merely share popular documents:
+
+        pmi_bits ≈ log2( c_ab · N / (c_a · c_b) )
+
+    computed EXACTLY in integers as bitlen(c_ab·N) − bitlen(c_a·c_b)
+    (both engines render ``bin()`` of a positive int without leading
+    zeros — the invariant the HLL rho and LM surprisal already pin),
+    so the oracle hashes identically; negative values mean
+    anti-association.
+
+    Scale shape: pair counts are the co-mention aggregate (already
+    capped per doc + audited); marginals are one vertex-sized hash agg
+    joined twice onto the pair frame (vertex ≪ edge scale, AQE
+    broadcasts when it fits); N is a 1-row scalar broadcast (audited
+    under _ALLOWED_SCALAR_BROADCAST). No windows, no driver loops."""
+    ed = _ent_docs(spark, sf_dir)
+    kept = ed.join(
+        F.broadcast(skipped_comention_docs(ed).select("doc")), "doc", "left_anti"
+    ).localCheckpoint()  # consumed 3× (pairs, marginals, N): cut lineage once
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.entity_id") < F.col("b.entity_id")),
+        )
+        .groupBy(
+            F.col("a.entity_id").alias("entity_a"),
+            F.col("b.entity_id").alias("entity_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    marg = kept.groupBy("entity_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_docs_total = kept.select("doc").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        pairs.join(
+            marg.select(F.col("entity_id").alias("entity_a"), F.col("c").alias("ca")),
+            "entity_a",
+        )
+        .join(
+            marg.select(F.col("entity_id").alias("entity_b"), F.col("c").alias("cb")),
+            "entity_b",
+        )
+        .crossJoin(F.broadcast(n_docs_total))
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_docs",
+            (
+                F.length(F.bin(F.col("n_docs") * F.col("n_total")))
+                - F.length(F.bin(F.col("ca") * F.col("cb")))
+            )
+            .cast("long")
+            .alias("pmi_bits"),
+        )
+    )
+
+
 def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count per entity over the co-mention graph — the motif
     query of KG analytics. Canonical-order edge list (src < dst) makes
@@ -740,6 +803,30 @@ ent_docs AS (
 SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_entities
 FROM ent_docs GROUP BY doc
 HAVING COUNT(*) > {COMENTION_MAX_ENTITIES}""",
+    "kg_comention_pmi": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+pairs AS (
+    SELECT a.entity_id AS entity_a, b.entity_id AS entity_b,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id
+    GROUP BY a.entity_id, b.entity_id),
+marg AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS c
+         FROM kept GROUP BY entity_id),
+nt AS (SELECT CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_total FROM kept)
+SELECT p.entity_a, p.entity_b, p.n_docs,
+       CAST(length(bin(p.n_docs * nt.n_total))
+          - length(bin(ma.c * mb.c)) AS BIGINT) AS pmi_bits
+FROM pairs p
+JOIN marg ma ON ma.entity_id = p.entity_a
+JOIN marg mb ON mb.entity_id = p.entity_b
+CROSS JOIN nt""",
     "kg_entity_triangles": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -864,6 +951,7 @@ QUERIES = {
     "kg_canonical_clusters": q_canonical_clusters,
     "kg_entity_comention": q_entity_comention,
     "kg_comention_skipped_docs": q_comention_skipped_docs,
+    "kg_comention_pmi": q_comention_pmi,
     "kg_entity_triangles": q_entity_triangles,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,

@@ -213,6 +213,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "text_token_rarity",
     "curate_domain_mix",
     "curate_lm_surprisal",  # 1-row train-vocab frame
+    "kg_comention_pmi",  # 1-row kept-doc-count frame
 }
 
 
