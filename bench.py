@@ -122,6 +122,8 @@ def main() -> None:
         "curate_decision",  # composite keep/drop verdict — one scan, no shuffle
         "curate_decontaminate",  # eval-gram broadcast vs staged posting list
         "rel_bilateral_trade",  # Q7 shape: fact shuffles + broadcast dims
+        "curate_lm_surprisal",  # bigram-LM train + held-out scoring joins
+        "conv_sessionize",  # conv-partitioned windows + session hash agg
     ):
         assert name in qs, f"headline query {name!r} missing from registry"
         counters[f"{name}_rows"] = timed(

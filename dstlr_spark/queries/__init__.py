@@ -41,6 +41,7 @@ _GATE_FIRST = [
     "curate_token_budget",
     "kg_label_propagation",
     "kg_comention_pmi",
+    "dedup_substring_coverage",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dstlr_spark.functions.text import ngrams
 from dstlr_spark.queries._memo import staged
@@ -609,10 +610,95 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUBSTR_W = 20  # duplicated-substring window (tokens)
+
+
+def q_dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring coverage — the exact-substring
+    dedup signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"), re-expressed suffix-array-free for Spark:
+    a token span is duplicated iff its ``SUBSTR_W``-token window hash
+    occurs ≥ 2 times in the corpus (any doc, including its own), and a
+    doc's ``dup_coverage_ppm`` is the fraction of its tokens covered by
+    the UNION of duplicated windows.
+
+    Shapes, in order: one corpus scan emitting (doc, pos, md5(win))
+    rolling windows (O(n·W) per doc via the argument-position ngrams
+    builder — never a lambda-body re-split); one window-hash aggregate
+    (map-side combining) keeps hashes with ≥2 occurrences; one
+    equi-join back tags duplicated positions; interval union is a
+    doc-PARTITIONED running-max window — because all intervals share
+    length W, the union contribution of a hit at ``pos`` is exactly
+    ``least(W, pos - prev_max_pos)`` (W for the first hit). No global
+    window, no pair materialization: corpus-scale work is two shuffles
+    (hash agg + join-back), which is what the suffix-array approach
+    costs on a cluster anyway — and this one distributes for free."""
+    # W=20 windows: the k-1-pass zip_with builder (fine at k∈{2,3})
+    # copies O(W²) chars per position at this width; instead MATERIALIZE
+    # the token array once, then hash each window with a per-position
+    # slice — an attribute reference inside the lambda body is O(1), so
+    # this is O(n·W) (the derive_transcripts pattern), and hashing
+    # inside the lambda means the staged frame holds 32-char digests,
+    # never W-token gram strings
+    toks = F.split(F.col("text"), " ")
+    base = staged(
+        spark,
+        ("substr_base", sf_dir),
+        lambda: _docs(spark, sf_dir)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), toks.alias("__toks"))
+        .where(F.size("__toks") >= SUBSTR_W)
+        .select(
+            "doc_id",
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - SUBSTR_W),
+                lambda i: F.md5(
+                    F.array_join(F.slice("__toks", i + 1, SUBSTR_W), " ")
+                ),
+            ).alias("hs"),
+        ),
+    )
+    occ = base.select("doc_id", F.posexplode("hs").alias("pos", "h"))
+    dup = occ.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") >= 2)
+    hits = occ.join(dup.select("h"), "h").select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = hits.select(
+        "doc_id",
+        "pos",
+        F.max("pos").over(w).alias("prev_max_pos"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("prev_max_pos").isNull(), F.lit(SUBSTR_W)
+        )
+        .otherwise(F.least(F.lit(SUBSTR_W), F.col("pos") - F.col("prev_max_pos")))
+        .cast("long")
+        .alias("c"),
+    )
+    agg = cov.groupBy("doc_id").agg(F.sum("c").alias("dup_tokens"))
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.expr(
+                "coalesce(dup_tokens, 0) * 1000000 DIV n_tokens"
+            ).alias("dup_coverage_ppm"),
+        )
+    )
+
+
 QUERIES = {
     # never-truncated-first ordering: queries without a prior-round
     # CORRECTNESS row lead their module, so any gate truncation falls on
     # rows with green history
+    "dedup_substring_coverage": q_dedup_substring_coverage,
     "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_incremental": q_dedup_incremental,
     "dedup_containment": q_dedup_containment,
@@ -676,6 +762,36 @@ _BAND_KEYS_SQL = ",\n       ".join(
 )
 
 ORACLES = {
+    "dedup_substring_coverage": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS s
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {SUBSTR_W}),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(tk[i : i + {SUBSTR_W - 1}], ' ')) AS h
+  FROM (SELECT doc_id, tk, unnest(range(1, s - {SUBSTR_W} + 2)) AS i
+        FROM t) z),
+dup AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (h)),
+cov AS (
+  SELECT doc_id,
+         CASE WHEN prev IS NULL THEN {SUBSTR_W}
+              ELSE LEAST({SUBSTR_W}, pos - prev) END AS c
+  FROM (SELECT doc_id, pos,
+               MAX(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev
+        FROM hits) y),
+agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dup_tokens
+        FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.s AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) * 1000000 // t.s AS BIGINT)
+         AS dup_coverage_ppm
+FROM t LEFT JOIN agg a USING (doc_id)""",
     "dedup_exact": """
 WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(text) AS text_hash FROM documents),
 g AS (SELECT text_hash, CAST(COUNT(*) AS BIGINT) AS n_dups, MIN(doc_id) AS keep_doc_id

@@ -156,3 +156,29 @@ def test_edit_distance_rescorer_ascii_guard(spark, tmp_path):
     assert ("1", "2") in pairs
     assert pairs[("1", "2")]["edit_distance"] == 3  # dog -> cat
     assert all("3" not in p for p in pairs)  # non-ASCII excluded, both engines
+
+
+def test_substring_coverage_union_of_planted_windows(spark, tmp_path):
+    """A 20-token run shared by two docs marks exactly those tokens as
+    duplicated in each (overlapping windows union, not double-count);
+    a doc sharing nothing scores 0; sub-window (<20 token) overlap
+    does not trigger."""
+    from dstlr_spark.queries.dedup import SUBSTR_W, q_dedup_substring_coverage
+
+    shared = " ".join(f"s{i}" for i in range(SUBSTR_W))  # exactly W tokens
+    a = shared + " " + " ".join(f"a{i}" for i in range(SUBSTR_W))
+    b = " ".join(f"b{i}" for i in range(SUBSTR_W)) + " " + shared
+    c = " ".join(f"c{i}" for i in range(2 * SUBSTR_W))  # unique
+    df = spark.createDataFrame(
+        [("1", a), ("2", b), ("3", c)], "doc_id string, text string"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r["doc_id"]: r
+        for r in q_dedup_substring_coverage(spark, str(tmp_path)).collect()
+    }
+    assert rows["1"]["dup_tokens"] == SUBSTR_W
+    assert rows["2"]["dup_tokens"] == SUBSTR_W
+    assert rows["3"]["dup_tokens"] == 0
+    assert rows["3"]["dup_coverage_ppm"] == 0
+    assert rows["1"]["dup_coverage_ppm"] == 500_000  # half the doc
