@@ -42,6 +42,7 @@ _GATE_FIRST = [
     "kg_label_propagation",
     "kg_comention_pmi",
     "dedup_substring_coverage",
+    "kg_mention_turn_attribution",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

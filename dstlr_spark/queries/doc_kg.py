@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dstlr_spark.operators.assembly import assemble_documents
 from dstlr_spark.operators.clean import (
@@ -27,7 +28,9 @@ from dstlr_spark.operators.extract import (
 )
 from dstlr_spark.functions.text import lemma_token_sql
 from dstlr_spark.plans.native_kg import NativeKG
+from dstlr_spark.queries.conv import _ENRICH_SQL
 from dstlr_spark.queries.sqlgen import values_cte
+from dstlr_spark.queries.streamgate import _SHRED_SQL
 from dstlr_spark.sources.transcripts import derive_transcripts
 
 COOCCUR_WINDOW = 8
@@ -399,6 +402,53 @@ def q_comention_skipped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit: docs excluded from co-mention edges by the entity cap
     (none on the sf corpora; the cap is exercised by tests)."""
     return skipped_comention_docs(_ent_docs(spark, sf_dir))
+
+
+def q_mention_turn_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute every KG mention back to the transcript TURN that
+    contains it — the axes-A+B bridge: mention ``begin`` offsets are
+    document-coordinate (the assembled conversation text), turn spans
+    are the shred's cumulative lengths, so the turn containing a
+    mention is the one whose [start, start+len) interval covers the
+    offset (well-defined: reassembly is byte-identity, pinned by
+    ``kg_assembly_roundtrip``). Emits per-(conv, turn, role) mention
+    counts — "which turns, and which speaker roles, introduce
+    entities" is the transcript-corpus question KG provenance needs.
+
+    Scale shape: turn start offsets are one conv-partitioned running
+    sum; the attribution join is an equi-join on conv_id with the
+    interval-containment residual — per-conversation pair volume is
+    turns × mentions of THAT conversation only (both conversation-
+    bounded; the same skew salting as extraction if one conversation
+    is huge), never a corpus cross."""
+    turns = derive_transcripts(
+        _documents(spark, sf_dir).withColumnRenamed("contents", "text")
+    )
+    from dstlr_spark.queries.conv import enrich_turns
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = enrich_turns(turns).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.coalesce(
+            F.sum(F.length("text").cast("long") + 1).over(w), F.lit(0).cast("long")
+        ).alias("start"),
+        F.length("text").cast("long").alias("ln"),
+    )
+    m = extract_mentions_native(_documents(spark, sf_dir), _gazetteer(spark)).select(
+        F.col("doc_id").alias("conv_id"), F.col("begin").cast("long").alias("b")
+    )
+    return (
+        m.join(spans, "conv_id")
+        .where((F.col("b") >= F.col("start")) & (F.col("b") < F.col("start") + F.col("ln")))
+        .groupBy("conv_id", "turn_idx", "role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )
 
 
 def q_comention_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +853,22 @@ ent_docs AS (
 SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_entities
 FROM ent_docs GROUP BY doc
 HAVING COUNT(*) > {COMENTION_MAX_ENTITIES}""",
+    "kg_mention_turn_attribution": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+spans AS (
+  SELECT conv_id, turn_idx, role,
+         COALESCE(SUM(length(text) + 1)
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS st,
+         length(text) AS ln
+  FROM e)
+SELECT m.doc AS conv_id, s.turn_idx, s.role,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM mentions m JOIN spans s ON s.conv_id = m.doc
+WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
+GROUP BY m.doc, s.turn_idx, s.role""",
     "kg_comention_pmi": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -952,6 +1018,7 @@ QUERIES = {
     "kg_entity_comention": q_entity_comention,
     "kg_comention_skipped_docs": q_comention_skipped_docs,
     "kg_comention_pmi": q_comention_pmi,
+    "kg_mention_turn_attribution": q_mention_turn_attribution,
     "kg_entity_triangles": q_entity_triangles,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
