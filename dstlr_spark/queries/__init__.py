@@ -43,6 +43,9 @@ _GATE_FIRST = [
     "kg_comention_pmi",
     "dedup_substring_coverage",
     "kg_mention_turn_attribution",
+    "kg_entity_timeline",
+    "kg_entity_salience",
+    "kg_triple_temporal",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

@@ -404,50 +404,229 @@ def q_comention_skipped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipped_comention_docs(_ent_docs(spark, sf_dir))
 
 
-def q_mention_turn_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribute every KG mention back to the transcript TURN that
-    contains it — the axes-A+B bridge: mention ``begin`` offsets are
-    document-coordinate (the assembled conversation text), turn spans
-    are the shred's cumulative lengths, so the turn containing a
-    mention is the one whose [start, start+len) interval covers the
-    offset (well-defined: reassembly is byte-identity, pinned by
-    ``kg_assembly_roundtrip``). Emits per-(conv, turn, role) mention
-    counts — "which turns, and which speaker roles, introduce
-    entities" is the transcript-corpus question KG provenance needs.
+def _turn_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn intervals in document coordinates: (conv_id, turn_idx,
+    role, ts_s, start, ln) — the shared input of the provenance family
+    (mention→turn attribution, entity timeline, temporal triples).
 
-    Scale shape: turn start offsets are one conv-partitioned running
-    sum; the attribution join is an equi-join on conv_id with the
-    interval-containment residual — per-conversation pair volume is
-    turns × mentions of THAT conversation only (both conversation-
-    bounded; the same skew salting as extraction if one conversation
-    is huge), never a corpus cross."""
+    Mention ``begin`` offsets are document-coordinate (the assembled
+    conversation text), turn spans are the shred's cumulative lengths,
+    so the turn containing a mention is the one whose
+    [start, start+ln) interval covers the offset (well-defined:
+    reassembly is byte-identity, pinned by ``kg_assembly_roundtrip``).
+    The running sum is one conv-partitioned window — per-conversation
+    state only, never a corpus-wide window."""
+    from dstlr_spark.queries.conv import enrich_turns
+
     turns = derive_transcripts(
         _documents(spark, sf_dir).withColumnRenamed("contents", "text")
     )
-    from dstlr_spark.queries.conv import enrich_turns
-
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    spans = enrich_turns(turns).select(
+    return enrich_turns(turns).select(
         "conv_id",
         "turn_idx",
         "role",
+        "ts_s",
         F.coalesce(
             F.sum(F.length("text").cast("long") + 1).over(w), F.lit(0).cast("long")
         ).alias("start"),
         F.length("text").cast("long").alias("ln"),
     )
+
+
+def q_mention_turn_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute every KG mention back to the transcript TURN that
+    contains it — the axes-A+B bridge (interval semantics in
+    :func:`_turn_spans`). Emits per-(conv, turn, role) mention counts
+    — "which turns, and which speaker roles, introduce entities" is
+    the transcript-corpus question KG provenance needs.
+
+    Scale shape: the attribution join is an equi-join on conv_id with
+    the interval-containment residual — per-conversation pair volume
+    is turns × mentions of THAT conversation only (both conversation-
+    bounded; the same skew salting as extraction if one conversation
+    is huge), never a corpus cross."""
     m = extract_mentions_native(_documents(spark, sf_dir), _gazetteer(spark)).select(
         F.col("doc_id").alias("conv_id"), F.col("begin").cast("long").alias("b")
     )
     return (
-        m.join(spans, "conv_id")
+        m.join(_turn_spans(spark, sf_dir), "conv_id")
         .where((F.col("b") >= F.col("start")) & (F.col("b") < F.col("start") + F.col("ln")))
         .groupBy("conv_id", "turn_idx", "role")
         .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )
+
+
+def _linked_mention_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every linked mention OCCURRENCE attributed to its turn:
+    (conv_id, entity_id, pos, ts_s) — shared by the timeline and
+    salience queries. Occurrences come from the persisted mention
+    frame (one row per token hit); the link side is per distinct
+    (doc, mention) with a non-null resolved entity."""
+    kg = _kg(spark, sf_dir)
+    links = (
+        kg.links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select(
+            F.col("doc").alias("conv_id"),
+            F.col("subjectValue").alias("mention_id"),
+            F.col("objectValue").alias("entity_id"),
+        )
+    )
+    occ = kg.mentions.select(
+        F.col("doc_id").alias("conv_id"),
+        "mention_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("begin").cast("long").alias("b"),
+    )
+    return (
+        occ.join(links, ["conv_id", "mention_id"])
+        .join(_turn_spans(spark, sf_dir), "conv_id")
+        .where(
+            (F.col("b") >= F.col("start")) & (F.col("b") < F.col("start") + F.col("ln"))
+        )
+        .select("conv_id", "entity_id", "pos", "ts_s")
+    )
+
+
+def q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity observation timeline over the transcript corpus:
+    first/last timestamp an entity is mentioned, occurrence count, and
+    conversation reach — the KG release's temporal index ("when did
+    this entity enter the corpus, is it still active, how broadly").
+
+    Scale shape: linked occurrences ride the persisted mention frame;
+    the turn attribution is conversation-bounded (:func:`_turn_spans`);
+    the rollup is ONE hash aggregate keyed on entity_id with map-side
+    partials (min/max/count all combine) plus an exact distinct-conv
+    count (entity-keyed two-phase distinct agg — entity cardinality is
+    dictionary-scale, orders below the corpus)."""
+    return (
+        _linked_mention_turns(spark, sf_dir)
+        .groupBy("entity_id")
+        .agg(
+            F.min("ts_s").alias("first_ts_s"),
+            F.max("ts_s").alias("last_ts_s"),
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(conversation, entity) salience: an entity mentioned EARLY
+    and OFTEN in a conversation is what the conversation is about;
+    one mentioned once in passing at turn 40 is not. Score is exact
+    integer math so both engines hash identically:
+
+        salience_ppm = (1_000_000 · n_mentions) DIV (first_pos + 10)
+
+    (first_pos = earliest token position of any linked occurrence;
+    the +10 floor keeps position-0 mentions from dominating on
+    position alone). This is the doc-level ranking signal entity
+    indexes ship next to the timeline.
+
+    Scale shape: one hash aggregate on (conv, entity) — output is
+    bounded by links, which the co-mention family already handles;
+    no windows, no sorts."""
+    agg = (
+        _linked_mention_turns(spark, sf_dir)
+        .groupBy("conv_id", "entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.min("pos").alias("first_pos"),
+        )
+    )
+    return agg.select(
+        "conv_id",
+        "entity_id",
+        "n_mentions",
+        "first_pos",
+        F.expr("(1000000L * n_mentions) DIV (first_pos + 10)").alias("salience_ppm"),
+    )
+
+
+def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scoping of entity-level relation triples: for every
+    (subject_entity, relation, object_entity) whose BOTH endpoints
+    resolve to KB entities, the first/last observation timestamp and
+    observation count — the validity-interval shape temporal KGs
+    (e.g. Wikidata qualifiers) attach to edges, derived here from
+    transcript turn timestamps via mention→turn attribution.
+
+    Scale shape: the co-occurrence pair join is the SAME per-document
+    window-bounded self-join as relation extraction (≤ W partners per
+    occurrence, conversation-bounded); both link resolutions are
+    equi-joins against the distinct-mention link table; the turn
+    attribution is conversation-bounded; the final rollup is one hash
+    aggregate on the entity-pair key with map-side partials. Nothing
+    here is corpus-quadratic."""
+    kg = _kg(spark, sf_dir)
+    m = kg.mentions
+    a = m.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("mention_id").alias("a_mid"),
+        F.col("entity_class").alias("a_cls"),
+        F.col("pos").alias("a_pos"),
+        F.col("key").alias("a_key"),
+        F.col("begin").cast("long").alias("b"),
+    )
+    bm = m.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("mention_id").alias("b_mid"),
+        F.col("entity_class").alias("b_cls"),
+        F.col("pos").alias("b_pos"),
+        F.col("key").alias("b_key"),
+    )
+    pairs = a.join(bm, "conv_id").where(
+        (F.col("b_pos") > F.col("a_pos"))
+        & (F.col("b_pos") <= F.col("a_pos") + COOCCUR_WINDOW)
+        & (F.col("a_key") != F.col("b_key"))
+    )
+    links = (
+        kg.links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select(
+            F.col("doc").alias("conv_id"),
+            F.col("subjectValue").alias("mention_id"),
+            F.col("objectValue").alias("entity_id"),
+        )
+    )
+    subj = links.select(
+        "conv_id",
+        F.col("mention_id").alias("a_mid"),
+        F.col("entity_id").alias("subj_entity"),
+    )
+    obj = links.select(
+        "conv_id",
+        F.col("mention_id").alias("b_mid"),
+        F.col("entity_id").alias("obj_entity"),
+    )
+    return (
+        pairs.join(subj, ["conv_id", "a_mid"])
+        .join(obj, ["conv_id", "b_mid"])
+        .join(_turn_spans(spark, sf_dir), "conv_id")
+        .where(
+            (F.col("b") >= F.col("start")) & (F.col("b") < F.col("start") + F.col("ln"))
+        )
+        .select(
+            "subj_entity",
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            "obj_entity",
+            "ts_s",
+        )
+        .groupBy("subj_entity", "relation", "obj_entity")
+        .agg(
+            F.min("ts_s").alias("first_ts_s"),
+            F.max("ts_s").alias("last_ts_s"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
     )
 
 
@@ -722,6 +901,19 @@ links AS (
 """
 
 
+#: DuckDB twin of :func:`_turn_spans` over the ``e`` CTE (shred +
+#: enrichment): turn intervals in document coordinates plus the
+#: derived per-turn timestamp.
+_SPANS_SQL = """spans AS (
+  SELECT conv_id, turn_idx, role, ts_s,
+         COALESCE(SUM(length(text) + 1)
+                  OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS st,
+         length(text) AS ln
+  FROM e)"""
+
+
 def _clean_sql(predicate: str, fact_join: str) -> str:
     return f"""WITH {_base_ctes()},
 obj AS (SELECT DISTINCT mention_id, span FROM mentions)
@@ -856,19 +1048,65 @@ HAVING COUNT(*) > {COMENTION_MAX_ENTITIES}""",
     "kg_mention_turn_attribution": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
-spans AS (
-  SELECT conv_id, turn_idx, role,
-         COALESCE(SUM(length(text) + 1)
-                  OVER (PARTITION BY conv_id ORDER BY turn_idx
-                        ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING), 0) AS st,
-         length(text) AS ln
-  FROM e)
+{_SPANS_SQL}
 SELECT m.doc AS conv_id, s.turn_idx, s.role,
        CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM mentions m JOIN spans s ON s.conv_id = m.doc
 WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
 GROUP BY m.doc, s.turn_idx, s.role""",
+    "kg_entity_timeline": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL}
+SELECT l.entity_id,
+       MIN(s.ts_s) AS first_ts_s,
+       MAX(s.ts_s) AS last_ts_s,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT m.doc) AS BIGINT) AS n_convs
+FROM mentions m
+JOIN links l ON l.doc = m.doc AND l.mention_id = m.mention_id
+            AND l.entity_id IS NOT NULL
+JOIN spans s ON s.conv_id = m.doc
+           AND m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
+GROUP BY l.entity_id""",
+    "kg_entity_salience": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+agg AS (
+  SELECT m.doc AS conv_id, l.entity_id,
+         CAST(COUNT(*) AS BIGINT) AS n_mentions,
+         CAST(MIN(m.pos) AS BIGINT) AS first_pos
+  FROM mentions m
+  JOIN links l ON l.doc = m.doc AND l.mention_id = m.mention_id
+              AND l.entity_id IS NOT NULL
+  JOIN spans s ON s.conv_id = m.doc
+             AND m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
+  GROUP BY m.doc, l.entity_id)
+SELECT conv_id, entity_id, n_mentions, first_pos,
+       CAST((1000000 * n_mentions) // (first_pos + 10) AS BIGINT)
+           AS salience_ppm
+FROM agg""",
+    "kg_triple_temporal": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL}
+SELECT ls.entity_id AS subj_entity,
+       'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+       lo.entity_id AS obj_entity,
+       MIN(s.ts_s) AS first_ts_s,
+       MAX(s.ts_s) AS last_ts_s,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM mentions a
+JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+               AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+             AND ls.entity_id IS NOT NULL
+JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+             AND lo.entity_id IS NOT NULL
+JOIN spans s ON s.conv_id = a.doc
+           AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln
+GROUP BY ls.entity_id, relation, lo.entity_id""",
     "kg_comention_pmi": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -1019,6 +1257,9 @@ QUERIES = {
     "kg_comention_skipped_docs": q_comention_skipped_docs,
     "kg_comention_pmi": q_comention_pmi,
     "kg_mention_turn_attribution": q_mention_turn_attribution,
+    "kg_entity_timeline": q_entity_timeline,
+    "kg_entity_salience": q_entity_salience,
+    "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
