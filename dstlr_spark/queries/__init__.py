@@ -46,6 +46,7 @@ _GATE_FIRST = [
     "kg_entity_timeline",
     "kg_entity_salience",
     "kg_triple_temporal",
+    "curate_dsir_weights",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

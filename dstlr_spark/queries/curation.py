@@ -824,10 +824,103 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DSIR importance-resampling weights --------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed n-gram feature buckets (paper uses 10^4)
+DSIR_TARGET_MOD = 10  # target "domain sample" = every 10th doc; raw = rest
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023) weights: score every RAW document by how much more likely
+    its hashed-n-gram features are under the TARGET domain's
+    bag-of-ngrams model than under the raw corpus's own —
+    ``log w = Σ_f count(f) · [log p_target(f) − log p_raw(f)]`` —
+    the importance weight the paper then Gumbel-resamples by. Here the
+    target domain is a deterministic held-out tenth of the corpus (at
+    production scale it is Wikipedia/books — the machinery is
+    identical; the downstream resample is ``curate_token_budget``'s
+    job).
+
+    Features are unigrams + bigrams hashed into ``DSIR_BUCKETS``
+    buckets. The log-probabilities are quantized to INTEGER log2 via
+    bit lengths (the HLL-rho / LM-surprisal invariant: both engines
+    render ``bin()`` of a positive int without leading zeros), with
+    add-one smoothing, so both engines hash identically:
+
+        s(b) = bitlen(c_t(b)+1) − bitlen(c_r(b)+1)
+             + bitlen(T_r+B) − bitlen(T_t+B)
+
+    and ``dsir_logw = Σ_occurrences s(bucket)``. No ppm average is
+    emitted: the sum can be negative, where Spark's ``DIV`` (truncate)
+    and DuckDB's ``//`` (floor) disagree.
+
+    Scale shape: TWO hash aggregates over exploded grams (map-side
+    partials; the bucket table is ``DSIR_BUCKETS`` rows), one broadcast
+    of that bucket-score table back onto the gram stream, one final
+    doc-keyed aggregate. The n-gram arrays come from the O(n·k)
+    ``ngrams`` builder. Nothing shuffles more than once per stage and
+    no join side exceeds dictionary scale."""
+    from dstlr_spark.functions.text import ngrams
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("long").alias("did"),
+            F.concat(
+                toks,
+                F.when(n >= 2, ngrams(toks, 2)).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            ).alias("grams"),
+        )
+    )
+    feats = base.select("did", F.explode("grams").alias("g")).select(
+        "did",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % DSIR_BUCKETS)
+        .alias("b"),
+    )
+    is_target = F.col("did") % DSIR_TARGET_MOD == 0
+    counts = feats.groupBy("b").agg(
+        F.sum(F.when(is_target, 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~is_target, 1).otherwise(0)).cast("long").alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    score = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.length(F.bin(F.col("ct") + 1))
+            - F.length(F.bin(F.col("cr") + 1))
+            + F.length(F.bin(F.col("tr") + F.lit(DSIR_BUCKETS)))
+            - F.length(F.bin(F.col("tt") + F.lit(DSIR_BUCKETS)))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    return (
+        feats.where(~is_target)
+        .join(F.broadcast(score), "b")
+        .groupBy("did")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("s").alias("dsir_logw"),
+        )
+        .select(
+            F.col("did").cast("string").alias("doc_id"), "n_feats", "dsir_logw"
+        )
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 QUERIES = {
     # never-gated queries lead the module (gate-truncation insurance)
+    "curate_dsir_weights": q_dsir_weights,
     "curate_lm_surprisal": q_lm_surprisal,
     "curate_token_budget": q_token_budget,
     "curate_domain_mix": q_domain_mix,
@@ -846,6 +939,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "curate_dsir_weights": f"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS s
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT did, tk[i] AS g
+  FROM (SELECT did, tk, unnest(range(1, s + 1)) AS i FROM t) z
+  UNION ALL
+  SELECT did, tk[i] || ' ' || tk[i + 1] AS g
+  FROM (SELECT did, tk, unnest(range(1, s)) AS i FROM t) z),
+f AS (
+  SELECT did,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM g),
+cnt AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN did % {DSIR_TARGET_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN did % {DSIR_TARGET_MOD} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS cr
+  FROM f GROUP BY b),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
+               CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+sc AS (
+  SELECT b,
+         CAST(length(bin(ct + 1)) - length(bin(cr + 1))
+              + length(bin(tr + {DSIR_BUCKETS}))
+              - length(bin(tt + {DSIR_BUCKETS})) AS BIGINT) AS s
+  FROM cnt, tot)
+SELECT CAST(f.did AS VARCHAR) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(sc.s) AS BIGINT) AS dsir_logw
+FROM f JOIN sc ON sc.b = f.b
+WHERE f.did % {DSIR_TARGET_MOD} <> 0
+GROUP BY f.did""",
     "curate_lm_surprisal": f"""
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS did,
