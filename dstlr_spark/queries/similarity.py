@@ -223,6 +223,47 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k monitor for the hyperplane-LSH index: per query, what
+    fraction of the EXACT cosine top-k survives in the LSH candidate
+    set — the evaluation operator every production ANN deployment runs
+    continuously (on a query SAMPLE) to catch index drift, because an
+    index whose recall silently decays is worse than a slow one.
+
+    recall_ppm is exact integer math ((10⁶·n_hit) DIV n_exact) so both
+    engines hash identically; the exact top-k side reuses the
+    brute-force ranking (fine at sample scale — N_QUERIES queries, not
+    the corpus) and the candidate side reuses the bucket equi-join.
+
+    Scale shape: the expensive side is the exact baseline, which is
+    deliberately sample-bounded (queries are broadcast; the scan is
+    one corpus pass). The comparison itself is a left-semi join on
+    (q_id, vec_id) — candidate-set-sized — plus two query-keyed hash
+    aggregates. At 100 TB the sample size is the knob; the plan shape
+    does not change."""
+    exact = q_topk_cosine(spark, sf_dir).select("q_id", "vec_id")
+    cand = q_ann_lsh(spark, sf_dir).select("q_id", "vec_id")
+    hits = (
+        exact.join(cand, ["q_id", "vec_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    base = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0).cast("long")).alias("n_hit"),
+            F.expr(
+                "(1000000L * coalesce(n_hit, 0L)) DIV n_exact"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 IVF_STRIDE = 50  # centroid set = vectors with vec_id % 50 == 0 (seeded, fixed)
 IVF_TOP_K = 3
 
@@ -832,6 +873,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     # never-gated-first ordering (see dedup.QUERIES)
+    "sim_ann_recall": q_ann_recall,
     "sim_semantic_dedup": q_semantic_dedup,
     "sim_mrl_topk": q_mrl_topk,
     "sim_topk_cosine": q_topk_cosine,
@@ -873,6 +915,39 @@ _BUCKET_SQL = " + ".join(
 _PQ_L2 = "CAST(list_sum([(x[1] - x[2]) * (x[1] - x[2]) FOR x IN list_zip({a}, {b})]) AS BIGINT)"
 
 ORACLES = {
+    "sim_ann_recall": f"""
+WITH qe AS ({_QUANT_SQL}),
+e AS (SELECT vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm,
+             CAST({_BUCKET_SQL} AS INT) AS bucket
+      FROM qe),
+qs AS (SELECT vec_id AS q_id, q AS qv, norm AS qn, bucket AS q_bucket
+       FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, e.vec_id,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
+           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(norm AS DOUBLE))) AS score
+  FROM e CROSS JOIN qs WHERE e.vec_id <> qs.q_id),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY score DESC, vec_id ASC) AS rank
+    FROM scored) z
+  WHERE rank <= {TOP_K}),
+cand AS (
+  SELECT q_id, e.vec_id
+  FROM e JOIN qs ON e.bucket = qs.q_bucket AND e.vec_id <> qs.q_id),
+hits AS (
+  SELECT x.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM exact x JOIN cand c ON c.q_id = x.q_id AND c.vec_id = x.vec_id
+  GROUP BY x.q_id),
+base AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY q_id)
+SELECT b.q_id, b.n_exact,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((1000000 * COALESCE(h.n_hit, 0)) // b.n_exact AS BIGINT)
+           AS recall_ppm
+FROM base b LEFT JOIN hits h ON h.q_id = b.q_id""",
     "sim_pq_adc_topk": f"""
 WITH qe AS ({_QUANT_SQL}),
 subv AS (
