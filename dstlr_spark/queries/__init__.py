@@ -47,6 +47,7 @@ _GATE_FIRST = [
     "kg_entity_salience",
     "kg_triple_temporal",
     "curate_dsir_weights",
+    "curate_nb_quality",
     "sim_ann_recall",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",

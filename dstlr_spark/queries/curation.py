@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 
 from dstlr_spark.queries import _memo
 from dstlr_spark.queries.dedup import _SHINGLES_SQL, _staged_shingles
+from dstlr_spark.queries.textstats import QUALITY_SCORE_SQL, quality_base_sql
 
 # --- decontamination ---------------------------------------------------------
 
@@ -916,11 +917,115 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Naive-Bayes quality classifier ------------------------------------------
+
+NB_HQ_THRESHOLD = 4_800_000  # composite-quality label cut (~57/43 at this sf)
+NB_SPLIT_MOD = 3  # train = docs with did % 3 != 0, score the held-out third
+
+
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-tokens Naive-Bayes quality classifier — the
+    fastText-style quality-classifier shape of LLM data pipelines
+    (GPT-3 / LLaMA style: distill expensive or heuristic quality
+    labels into a cheap n-gram classifier, then score the whole
+    corpus). Labels come from the SHARED composite quality score
+    (one definition, textstats.quality_base — the formula must not
+    fork); train/score split is deterministic by doc id.
+
+    All log-probabilities are quantized to INTEGER log2 via bit
+    lengths (the HLL-rho / LM-surprisal / DSIR invariant), add-one
+    smoothed, so both engines hash identically:
+
+        nb_score = Σ_tok [bitlen(c⁺(t)+1) − bitlen(c⁻(t)+1)
+                          + bitlen(T⁻+V) − bitlen(T⁺+V)]
+                 + bitlen(N⁺) − bitlen(N⁻)
+
+    with c± per-class token counts, T± class totals, V train
+    vocabulary, N± class doc counts (the prior). pred_hq = score ≥ 0;
+    true_hq rides along so the gate row doubles as a confusion-matrix
+    artifact.
+
+    Scale shape: ONE hash aggregate builds the model (vocabulary-sized,
+    map-side partials over the Zipf head), broadcast back onto the
+    token stream (Zipf-skewed join key, but the build side is the
+    dictionary — broadcast hash join, no shuffle of the stream), one
+    1-row totals scalar attach, one doc-keyed aggregate. The same plan
+    at any corpus size; only the dictionary grows, and it grows
+    sublinearly (Heaps' law)."""
+    from dstlr_spark.queries.textstats import QUALITY_SCORE_EXPR, quality_base
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    labels = quality_base(docs).select(
+        F.col("doc_id").cast("long").alias("did"),
+        (F.expr(QUALITY_SCORE_EXPR) >= NB_HQ_THRESHOLD).alias("hq"),
+    )
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("did"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    tr = toks.where(F.col("did") % NB_SPLIT_MOD != 0).join(labels, "did")
+    tok_counts = tr.groupBy("tok").agg(
+        F.sum(F.when(F.col("hq"), 1).otherwise(0)).cast("long").alias("cpos"),
+        F.sum(F.when(~F.col("hq"), 1).otherwise(0)).cast("long").alias("cneg"),
+    )
+    doc_counts = (
+        labels.where(F.col("did") % NB_SPLIT_MOD != 0)
+        .agg(
+            F.sum(F.when(F.col("hq"), 1).otherwise(0)).cast("long").alias("npos"),
+            F.sum(F.when(~F.col("hq"), 1).otherwise(0)).cast("long").alias("nneg"),
+        )
+    )
+    totals = (
+        tok_counts.agg(
+            F.sum("cpos").cast("long").alias("tpos"),
+            F.sum("cneg").cast("long").alias("tneg"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        )
+        .crossJoin(F.broadcast(doc_counts))
+    )
+    scored = (
+        toks.where(F.col("did") % NB_SPLIT_MOD == 0)
+        .join(tok_counts, "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "did",
+            (
+                F.length(F.bin(F.coalesce(F.col("cpos"), F.lit(0)) + 1))
+                - F.length(F.bin(F.coalesce(F.col("cneg"), F.lit(0)) + 1))
+                + F.length(F.bin(F.col("tneg") + F.col("v")))
+                - F.length(F.bin(F.col("tpos") + F.col("v")))
+            )
+            .cast("long")
+            .alias("s"),
+            (F.length(F.bin("npos")) - F.length(F.bin("nneg")))
+            .cast("long")
+            .alias("prior"),
+        )
+    )
+    ag = scored.groupBy("did", "prior").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("s").alias("sum_s"),
+    )
+    return (
+        ag.join(labels.withColumnRenamed("hq", "true_hq"), "did")
+        .select(
+            F.col("did").cast("string").alias("doc_id"),
+            "n_toks",
+            (F.col("sum_s") + F.col("prior")).alias("nb_score"),
+            ((F.col("sum_s") + F.col("prior")) >= 0).alias("pred_hq"),
+            "true_hq",
+        )
+    )
+
+
 # --- registry ----------------------------------------------------------------
 
 QUERIES = {
     # never-gated queries lead the module (gate-truncation insurance)
     "curate_dsir_weights": q_dsir_weights,
+    "curate_nb_quality": q_nb_quality,
     "curate_lm_surprisal": q_lm_surprisal,
     "curate_token_budget": q_token_budget,
     "curate_domain_mix": q_domain_mix,
@@ -976,6 +1081,52 @@ SELECT CAST(f.did AS VARCHAR) AS doc_id,
 FROM f JOIN sc ON sc.b = f.b
 WHERE f.did % {DSIR_TARGET_MOD} <> 0
 GROUP BY f.did""",
+    "curate_nb_quality": f"""
+WITH b AS ({quality_base_sql("WHERE text IS NOT NULL")}),
+lab AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         ({QUALITY_SCORE_SQL}) >= {NB_HQ_THRESHOLD} AS hq
+  FROM b),
+tk AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+tr AS (
+  SELECT tk.tok, lab.hq FROM tk JOIN lab ON lab.did = tk.did
+  WHERE tk.did % {NB_SPLIT_MOD} <> 0),
+tc AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+         CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+  FROM tr GROUP BY tok),
+dc AS (
+  SELECT CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+         CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS nneg
+  FROM lab WHERE did % {NB_SPLIT_MOD} <> 0),
+tot AS (
+  SELECT CAST(SUM(cpos) AS BIGINT) AS tpos,
+         CAST(SUM(cneg) AS BIGINT) AS tneg,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM tc),
+sc AS (
+  SELECT tk.did,
+         CAST(length(bin(COALESCE(tc.cpos, 0) + 1))
+            - length(bin(COALESCE(tc.cneg, 0) + 1))
+            + length(bin(tot.tneg + tot.v))
+            - length(bin(tot.tpos + tot.v)) AS BIGINT) AS s,
+         CAST(length(bin(dc.npos)) - length(bin(dc.nneg)) AS BIGINT) AS prior
+  FROM tk LEFT JOIN tc ON tc.tok = tk.tok
+  CROSS JOIN tot CROSS JOIN dc
+  WHERE tk.did % {NB_SPLIT_MOD} = 0),
+ag AS (
+  SELECT did, prior, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(s) AS BIGINT) AS sum_s
+  FROM sc GROUP BY did, prior)
+SELECT CAST(ag.did AS VARCHAR) AS doc_id, ag.n_toks,
+       CAST(ag.sum_s + ag.prior AS BIGINT) AS nb_score,
+       (ag.sum_s + ag.prior) >= 0 AS pred_hq,
+       lab.hq AS true_hq
+FROM ag JOIN lab ON lab.did = ag.did""",
     "curate_lm_surprisal": f"""
 WITH t AS (
   SELECT CAST(doc_id AS BIGINT) AS did,

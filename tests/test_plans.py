@@ -202,6 +202,7 @@ _ALLOWED_BROADCAST_PRODUCT = {
     # triangular self-join on the score-BAND dimension (bounded ≲10^3
     # rows) — the no-global-window prefix-sum; plus its 1-row totals
     "curate_token_budget",
+    "sim_ann_recall",  # exact-baseline side reuses sim_topk_cosine's product
 }
 
 #: queries that broadcast a 1-ROW corpus-totals frame (scalar join —
@@ -214,6 +215,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "curate_domain_mix",
     "curate_lm_surprisal",  # 1-row train-vocab frame
     "kg_comention_pmi",  # 1-row kept-doc-count frame
+    "curate_dsir_weights",  # 1-row target/raw-totals frame
+    "curate_nb_quality",  # 1-row class-totals frame
 }
 
 
