@@ -44,6 +44,7 @@ _GATE_FIRST = [
     "dedup_substring_coverage",
     "kg_mention_turn_attribution",
     "kg_entity_timeline",
+    "kg_entity_role_profile",
     "kg_entity_salience",
     "kg_triple_temporal",
     "curate_dsir_weights",

@@ -463,10 +463,10 @@ def q_mention_turn_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _linked_mention_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every linked mention OCCURRENCE attributed to its turn:
-    (conv_id, entity_id, pos, ts_s) — shared by the timeline and
-    salience queries. Occurrences come from the persisted mention
-    frame (one row per token hit); the link side is per distinct
-    (doc, mention) with a non-null resolved entity."""
+    (conv_id, entity_id, pos, role, ts_s) — shared by the timeline,
+    salience, and role-profile queries. Occurrences come from the
+    persisted mention frame (one row per token hit); the link side is
+    per distinct (doc, mention) with a non-null resolved entity."""
     kg = _kg(spark, sf_dir)
     links = (
         kg.links_triples()
@@ -489,7 +489,7 @@ def _linked_mention_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("b") >= F.col("start")) & (F.col("b") < F.col("start") + F.col("ln"))
         )
-        .select("conv_id", "entity_id", "pos", "ts_s")
+        .select("conv_id", "entity_id", "pos", "role", "ts_s")
     )
 
 
@@ -511,6 +511,28 @@ def q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("ts_s").alias("first_ts_s"),
             F.max("ts_s").alias("last_ts_s"),
+            F.count(F.lit(1)).cast("long").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
+def q_entity_role_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which speaker ROLES introduce which entities: per (entity,
+    role) mention-occurrence counts and conversation reach. In an
+    agent-transcript corpus this separates entities the USER brings up
+    (intent) from ones the ASSISTANT introduces (knowledge) from ones
+    that only ever appear in TOOL output (retrieval) — a provenance
+    cut no document-level KG can make, and the reason mention→turn
+    attribution exists.
+
+    Scale shape: identical to the timeline rollup — one hash
+    aggregate on (entity_id, role), output bounded by
+    |entities| × |roles|."""
+    mt = _linked_mention_turns(spark, sf_dir)
+    return (
+        mt.groupBy("entity_id", "role")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_mentions"),
             F.countDistinct("conv_id").cast("long").alias("n_convs"),
         )
@@ -1054,6 +1076,19 @@ SELECT m.doc AS conv_id, s.turn_idx, s.role,
 FROM mentions m JOIN spans s ON s.conv_id = m.doc
 WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
 GROUP BY m.doc, s.turn_idx, s.role""",
+    "kg_entity_role_profile": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL}
+SELECT l.entity_id, s.role,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT m.doc) AS BIGINT) AS n_convs
+FROM mentions m
+JOIN links l ON l.doc = m.doc AND l.mention_id = m.mention_id
+            AND l.entity_id IS NOT NULL
+JOIN spans s ON s.conv_id = m.doc
+           AND m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
+GROUP BY l.entity_id, s.role""",
     "kg_entity_timeline": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
@@ -1258,6 +1293,7 @@ QUERIES = {
     "kg_comention_pmi": q_comention_pmi,
     "kg_mention_turn_attribution": q_mention_turn_attribution,
     "kg_entity_timeline": q_entity_timeline,
+    "kg_entity_role_profile": q_entity_role_profile,
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
