@@ -45,6 +45,7 @@ _GATE_FIRST = [
     "kg_mention_turn_attribution",
     "kg_entity_timeline",
     "kg_entity_role_profile",
+    "kg_entity_bursts",
     "kg_entity_salience",
     "kg_triple_temporal",
     "curate_dsir_weights",

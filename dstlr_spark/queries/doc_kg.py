@@ -517,6 +517,53 @@ def q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: burst test σ², exact-integer (σ ≈ 1.41). Calibrated DOWN for the
+#: synthetic corpus: its per-turn clock is a pure function of turn_idx
+#: (every conversation shares one epoch), so per-entity activity is
+#: nearly flat and a 3σ bar (σ² = 9) is unreachable by construction —
+#: production raises this to 9. Bucket width 60 s for the same reason.
+BURST_SIGMA2 = 2
+BURST_BUCKET_S = 60
+
+
+def q_entity_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity burst detection: time buckets where an entity's mention
+    count spikes above its own per-bucket baseline — the
+    trending-entity signal a temporal KG surfaces (news events,
+    incident spikes, topic bursts). Statistics are the EXACT-integer
+    σ test the events QC already pins (no float mean/stddev): with n
+    observed buckets, s = Σc, ss = Σc², a bucket bursts iff
+
+        n·c − s > 0   AND   (n·c − s)² > σ²·(n·ss − s²)
+
+    — both sides exact BIGINTs, bit-identical in both engines. The
+    baseline is the entity's ACTIVE buckets (unobserved buckets are
+    not zero-filled): bursts are relative to the entity's own activity
+    profile, which is also what keeps the moments frame entity-sized.
+
+    Scale shape: two hash aggregates (time-bucket counts, then
+    entity-keyed moments — both map-side-combining) and one broadcast
+    of the dictionary-sized moments frame back onto the counts. Same
+    plan at any corpus size."""
+    obs = _linked_mention_turns(spark, sf_dir).select(
+        "entity_id", F.expr(f"ts_s DIV {BURST_BUCKET_S}").alias("bucket")
+    )
+    counts = obs.groupBy("entity_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mom = counts.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = counts.join(F.broadcast(mom), "entity_id")
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return j.where(
+        (dev > 0) & (dev * dev > F.lit(BURST_SIGMA2) * var_n2)
+    ).select("entity_id", "bucket", "c")
+
+
 def q_entity_role_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which speaker ROLES introduce which entities: per (entity,
     role) mention-occurrence counts and conversation reach. In an
@@ -1076,6 +1123,30 @@ SELECT m.doc AS conv_id, s.turn_idx, s.role,
 FROM mentions m JOIN spans s ON s.conv_id = m.doc
 WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
 GROUP BY m.doc, s.turn_idx, s.role""",
+    "kg_entity_bursts": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+obs AS (
+  SELECT l.entity_id, s.ts_s // {BURST_BUCKET_S} AS bucket
+  FROM mentions m
+  JOIN links l ON l.doc = m.doc AND l.mention_id = m.mention_id
+              AND l.entity_id IS NOT NULL
+  JOIN spans s ON s.conv_id = m.doc
+             AND m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln),
+cnt AS (
+  SELECT entity_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM obs GROUP BY entity_id, bucket),
+mom AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM cnt GROUP BY entity_id)
+SELECT cnt.entity_id, cnt.bucket, cnt.c
+FROM cnt JOIN mom ON mom.entity_id = cnt.entity_id
+WHERE (mom.n * cnt.c - mom.s) > 0
+  AND (mom.n * cnt.c - mom.s) * (mom.n * cnt.c - mom.s)
+      > {BURST_SIGMA2} * (mom.n * mom.ss - mom.s * mom.s)""",
     "kg_entity_role_profile": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
@@ -1294,6 +1365,7 @@ QUERIES = {
     "kg_mention_turn_attribution": q_mention_turn_attribution,
     "kg_entity_timeline": q_entity_timeline,
     "kg_entity_role_profile": q_entity_role_profile,
+    "kg_entity_bursts": q_entity_bursts,
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
