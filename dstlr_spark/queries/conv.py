@@ -197,7 +197,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair extraction: every USER turn immediately
+    followed by an ASSISTANT turn becomes a (prompt, response) example
+    — THE conversion step from a transcript corpus to SFT training
+    data. Adjacency is strict (an intervening tool turn breaks the
+    pair — those exchanges belong to an agentic-trajectory format, not
+    plain SFT), and both sides' token counts ride along for downstream
+    length filtering and packing (`text_packing`).
+
+    One conv-partitioned lead window (per-conversation state only)
+    then a map-side filter; output is pair-sized. The same plan at
+    10^12 turns — sessions are independent, so this parallelizes
+    perfectly across conversations."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("text").over(w).alias("next_text"),
+    )
+    return (
+        t.where((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("prompt_idx"),
+            F.col("text").alias("prompt"),
+            F.col("next_text").alias("response"),
+            F.size(F.split("text", " ")).cast("long").alias("n_prompt_toks"),
+            F.size(F.split("next_text", " ")).cast("long").alias("n_response_toks"),
+        )
+    )
+
+
 QUERIES = {
+    "conv_sft_pairs": q_sft_pairs,
     "conv_role_transitions": q_role_transitions,
     "conv_turn_stats": q_turn_stats,
     "conv_tool_stats": q_tool_stats,
@@ -205,6 +241,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conv_sft_pairs": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+p AS (
+  SELECT conv_id, turn_idx, role, text,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_role,
+         LEAD(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_text
+  FROM e)
+SELECT conv_id, turn_idx AS prompt_idx, text AS prompt,
+       next_text AS response,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_prompt_toks,
+       CAST(len(string_split(next_text, ' ')) AS BIGINT) AS n_response_toks
+FROM p WHERE role = 'user' AND next_role = 'assistant'""",
     "conv_role_transitions": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT role,
