@@ -46,6 +46,7 @@ _GATE_FIRST = [
     "kg_entity_timeline",
     "kg_entity_role_profile",
     "kg_entity_bursts",
+    "kg_negative_samples",
     "kg_entity_salience",
     "kg_triple_temporal",
     "curate_dsir_weights",

@@ -522,6 +522,67 @@ def q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (every conversation shares one epoch), so per-entity activity is
 #: nearly flat and a 3σ bar (σ² = 9) is unreachable by construction —
 #: production raises this to 9. Bucket width 60 s for the same reason.
+NEG_PER_TRIPLE = 2  # negatives emitted per positive triple
+NEG_REL_OBJ_CAP = 100  # candidate objects per relation (hash-ordered, LOUD cap)
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-constrained negative sampling for KG-embedding
+    training (TransE/DistMult-style): for every positive
+    (subj, relation, obj) triple, emit ``NEG_PER_TRIPLE`` corrupted
+    triples whose object is replaced by a DIFFERENT object seen with
+    the SAME relation — the type-constrained corruption that yields
+    harder negatives than uniform entity replacement (uniform picks
+    are trivially distinguishable by type alone). Selection is
+    deterministic: candidates and per-triple picks are ordered by
+    md5 of the (triple, candidate) key — both engines produce the
+    same lowercase hex, so the "random" draw is bit-identical.
+
+    Scale shape: the candidate-object dictionary is capped per
+    relation (``NEG_REL_OBJ_CAP``, hash-ordered so the cap is a
+    uniform sample, not a frequency bias); the candidate join is a
+    broadcast equi-join on relation (relation cardinality is schema-
+    scale); both windows partition by relation or by triple — never
+    corpus-wide. Candidate volume is |triples| × cap, linear in the
+    triple count."""
+    t = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            "subj_entity",
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            "obj_entity",
+        )
+        .distinct()
+    )
+    ro = t.select("relation", "obj_entity").distinct()
+    wcap = Window.partitionBy("relation").orderBy(
+        F.md5(F.concat_ws("\x1f", "relation", "obj_entity")), F.col("obj_entity")
+    )
+    ro = (
+        ro.withColumn("rn", F.row_number().over(wcap))
+        .where(F.col("rn") <= NEG_REL_OBJ_CAP)
+        .select("relation", F.col("obj_entity").alias("neg_obj"))
+    )
+    cand = t.join(F.broadcast(ro), "relation").where(
+        F.col("neg_obj") != F.col("obj_entity")
+    )
+    wtrip = Window.partitionBy("subj_entity", "relation", "obj_entity").orderBy(
+        F.md5(
+            F.concat_ws(
+                "\x1f", "subj_entity", "relation", "obj_entity", "neg_obj"
+            )
+        ),
+        F.col("neg_obj"),
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(wtrip).cast("int"))
+        .where(F.col("neg_rank") <= NEG_PER_TRIPLE)
+        .select("subj_entity", "relation", "obj_entity", "neg_obj", "neg_rank")
+    )
+
+
 BURST_SIGMA2 = 2
 BURST_BUCKET_S = 60
 
@@ -619,21 +680,15 @@ def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temporal scoping of entity-level relation triples: for every
-    (subject_entity, relation, object_entity) whose BOTH endpoints
-    resolve to KB entities, the first/last observation timestamp and
-    observation count — the validity-interval shape temporal KGs
-    (e.g. Wikidata qualifiers) attach to edges, derived here from
-    transcript turn timestamps via mention→turn attribution.
-
-    Scale shape: the co-occurrence pair join is the SAME per-document
-    window-bounded self-join as relation extraction (≤ W partners per
-    occurrence, conversation-bounded); both link resolutions are
-    equi-joins against the distinct-mention link table; the turn
-    attribution is conversation-bounded; the final rollup is one hash
-    aggregate on the entity-pair key with map-side partials. Nothing
-    here is corpus-quadratic."""
+def _linked_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence pairs whose BOTH endpoints resolve to KB
+    entities, with the subject occurrence's document offset:
+    (conv_id, subj_entity, a_cls, b_cls, b) — shared by the temporal
+    triples and negative-sampling queries. The pair join is the SAME
+    per-document window-bounded self-join as relation extraction
+    (≤ W partners per occurrence, conversation-bounded); both link
+    resolutions are equi-joins against the distinct-mention link
+    table."""
     kg = _kg(spark, sf_dir)
     m = kg.mentions
     a = m.select(
@@ -675,9 +730,26 @@ def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mention_id").alias("b_mid"),
         F.col("entity_id").alias("obj_entity"),
     )
+    return pairs.join(subj, ["conv_id", "a_mid"]).join(obj, ["conv_id", "b_mid"])
+
+
+def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scoping of entity-level relation triples: for every
+    (subject_entity, relation, object_entity) whose BOTH endpoints
+    resolve to KB entities, the first/last observation timestamp and
+    observation count — the validity-interval shape temporal KGs
+    (e.g. Wikidata qualifiers) attach to edges, derived here from
+    transcript turn timestamps via mention→turn attribution.
+
+    Scale shape: the co-occurrence pair join is the SAME per-document
+    window-bounded self-join as relation extraction (≤ W partners per
+    occurrence, conversation-bounded); both link resolutions are
+    equi-joins against the distinct-mention link table; the turn
+    attribution is conversation-bounded; the final rollup is one hash
+    aggregate on the entity-pair key with map-side partials. Nothing
+    here is corpus-quadratic."""
     return (
-        pairs.join(subj, ["conv_id", "a_mid"])
-        .join(obj, ["conv_id", "b_mid"])
+        _linked_entity_pairs(spark, sf_dir)
         .join(_turn_spans(spark, sf_dir), "conv_id")
         .where(
             (F.col("b") >= F.col("start")) & (F.col("b") < F.col("start") + F.col("ln"))
@@ -1123,6 +1195,39 @@ SELECT m.doc AS conv_id, s.turn_idx, s.role,
 FROM mentions m JOIN spans s ON s.conv_id = m.doc
 WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
 GROUP BY m.doc, s.turn_idx, s.role""",
+    "kg_negative_samples": f"""WITH {_base_ctes()},
+t AS (
+  SELECT DISTINCT ls.entity_id AS subj_entity,
+         'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+         lo.entity_id AS obj_entity
+  FROM mentions a
+  JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                 AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+  JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+               AND ls.entity_id IS NOT NULL
+  JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+               AND lo.entity_id IS NOT NULL),
+ro AS (
+  SELECT relation, obj_entity AS neg_obj FROM (
+    SELECT relation, obj_entity,
+           ROW_NUMBER() OVER (
+             PARTITION BY relation
+             ORDER BY md5(relation || chr(31) || obj_entity), obj_entity) AS rn
+    FROM (SELECT DISTINCT relation, obj_entity FROM t) z) y
+  WHERE rn <= {NEG_REL_OBJ_CAP}),
+cand AS (
+  SELECT t.subj_entity, t.relation, t.obj_entity, ro.neg_obj
+  FROM t JOIN ro ON ro.relation = t.relation
+              AND ro.neg_obj <> t.obj_entity)
+SELECT subj_entity, relation, obj_entity, neg_obj,
+       CAST(rn AS INT) AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY subj_entity, relation, obj_entity
+    ORDER BY md5(subj_entity || chr(31) || relation || chr(31)
+                 || obj_entity || chr(31) || neg_obj), neg_obj) AS rn
+  FROM cand) z
+WHERE rn <= {NEG_PER_TRIPLE}""",
     "kg_entity_bursts": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
@@ -1366,6 +1471,7 @@ QUERIES = {
     "kg_entity_timeline": q_entity_timeline,
     "kg_entity_role_profile": q_entity_role_profile,
     "kg_entity_bursts": q_entity_bursts,
+    "kg_negative_samples": q_negative_samples,
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
