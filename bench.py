@@ -124,6 +124,8 @@ def main() -> None:
         "rel_bilateral_trade",  # Q7 shape: fact shuffles + broadcast dims
         "curate_lm_surprisal",  # bigram-LM train + held-out scoring joins
         "conv_sessionize",  # conv-partitioned windows + session hash agg
+        "kg_triple_temporal",  # mention→turn attribution + 2-sided linking
+        "conv_sft_pairs",  # transcript → (prompt, response) training pairs
     ):
         assert name in qs, f"headline query {name!r} missing from registry"
         counters[f"{name}_rows"] = timed(
