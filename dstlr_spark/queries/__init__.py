@@ -47,6 +47,7 @@ _GATE_FIRST = [
     "kg_entity_role_profile",
     "kg_entity_bursts",
     "kg_negative_samples",
+    "kg_entity_kcore",
     "kg_entity_salience",
     "kg_triple_temporal",
     "curate_dsir_weights",

@@ -522,6 +522,76 @@ def q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (every conversation shares one epoch), so per-entity activity is
 #: nearly flat and a 3σ bar (σ² = 9) is unreachable by construction —
 #: production raises this to 9. Bucket width 60 s for the same reason.
+KCORE_K = 3  # minimum degree to stay in the core
+KCORE_STRONG_PCT = 95  # strong edge: weight ≥ 95% of the max co-mention weight
+KCORE_ROUNDS = 8  # fixed peel unroll (both engines run EXACTLY these rounds)
+
+
+def q_entity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (onion layers) of the STRONG co-mention
+    graph: iteratively peel entities with fewer than K strong
+    neighbors; emit each entity's peel round (1 = removed first, 0 =
+    survives all rounds — the k-core, the KG's densely inter-mentioned
+    nucleus). Strong edges are RELATIVE (weight ≥ 95% of the max
+    co-mention weight) so the subgraph adapts to corpus size instead
+    of hard-coding an absolute count.
+
+    Determinism: peeling is round-synchronous (all sub-K vertices of a
+    round removed together), so the layer assignment is unique — no
+    tie-breaking needed. Both engines run EXACTLY ``KCORE_ROUNDS``
+    rounds (the oracle unrolls them as CTEs, the k-means/label-prop
+    pattern); the truncation is exact whenever the peel cascade is
+    ≤ 8 deep, and production iterates the same round body to fixpoint.
+
+    Scale shape: vertices are the entity dictionary; each round is one
+    hash aggregate (degree) plus two semi-joins restricting the edge
+    frame — the peeled vertex set shrinks monotonically, and
+    ``localCheckpoint`` cuts lineage per round exactly as PageRank
+    does. Rounds are bounded by construction, not by convergence
+    luck."""
+    e = q_entity_comention(spark, sf_dir)
+    mx = e.agg(F.max("n_docs").alias("mx"))
+    strong = (
+        e.crossJoin(F.broadcast(mx))
+        .where(F.col("n_docs") * 100 >= F.col("mx") * KCORE_STRONG_PCT)
+        .select("entity_a", "entity_b")
+    )
+    edges = (
+        strong.select(F.col("entity_a").alias("u"), F.col("entity_b").alias("v"))
+        .unionByName(
+            strong.select(
+                F.col("entity_b").alias("u"), F.col("entity_a").alias("v")
+            )
+        )
+        .localCheckpoint()
+    )
+    remaining = edges.select(F.col("u").alias("e")).distinct().localCheckpoint()
+    cur = edges
+    peeled = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        drop = (
+            remaining.join(deg, remaining["e"] == deg["u"], "left")
+            .where(F.coalesce(F.col("d"), F.lit(0)) < KCORE_K)
+            .select("e")
+            .localCheckpoint()
+        )
+        peeled.append(
+            drop.select("e", F.lit(rnd).cast("int").alias("peel_round"))
+        )
+        remaining = remaining.join(drop, "e", "left_anti").localCheckpoint()
+        keep = remaining.select(F.col("e"))
+        cur = (
+            cur.join(keep.withColumnRenamed("e", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("e", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+    out = remaining.select("e", F.lit(0).cast("int").alias("peel_round"))
+    for p in peeled:
+        out = out.unionByName(p)
+    return out.select(F.col("e").alias("entity_id"), "peel_round")
+
+
 NEG_PER_TRIPLE = 2  # negatives emitted per positive triple
 NEG_REL_OBJ_CAP = 100  # candidate objects per relation (hash-ordered, LOUD cap)
 
@@ -1055,6 +1125,60 @@ _SPANS_SQL = """spans AS (
   FROM e)"""
 
 
+def _kcore_oracle_sql() -> str:
+    """Unrolled KCORE_ROUNDS-round peel (the k-means/label-prop CTE
+    pattern): each round restricts the symmetric strong-edge frame to
+    surviving vertices, computes degrees, and peels sub-K vertices."""
+    head = f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+ew AS (
+    SELECT a.entity_id AS ea, b.entity_id AS eb,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id
+    GROUP BY a.entity_id, b.entity_id),
+mx AS (SELECT MAX(w) AS mx FROM ew),
+e0 AS MATERIALIZED (
+    SELECT ea AS u, eb AS v FROM ew, mx
+    WHERE w * 100 >= mx * {KCORE_STRONG_PCT}
+    UNION ALL
+    SELECT eb AS u, ea AS v FROM ew, mx
+    WHERE w * 100 >= mx * {KCORE_STRONG_PCT}),
+r0 AS MATERIALIZED (SELECT DISTINCT u AS e FROM e0)"""
+    parts = [head]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+e{i} AS MATERIALIZED (
+    SELECT a.u, a.v FROM e0 a
+    JOIN r{i - 1} ru ON ru.e = a.u
+    JOIN r{i - 1} rv ON rv.e = a.v),
+d{i} AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e{i} GROUP BY u),
+p{i} AS MATERIALIZED (
+    SELECT r.e FROM r{i - 1} r LEFT JOIN d{i} ON d{i}.u = r.e
+    WHERE COALESCE(d{i}.d, 0) < {KCORE_K}),
+r{i} AS MATERIALIZED (
+    SELECT e FROM r{i - 1} WHERE e NOT IN (SELECT e FROM p{i}))"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT e AS entity_id, CAST({i} AS INT) AS peel_round FROM p{i}"
+        for i in range(1, KCORE_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+SELECT e AS entity_id, CAST(0 AS INT) AS peel_round FROM r{KCORE_ROUNDS}
+UNION ALL
+{union}"""
+    )
+    return "".join(parts)
+
+
 def _clean_sql(predicate: str, fact_join: str) -> str:
     return f"""WITH {_base_ctes()},
 obj AS (SELECT DISTINCT mention_id, span FROM mentions)
@@ -1195,6 +1319,7 @@ SELECT m.doc AS conv_id, s.turn_idx, s.role,
 FROM mentions m JOIN spans s ON s.conv_id = m.doc
 WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
 GROUP BY m.doc, s.turn_idx, s.role""",
+    "kg_entity_kcore": _kcore_oracle_sql(),
     "kg_negative_samples": f"""WITH {_base_ctes()},
 t AS (
   SELECT DISTINCT ls.entity_id AS subj_entity,
@@ -1472,6 +1597,7 @@ QUERIES = {
     "kg_entity_role_profile": q_entity_role_profile,
     "kg_entity_bursts": q_entity_bursts,
     "kg_negative_samples": q_negative_samples,
+    "kg_entity_kcore": q_entity_kcore,
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
