@@ -54,6 +54,7 @@ _GATE_FIRST = [
     "curate_nb_quality",
     "sim_ann_recall",
     "conv_sft_pairs",
+    "stream_sft_pairs",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

@@ -303,3 +303,12 @@ SELECT conv_id, session_idx,
          AS n_tool_calls
 FROM s GROUP BY conv_id, session_idx""",
 }
+
+
+# the streamed SFT pairs (streamgate.q_stream_sft_pairs) must reproduce
+# the batch lead-window pairs exactly — push the shared oracle text into
+# streamgate's dict from here (conv imports streamgate for _SHRED_SQL,
+# so the share must flow in this direction to avoid an import cycle)
+from dstlr_spark.queries import streamgate as _streamgate  # noqa: E402
+
+_streamgate.ORACLES["stream_sft_pairs"] = ORACLES["conv_sft_pairs"]

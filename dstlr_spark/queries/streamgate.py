@@ -333,7 +333,22 @@ turns AS (
   FROM x)"""
 
 
+def q_stream_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SFT-pair extraction under the value oracle: the
+    drained update-mode output must equal the BATCH lead-window
+    extraction exactly (shared oracle text with ``conv_sft_pairs``) —
+    training-data extraction as a continuous process, verified against
+    its batch twin. Roles are re-derived with the shared enrichment
+    (pure function of turn_idx) so stream and batch cannot fork."""
+    from dstlr_spark.queries.conv import enrich_turns
+    from dstlr_spark.streaming.transcripts_stream import sft_pairs_stream
+
+    tr = _transcripts_stream(spark, sf_dir)
+    return _drain(sft_pairs_stream(enrich_turns(tr)), "update")
+
+
 QUERIES = {
+    "stream_sft_pairs": q_stream_sft_pairs,
     "stream_events_hourly": q_stream_events_hourly,
     "stream_events_dedup": q_stream_events_dedup,
     "stream_events_range_join": q_stream_events_range_join,
@@ -425,3 +440,7 @@ FROM turns""",
 from dstlr_spark.queries import curation as _curation  # noqa: E402
 
 ORACLES["stream_curate_decision"] = _curation.ORACLES["curate_decision"]
+
+# "stream_sft_pairs" shares the batch conv_sft_pairs oracle text; conv.py
+# registers it here from ITS module bottom (conv imports streamgate for
+# _SHRED_SQL, so the share must flow in that direction to avoid a cycle)

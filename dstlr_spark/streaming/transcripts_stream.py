@@ -104,6 +104,90 @@ def dedup_turns_stream(transcripts: DataFrame, watermark: str = "1 hour") -> Dat
     )
 
 
+def sft_pairs_stream(turns: DataFrame) -> DataFrame:
+    """Streaming SFT-pair extraction: the stateful twin of the batch
+    ``conv_sft_pairs`` lead-window — every user turn immediately
+    followed (turn_idx + 1) by an assistant turn is emitted as a
+    (prompt, response) example the moment the response arrives.
+    Training-data extraction as a CONTINUOUS process: new transcripts
+    stream in, SFT examples stream out.
+
+    State per conversation is ONE row (the last-seen turn) — bounded
+    regardless of conversation length; the within-batch pairing is
+    vectorized (pandas shift), so the only per-key Python work is the
+    one-row state splice. Input: enriched turns
+    (conv_id, turn_idx, role, text).
+
+    Ordering contract: turns of a conversation must arrive in
+    turn_idx order ACROSS micro-batches (append-ordered ingestion —
+    the natural property of a transcript log); within a micro-batch
+    they are sorted explicitly. Out-of-order delivery needs the
+    watermark-buffered variant, not this one-row-state operator
+    (pinned by ``test_sft_pairs_stream_state_across_batches``)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, prompt_idx int, prompt string, response string, "
+        "n_prompt_toks long, n_response_toks long"
+    )
+    state_schema = "last_idx int, last_role string, last_text string"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            if state.exists:
+                state.update(tuple(state.get))
+            return
+        p = pd.concat(chunks).sort_values("turn_idx")
+        if state.exists:
+            li, lr, lt = state.get
+            head = pd.DataFrame(
+                {"turn_idx": [li], "role": [lr], "text": [lt]}
+            )
+            p = pd.concat([head, p[["turn_idx", "role", "text"]]])
+        else:
+            p = p[["turn_idx", "role", "text"]]
+        prev_idx = p["turn_idx"].shift()
+        prev_role = p["role"].shift()
+        prev_text = p["text"].shift()
+        m = (
+            (prev_role == "user")
+            & (p["role"] == "assistant")
+            & (p["turn_idx"] == prev_idx + 1)
+        )
+        hit = p[m]
+        last = p.iloc[-1]
+        state.update((int(last["turn_idx"]), str(last["role"]), str(last["text"])))
+        if len(hit):
+            yield pd.DataFrame(
+                {
+                    "conv_id": key[0],
+                    "prompt_idx": prev_idx[m].astype("int32"),
+                    "prompt": prev_text[m],
+                    "response": hit["text"],
+                    "n_prompt_toks": prev_text[m]
+                    .str.split(" ")
+                    .str.len()
+                    .astype("int64"),
+                    "n_response_toks": hit["text"]
+                    .str.split(" ")
+                    .str.len()
+                    .astype("int64"),
+                }
+            )
+
+    return (
+        turns.where(F.col("conv_id").isNotNull() & F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", "role", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: tracks
     per-conversation running state (turn count, max turn_idx, char sum)

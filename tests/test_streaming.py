@@ -263,3 +263,53 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == first.count() + more.count()  # no dupes, no gaps
     assert got.select("conv_id", "turn_idx").distinct().count() == got.count()
+
+
+def test_sft_pairs_stream_state_across_batches(spark, tmp_path):
+    """The one-row state must splice pairs across micro-batch
+    boundaries: with ONE file per turn and maxFilesPerTrigger=1, every
+    user→assistant adjacency straddles a batch boundary, so a correct
+    result proves the state carry, not just within-batch shift()."""
+    import time
+
+    from dstlr_spark.streaming.transcripts_stream import sft_pairs_stream
+
+    turns = [
+        (0, "user", "hello there"),
+        (1, "assistant", "hi friend"),
+        (2, "user", "lone question"),
+        (3, "tool", "tool output"),
+        (4, "user", "next question"),
+        (5, "assistant", "an answer"),
+    ]
+    path = str(tmp_path / "sft_in")
+    for idx, role, text in turns:
+        spark.createDataFrame(
+            [("c1", idx, role, text)],
+            "conv_id string, turn_idx int, role string, text string",
+        ).coalesce(1).write.mode("append").parquet(path)
+        time.sleep(0.2)  # distinct mod-times → deterministic file order
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        sft_pairs_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sftp_x")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["prompt_idx"], r["prompt"], r["response"], r["n_prompt_toks"])
+        for r in spark.sql("SELECT * FROM sftp_x").collect()
+    }
+    assert got == {
+        (0, "hello there", "hi friend", 2),
+        (4, "next question", "an answer", 2),
+    }
