@@ -55,6 +55,9 @@ _GATE_FIRST = [
     "sim_ann_recall",
     "conv_sft_pairs",
     "stream_sft_pairs",
+    "mm_media_dedup",
+    "dedup_keep_list",
+    "kg_alias_ambiguity",
     # never driver-gated through r3 (12, per VERDICT r3) + the one red row
     "corpus_datacard",
     "stream_dedup_turns",

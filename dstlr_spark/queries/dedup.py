@@ -529,6 +529,29 @@ def q_dedup_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable dedup artifact: a corpus-wide keep/drop verdict
+    per document — keep iff the doc is its own cluster canonical (or in
+    no near-dup cluster at all). This is the table the training-data
+    build actually JOINS against (clusters alone still need this
+    closure applied); emitting it as its own operator keeps the
+    keep-rule (min-id canonical) in exactly one place.
+
+    Scale shape: one left join of the corpus id column against the
+    cluster table (cluster side ≤ corpus, usually ≪) — a broadcast or
+    shuffle hash join on doc_id, then a map-side verdict."""
+    cc = q_dedup_neardup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return docs.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_doc_id", F.col("doc_id")).alias("canonical_doc_id"),
+        (
+            F.coalesce(F.col("canonical_doc_id"), F.col("doc_id"))
+            == F.col("doc_id")
+        ).alias("keep"),
+    )
+
+
 CONTAINMENT_THRESHOLD_PPM = 800_000  # 80% of the smaller doc's shingles
 
 
@@ -703,6 +726,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "dedup_containment": q_dedup_containment,
     "dedup_exact": q_dedup_exact,
+    "dedup_keep_list": q_dedup_keep_list,
     "dedup_neardup_clusters": q_dedup_neardup_clusters,
     "dedup_minhash_rescored": q_dedup_minhash_rescored,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -922,6 +946,22 @@ reach(id, comp) AS (
   SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id)
 SELECT id AS doc_id, MIN(comp) AS canonical_doc_id
 FROM reach GROUP BY id""",
+    "dedup_keep_list": f"""
+WITH RECURSIVE {{RESCORED}},
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION SELECT doc_b AS src, doc_a AS dst FROM verified),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN sym e ON e.src = r.id),
+cl AS (SELECT id AS doc_id, MIN(comp) AS canonical FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(cl.canonical, d.doc_id) AS canonical_doc_id,
+       COALESCE(cl.canonical, d.doc_id) = d.doc_id AS keep
+FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents) d
+LEFT JOIN cl ON cl.doc_id = d.doc_id""",
     "dedup_simhash": f"""
 WITH {{SIMHASH_BLOCKS}}
 SELECT doc_id, printf('%04x%04x%04x%04x', blk3, blk2, blk1, blk0) AS simhash
@@ -992,5 +1032,5 @@ for _name in ("dedup_simhash", "dedup_simhash_pairs"):
 
 # late substitution: the shared rescored-pipeline CTEs depend on the band
 # constants defined above
-for _name in ("dedup_minhash_rescored", "dedup_neardup_clusters", "dedup_containment"):
+for _name in ("dedup_minhash_rescored", "dedup_neardup_clusters", "dedup_keep_list", "dedup_containment"):
     ORACLES[_name] = ORACLES[_name].replace("{RESCORED}", _rescored_ctes())

@@ -522,6 +522,62 @@ def q_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (every conversation shares one epoch), so per-entity activity is
 #: nearly flat and a 3σ bar (σ² = 9) is unreachable by construction —
 #: production raises this to 9. Bucket width 60 s for the same reason.
+def q_alias_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking-risk report: lemma keys whose alias dictionary offers
+    MORE than one candidate entity, with the winning entity, the prior
+    margin to the runner-up (exact ppm ints — floor of an identical
+    IEEE product in both engines), and how many corpus mention
+    occurrences actually ride on the ambiguity. This is the table a KG
+    curator reviews before trusting the arg-max: a tiny margin on a
+    high-traffic alias is where linking errors concentrate.
+
+    Scale shape: the dictionary side is dimension-scale (windows
+    partition by alias key); the only corpus-sized input is one
+    key-grouped count over the persisted mention frame."""
+    from dstlr_spark.functions.text import lemma_key
+
+    al = _aliases(spark).select(
+        lemma_key(F.col("alias")).alias("key"), "entity_id", "prior"
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("prior").desc(), F.col("entity_id").asc()
+    )
+    rk = al.withColumn("rn", F.row_number().over(w))
+    agg = (
+        al.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .where(F.col("n_candidates") > 1)
+    )
+    b1 = rk.where(F.col("rn") == 1).select(
+        "key", F.col("entity_id").alias("best_entity"), F.col("prior").alias("p1")
+    )
+    b2 = rk.where(F.col("rn") == 2).select("key", F.col("prior").alias("p2"))
+    mc = (
+        _kg(spark, sf_dir)
+        .mentions.groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+    )
+    return (
+        agg.join(b1, "key")
+        .join(b2, "key", "left")
+        .join(mc, "key", "left")
+        .select(
+            F.col("key").alias("alias_key"),
+            "n_candidates",
+            "best_entity",
+            (
+                F.floor(F.col("p1") * 1_000_000)
+                - F.floor(F.coalesce(F.col("p2"), F.lit(0.0)) * 1_000_000)
+            )
+            .cast("long")
+            .alias("margin_ppm"),
+            F.coalesce(F.col("n_mentions"), F.lit(0).cast("long")).alias(
+                "n_mentions"
+            ),
+        )
+    )
+
+
 KCORE_K = 3  # minimum degree to stay in the core
 KCORE_STRONG_PCT = 95  # strong edge: weight ≥ 95% of the max co-mention weight
 KCORE_ROUNDS = 8  # fixed peel unroll (both engines run EXACTLY these rounds)
@@ -1320,6 +1376,33 @@ FROM mentions m JOIN spans s ON s.conv_id = m.doc
 WHERE m.begin_ofs >= s.st AND m.begin_ofs < s.st + s.ln
 GROUP BY m.doc, s.turn_idx, s.role""",
     "kg_entity_kcore": _kcore_oracle_sql(),
+    "kg_alias_ambiguity": f"""WITH {_base_ctes()},
+al AS (
+  SELECT array_to_string(
+           [{lemma_token_sql("x")} FOR x IN string_split(alias, ' ')], ' ')
+             AS key,
+         entity_id, prior
+  FROM alias_d),
+rk AS (
+  SELECT key, entity_id, prior,
+         ROW_NUMBER() OVER (PARTITION BY key
+                            ORDER BY prior DESC, entity_id ASC) AS rn
+  FROM al),
+agg AS (
+  SELECT key, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM al GROUP BY key HAVING COUNT(*) > 1),
+b1 AS (SELECT key, entity_id AS best_entity, prior AS p1 FROM rk WHERE rn = 1),
+b2 AS (SELECT key, prior AS p2 FROM rk WHERE rn = 2),
+mc AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n_mentions
+       FROM mentions GROUP BY key)
+SELECT a.key AS alias_key, a.n_candidates, b1.best_entity,
+       CAST(floor(b1.p1 * 1000000)
+            - floor(COALESCE(b2.p2, 0.0) * 1000000) AS BIGINT) AS margin_ppm,
+       COALESCE(mc.n_mentions, 0) AS n_mentions
+FROM agg a
+JOIN b1 ON b1.key = a.key
+LEFT JOIN b2 ON b2.key = a.key
+LEFT JOIN mc ON mc.key = a.key""",
     "kg_negative_samples": f"""WITH {_base_ctes()},
 t AS (
   SELECT DISTINCT ls.entity_id AS subj_entity,
@@ -1598,6 +1681,7 @@ QUERIES = {
     "kg_entity_bursts": q_entity_bursts,
     "kg_negative_samples": q_negative_samples,
     "kg_entity_kcore": q_entity_kcore,
+    "kg_alias_ambiguity": q_alias_ambiguity,
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,

@@ -62,14 +62,77 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_REINGEST_MOD = 50  # every 50th payload re-ingested under a new doc id
+MEDIA_REINGEST_OFFSET = 1_000_000  # id namespace of the re-ingested copies
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup over the media column: content hash → group,
+    keep the lowest doc id — the image/audio analog of ``dedup_exact``
+    (multimodal corpora are deduped by payload digest FIRST; perceptual
+    near-dup runs after, on survivors). The corpus has no duplicate
+    payloads by construction, so a deterministic re-ingest is planted
+    (every ``MEDIA_REINGEST_MOD``-th payload under a shifted doc id —
+    the ``dedup_incremental`` pattern): the operator must find exactly
+    those copies.
+
+    Scale shape: one hash aggregate on the 32-hex digest (map-side
+    partials; group count = distinct payloads). The digest is computed
+    per row at scan time — no shuffle carries the binary payload, only
+    its hash."""
+    docs = _docs(spark, sf_dir)
+    original = synth_media(docs)
+    reingested = synth_media(
+        docs.where(F.col("doc_id").cast("long") % MEDIA_REINGEST_MOD == 0).select(
+            (F.col("doc_id").cast("long") + MEDIA_REINGEST_OFFSET)
+            .cast("string")
+            .alias("doc_id"),
+            "text",
+            "n_chars",
+        )
+    )
+    allm = original.unionByName(reingested)
+    return (
+        allm.select(
+            F.md5(F.hex(F.col("payload"))).alias("payload_md5"),
+            F.col("doc_id").cast("long").alias("did"),
+        )
+        .groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("did").alias("canonical_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select(
+            "payload_md5",
+            "n_copies",
+            F.col("canonical_doc").cast("string").alias("canonical_doc"),
+        )
+    )
+
+
 QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
+    "mm_media_dedup": q_media_dedup,
     "mm_media_features": q_media_features,
     "mm_media_meta": q_media_meta,
     "mm_media_sniff": q_media_sniff,
 }
 
 ORACLES = {
+    "mm_media_dedup": f"""
+WITH base AS (
+  SELECT CAST(doc_id AS BIGINT) AS did,
+         md5(upper(hex({_PAYLOAD_SQL}))) AS payload_md5
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+re AS (
+  SELECT did + {MEDIA_REINGEST_OFFSET} AS did, payload_md5
+  FROM base WHERE did % {MEDIA_REINGEST_MOD} = 0),
+allm AS (SELECT * FROM base UNION ALL SELECT * FROM re)
+SELECT payload_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(did) AS VARCHAR) AS canonical_doc
+FROM allm GROUP BY payload_md5 HAVING COUNT(*) > 1""",
     "mm_media_features": f"""
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx
