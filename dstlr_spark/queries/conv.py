@@ -218,9 +218,17 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lead("role").over(w).alias("next_role"),
         F.lead("text").over(w).alias("next_text"),
+        F.lead("turn_idx").over(w).alias("next_idx"),
     )
     return (
-        t.where((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        t.where(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            # strict INDEX adjacency, not just positional: keeps the
+            # contract identical to the streaming twin's
+            # turn_idx == prev_idx + 1 mask on sparse/renumbered indices
+            & (F.col("next_idx") == F.col("turn_idx") + 1)
+        )
         .select(
             "conv_id",
             F.col("turn_idx").alias("prompt_idx"),
@@ -247,13 +255,16 @@ p AS (
          LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
              AS next_role,
          LEAD(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
-             AS next_text
+             AS next_text,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_idx
   FROM e)
 SELECT conv_id, turn_idx AS prompt_idx, text AS prompt,
        next_text AS response,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_prompt_toks,
        CAST(len(string_split(next_text, ' ')) AS BIGINT) AS n_response_toks
-FROM p WHERE role = 'user' AND next_role = 'assistant'""",
+FROM p WHERE role = 'user' AND next_role = 'assistant'
+        AND next_idx = turn_idx + 1""",
     "conv_role_transitions": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT role,

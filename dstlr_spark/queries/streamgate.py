@@ -441,6 +441,12 @@ from dstlr_spark.queries import curation as _curation  # noqa: E402
 
 ORACLES["stream_curate_decision"] = _curation.ORACLES["curate_decision"]
 
-# "stream_sft_pairs" shares the batch conv_sft_pairs oracle text; conv.py
-# registers it here from ITS module bottom (conv imports streamgate for
-# _SHRED_SQL, so the share must flow in that direction to avoid a cycle)
+# "stream_sft_pairs" shares the batch conv_sft_pairs oracle text, which
+# lives in conv.py (it is built from conv's _ENRICH_SQL); conv registers
+# it into this dict at ITS module bottom. Import conv here so the
+# registration also happens when a consumer imports streamgate alone —
+# QUERIES and ORACLES stay in lockstep regardless of import order. The
+# two-way import is cycle-safe in both orders because each side's
+# cross-import is a plain module import at module BOTTOM (everything
+# either side reads from the other is already bound by then).
+import dstlr_spark.queries.conv  # noqa: E402,F401

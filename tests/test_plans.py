@@ -217,6 +217,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "kg_comention_pmi",  # 1-row kept-doc-count frame
     "curate_dsir_weights",  # 1-row target/raw-totals frame
     "curate_nb_quality",  # 1-row class-totals frame
+    "kg_entity_kcore",  # 1-row max-edge-weight frame
 }
 
 
