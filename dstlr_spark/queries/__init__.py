@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 _GATE_FIRST = [
     # new in round 4 — must land inside the driver's gate window NOW,
     # not discover the r3 truncation problem a round later
+    "kg_rule_mining",
+    "kg_neighbor_jaccard",
+    "conv_context_pack",
+    "curate_mix_temperature",
     "text_token_rarity",
     "conv_role_transitions",
     "conv_turn_stats",

@@ -240,7 +240,64 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: context-window token budget for :func:`q_context_pack`. Production
+#: sets this to the model context (e.g. 8192); the synthetic corpus'
+#: conversations run ~55 whitespace tokens over ~7 turns, so 32
+#: exercises the truncation path while leaving short conversations
+#: whole.
+CONTEXT_BUDGET_TOKS = 32
+
+
+def context_pack(turns: DataFrame, budget: int) -> DataFrame:
+    """Context-window packing core over a ``(conv_id, turn_idx,
+    n_toks)`` frame: keep the longest SUFFIX of turns whose total token
+    count fits ``budget`` — truncate-left, the standard multi-turn SFT
+    preprocessing step (the most recent turns carry the training
+    signal; the oldest spill). The FINAL turn is always kept even when
+    it alone exceeds the budget: a training example must contain its
+    target.
+
+    One conv-partitioned window (reverse running token sum + reverse
+    row number share the sort) then one conv-keyed hash aggregate —
+    per-conversation state only, embarrassingly parallel at 10^12
+    turns; output is conversation-sized."""
+    w = Window.partitionBy("conv_id").orderBy(F.col("turn_idx").desc())
+    t = turns.select(
+        "conv_id",
+        "turn_idx",
+        "n_toks",
+        F.sum("n_toks")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_from_end"),
+        F.row_number().over(w).alias("rn_from_end"),
+    )
+    kept = (F.col("cum_from_end") <= budget) | (F.col("rn_from_end") == 1)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns_total"),
+        F.sum("n_toks").cast("long").alias("toks_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_turns_kept"),
+        F.sum(F.when(kept, F.col("n_toks"))).cast("long").alias("toks_kept"),
+        F.min(F.when(kept, F.col("turn_idx"))).cast("int").alias("first_kept_idx"),
+        F.max(F.when(kept, F.lit(0)).otherwise(1)).cast("int").alias("truncated"),
+    )
+
+
+def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation context-budget truncation report: how many
+    turns/tokens survive a truncate-left pack to
+    :data:`CONTEXT_BUDGET_TOKS` — the sizing table that decides chat
+    template budgets before SFT conversion (see :func:`context_pack`
+    for semantics and the scale shape)."""
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    return context_pack(t, CONTEXT_BUDGET_TOKS)
+
+
 QUERIES = {
+    "conv_context_pack": q_context_pack,
     "conv_sft_pairs": q_sft_pairs,
     "conv_role_transitions": q_role_transitions,
     "conv_turn_stats": q_turn_stats,
@@ -249,6 +306,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conv_context_pack": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+p AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cum_from_end,
+         ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+             AS rn_from_end
+  FROM e),
+k AS (
+  SELECT conv_id, turn_idx, n_toks,
+         CASE WHEN cum_from_end <= {CONTEXT_BUDGET_TOKS}
+                OR rn_from_end = 1 THEN 1 ELSE 0 END AS kept
+  FROM p)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns_total,
+       CAST(SUM(n_toks) AS BIGINT) AS toks_total,
+       CAST(SUM(kept) AS BIGINT) AS n_turns_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_toks END) AS BIGINT) AS toks_kept,
+       CAST(MIN(CASE WHEN kept = 1 THEN turn_idx END) AS INT)
+           AS first_kept_idx,
+       CAST(MAX(1 - kept) AS INT) AS truncated
+FROM k GROUP BY conv_id""",
     "conv_sft_pairs": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT conv_id, turn_idx, role, text,

@@ -678,6 +678,55 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain sampling weights, α = 1/2 — the
+    multilingual/multi-domain rebalancing rule (XLM-R / mT5 style):
+    w_d ∝ n_tokens_d^α flattens the mix toward small domains without
+    the hard uniform target of ``curate_domain_mix``'s capped weights.
+
+    Cross-engine exactness without floats in the OUTPUT: n^(1/2) is the
+    integer sqrt — ``FLOOR(SQRT(CAST(n AS DOUBLE)))``. IEEE-754 sqrt is
+    correctly rounded in both engines (and exact on perfect squares),
+    so the floor is bit-identical for counts < 2^52; the weight is then
+    an all-integer floor-div ppm over the integer sqrt total (a 1-row
+    broadcast, audited under _ALLOWED_SCALAR_BROADCAST).
+
+    Scale shape: identical to ``curate_domain_mix`` — one source-keyed
+    hash aggregate (map-side partials carry it; sources ≪ docs), then a
+    broadcast 1-row totals frame; output is dimension-sized."""
+    n_toks = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.split(F.col("text"), " ")).cast("long"),
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", n_toks.alias("n_toks")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("n_toks"), F.lit(0).cast("long")).alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "sqrt_tokens",
+        F.expr("CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").alias("tot_toks"),
+        F.sum("sqrt_tokens").alias("tot_sqrt"),
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "sqrt_tokens",
+        F.expr("n_tokens * 1000000 DIV greatest(tot_toks, 1)").alias(
+            "raw_share_ppm"
+        ),
+        F.expr("sqrt_tokens * 1000000 DIV greatest(tot_sqrt, 1)").alias(
+            "temp_weight_ppm"
+        ),
+    )
+
+
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data selection under a token budget — keep the highest-quality
     documents (by the `text_quality_score` composite, ties broken by
@@ -1029,6 +1078,7 @@ QUERIES = {
     "curate_lm_surprisal": q_lm_surprisal,
     "curate_token_budget": q_token_budget,
     "curate_domain_mix": q_domain_mix,
+    "curate_mix_temperature": q_mix_temperature,
     "curate_decontaminate": q_decontaminate,
     "curate_pii_scrub": q_pii_scrub,
     "curate_decision": q_curation_decision,
@@ -1190,6 +1240,25 @@ SELECT source, n_docs, n_tokens,
             // GREATEST((n_tokens * 1000000) // GREATEST(total_tokens, 1), 1))
          AS BIGINT) AS mix_weight_ppm
 FROM per, tot""",
+    "curate_mix_temperature": """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+sq AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS sqrt_tokens
+  FROM per),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_toks,
+               CAST(SUM(sqrt_tokens) AS BIGINT) AS tot_sqrt FROM sq)
+SELECT source, n_docs, n_tokens, sqrt_tokens,
+       CAST((n_tokens * 1000000) // GREATEST(tot_toks, 1) AS BIGINT)
+         AS raw_share_ppm,
+       CAST((sqrt_tokens * 1000000) // GREATEST(tot_sqrt, 1) AS BIGINT)
+         AS temp_weight_ppm
+FROM sq, tot""",
     "curate_decontaminate": f"""
 WITH sh AS ({_SHINGLES_SQL}),
 ev AS (SELECT DISTINCT shingle FROM sh

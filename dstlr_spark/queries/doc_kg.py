@@ -1004,6 +1004,165 @@ def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+#: wedge-generation hub cap for neighbor-Jaccard: vertices with more
+#: than this many neighbors are excluded as SHARED neighbors (their
+#: wedge fan is deg², and a celebrity entity co-mentioned with everyone
+#: carries no similarity signal anyway — the classic hub exclusion).
+#: Full degrees still feed the Jaccard denominator, so on corpora with
+#: no hubs (all sf scales: max degree 7) the output is the exact
+#: Jaccard; with hubs it is the documented through-hub-free variant.
+JACCARD_HUB_CAP = 1_000
+
+
+def neighbor_jaccard(edges: DataFrame, hub_cap: int = JACCARD_HUB_CAP) -> DataFrame:
+    """Common-neighbor Jaccard similarity over an undirected edge list
+    ``(src, dst)`` with ``src < dst`` — the entity-resolution candidate
+    generator: entities whose co-mention neighborhoods overlap are
+    merge/same-as candidates even when their surface forms never match
+    (the structural complement of the lemma/alias linker).
+
+    Pairs are generated ONLY through shared neighbors (one equi-join of
+    the adjacency list with itself on the neighbor key) — never an
+    all-pairs cross. Per-neighbor wedge fan is deg², so vertices above
+    ``hub_cap`` are excluded from wedge generation (docstring above);
+    at 100 TB the wedge join shuffles O(Σ min(deg, cap)²), the same
+    budget as the co-mention pair builder. Degrees and the ppm Jaccard
+    are all-integer — exact in both engines."""
+    adj = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # consumed 3× (degrees, both wedge sides): cut lineage once
+        .localCheckpoint()
+    )
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    hubs = deg.where(F.col("deg") > hub_cap).select(F.col("src").alias("dst"))
+    # heavy hitters are few by definition — broadcast the exclusion set
+    wadj = adj.join(F.broadcast(hubs), "dst", "left_anti")
+    a = wadj.select(F.col("dst").alias("n"), F.col("src").alias("x"))
+    b = wadj.select(F.col("dst").alias("n"), F.col("src").alias("y"))
+    common = (
+        a.join(b, "n")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    return (
+        common.join(deg.select(F.col("src").alias("x"), F.col("deg").alias("deg_a")), "x")
+        .join(deg.select(F.col("src").alias("y"), F.col("deg").alias("deg_b")), "y")
+        .select(
+            F.col("x").alias("entity_a"),
+            F.col("y").alias("entity_b"),
+            "common_neighbors",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "common_neighbors * 1000000"
+                " DIV (deg_a + deg_b - common_neighbors)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap similarity over the co-mention graph (see
+    :func:`neighbor_jaccard`): every entity pair sharing ≥ 1 neighbor,
+    with common-neighbor count, degrees, and integer-ppm Jaccard."""
+    edges = _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+    return neighbor_jaccard(edges)
+
+
+#: rule-mining wedge cap: a mid entity whose in-degree × out-degree
+#: exceeds this emits that many 2-hop paths through itself — capped and
+#: excluded (the hub exclusion again; on the sf corpora nothing is
+#: excluded, and tests exercise the cap with a planted hub).
+RULE_MID_FAN_CAP = 1_000_000
+
+
+def mine_rules(triples: DataFrame, fan_cap: int = RULE_MID_FAN_CAP) -> DataFrame:
+    """AMIE-style composition-rule mining over an entity-level triple
+    frame ``(subj, relation, obj)``: for every relation pair (r1, r2),
+    count the distinct entity pairs (a, c) connected by a 2-hop body
+    path a -r1-> b -r2-> c, and for every head relation r, how many of
+    those pairs ALSO hold a direct a -r-> c triple — emitting the
+    classic rule table r1(a,b) ∧ r2(b,c) ⇒ r(a,c) with standard
+    confidence = support / n_body (floor ppm, exact in both engines).
+    This is the schema-induction step of KG construction: mined
+    high-confidence compositions become inference rules or extraction
+    validators.
+
+    Scale shape: triples meet only through entity equi-joins — the body
+    join on the shared mid entity b, the head join on the (a, c) pair
+    key. The per-mid fan is in_deg(b)·out_deg(b); mids above
+    ``fan_cap`` are excluded (hub exclusion, see the cap docstring), so
+    the body shuffle is O(Σ min(in·out, cap)). Counts and the ppm
+    confidence are all-integer."""
+    t = triples.localCheckpoint()  # consumed 4×: cut lineage once
+    ind = t.groupBy(F.col("obj").alias("mid")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind")
+    )
+    outd = t.groupBy(F.col("subj").alias("mid")).agg(
+        F.count(F.lit(1)).cast("long").alias("outd")
+    )
+    okmid = (
+        ind.join(outd, "mid")
+        .where(F.col("ind") * F.col("outd") <= fan_cap)
+        .select("mid")
+    )
+    b1 = t.select(
+        F.col("subj").alias("a"), F.col("relation").alias("r1"), F.col("obj").alias("mid")
+    ).join(okmid, "mid", "left_semi")
+    b2 = t.select(
+        F.col("subj").alias("mid"), F.col("relation").alias("r2"), F.col("obj").alias("c")
+    )
+    body = (
+        b1.join(b2, "mid")
+        .where(F.col("a") != F.col("c"))
+        .select("r1", "r2", "a", "c")
+        .distinct()
+    )
+    nb = body.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_body")
+    )
+    head = t.select(
+        F.col("subj").alias("a"),
+        F.col("relation").alias("head_relation"),
+        F.col("obj").alias("c"),
+    )
+    sup = (
+        body.join(head, ["a", "c"])
+        .groupBy("r1", "r2", "head_relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    return sup.join(nb, ["r1", "r2"]).select(
+        F.col("r1").alias("body_r1"),
+        F.col("r2").alias("body_r2"),
+        "head_relation",
+        "n_body",
+        "support",
+        F.expr("support * 1000000 DIV n_body").alias("conf_ppm"),
+    )
+
+
+def q_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition-rule mining over the corpus' entity-level triples
+    (distinct (subj_entity, relation, obj_entity) from the same
+    both-endpoints-linked pair resolution as ``kg_triple_temporal``) —
+    see :func:`mine_rules` for semantics and the scale shape."""
+    t = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            F.col("subj_entity").alias("subj"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.col("obj_entity").alias("obj"),
+        )
+        .distinct()
+    )
+    return mine_rules(t)
+
+
 PAGERANK_ITERS = 3
 _PR_SCALE = 1_000_000_000  # ranks in exact integer ppb
 
@@ -1600,6 +1759,71 @@ corners AS (
     UNION ALL SELECT z FROM tri)
 SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM corners GROUP BY entity_id""",
+    "kg_neighbor_jaccard": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+edges AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+adj AS (SELECT src, dst FROM edges
+        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY src),
+wadj AS (
+    SELECT a.src, a.dst FROM adj a
+    JOIN deg d ON d.src = a.dst WHERE d.deg <= {JACCARD_HUB_CAP}),
+common AS (
+    SELECT a.src AS x, b.src AS y, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+    FROM wadj a JOIN wadj b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src)
+SELECT c.x AS entity_a, c.y AS entity_b, c.common_neighbors,
+       da.deg AS deg_a, db.deg AS deg_b,
+       CAST(c.common_neighbors * 1000000
+          // (da.deg + db.deg - c.common_neighbors) AS BIGINT) AS jaccard_ppm
+FROM common c
+JOIN deg da ON da.src = c.x
+JOIN deg db ON db.src = c.y""",
+    "kg_rule_mining": f"""WITH {_base_ctes()},
+etriples AS (
+    SELECT DISTINCT ls.entity_id AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL),
+ind AS (SELECT obj AS mid, CAST(COUNT(*) AS BIGINT) AS ind
+        FROM etriples GROUP BY obj),
+outd AS (SELECT subj AS mid, CAST(COUNT(*) AS BIGINT) AS outd
+         FROM etriples GROUP BY subj),
+okmid AS (SELECT i.mid FROM ind i JOIN outd o ON o.mid = i.mid
+          WHERE i.ind * o.outd <= {RULE_MID_FAN_CAP}),
+body AS (
+    SELECT DISTINCT t1.relation AS r1, t2.relation AS r2,
+           t1.subj AS a, t2.obj AS c
+    FROM etriples t1
+    JOIN okmid k ON k.mid = t1.obj
+    JOIN etriples t2 ON t2.subj = t1.obj
+    WHERE t1.subj <> t2.obj),
+nb AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n_body
+       FROM body GROUP BY r1, r2),
+sup AS (
+    SELECT b.r1, b.r2, h.relation AS head_relation,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM body b JOIN etriples h ON h.subj = b.a AND h.obj = b.c
+    GROUP BY b.r1, b.r2, h.relation)
+SELECT s.r1 AS body_r1, s.r2 AS body_r2, s.head_relation,
+       n.n_body, s.support,
+       CAST(s.support * 1000000 // n.n_body AS BIGINT) AS conf_ppm
+FROM sup s JOIN nb n ON n.r1 = s.r1 AND n.r2 = s.r2""",
     "kg_entity_pagerank": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -1712,6 +1936,8 @@ QUERIES = {
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
+    "kg_neighbor_jaccard": q_neighbor_jaccard,
+    "kg_rule_mining": q_rule_mining,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }

@@ -84,3 +84,43 @@ def test_sessionize_durations_non_negative(spark):
     s = q_sessionize(spark, SF)
     assert s.where(F.col("duration_s") < 0).count() == 0
     assert s.where(F.col("n_turns") <= 0).count() == 0
+
+
+def test_context_pack_keeps_exact_suffix_and_final_turn(spark):
+    from dstlr_spark.queries.conv import context_pack
+
+    # conv A: tokens 10,10,10,10 from the end with budget 25 → the last
+    # two turns fit (20), three would be 30 → kept suffix = turns 2,3.
+    # conv B: single 40-token turn over budget → ALWAYS kept, flagged
+    # truncated=0 (nothing was dropped).
+    # conv C: last turn alone is 30 > 25 → kept (target must survive),
+    # the earlier turn drops → truncated=1, toks_kept 30 > budget.
+    rows = [
+        ("A", 0, 10), ("A", 1, 10), ("A", 2, 10), ("A", 3, 10),
+        ("B", 0, 40),
+        ("C", 0, 5), ("C", 1, 30),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_toks long")
+    out = {r.conv_id: r for r in context_pack(t, 25).collect()}
+    assert out["A"].n_turns_kept == 2 and out["A"].first_kept_idx == 2
+    assert out["A"].toks_kept == 20 and out["A"].truncated == 1
+    assert out["B"].n_turns_kept == 1 and out["B"].truncated == 0
+    assert out["B"].toks_kept == 40
+    assert out["C"].n_turns_kept == 1 and out["C"].first_kept_idx == 1
+    assert out["C"].toks_kept == 30 and out["C"].truncated == 1
+
+
+def test_context_pack_budget_truncates_some_convs_on_corpus(spark):
+    from dstlr_spark.queries.conv import q_context_pack
+
+    out = q_context_pack(spark, SF)
+    n_trunc = out.where(F.col("truncated") == 1).count()
+    n_whole = out.where(F.col("truncated") == 0).count()
+    # the 32-token budget must exercise BOTH paths on the sf corpus
+    assert n_trunc > 0 and n_whole > 0
+    # kept is a suffix: kept turns ∈ [first_kept_idx, last], so kept
+    # count == total - first_kept_idx always
+    bad = out.where(
+        F.col("n_turns_kept") != F.col("n_turns_total") - F.col("first_kept_idx")
+    )
+    assert bad.count() == 0

@@ -182,3 +182,68 @@ def test_substring_coverage_union_of_planted_windows(spark, tmp_path):
     assert rows["3"]["dup_tokens"] == 0
     assert rows["3"]["dup_coverage_ppm"] == 0
     assert rows["1"]["dup_coverage_ppm"] == 500_000  # half the doc
+
+
+def test_neighbor_jaccard_exact_and_hub_excluded(spark):
+    """Known 4-vertex graph → exact Jaccard; a planted hub above the
+    cap stops generating wedges THROUGH itself but keeps full degrees
+    in the denominator."""
+    from dstlr_spark.queries.doc_kg import neighbor_jaccard
+
+    # path graph A-B, B-C, C-D plus A-C: neighbors A:{B,C} B:{A,C}
+    # C:{A,B,D} D:{C}
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C")], "src string, dst string"
+    )
+    out = {
+        (r.entity_a, r.entity_b): r
+        for r in neighbor_jaccard(edges, hub_cap=10).collect()
+    }
+    # A and B share neighbor C: J = 1/(2+2-1)
+    ab = out[("A", "B")]
+    assert ab.common_neighbors == 1 and ab.jaccard_ppm == 1_000_000 // 3
+    # A and D share neighbor C: J = 1/(2+1-1) = 1/2
+    assert out[("A", "D")].jaccard_ppm == 500_000
+    # B and D share neighbor C
+    assert ("B", "D") in out
+    # cap=2 excludes C (degree 3) as a SHARED neighbor: every pair above
+    # met only through C, so they all vanish; A-B still meet through... 
+    # A's other neighbor is C only for B — wedge x-n-y needs shared n.
+    # Remaining shared-neighbor wedges: through A (B,C), through B (A,C).
+    capped = {
+        (r.entity_a, r.entity_b): r
+        for r in neighbor_jaccard(edges, hub_cap=2).collect()
+    }
+    assert ("A", "D") not in capped and ("B", "D") not in capped
+    bc = capped[("B", "C")]  # through shared neighbor A
+    assert bc.common_neighbors == 1 and bc.deg_b == 3  # full degree kept
+    assert capped[("A", "C")].common_neighbors == 1  # through B
+
+
+def test_rule_mining_confidence_and_fan_cap(spark):
+    """Planted composition rule r1(a,b) ∧ r2(b,c) ⇒ r3(a,c) with known
+    support/confidence; a mid entity over the fan cap emits no paths."""
+    from dstlr_spark.queries.doc_kg import mine_rules
+
+    triples = [
+        # two r1-r2 paths through mid M: (a1, c1) and (a2, c2)
+        ("a1", "r1", "M"), ("M", "r2", "c1"),
+        ("a2", "r1", "M2"), ("M2", "r2", "c2"),
+        # head r3 holds for one of the two body pairs
+        ("a1", "r3", "c1"),
+    ]
+    t = spark.createDataFrame(triples, "subj string, relation string, obj string")
+    out = {
+        (r.body_r1, r.body_r2, r.head_relation): r
+        for r in mine_rules(t, fan_cap=1000).collect()
+    }
+    rule = out[("r1", "r2", "r3")]
+    assert rule.n_body == 2 and rule.support == 1
+    assert rule.conf_ppm == 500_000
+    # hub mid: in-degree × out-degree fan above the cap → its paths drop
+    hub = [(f"x{i}", "r1", "HUB") for i in range(4)]
+    hub += [("HUB", "r2", f"y{i}") for i in range(4)]
+    hub += [("x0", "r3", "y0")]
+    th = spark.createDataFrame(hub, "subj string, relation string, obj string")
+    assert mine_rules(th, fan_cap=1000).where("body_r1 = 'r1'").count() > 0
+    assert mine_rules(th, fan_cap=15).count() == 0  # 4×4 = 16 > 15

@@ -218,6 +218,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "curate_dsir_weights",  # 1-row target/raw-totals frame
     "curate_nb_quality",  # 1-row class-totals frame
     "kg_entity_kcore",  # 1-row max-edge-weight frame
+    "curate_mix_temperature",  # 1-row sqrt-totals frame
 }
 
 
