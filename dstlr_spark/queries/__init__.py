@@ -31,7 +31,10 @@ _GATE_FIRST = [
     # not discover the r3 truncation problem a round later
     "kg_rule_mining",
     "kg_neighbor_jaccard",
+    "kg_nil_entities",
+    "kg_relation_signature",
     "conv_context_pack",
+    "conv_reply_latency",
     "curate_mix_temperature",
     "text_token_rarity",
     "conv_role_transitions",

@@ -240,6 +240,39 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assistant reply-latency distribution: for every strict
+    user→assistant adjacency (the same rule as ``conv_sft_pairs``),
+    the timestamp delta, rolled up corpus-wide into (latency_s,
+    n_replies) — the operational SLA histogram of an agent-transcript
+    corpus, and a data-quality screen (replies that took hours usually
+    mark resumed sessions, not live exchanges).
+
+    One conv-partitioned lead window, then one hash aggregate on a
+    value-bounded key (distinct latencies) — map-side partials carry
+    it at any corpus size."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts_s",
+        F.lead("role").over(w).alias("next_role"),
+        F.lead("ts_s").over(w).alias("next_ts"),
+        F.lead("turn_idx").over(w).alias("next_idx"),
+    )
+    return (
+        t.where(
+            (F.col("role") == "user")
+            & (F.col("next_role") == "assistant")
+            & (F.col("next_idx") == F.col("turn_idx") + 1)
+        )
+        .select((F.col("next_ts") - F.col("ts_s")).cast("long").alias("latency_s"))
+        .groupBy("latency_s")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_replies"))
+    )
+
+
 #: context-window token budget for :func:`q_context_pack`. Production
 #: sets this to the model context (e.g. 8192); the synthetic corpus'
 #: conversations run ~55 whitespace tokens over ~7 turns, so 32
@@ -298,6 +331,7 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "conv_context_pack": q_context_pack,
+    "conv_reply_latency": q_reply_latency,
     "conv_sft_pairs": q_sft_pairs,
     "conv_role_transitions": q_role_transitions,
     "conv_turn_stats": q_turn_stats,
@@ -306,6 +340,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conv_reply_latency": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+p AS (
+  SELECT conv_id, turn_idx, role, ts_s,
+         LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_role,
+         LEAD(ts_s) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_ts,
+         LEAD(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS next_idx
+  FROM e)
+SELECT CAST(next_ts - ts_s AS BIGINT) AS latency_s,
+       CAST(COUNT(*) AS BIGINT) AS n_replies
+FROM p
+WHERE role = 'user' AND next_role = 'assistant'
+  AND next_idx = turn_idx + 1
+GROUP BY latency_s""",
     "conv_context_pack": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT conv_id, turn_idx,

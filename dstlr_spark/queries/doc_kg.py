@@ -1144,6 +1144,76 @@ def mine_rules(triples: DataFrame, fan_cap: int = RULE_MID_FAN_CAP) -> DataFrame
     )
 
 
+def q_nil_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIL-entity proposals: mentions whose LINKS_TO target is NULL
+    (no alias-dictionary candidate — the reference keeps these edges
+    with a null resolved id, X7) clustered by lemma key into proposed
+    new KB entries, with a deterministic content-addressed id
+    (md5 of 'NIL:'+key) so re-runs and incremental ingests mint the
+    SAME id — the standard NIL-clustering step that turns an
+    entity-linking gap list into KB growth.
+
+    Scale shape: the null-link frame is per distinct (doc, mention);
+    occurrences join back on the (doc, mention) equi-key (both
+    conversation-bounded); the rollup is one hash aggregate on the
+    lemma key. The exact distinct-doc count per key is the only
+    heavyweight — at true corpus scale swap for approx_count_distinct
+    (kept exact here because the oracle must hash-match)."""
+    kg = _kg(spark, sf_dir)
+    nil = (
+        kg.links_triples()
+        .where(F.col("objectValue").isNull())
+        .select(F.col("doc").alias("doc_id"), F.col("subjectValue").alias("mention_id"))
+    )
+    occ = kg.mentions.select("doc_id", "mention_id", "key")
+    return (
+        occ.join(nil, ["doc_id", "mention_id"])
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .select(
+            "key",
+            F.md5(F.concat(F.lit("NIL:"), F.col("key"))).alias("nil_entity_id"),
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+
+
+def q_relation_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation signature table — the schema-induction statistics AMIE
+    and KB-completion pipelines key decisions on: per relation, the
+    distinct entity-level triple count, distinct subject/object counts,
+    and floor-ppm functionality (n_subjects/n_triples — 1.0 means each
+    subject appears once: a functional, 1:1-ish relation) plus inverse
+    functionality. One hash aggregate over the distinct triple frame;
+    output is relation-dictionary-sized."""
+    t = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            F.col("subj_entity").alias("subj"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.col("obj_entity").alias("obj"),
+        )
+        .distinct()
+    )
+    return t.groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+        F.expr("count(distinct subj) * 1000000 DIV count(1)")
+        .cast("long")
+        .alias("functionality_ppm"),
+        F.expr("count(distinct obj) * 1000000 DIV count(1)")
+        .cast("long")
+        .alias("inv_functionality_ppm"),
+    )
+
+
 def q_rule_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition-rule mining over the corpus' entity-level triples
     (distinct (subj_entity, relation, obj_entity) from the same
@@ -1788,6 +1858,37 @@ SELECT c.x AS entity_a, c.y AS entity_b, c.common_neighbors,
 FROM common c
 JOIN deg da ON da.src = c.x
 JOIN deg db ON db.src = c.y""",
+    "kg_nil_entities": f"""WITH {_base_ctes()},
+nil AS (
+    SELECT doc, mention_id FROM links WHERE entity_id IS NULL)
+SELECT m.key,
+       md5('NIL:' || m.key) AS nil_entity_id,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT m.doc) AS BIGINT) AS n_docs
+FROM mentions m
+JOIN nil ON nil.doc = m.doc AND nil.mention_id = m.mention_id
+GROUP BY m.key""",
+    "kg_relation_signature": f"""WITH {_base_ctes()},
+etriples AS (
+    SELECT DISTINCT ls.entity_id AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL)
+SELECT relation,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_objects,
+       CAST(COUNT(DISTINCT subj) * 1000000 // COUNT(*) AS BIGINT)
+           AS functionality_ppm,
+       CAST(COUNT(DISTINCT obj) * 1000000 // COUNT(*) AS BIGINT)
+           AS inv_functionality_ppm
+FROM etriples GROUP BY relation""",
     "kg_rule_mining": f"""WITH {_base_ctes()},
 etriples AS (
     SELECT DISTINCT ls.entity_id AS subj,
@@ -1938,6 +2039,8 @@ QUERIES = {
     "kg_entity_triangles": q_entity_triangles,
     "kg_neighbor_jaccard": q_neighbor_jaccard,
     "kg_rule_mining": q_rule_mining,
+    "kg_nil_entities": q_nil_entities,
+    "kg_relation_signature": q_relation_signature,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }
