@@ -33,6 +33,7 @@ _GATE_FIRST = [
     "kg_neighbor_jaccard",
     "kg_nil_entities",
     "kg_relation_signature",
+    "kg_incremental_triples",
     "conv_context_pack",
     "conv_reply_latency",
     "curate_mix_temperature",

@@ -1144,6 +1144,56 @@ def mine_rules(triples: DataFrame, fan_cap: int = RULE_MID_FAN_CAP) -> DataFrame
     )
 
 
+#: incremental split modulus: docs with id % MOD == 0 are the incoming
+#: batch, the rest are the staged base KG (the curation module's
+#: EVAL_SPLIT_MOD pattern — deterministic in both engines).
+KG_INGEST_SPLIT_MOD = 5
+
+
+def q_incremental_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance: every entity-level triple
+    contributed by an incoming document batch, flagged with whether the
+    staged base KG already holds it — the ingest delta an incremental
+    pipeline materializes instead of recomputing the corpus (consumers
+    filter ``already_known = 0`` for the new-knowledge insert set; the
+    flag keeps the probe's verdict visible instead of silently
+    anti-joining to an empty frame on corpora whose batch adds nothing,
+    as the homogeneous sf corpus does). Documents split
+    deterministically (id % MOD == 0 → batch, the rest are base).
+
+    Scale shape: the same incremental contract as ``dedup_incremental``
+    — work is batch-proportional (the batch side is scanned and
+    deduped; the base side is an equi-join probe on the full
+    (subj, relation, obj) key of the staged triple table, bucketed on
+    that key on a real cluster so the probe is shuffle-free). Nothing
+    rescans base documents; base is the already-materialized triple
+    table."""
+    p = _linked_entity_pairs(spark, sf_dir).select(
+        F.col("conv_id").cast("long").alias("cid"),
+        F.col("subj_entity").alias("subj"),
+        F.concat(
+            F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+        ).alias("relation"),
+        F.col("obj_entity").alias("obj"),
+    )
+    is_batch = F.col("cid") % KG_INGEST_SPLIT_MOD == 0
+    batch = p.where(is_batch).select("subj", "relation", "obj").distinct()
+    base = (
+        p.where(~is_batch)
+        .select("subj", "relation", "obj")
+        .distinct()
+        .withColumn("already_known", F.lit(1).cast("int"))
+    )
+    return batch.join(base, ["subj", "relation", "obj"], "left").select(
+        "subj",
+        "relation",
+        "obj",
+        F.coalesce(F.col("already_known"), F.lit(0)).cast("int").alias(
+            "already_known"
+        ),
+    )
+
+
 def q_nil_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NIL-entity proposals: mentions whose LINKS_TO target is NULL
     (no alias-dictionary candidate — the reference keeps these edges
@@ -1858,6 +1908,29 @@ SELECT c.x AS entity_a, c.y AS entity_b, c.common_neighbors,
 FROM common c
 JOIN deg da ON da.src = c.x
 JOIN deg db ON db.src = c.y""",
+    "kg_incremental_triples": f"""WITH {_base_ctes()},
+ep AS (
+    SELECT CAST(a.doc AS BIGINT) AS cid,
+           ls.entity_id AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL),
+batch AS (SELECT DISTINCT subj, relation, obj FROM ep
+          WHERE cid % {KG_INGEST_SPLIT_MOD} = 0),
+base AS (SELECT DISTINCT subj, relation, obj FROM ep
+         WHERE cid % {KG_INGEST_SPLIT_MOD} <> 0)
+SELECT b.subj, b.relation, b.obj,
+       CAST(CASE WHEN s.subj IS NULL THEN 0 ELSE 1 END AS INT)
+           AS already_known
+FROM batch b
+LEFT JOIN base s ON s.subj = b.subj AND s.relation = b.relation
+                AND s.obj = b.obj""",
     "kg_nil_entities": f"""WITH {_base_ctes()},
 nil AS (
     SELECT doc, mention_id FROM links WHERE entity_id IS NULL)
@@ -2041,6 +2114,7 @@ QUERIES = {
     "kg_rule_mining": q_rule_mining,
     "kg_nil_entities": q_nil_entities,
     "kg_relation_signature": q_relation_signature,
+    "kg_incremental_triples": q_incremental_triples,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }
