@@ -34,8 +34,10 @@ _GATE_FIRST = [
     "kg_nil_entities",
     "kg_relation_signature",
     "kg_incremental_triples",
+    "kg_relation_trend",
     "conv_context_pack",
     "conv_reply_latency",
+    "conv_tool_sequences",
     "curate_mix_temperature",
     "text_token_rarity",
     "conv_role_transitions",

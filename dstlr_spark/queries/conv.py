@@ -240,6 +240,35 @@ def q_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-behavior mining: the ordered tool-call sequence of each
+    conversation (e.g. ``search>code>search``), rolled up corpus-wide
+    into (tool_seq, n_convs, n_calls) — the trajectory-pattern table
+    that surfaces dominant tool-use strategies and degenerate loops in
+    an agent-transcript corpus.
+
+    Determinism: ``collect_list`` alone has no order guarantee, so the
+    list is gathered as (turn_idx, tool) structs and ``array_sort``-ed
+    before joining — bit-identical across retries/partitionings. One
+    conv-keyed hash aggregate over tool turns only, then one hash
+    aggregate on the sequence key; per-conversation state is bounded by
+    the turn count (the same bound every conv window here carries)."""
+    t = _turns(spark, sf_dir).where(F.col("tool").isNotNull())
+    per = t.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))),
+                lambda s: s["tool"],
+            ),
+            ">",
+        ).alias("tool_seq"),
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+    )
+    return per.groupBy("tool_seq", "n_calls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+
+
 def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assistant reply-latency distribution: for every strict
     user→assistant adjacency (the same rule as ``conv_sft_pairs``),
@@ -332,6 +361,7 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "conv_context_pack": q_context_pack,
     "conv_reply_latency": q_reply_latency,
+    "conv_tool_sequences": q_tool_sequences,
     "conv_sft_pairs": q_sft_pairs,
     "conv_role_transitions": q_role_transitions,
     "conv_turn_stats": q_turn_stats,
@@ -340,6 +370,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conv_tool_sequences": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+per AS (
+  SELECT conv_id,
+         string_agg(tool, '>' ORDER BY turn_idx) AS tool_seq,
+         CAST(COUNT(*) AS BIGINT) AS n_calls
+  FROM e WHERE tool IS NOT NULL
+  GROUP BY conv_id)
+SELECT tool_seq, n_calls, CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM per GROUP BY tool_seq, n_calls""",
     "conv_reply_latency": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT conv_id, turn_idx, role, ts_s,

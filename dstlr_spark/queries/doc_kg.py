@@ -921,6 +921,61 @@ def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal drift per relation: observation counts in the early vs
+    late half of the corpus' time range (split at the midpoint of the
+    attributed-observation timestamps) and the late share in floor ppm
+    — the KG-freshness trend table that flags relations whose evidence
+    is growing or dying out, derived from the same mention→turn
+    attribution as ``kg_triple_temporal``.
+
+    Scale shape: the observation frame is the conversation-bounded
+    pair+span join (never corpus-quadratic); the midpoint is a 1-row
+    min/max broadcast (audited under _ALLOWED_SCALAR_BROADCAST); the
+    rollup is one hash aggregate on the relation dictionary."""
+    obs = (
+        _linked_entity_pairs(spark, sf_dir)
+        .join(_turn_spans(spark, sf_dir), "conv_id")
+        .where(
+            (F.col("b") >= F.col("start"))
+            & (F.col("b") < F.col("start") + F.col("ln"))
+        )
+        .select(
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            "ts_s",
+        )
+    )
+    minmax = obs.agg(
+        F.min("ts_s").alias("ts_min"), F.max("ts_s").alias("ts_max")
+    )
+    return (
+        obs.crossJoin(F.broadcast(minmax))
+        .select(
+            "relation",
+            F.when(
+                F.col("ts_s") * 2 <= F.col("ts_min") + F.col("ts_max"), 1
+            )
+            .otherwise(0)
+            .alias("is_early"),
+        )
+        .groupBy("relation")
+        .agg(
+            F.sum("is_early").cast("long").alias("n_early"),
+            F.sum(1 - F.col("is_early")).cast("long").alias("n_late"),
+        )
+        .select(
+            "relation",
+            "n_early",
+            "n_late",
+            F.expr("n_late * 1000000 DIV (n_early + n_late)").alias(
+                "late_share_ppm"
+            ),
+        )
+    )
+
+
 def q_comention_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information over co-mention pairs — the
     association-strength ranking that separates genuinely related
@@ -1908,6 +1963,33 @@ SELECT c.x AS entity_a, c.y AS entity_b, c.common_neighbors,
 FROM common c
 JOIN deg da ON da.src = c.x
 JOIN deg db ON db.src = c.y""",
+    "kg_relation_trend": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+obs AS (
+    SELECT 'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           s.ts_s
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL
+    JOIN spans s ON s.conv_id = a.doc
+               AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln),
+mm AS (SELECT MIN(ts_s) AS ts_min, MAX(ts_s) AS ts_max FROM obs),
+fl AS (
+    SELECT relation,
+           CASE WHEN ts_s * 2 <= ts_min + ts_max THEN 1 ELSE 0 END AS is_early
+    FROM obs, mm)
+SELECT relation,
+       CAST(SUM(is_early) AS BIGINT) AS n_early,
+       CAST(SUM(1 - is_early) AS BIGINT) AS n_late,
+       CAST(SUM(1 - is_early) * 1000000
+          // (SUM(is_early) + SUM(1 - is_early)) AS BIGINT) AS late_share_ppm
+FROM fl GROUP BY relation""",
     "kg_incremental_triples": f"""WITH {_base_ctes()},
 ep AS (
     SELECT CAST(a.doc AS BIGINT) AS cid,
@@ -2115,6 +2197,7 @@ QUERIES = {
     "kg_nil_entities": q_nil_entities,
     "kg_relation_signature": q_relation_signature,
     "kg_incremental_triples": q_incremental_triples,
+    "kg_relation_trend": q_relation_trend,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }

@@ -219,6 +219,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "curate_nb_quality",  # 1-row class-totals frame
     "kg_entity_kcore",  # 1-row max-edge-weight frame
     "curate_mix_temperature",  # 1-row sqrt-totals frame
+    "kg_relation_trend",  # 1-row ts-min/max frame
 }
 
 
