@@ -27,18 +27,33 @@ from pyspark.sql import DataFrame, SparkSession
 # reaching the tail modules), followed by queries whose implementation
 # or oracle changed this round and therefore needs a fresh gate row.
 _GATE_FIRST = [
+    # The driver's correctness window is the registry's first FIFTY
+    # entries (measured: r2/r3 files hold exactly 50 rows). Priority
+    # when the must-gate set exceeds 50:
+    #   1. the 13 queries VERDICT r3 explicitly demands rows for
+    #      (never driver-gated through r3 + the one red row);
+    #   2. the 29 round-4 additions (no driver row exists yet);
+    #   3. the burst-3 additions (triple-scale locally verified; the
+    #      two cheapest/simplest-semantics ones ordered last so they
+    #      are the ones that spill);
+    #   4. r3-green queries whose implementation changed this round
+    #      (stale-but-green rows + triple-scale local re-verification).
+    # never driver-gated through r3 (12, per VERDICT r3) + the red row
+    "corpus_datacard",
+    "stream_dedup_turns",
+    "stream_curate_decision",
+    "dedup_edit_distance",
+    "dedup_incremental",
+    "dedup_containment",
+    "text_repetition",
+    "text_ngram_topk",
+    "text_winnow_fingerprint",
+    "text_sample_lang_capped",
+    "events_zorder",
+    "rel_bilateral_trade",
+    "rel_type_revenue_share",
     # new in round 4 — must land inside the driver's gate window NOW,
     # not discover the r3 truncation problem a round later
-    "kg_rule_mining",
-    "kg_neighbor_jaccard",
-    "kg_nil_entities",
-    "kg_relation_signature",
-    "kg_incremental_triples",
-    "kg_relation_trend",
-    "conv_context_pack",
-    "conv_reply_latency",
-    "conv_tool_sequences",
-    "curate_mix_temperature",
     "text_token_rarity",
     "conv_role_transitions",
     "conv_turn_stats",
@@ -68,22 +83,20 @@ _GATE_FIRST = [
     "mm_media_dedup",
     "dedup_keep_list",
     "kg_alias_ambiguity",
-    # never driver-gated through r3 (12, per VERDICT r3) + the one red row
-    "corpus_datacard",
-    "stream_dedup_turns",
-    "stream_curate_decision",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_containment",
-    "text_repetition",
-    "text_ngram_topk",
-    "text_winnow_fingerprint",
-    "text_sample_lang_capped",
-    "events_zorder",
-    "rel_bilateral_trade",
-    "rel_type_revenue_share",
+    # burst-3 additions (all triple-scale locally verified); the final
+    # two are the designated spill if the window stays at 50
+    "kg_rule_mining",
+    "kg_neighbor_jaccard",
+    "kg_nil_entities",
+    "kg_relation_signature",
+    "kg_incremental_triples",
+    "kg_relation_trend",
+    "conv_context_pack",
+    "curate_mix_temperature",
+    "conv_reply_latency",
+    "conv_tool_sequences",
     # changed in round 4 (HLL bit-rho, Bloom auto-size, PageRank join
-    # reorder) — re-gate the new shapes
+    # reorder) — re-gate the new shapes; r3 rows exist and are green
     "agg_hll_registers",
     "agg_bloom_bits",
     "kg_entity_pagerank",
