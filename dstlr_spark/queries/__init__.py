@@ -91,6 +91,7 @@ _GATE_FIRST = [
     "kg_relation_signature",
     "kg_incremental_triples",
     "kg_relation_trend",
+    "kg_entity_hits",
     "conv_context_pack",
     "curate_mix_temperature",
     "conv_reply_latency",

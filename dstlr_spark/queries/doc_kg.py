@@ -1249,6 +1249,138 @@ def q_incremental_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HITS_ITERS = 2  # fixed unroll — both engines run EXACTLY these rounds
+_HITS_SCALE = 1_000_000_000  # scores in integer ppb
+
+
+def q_entity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the DIRECTED entity graph (subj →
+    obj of the distinct entity-level triples) — the companion to
+    PageRank for an asymmetric KG: authorities are entities evidence
+    points AT, hubs are entities evidence points FROM. Kleinberg's
+    mutual recursion in exact integer ppb, max-normalized per
+    half-round:
+
+        a'(v) = Σ_{u→v} h(u);  a(v) = (a'·1000) DIV (max_a DIV 10⁶)
+        h'(v) = Σ_{v→w} a(w);  h(v) = (h'·1000) DIV (max_h DIV 10⁶)
+
+    All floor divisions of non-negative longs — bit-identical across
+    engines (the PageRank/k-core fixed-point pattern; the oracle
+    unrolls HITS_ITERS rounds). The split ·1000 / DIV 10⁶ keeps every
+    intermediate below 2⁶³ for in/out degrees up to ~9·10⁶ — beyond
+    that, rescale _HITS_SCALE (documented, not silent: ANSI mode makes
+    overflow an error, never a wrong answer).
+
+    Scale shape: per half-round one edge-scale equi-join + hash agg
+    (vertex-sized output), one vertex-sized left join, and a 1-row max
+    broadcast (audited under _ALLOWED_SCALAR_BROADCAST); lineage cut
+    per round exactly as PageRank."""
+    t = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(F.col("subj_entity").alias("subj"), F.col("obj_entity").alias("obj"))
+        .distinct()
+    )
+    edges = t.localCheckpoint()
+    verts = (
+        edges.select(F.col("subj").alias("v"))
+        .unionByName(edges.select(F.col("obj").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    norm = "(raw * 1000) DIV greatest(mx DIV 1000000, 1)"
+    h = verts.select("v", F.lit(_HITS_SCALE).cast("long").alias("h"))
+    a = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(
+                h.select(F.col("v").alias("subj"), F.col("h").alias("hs")), "subj"
+            )
+            .groupBy(F.col("obj").alias("v"))
+            .agg(F.sum("hs").alias("raw"))
+        )
+        araw = verts.join(araw, "v", "left").select(
+            "v", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        a = (
+            araw.crossJoin(F.broadcast(araw.agg(F.max("raw").alias("mx"))))
+            .select("v", F.expr(norm).cast("long").alias("a"))
+            .localCheckpoint()
+        )
+        hraw = (
+            edges.join(
+                a.select(F.col("v").alias("obj"), F.col("a").alias("ao")), "obj"
+            )
+            .groupBy(F.col("subj").alias("v"))
+            .agg(F.sum("ao").alias("raw"))
+        )
+        hraw = verts.join(hraw, "v", "left").select(
+            "v", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        h = (
+            hraw.crossJoin(F.broadcast(hraw.agg(F.max("raw").alias("mx"))))
+            .select("v", F.expr(norm).cast("long").alias("h"))
+            .localCheckpoint()
+        )
+    return a.join(h, "v").select(
+        F.col("v").alias("entity_id"),
+        F.col("a").alias("authority_ppb"),
+        F.col("h").alias("hub_ppb"),
+    )
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled HITS_ITERS-round mutual recursion (the k-core/PageRank
+    CTE pattern): per half-round an edge join + aggregate, a left join
+    back onto the vertex frame, and a 1-row max normalization."""
+    rounds = []
+    prev_h = "h0"
+    a_cur = h_cur = ""
+    for r in range(1, HITS_ITERS + 1):
+        a_cur, h_cur = f"a{r}", f"h{r}"
+        rounds.append(
+            f"""{a_cur}r AS (
+    SELECT e.obj AS v, SUM(p.h) AS raw
+    FROM ed e JOIN {prev_h} p ON p.v = e.subj GROUP BY e.obj),
+{a_cur}f AS (
+    SELECT verts.v, COALESCE(r.raw, 0) AS raw
+    FROM verts LEFT JOIN {a_cur}r r ON r.v = verts.v),
+{a_cur}m AS (SELECT MAX(raw) AS mx FROM {a_cur}f),
+{a_cur} AS (
+    SELECT v, CAST((raw * 1000) // GREATEST(mx // 1000000, 1) AS BIGINT) AS a
+    FROM {a_cur}f, {a_cur}m),
+{h_cur}r AS (
+    SELECT e.subj AS v, SUM(p.a) AS raw
+    FROM ed e JOIN {a_cur} p ON p.v = e.obj GROUP BY e.subj),
+{h_cur}f AS (
+    SELECT verts.v, COALESCE(r.raw, 0) AS raw
+    FROM verts LEFT JOIN {h_cur}r r ON r.v = verts.v),
+{h_cur}m AS (SELECT MAX(raw) AS mx FROM {h_cur}f),
+{h_cur} AS (
+    SELECT v, CAST((raw * 1000) // GREATEST(mx // 1000000, 1) AS BIGINT) AS h
+    FROM {h_cur}f, {h_cur}m)"""
+        )
+        prev_h = h_cur
+    body = ",\n".join(rounds)
+    return f"""WITH {_base_ctes()},
+etriples AS MATERIALIZED (
+    SELECT DISTINCT ls.entity_id AS subj, lo.entity_id AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL),
+ed AS MATERIALIZED (SELECT subj, obj FROM etriples),
+verts AS MATERIALIZED (
+    SELECT subj AS v FROM ed UNION SELECT obj AS v FROM ed),
+h0 AS (SELECT v, CAST({_HITS_SCALE} AS BIGINT) AS h FROM verts),
+{body}
+SELECT {a_cur}.v AS entity_id, {a_cur}.a AS authority_ppb,
+       {h_cur}.h AS hub_ppb
+FROM {a_cur} JOIN {h_cur} ON {h_cur}.v = {a_cur}.v"""
+
+
 def q_nil_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NIL-entity proposals: mentions whose LINKS_TO target is NULL
     (no alias-dictionary candidate — the reference keeps these edges
@@ -1963,6 +2095,7 @@ SELECT c.x AS entity_a, c.y AS entity_b, c.common_neighbors,
 FROM common c
 JOIN deg da ON da.src = c.x
 JOIN deg db ON db.src = c.y""",
+    "kg_entity_hits": _hits_oracle_sql(),
     "kg_relation_trend": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
@@ -2198,6 +2331,7 @@ QUERIES = {
     "kg_relation_signature": q_relation_signature,
     "kg_incremental_triples": q_incremental_triples,
     "kg_relation_trend": q_relation_trend,
+    "kg_entity_hits": q_entity_hits,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
 }

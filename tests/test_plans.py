@@ -220,6 +220,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "kg_entity_kcore",  # 1-row max-edge-weight frame
     "curate_mix_temperature",  # 1-row sqrt-totals frame
     "kg_relation_trend",  # 1-row ts-min/max frame
+    "kg_entity_hits",  # 1-row max-score frame per half-round
 }
 
 
