@@ -92,6 +92,7 @@ _GATE_FIRST = [
     "kg_incremental_triples",
     "kg_relation_trend",
     "kg_entity_hits",
+    "curate_blocklist",
     "conv_context_pack",
     "curate_mix_temperature",
     "conv_reply_latency",

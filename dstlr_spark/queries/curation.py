@@ -102,6 +102,63 @@ def redact_pii(col) -> F.Column:
     )
 
 
+#: two-tier blocklist (the C4 badwords shape): any HARD hit drops the
+#: document; SOFT hits drop it only past a token-share threshold.
+#: Terms chosen from the synthetic vocabulary so both verdicts occur:
+#: 'dup' is the planted near-dup marker (rare, ~5% of docs), the soft
+#: tier is common corpus noise. Production swaps in the real lists.
+BLOCKLIST_HARD: tuple[str, ...] = ("dup",)
+BLOCKLIST_SOFT: tuple[str, ...] = ("slow", "big")
+BLOCKLIST_SOFT_MAX_PPM = 70_000  # soft share above 7% → drop
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering: per-document hard/soft blocklist hit
+    counts, the soft token share in floor ppm, and the keep verdict
+    (int 1/0) — the C4-style badwords gate every web-scale curation
+    pipeline runs before anything model-based.
+
+    Map-only: both tiers are token-membership filters inside one
+    higher-order ``filter`` over the already-split token array (no
+    join — the lists are query constants; a 10⁵-term production list
+    becomes a broadcast join against exploded tokens, same verdict
+    semantics). All-integer output, identical floor-div ppm in both
+    engines; nothing shuffles, so the operator scales with the scan."""
+    hard = ", ".join(f"'{t}'" for t in BLOCKLIST_HARD)
+    soft = ", ".join(f"'{t}'" for t in BLOCKLIST_SOFT)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split("text", " ").alias("toks"),
+        )
+    )
+    d = d.select(
+        "doc_id",
+        F.expr(f"size(filter(toks, x -> x IN ({hard})))")
+        .cast("long")
+        .alias("n_hard"),
+        F.expr(f"size(filter(toks, x -> x IN ({soft})))")
+        .cast("long")
+        .alias("n_soft"),
+        F.expr("size(toks)").cast("long").alias("n_toks"),
+    )
+    return d.select(
+        "doc_id",
+        "n_hard",
+        "n_soft",
+        F.expr("n_soft * 1000000 DIV greatest(n_toks, 1)").alias(
+            "soft_share_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN n_hard = 0 AND n_soft * 1000000"
+            f" DIV greatest(n_toks, 1) <= {BLOCKLIST_SOFT_MAX_PPM}"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("keep"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction: per-doc match counts for email /
     IPv4 / digit-run patterns and the md5 of the redacted text
@@ -1081,6 +1138,7 @@ QUERIES = {
     "curate_mix_temperature": q_mix_temperature,
     "curate_decontaminate": q_decontaminate,
     "curate_pii_scrub": q_pii_scrub,
+    "curate_blocklist": q_blocklist,
     "curate_decision": q_curation_decision,
     "text_tfidf_topk": q_tfidf_topk,
     "agg_hll_registers": q_hll_registers,
@@ -1269,6 +1327,28 @@ SELECT s.doc_id,
 FROM sh s JOIN ev USING (shingle)
 WHERE CAST(s.doc_id AS BIGINT) % {EVAL_SPLIT_MOD} <> 0
 GROUP BY s.doc_id""",
+    "curate_blocklist": f"""
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks,
+              x -> x IN ({", ".join(f"'{t}'" for t in BLOCKLIST_HARD)})))
+           AS BIGINT) AS n_hard,
+         CAST(len(list_filter(toks,
+              x -> x IN ({", ".join(f"'{t}'" for t in BLOCKLIST_SOFT)})))
+           AS BIGINT) AS n_soft,
+         CAST(len(toks) AS BIGINT) AS n_toks
+  FROM d)
+SELECT doc_id, n_hard, n_soft,
+       CAST(n_soft * 1000000 // GREATEST(n_toks, 1) AS BIGINT)
+           AS soft_share_ppm,
+       CAST(CASE WHEN n_hard = 0 AND n_soft * 1000000
+                      // GREATEST(n_toks, 1) <= {BLOCKLIST_SOFT_MAX_PPM}
+                 THEN 1 ELSE 0 END AS INT) AS keep
+FROM c""",
     "curate_pii_scrub": f"""
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,

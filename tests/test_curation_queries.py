@@ -327,3 +327,32 @@ def test_lm_surprisal_ranks_unseen_text_above_in_domain(spark, tmp_path):
     assert set(rows) == {"10", "20"}  # the held-out tenth only
     assert rows["10"]["avg_surprisal_ppm"] < rows["20"]["avg_surprisal_ppm"]
     assert all(r["sum_surprisal"] >= 0 for r in rows.values())
+
+
+def test_blocklist_hard_drops_and_soft_threshold(spark, tmp_path):
+    """Any hard hit drops the doc regardless of share; soft hits drop
+    only past the ppm threshold; clean docs keep. Corpus-level: both
+    verdicts must occur on the synthetic docs."""
+    from dstlr_spark.queries.curation import (
+        BLOCKLIST_SOFT_MAX_PPM,
+        q_blocklist,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "clean text only here"),
+         ("2", "dup " + "clean text " * 50),       # hard hit, tiny share
+         ("3", "slow " * 9 + "ok " * 91),          # soft 9% > 7% cap
+         ("4", "slow " + "ok " * 99)],             # soft 1% ≤ cap
+        "doc_id string, text string",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in q_blocklist(spark, str(tmp_path)).collect()}
+    assert rows["1"]["keep"] == 1 and rows["1"]["n_hard"] == 0
+    assert rows["2"]["keep"] == 0 and rows["2"]["n_hard"] == 1
+    assert rows["3"]["keep"] == 0
+    assert rows["3"]["soft_share_ppm"] > BLOCKLIST_SOFT_MAX_PPM
+    assert rows["4"]["keep"] == 1
+    assert rows["4"]["soft_share_ppm"] <= BLOCKLIST_SOFT_MAX_PPM
+
+    both = q_blocklist(spark, SF_DIR).groupBy("keep").count().collect()
+    assert {r["keep"] for r in both} == {0, 1}, "corpus must split"
