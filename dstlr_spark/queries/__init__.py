@@ -93,6 +93,7 @@ _GATE_FIRST = [
     "kg_relation_trend",
     "kg_entity_hits",
     "curate_blocklist",
+    "kg_canonical_triples",
     "conv_context_pack",
     "curate_mix_temperature",
     "conv_reply_latency",

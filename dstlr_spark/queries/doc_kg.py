@@ -297,6 +297,15 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle expresses the same fixpoint as a DuckDB recursive CTE
     (reachability closure + MIN), so even the iterative operator is
     value-checked end-to-end."""
+    cc = _mention_canonical(spark, sf_dir)
+    return cc.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_mentions")
+    )
+
+
+def _mention_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (mention_id, canonical_id) map — the ER fixpoint both
+    `kg_canonical_clusters` and `kg_canonical_triples` consume."""
     from dstlr_spark.operators.canonicalize import canonicalize_mentions
 
     kg = _kg(spark, sf_dir)
@@ -306,12 +315,54 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("subjectValue").alias("mention_id"),
                 F.col("objectValue").alias("entity_id"))
     )
-    cc = canonicalize_mentions(
+    return canonicalize_mentions(
         kg.mentions.select("mention_id", "key").dropDuplicates(["mention_id"]),
         links,
     )
-    return cc.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("n_mentions")
+
+
+def q_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER-apply — the step that turns mention-level extractions into
+    the canonical knowledge graph: rewrite each co-occurrence relation's
+    endpoints to their canonical cluster ids (`kg_canonical_clusters`'s
+    fixpoint), drop intra-cluster self-loops (coref artifacts, not
+    facts), and collapse to ONE row per canonical (subject, relation,
+    object) with provenance counts (distinct supporting docs + raw
+    extraction multiplicity). This is the table a KG release ships.
+
+    Scale: two mention-keyed equi-joins (relation endpoints ⨝ the
+    vertex-sized canonical map — broadcastable once clusters are
+    computed) and one hash aggregate on the canonical key. The CC
+    fixpoint itself is the already-audited star-edge pointer-doubling
+    operator; everything after it is a single shuffle."""
+    kg = _kg(spark, sf_dir)
+    cc = _mention_canonical(spark, sf_dir)
+    rels = (
+        kg.extraction_triples()
+        .where(F.col("relation").startswith("COOCCURS"))
+        .select(
+            "doc",
+            F.col("subjectValue").alias("sm"),
+            "relation",
+            F.col("objectValue").alias("om"),
+        )
+    )
+    j = (
+        rels.join(
+            cc.select(F.col("mention_id").alias("sm"),
+                      F.col("canonical_id").alias("subj")),
+            "sm",
+        )
+        .join(
+            cc.select(F.col("mention_id").alias("om"),
+                      F.col("canonical_id").alias("obj")),
+            "om",
+        )
+        .where(F.col("subj") != F.col("obj"))
+    )
+    return j.groupBy("subj", "relation", "obj").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
     )
 
 
@@ -1745,6 +1796,34 @@ JOIN links l ON l.doc = r.doc AND l.mention_id = r.subject_mention_id
 WHERE {predicate}"""
 
 
+#: shared coreference-CC CTE chain → ``cc(mention_id, canonical_id)``;
+#: appended after ``_base_ctes()`` inside a WITH RECURSIVE. CC runs on
+#: the GROUP graph (key/entity nodes), see the kg_canonical_clusters
+#: comment below for why mention-level recursion is intractable.
+_CC_CTES = """dm AS (SELECT DISTINCT mention_id, key FROM mentions),
+lk AS (SELECT DISTINCT mention_id, entity_id FROM links
+       WHERE entity_id IS NOT NULL),
+kedges AS (
+    SELECT DISTINCT 'k:' || m.key AS src, 'e:' || l.entity_id AS dst
+    FROM dm m JOIN lk l ON l.mention_id = m.mention_id),
+gsym AS (SELECT src, dst FROM kedges
+         UNION SELECT dst AS src, src AS dst FROM kedges),
+gverts AS (SELECT DISTINCT 'k:' || key AS id FROM dm
+           UNION SELECT DISTINCT 'e:' || entity_id AS id FROM lk),
+reach(id, comp) AS (
+    SELECT id, id FROM gverts
+    UNION
+    SELECT e.dst, r.comp FROM reach r JOIN gsym e ON e.src = r.id),
+gcc AS (SELECT id, MIN(comp) AS gcomp FROM reach GROUP BY id),
+mcomp AS (
+    SELECT m.mention_id, g.gcomp
+    FROM dm m JOIN gcc g ON g.id = 'k:' || m.key),
+cc AS (
+    SELECT mention_id,
+           MIN(mention_id) OVER (PARTITION BY gcomp) AS canonical_id
+    FROM mcomp)"""
+
+
 ORACLES: dict[str, str] = {
     "kg_assembly_roundtrip": (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
@@ -1795,30 +1874,21 @@ WHERE f.property IN ('P159', 'P569', 'P570')""",
     # group graph has tens of nodes at any corpus scale that shares
     # surface forms, and the recursion is instant.
     "kg_canonical_clusters": f"""WITH RECURSIVE {_base_ctes()},
-dm AS (SELECT DISTINCT mention_id, key FROM mentions),
-lk AS (SELECT DISTINCT mention_id, entity_id FROM links
-       WHERE entity_id IS NOT NULL),
-kedges AS (
-    SELECT DISTINCT 'k:' || m.key AS src, 'e:' || l.entity_id AS dst
-    FROM dm m JOIN lk l ON l.mention_id = m.mention_id),
-gsym AS (SELECT src, dst FROM kedges
-         UNION SELECT dst AS src, src AS dst FROM kedges),
-gverts AS (SELECT DISTINCT 'k:' || key AS id FROM dm
-           UNION SELECT DISTINCT 'e:' || entity_id AS id FROM lk),
-reach(id, comp) AS (
-    SELECT id, id FROM gverts
-    UNION
-    SELECT e.dst, r.comp FROM reach r JOIN gsym e ON e.src = r.id),
-gcc AS (SELECT id, MIN(comp) AS gcomp FROM reach GROUP BY id),
-mcomp AS (
-    SELECT m.mention_id, g.gcomp
-    FROM dm m JOIN gcc g ON g.id = 'k:' || m.key),
-cc AS (
-    SELECT mention_id,
-           MIN(mention_id) OVER (PARTITION BY gcomp) AS canonical_id
-    FROM mcomp)
+{_CC_CTES}
 SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS n_mentions
 FROM cc GROUP BY canonical_id""",
+    # ER-apply: relation endpoints rewritten via the same cc map, coref
+    # self-loops dropped, provenance counted on the canonical key.
+    "kg_canonical_triples": f"""WITH RECURSIVE {_base_ctes()},
+{_CC_CTES}
+SELECT s.canonical_id AS subj, r.relation, o.canonical_id AS obj,
+       CAST(COUNT(DISTINCT r.doc) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_triples
+FROM rels r
+JOIN cc s ON s.mention_id = r.subject_mention_id
+JOIN cc o ON o.mention_id = r.object_mention_id
+WHERE s.canonical_id <> o.canonical_id
+GROUP BY s.canonical_id, r.relation, o.canonical_id""",
     "kg_entity_degree_hist": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -2312,6 +2382,7 @@ QUERIES = {
     "kg_missing": q_missing,
     "kg_enrich_facts": q_enrich_facts,
     "kg_canonical_clusters": q_canonical_clusters,
+    "kg_canonical_triples": q_canonical_triples,
     "kg_entity_comention": q_entity_comention,
     "kg_comention_skipped_docs": q_comention_skipped_docs,
     "kg_comention_pmi": q_comention_pmi,

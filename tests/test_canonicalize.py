@@ -104,3 +104,24 @@ def test_cc_raises_on_non_convergence(spark):
     # and with enough rounds the same chain converges to one component
     cc = connected_components(chain, max_iter=20)
     assert cc.select("component").distinct().count() == 1
+
+
+def test_canonical_triples_er_apply_invariants(spark):
+    """kg_canonical_triples: endpoints are canonical representatives,
+    coref self-loops are gone, and provenance counts are consistent
+    (n_docs ≤ n_triples; one output row per canonical key)."""
+    from dstlr_spark.queries.doc_kg import (
+        q_canonical_clusters,
+        q_canonical_triples,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    reps = {r["canonical_id"] for r in q_canonical_clusters(spark, sf).collect()}
+    rows = q_canonical_triples(spark, sf).collect()
+    assert rows, "corpus must yield cross-cluster relations"
+    keys = [(r["subj"], r["relation"], r["obj"]) for r in rows]
+    assert len(keys) == len(set(keys))  # collapsed to one row per triple
+    for r in rows:
+        assert r["subj"] != r["obj"]
+        assert r["subj"] in reps and r["obj"] in reps
+        assert 1 <= r["n_docs"] <= r["n_triples"]
