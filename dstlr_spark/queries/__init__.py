@@ -94,6 +94,10 @@ _GATE_FIRST = [
     "kg_entity_hits",
     "curate_blocklist",
     "kg_canonical_triples",
+    "kg_truth_discovery",
+    "kg_entity_summary",
+    "kg_snapshot_asof",
+    "conv_assistant_echo",
     "conv_context_pack",
     "curate_mix_temperature",
     "conv_reply_latency",

@@ -302,6 +302,63 @@ def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assistant_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-echo score per conversation: for every strict
+    user→assistant adjacency (the ``conv_sft_pairs`` rule), the token
+    Jaccard between the user turn and the assistant reply in floor
+    ppm, rolled up per conversation (pair count, mean, max). High echo
+    marks parroting/template replies — a standard screen that demotes
+    low-signal SFT pairs before training.
+
+    Exact-integer parity: both engines compute distinct-token set
+    sizes (|A|, |B|, |A∪B|) and derive the intersection as
+    |A|+|B|-|A∪B| — sidestepping any engine difference in intersect
+    semantics; ppm is floor DIV of longs. The empty-string edge is
+    identical too (both engines split '' to ['']; |A∪B| ≥ 1 so the
+    division is total).
+
+    Scale shape: one conv-partitioned lag window (per-conversation
+    state only), per-row array expressions inside codegen, then one
+    hash aggregate on conv_id — embarrassingly parallel at 10^12
+    turns; output is conversation-sized."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lag("text").over(w).alias("prev_text"),
+        F.lag("turn_idx").over(w).alias("prev_idx"),
+    )
+    pairs = t.where(
+        (F.col("role") == "assistant")
+        & (F.col("prev_role") == "user")
+        & (F.col("prev_idx") == F.col("turn_idx") - 1)
+    ).select(
+        "conv_id",
+        F.size(F.array_distinct(F.split("prev_text", " "))).cast("long").alias("na"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("nb"),
+        F.size(
+            F.array_union(
+                F.array_distinct(F.split("prev_text", " ")),
+                F.array_distinct(F.split("text", " ")),
+            )
+        )
+        .cast("long")
+        .alias("nu"),
+    )
+    echo = pairs.select(
+        "conv_id",
+        F.expr("(na + nb - nu) * 1000000 DIV nu").cast("long").alias("echo_ppm"),
+    )
+    return echo.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("CAST(sum(echo_ppm) DIV count(*) AS BIGINT)").alias("mean_echo_ppm"),
+        F.max("echo_ppm").cast("long").alias("max_echo_ppm"),
+    )
+
+
 #: context-window token budget for :func:`q_context_pack`. Production
 #: sets this to the model context (e.g. 8192); the synthetic corpus'
 #: conversations run ~55 whitespace tokens over ~7 turns, so 32
@@ -359,6 +416,7 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "conv_assistant_echo": q_assistant_echo,
     "conv_context_pack": q_context_pack,
     "conv_reply_latency": q_reply_latency,
     "conv_tool_sequences": q_tool_sequences,
@@ -370,6 +428,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conv_assistant_echo": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+p AS (
+  SELECT conv_id, turn_idx, role, text,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_role,
+         LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_text,
+         LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_idx
+  FROM e),
+sz AS (
+  SELECT conv_id,
+         CAST(len(list_distinct(string_split(prev_text, ' '))) AS BIGINT)
+             AS na,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nb,
+         CAST(len(list_distinct(list_concat(
+             list_distinct(string_split(prev_text, ' ')),
+             list_distinct(string_split(text, ' '))))) AS BIGINT) AS nu
+  FROM p
+  WHERE role = 'assistant' AND prev_role = 'user'
+    AND prev_idx = turn_idx - 1),
+ec AS (
+  SELECT conv_id,
+         CAST((na + nb - nu) * 1000000 // nu AS BIGINT) AS echo_ppm
+  FROM sz)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(echo_ppm) // COUNT(*) AS BIGINT) AS mean_echo_ppm,
+       CAST(MAX(echo_ppm) AS BIGINT) AS max_echo_ppm
+FROM ec GROUP BY conv_id""",
     "conv_tool_sequences": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 per AS (
   SELECT conv_id,

@@ -1432,6 +1432,242 @@ SELECT {a_cur}.v AS entity_id, {a_cur}.a AS authority_ppb,
 FROM {a_cur} JOIN {h_cur} ON {h_cur}.v = {a_cur}.v"""
 
 
+TRUTH_ITERS = 2  # fixed unroll — both engines run EXACTLY these rounds
+_TRUTH_SCALE = 1_000_000_000  # trust / confidence in integer ppb
+
+
+def q_truth_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery over the source↔claim bipartite graph — the
+    knowledge-fusion step (TruthFinder / Knowledge-Based-Trust shape)
+    that turns redundant multi-source extraction into calibrated triple
+    confidence: sources (conversations) earn trust from the claims they
+    assert; claims earn confidence from the trust of their sources.
+    Mutual recursion in exact integer ppb:
+
+        conf'(f) = Σ_{s asserts f} trust(s)
+        conf(f)  = (conf'·1000) DIV greatest(max_conf DIV 10⁶, 1)
+        trust(s) = (Σ_{f of s} conf(f)) DIV n_claims(s)
+
+    All floor divisions of non-negative longs — bit-identical across
+    engines (the HITS/PageRank fixed-point pattern; the oracle unrolls
+    TRUTH_ITERS rounds). Trust stays ≤ 10⁹ by construction (mean of
+    ppb values), so conf' ≤ n_sources·10⁹ and the ·1000 split keeps
+    every intermediate below 2⁶³ for up to ~9·10⁶ sources per claim —
+    beyond that rescale _TRUTH_SCALE (documented, not silent: ANSI
+    mode makes overflow an error, never a wrong answer).
+
+    Scale shape: per round two edge-scale equi-joins on the provenance
+    frame + hash aggregates (claim- then source-sized output) and one
+    1-row max broadcast (audited under _ALLOWED_SCALAR_BROADCAST);
+    lineage cut per round exactly as PageRank/HITS. Round 1 ranks by
+    support count; round 2 is where source reliability differentiates
+    (a source asserting well-corroborated claims lifts its other
+    claims)."""
+    prov = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            "conv_id",
+            F.col("subj_entity").alias("subj"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.col("obj_entity").alias("obj"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    key = ["subj", "relation", "obj"]
+    trust = prov.select("conv_id").distinct().select(
+        "conv_id", F.lit(_TRUTH_SCALE).cast("long").alias("t")
+    )
+    conf = None
+    for _ in range(TRUTH_ITERS):
+        craw = (
+            prov.join(trust, "conv_id")
+            .groupBy(*key)
+            .agg(F.sum("t").alias("raw"))
+        )
+        conf = (
+            craw.crossJoin(F.broadcast(craw.agg(F.max("raw").alias("mx"))))
+            .select(
+                *key,
+                F.expr("(raw * 1000) DIV greatest(mx DIV 1000000, 1)")
+                .cast("long")
+                .alias("confidence_ppb"),
+            )
+            .localCheckpoint()
+        )
+        trust = (
+            prov.join(conf, key)
+            .groupBy("conv_id")
+            .agg(
+                F.sum("confidence_ppb").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select("conv_id", F.expr("s DIV n").cast("long").alias("t"))
+            .localCheckpoint()
+        )
+    ns = prov.groupBy(*key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources")
+    )
+    return conf.join(ns, key).select(
+        F.col("subj").alias("subj_entity"),
+        "relation",
+        F.col("obj").alias("obj_entity"),
+        "n_sources",
+        "confidence_ppb",
+    )
+
+
+def _truth_oracle_sql() -> str:
+    """Unrolled TRUTH_ITERS-round source↔claim mutual recursion (the
+    HITS CTE pattern on a bipartite provenance frame)."""
+    rounds = []
+    prev_t = "t0"
+    c_cur = ""
+    for r in range(1, TRUTH_ITERS + 1):
+        c_cur, t_cur = f"c{r}", f"t{r}"
+        rounds.append(
+            f"""{c_cur}r AS (
+    SELECT subj, rel, obj, SUM(p.t) AS raw
+    FROM prov JOIN {prev_t} p ON p.doc = prov.doc
+    GROUP BY subj, rel, obj),
+{c_cur}m AS (SELECT MAX(raw) AS mx FROM {c_cur}r),
+{c_cur} AS (
+    SELECT subj, rel, obj,
+           CAST((raw * 1000) // GREATEST(mx // 1000000, 1) AS BIGINT) AS c
+    FROM {c_cur}r, {c_cur}m),
+{t_cur} AS (
+    SELECT prov.doc, CAST(SUM(c) // COUNT(*) AS BIGINT) AS t
+    FROM prov JOIN {c_cur} x
+      ON x.subj = prov.subj AND x.rel = prov.rel AND x.obj = prov.obj
+    GROUP BY prov.doc)"""
+        )
+        prev_t = t_cur
+    body = ",\n".join(rounds)
+    return f"""WITH {_base_ctes()},
+prov AS MATERIALIZED (
+    SELECT DISTINCT a.doc AS doc, ls.entity_id AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS rel,
+           lo.entity_id AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL),
+t0 AS (SELECT DISTINCT doc, CAST({_TRUTH_SCALE} AS BIGINT) AS t FROM prov),
+{body},
+ns AS (SELECT subj, rel, obj, CAST(COUNT(*) AS BIGINT) AS n_sources
+       FROM prov GROUP BY subj, rel, obj)
+SELECT ns.subj AS subj_entity, ns.rel AS relation, ns.obj AS obj_entity,
+       ns.n_sources, {c_cur}.c AS confidence_ppb
+FROM ns JOIN {c_cur}
+  ON {c_cur}.subj = ns.subj AND {c_cur}.rel = ns.rel
+ AND {c_cur}.obj = ns.obj"""
+
+
+#: top-K facts kept per subject entity in the release summary
+ENTITY_SUMMARY_K = 3
+
+
+def q_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity fact summary — the top-K (relation, object) facts
+    for every subject entity ranked by observation count (ties broken
+    lexicographically on relation then object, so ranks are total and
+    deterministic in both engines). This is the entity-card table a KG
+    release serves next to the full triple dump.
+
+    Scale shape: the observation rollup is one hash aggregate on the
+    entity-triple key; the rank is a window partitioned BY SUBJECT
+    ENTITY (per-entity fact lists, never corpus-wide — the plan lint
+    asserts no SinglePartition window registry-wide); the K-filter
+    prunes to entity-card size before any further consumer."""
+    obs = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            F.col("subj_entity"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.col("obj_entity"),
+        )
+        .groupBy("subj_entity", "relation", "obj_entity")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    w = Window.partitionBy("subj_entity").orderBy(
+        F.col("n_obs").desc(), F.col("relation").asc(), F.col("obj_entity").asc()
+    )
+    return (
+        obs.select(
+            "subj_entity",
+            "relation",
+            "obj_entity",
+            "n_obs",
+            F.row_number().over(w).cast("int").alias("fact_rank"),
+        )
+        .where(F.col("fact_rank") <= ENTITY_SUMMARY_K)
+    )
+
+
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot: the entity-level triples whose
+    observation validity interval (first/last attributed timestamp,
+    the ``kg_triple_temporal`` scoping) covers the corpus-midpoint
+    instant T = (min_ts + max_ts) DIV 2 — the as-of view a temporal KG
+    serves for \"what did we know at T\". T is data-derived and
+    integer, so both engines pick the identical instant.
+
+    Scale shape: the interval rollup is the conversation-bounded
+    pair+span join + one hash aggregate (kg_triple_temporal's shape);
+    the snapshot instant is a 1-row min/max broadcast (audited under
+    _ALLOWED_SCALAR_BROADCAST); the filter is a residual predicate on
+    the aggregate — nothing corpus-quadratic."""
+    tt = (
+        _linked_entity_pairs(spark, sf_dir)
+        .join(_turn_spans(spark, sf_dir), "conv_id")
+        .where(
+            (F.col("b") >= F.col("start"))
+            & (F.col("b") < F.col("start") + F.col("ln"))
+        )
+        .select(
+            "subj_entity",
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            "obj_entity",
+            "ts_s",
+        )
+        .groupBy("subj_entity", "relation", "obj_entity")
+        .agg(
+            F.min("ts_s").alias("first_ts_s"),
+            F.max("ts_s").alias("last_ts_s"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    bounds = tt.agg(
+        F.min("first_ts_s").alias("gmin"), F.max("last_ts_s").alias("gmax")
+    )
+    return (
+        tt.crossJoin(F.broadcast(bounds))
+        .withColumn("asof_ts_s", F.expr("(gmin + gmax) DIV 2").cast("long"))
+        .where(
+            (F.col("first_ts_s") <= F.col("asof_ts_s"))
+            & (F.col("asof_ts_s") <= F.col("last_ts_s"))
+        )
+        .select(
+            "subj_entity",
+            "relation",
+            "obj_entity",
+            "first_ts_s",
+            "last_ts_s",
+            "n_obs",
+            "asof_ts_s",
+        )
+    )
+
+
 def q_nil_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NIL-entity proposals: mentions whose LINKS_TO target is NULL
     (no alias-dictionary candidate — the reference keeps these edges
@@ -2166,6 +2402,57 @@ FROM common c
 JOIN deg da ON da.src = c.x
 JOIN deg db ON db.src = c.y""",
     "kg_entity_hits": _hits_oracle_sql(),
+    "kg_truth_discovery": _truth_oracle_sql(),
+    "kg_entity_summary": f"""WITH {_base_ctes()},
+obs AS (
+    SELECT ls.entity_id AS subj_entity,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj_entity,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL
+    GROUP BY ls.entity_id, relation, lo.entity_id),
+rk AS (
+    SELECT subj_entity, relation, obj_entity, n_obs,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY subj_entity
+               ORDER BY n_obs DESC, relation ASC, obj_entity ASC) AS INT)
+               AS fact_rank
+    FROM obs)
+SELECT subj_entity, relation, obj_entity, n_obs, fact_rank
+FROM rk WHERE fact_rank <= {ENTITY_SUMMARY_K}""",
+    "kg_snapshot_asof": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+tt AS (
+    SELECT ls.entity_id AS subj_entity,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj_entity,
+           MIN(s.ts_s) AS first_ts_s,
+           MAX(s.ts_s) AS last_ts_s,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL
+    JOIN spans s ON s.conv_id = a.doc
+               AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln
+    GROUP BY ls.entity_id, relation, lo.entity_id),
+bd AS (SELECT MIN(first_ts_s) AS gmin, MAX(last_ts_s) AS gmax FROM tt)
+SELECT subj_entity, relation, obj_entity, first_ts_s, last_ts_s, n_obs,
+       CAST((gmin + gmax) // 2 AS BIGINT) AS asof_ts_s
+FROM tt, bd
+WHERE first_ts_s <= (gmin + gmax) // 2
+  AND (gmin + gmax) // 2 <= last_ts_s""",
     "kg_relation_trend": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
@@ -2399,6 +2686,9 @@ QUERIES = {
     "kg_neighbor_jaccard": q_neighbor_jaccard,
     "kg_rule_mining": q_rule_mining,
     "kg_nil_entities": q_nil_entities,
+    "kg_truth_discovery": q_truth_discovery,
+    "kg_entity_summary": q_entity_summary,
+    "kg_snapshot_asof": q_snapshot_asof,
     "kg_relation_signature": q_relation_signature,
     "kg_incremental_triples": q_incremental_triples,
     "kg_relation_trend": q_relation_trend,

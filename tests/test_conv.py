@@ -124,3 +124,18 @@ def test_context_pack_budget_truncates_some_convs_on_corpus(spark):
         F.col("n_turns_kept") != F.col("n_turns_total") - F.col("first_kept_idx")
     )
     assert bad.count() == 0
+
+
+def test_assistant_echo_bounds_and_pair_conservation(spark):
+    """conv_assistant_echo: Jaccard ppm stays in [0, 10^6] with
+    mean ≤ max, and the total pair count equals the SFT extraction's
+    (same strict user→assistant adjacency rule)."""
+    from dstlr_spark.queries.conv import q_assistant_echo, q_sft_pairs
+
+    rows = q_assistant_echo(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_pairs"] >= 1
+        assert 0 <= r["mean_echo_ppm"] <= r["max_echo_ppm"] <= 1_000_000
+    total_pairs = sum(r["n_pairs"] for r in rows)
+    assert total_pairs == q_sft_pairs(spark, SF).count()

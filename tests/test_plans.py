@@ -221,6 +221,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "curate_mix_temperature",  # 1-row sqrt-totals frame
     "kg_relation_trend",  # 1-row ts-min/max frame
     "kg_entity_hits",  # 1-row max-score frame per half-round
+    "kg_truth_discovery",  # 1-row max-confidence frame per round
+    "kg_snapshot_asof",  # 1-row corpus time-bounds frame
 }
 
 

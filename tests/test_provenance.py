@@ -98,3 +98,108 @@ def test_negative_samples_are_corruptions(spark):
         ).count() == 0
     finally:
         neg.unpersist()
+
+
+def test_truth_discovery_fusion_invariants(spark):
+    """kg_truth_discovery: one row per distinct claim, confidence in
+    (0, ~1e9] with the max-supported claim pinned at the normalization
+    ceiling, and claims asserted by IDENTICAL source sets getting
+    IDENTICAL confidence (fusion is a pure function of provenance)."""
+    from dstlr_spark.queries.doc_kg import q_truth_discovery
+
+    prov = (
+        _linked_entity_pairs(spark, SF)
+        .select(
+            "conv_id",
+            F.col("subj_entity").alias("subj_entity"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.col("obj_entity").alias("obj_entity"),
+        )
+        .distinct()
+    )
+    n_claims = (
+        prov.select("subj_entity", "relation", "obj_entity").distinct().count()
+    )
+    rows = q_truth_discovery(spark, SF).collect()
+    assert len(rows) == n_claims
+    mx = max(r["confidence_ppb"] for r in rows)
+    assert 1_000_000_000 <= mx <= 1_001_000_000  # floor-normalized ceiling
+    assert all(0 < r["confidence_ppb"] <= mx for r in rows)
+    # identical source sets => identical confidence
+    srcsets: dict[tuple, frozenset] = {}
+    for r in prov.collect():
+        k = (r["subj_entity"], r["relation"], r["obj_entity"])
+        srcsets.setdefault(k, set()).add(r["conv_id"])  # type: ignore[union-attr]
+    conf = {
+        (r["subj_entity"], r["relation"], r["obj_entity"]): r["confidence_ppb"]
+        for r in rows
+    }
+    by_set: dict[frozenset, set[int]] = {}
+    for k, s in srcsets.items():
+        by_set.setdefault(frozenset(s), set()).add(conf[k])
+    assert all(len(v) == 1 for v in by_set.values())
+
+
+def test_entity_summary_topk_ordering(spark):
+    """kg_entity_summary: ≤ K facts per subject with dense ranks whose
+    n_obs ordering is non-increasing, and every summary fact's n_obs
+    matches the full rollup."""
+    from dstlr_spark.queries.doc_kg import ENTITY_SUMMARY_K, q_entity_summary
+
+    rows = q_entity_summary(spark, SF).collect()
+    assert rows
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r["subj_entity"], []).append(r)
+    full = (
+        _linked_entity_pairs(spark, SF)
+        .select(
+            "subj_entity",
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            "obj_entity",
+        )
+        .groupBy("subj_entity", "relation", "obj_entity")
+        .count()
+        .collect()
+    )
+    truth = {
+        (r["subj_entity"], r["relation"], r["obj_entity"]): r["count"] for r in full
+    }
+    for subj, facts in per.items():
+        facts.sort(key=lambda r: r["fact_rank"])
+        assert 1 <= len(facts) <= ENTITY_SUMMARY_K
+        assert [f["fact_rank"] for f in facts] == list(range(1, len(facts) + 1))
+        obs = [f["n_obs"] for f in facts]
+        assert obs == sorted(obs, reverse=True)
+        for f in facts:
+            assert (
+                truth[(f["subj_entity"], f["relation"], f["obj_entity"])]
+                == f["n_obs"]
+            )
+
+
+def test_snapshot_asof_subset_of_temporal(spark):
+    """kg_snapshot_asof: a constant data-derived instant, every kept
+    triple's interval covers it, and the kept set is exactly the
+    covering subset of kg_triple_temporal."""
+    from dstlr_spark.queries.doc_kg import q_snapshot_asof
+
+    snap = q_snapshot_asof(spark, SF).collect()
+    assert snap
+    ts = {r["asof_ts_s"] for r in snap}
+    assert len(ts) == 1
+    t = ts.pop()
+    for r in snap:
+        assert r["first_ts_s"] <= t <= r["last_ts_s"]
+    temporal = q_triple_temporal(spark, SF).collect()
+    want = {
+        (r["subj_entity"], r["relation"], r["obj_entity"])
+        for r in temporal
+        if r["first_ts_s"] <= t <= r["last_ts_s"]
+    }
+    got = {(r["subj_entity"], r["relation"], r["obj_entity"]) for r in snap}
+    assert got == want
