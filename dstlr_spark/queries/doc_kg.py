@@ -1432,6 +1432,42 @@ SELECT {a_cur}.v AS entity_id, {a_cur}.a AS authority_ppb,
 FROM {a_cur} JOIN {h_cur} ON {h_cur}.v = {a_cur}.v"""
 
 
+#: URI namespace for the RDF export (any IRI base works; the export is
+#: self-consistent as long as both engines build identical strings)
+_RDF_BASE = "http://dstlr.io/kg"
+
+
+def q_rdf_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples serialization of the canonical KG — the interchange
+    export a KG release ships next to its Neo4j/Iceberg materialization
+    (reference parity: the Neo4j loader is K3; this is the same graph
+    as line-oriented RDF for the text sink, K4). One line per canonical
+    (subject, relation, object) from the ER-apply
+    (``kg_canonical_triples``), endpoints URI-escaped with the C7 rule
+    (EnrichTriples.scala:104 — '\"'→%22, '`'→%60).
+
+    Scale shape: a map-only string projection over the canonical
+    triple table (itself two mention-keyed equi-joins + one hash agg);
+    writing via sources/io.write_text shards across executors — the
+    serialization never funnels."""
+    from dstlr_spark.functions.text import url_escape_entity
+
+    ct = q_canonical_triples(spark, sf_dir)
+    ent = f"{_RDF_BASE}/entity/"
+    rel = f"{_RDF_BASE}/relation/"
+    return ct.select(
+        F.concat(
+            F.lit(f"<{ent}"),
+            url_escape_entity(F.col("subj")),
+            F.lit(f"> <{rel}"),
+            F.col("relation"),
+            F.lit(f"> <{ent}"),
+            url_escape_entity(F.col("obj")),
+            F.lit("> ."),
+        ).alias("ntriple")
+    )
+
+
 TRUTH_ITERS = 2  # fixed unroll — both engines run EXACTLY these rounds
 _TRUTH_SCALE = 1_000_000_000  # trust / confidence in integer ppb
 
@@ -2403,6 +2439,22 @@ JOIN deg da ON da.src = c.x
 JOIN deg db ON db.src = c.y""",
     "kg_entity_hits": _hits_oracle_sql(),
     "kg_truth_discovery": _truth_oracle_sql(),
+    "kg_rdf_ntriples": f"""WITH RECURSIVE {_base_ctes()},
+{_CC_CTES},
+ct AS (
+    SELECT s.canonical_id AS subj, r.relation, o.canonical_id AS obj
+    FROM rels r
+    JOIN cc s ON s.mention_id = r.subject_mention_id
+    JOIN cc o ON o.mention_id = r.object_mention_id
+    WHERE s.canonical_id <> o.canonical_id
+    GROUP BY s.canonical_id, r.relation, o.canonical_id)
+SELECT '<{_RDF_BASE}/entity/'
+       || replace(replace(subj, '"', '%22'), '`', '%60')
+       || '> <{_RDF_BASE}/relation/' || relation
+       || '> <{_RDF_BASE}/entity/'
+       || replace(replace(obj, '"', '%22'), '`', '%60')
+       || '> .' AS ntriple
+FROM ct""",
     "kg_entity_summary": f"""WITH {_base_ctes()},
 obs AS (
     SELECT ls.entity_id AS subj_entity,
@@ -2687,6 +2739,7 @@ QUERIES = {
     "kg_rule_mining": q_rule_mining,
     "kg_nil_entities": q_nil_entities,
     "kg_truth_discovery": q_truth_discovery,
+    "kg_rdf_ntriples": q_rdf_ntriples,
     "kg_entity_summary": q_entity_summary,
     "kg_snapshot_asof": q_snapshot_asof,
     "kg_relation_signature": q_relation_signature,
