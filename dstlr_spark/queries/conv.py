@@ -415,7 +415,81 @@ def q_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return context_pack(t, CONTEXT_BUDGET_TOKS)
 
 
+#: adjacent-turn token-Jaccard (ppm) below which a topic boundary is
+#: declared. Calibrated on the synthetic corpus: the adjacency Jaccard
+#: distribution has p25 ≈ 71k / median ≈ 143k ppm, so 100k splits
+#: conversations at roughly the bottom-quartile cohesion dips without
+#: shattering them.
+TOPIC_BOUNDARY_PPM = 100_000
+
+
+def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling-lite topic segmentation: a conversation is cut where
+    the token Jaccard between adjacent turns drops below
+    :data:`TOPIC_BOUNDARY_PPM` — the chunking step a training-data
+    pipeline runs on long multi-topic transcripts before packing
+    (topic-coherent chunks beat arbitrary windows for RAG and SFT).
+    One row per (conversation, segment): turn span, turn count, token
+    count.
+
+    Exact-integer parity: Jaccard via the |A|+|B|-|A∪B| identity in
+    floor ppm, same rule as ``conv_assistant_echo``; segment ids are a
+    running sum of boundary flags (first turn is never a boundary).
+
+    Scale shape: two windows sharing one (conv_id, turn_idx) sort
+    (lag + running sum — one Exchange, one Sort) then a hash aggregate
+    on (conv_id, segment_id). Per-conversation state only; output is
+    segment-sized. Embarrassingly parallel at 10^12 turns."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.lag("text").over(w).alias("prev_text"),
+    )
+    jac = t.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.when(
+            F.col("prev_text").isNull(), F.lit(0)
+        )
+        .otherwise(
+            F.when(
+                F.expr(
+                    "(size(array_distinct(split(prev_text, ' ')))"
+                    " + size(array_distinct(split(text, ' ')))"
+                    " - size(array_union(array_distinct(split(prev_text, ' ')),"
+                    "                    array_distinct(split(text, ' ')))))"
+                    " * 1000000"
+                    " DIV size(array_union(array_distinct(split(prev_text, ' ')),"
+                    "                      array_distinct(split(text, ' '))))"
+                    f" < {TOPIC_BOUNDARY_PPM}"
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .alias("boundary"),
+    )
+    seg = jac.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.sum("boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("segment_id"),
+    )
+    return seg.groupBy("conv_id", "segment_id").agg(
+        F.min("turn_idx").cast("int").alias("first_idx"),
+        F.max("turn_idx").cast("int").alias("last_idx"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_toks"),
+    )
+
+
 QUERIES = {
+    "conv_topic_segments": q_topic_segments,
     "conv_assistant_echo": q_assistant_echo,
     "conv_context_pack": q_context_pack,
     "conv_reply_latency": q_reply_latency,
@@ -428,6 +502,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "conv_topic_segments": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+p AS (
+  SELECT conv_id, turn_idx, text,
+         LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_text
+  FROM e),
+b AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN prev_text IS NULL THEN 0
+              WHEN (len(list_distinct(string_split(prev_text, ' ')))
+                    + len(list_distinct(string_split(text, ' ')))
+                    - len(list_distinct(list_concat(
+                          list_distinct(string_split(prev_text, ' ')),
+                          list_distinct(string_split(text, ' '))))))
+                   * 1000000
+                   // len(list_distinct(list_concat(
+                          list_distinct(string_split(prev_text, ' ')),
+                          list_distinct(string_split(text, ' ')))))
+                   < {TOPIC_BOUNDARY_PPM} THEN 1
+              ELSE 0 END AS boundary
+  FROM p),
+s AS (
+  SELECT conv_id, turn_idx, text,
+         CAST(SUM(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS segment_id
+  FROM b)
+SELECT conv_id, segment_id,
+       CAST(MIN(turn_idx) AS INT) AS first_idx,
+       CAST(MAX(turn_idx) AS INT) AS last_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+FROM s GROUP BY conv_id, segment_id""",
     "conv_assistant_echo": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT conv_id, turn_idx, role, text,

@@ -1647,20 +1647,13 @@ def q_entity_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-in-time KG snapshot: the entity-level triples whose
-    observation validity interval (first/last attributed timestamp,
-    the ``kg_triple_temporal`` scoping) covers the corpus-midpoint
-    instant T = (min_ts + max_ts) DIV 2 — the as-of view a temporal KG
-    serves for \"what did we know at T\". T is data-derived and
-    integer, so both engines pick the identical instant.
-
-    Scale shape: the interval rollup is the conversation-bounded
-    pair+span join + one hash aggregate (kg_triple_temporal's shape);
-    the snapshot instant is a 1-row min/max broadcast (audited under
-    _ALLOWED_SCALAR_BROADCAST); the filter is a residual predicate on
-    the aggregate — nothing corpus-quadratic."""
-    tt = (
+def _triple_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level triple validity intervals — the
+    ``kg_triple_temporal`` rollup shared by the as-of snapshot and the
+    snapshot diff: per (subj, relation, obj), the first/last attributed
+    observation timestamp and the observation count. Conversation-
+    bounded pair+span join then one hash aggregate."""
+    return (
         _linked_entity_pairs(spark, sf_dir)
         .join(_turn_spans(spark, sf_dir), "conv_id")
         .where(
@@ -1682,6 +1675,22 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_obs"),
         )
     )
+
+
+def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot: the entity-level triples whose
+    observation validity interval (first/last attributed timestamp,
+    the ``kg_triple_temporal`` scoping) covers the corpus-midpoint
+    instant T = (min_ts + max_ts) DIV 2 — the as-of view a temporal KG
+    serves for \"what did we know at T\". T is data-derived and
+    integer, so both engines pick the identical instant.
+
+    Scale shape: the interval rollup is the conversation-bounded
+    pair+span join + one hash aggregate (kg_triple_temporal's shape);
+    the snapshot instant is a 1-row min/max broadcast (audited under
+    _ALLOWED_SCALAR_BROADCAST); the filter is a residual predicate on
+    the aggregate — nothing corpus-quadratic."""
+    tt = _triple_intervals(spark, sf_dir)
     bounds = tt.agg(
         F.min("first_ts_s").alias("gmin"), F.max("last_ts_s").alias("gmax")
     )
@@ -1701,6 +1710,160 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_obs",
             "asof_ts_s",
         )
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-to-release KG delta: per relation, how many entity-level
+    triples are ADDED, REMOVED, or KEPT between two as-of instants —
+    T1 at the corpus timespan's quarter point and T2 at the
+    three-quarter point (both data-derived integers, so the engines
+    pick identical instants). A triple is \"live\" at T when its
+    validity interval (``kg_triple_temporal``) covers T. This is the
+    diff report a periodically re-released KG publishes next to each
+    snapshot (what changed since the last cut).
+
+    Scale shape: the interval rollup is one conversation-bounded
+    pair+span join + hash aggregate; the two instants come from a
+    1-row min/max broadcast; liveness flags are per-row CASE
+    expressions and the diff is one hash aggregate on the relation
+    dictionary — nothing pairwise, nothing corpus-wide."""
+    tt = _triple_intervals(spark, sf_dir)
+    bounds = tt.agg(
+        F.min("first_ts_s").alias("gmin"), F.max("last_ts_s").alias("gmax")
+    )
+    d = (
+        tt.crossJoin(F.broadcast(bounds))
+        .withColumn("t1", F.expr("gmin + (gmax - gmin) DIV 4").cast("long"))
+        .withColumn("t2", F.expr("gmin + ((gmax - gmin) * 3) DIV 4").cast("long"))
+        .withColumn(
+            "at1",
+            ((F.col("first_ts_s") <= F.col("t1"))
+             & (F.col("t1") <= F.col("last_ts_s"))).cast("int"),
+        )
+        .withColumn(
+            "at2",
+            ((F.col("first_ts_s") <= F.col("t2"))
+             & (F.col("t2") <= F.col("last_ts_s"))).cast("int"),
+        )
+    )
+    return d.groupBy("relation").agg(
+        F.sum(F.expr("CASE WHEN at1 = 0 AND at2 = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_added"),
+        F.sum(F.expr("CASE WHEN at1 = 1 AND at2 = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(F.expr("CASE WHEN at1 = 1 AND at2 = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_triples_ever"),
+    )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation reciprocity — the symmetric-relation detector schema
+    induction runs next to functionality (``kg_relation_signature``):
+    per relation, the fraction (floor ppm) of distinct entity-level
+    triples (s, r, o) for which SOME reverse edge (o, *, s) exists in
+    the KG. COOCCURS relations are window-ordered, so reciprocity here
+    measures how often both orderings were observed — on a real KBP
+    relation set the same statistic separates symmetric relations
+    (spouse_of) from directed ones (born_in).
+
+    Scale shape: the distinct triple frame and the distinct endpoint
+    pair frame are two hash aggregates over the already-bounded pair
+    join; the reverse-existence probe is ONE equi-join on the
+    (obj, subj) composite key against the distinct pair set (at most
+    one match per triple — no fan-out), then a relation-dictionary
+    hash aggregate."""
+    t = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            F.col("subj_entity").alias("subj"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.col("obj_entity").alias("obj"),
+        )
+        .distinct()
+    )
+    pairs = t.select(
+        F.col("subj").alias("ps"), F.col("obj").alias("po")
+    ).distinct()
+    j = t.join(
+        pairs,
+        (F.col("obj") == F.col("ps")) & (F.col("subj") == F.col("po")),
+        "left",
+    )
+    return j.groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples"),
+        F.sum(F.when(F.col("ps").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocal"),
+        F.expr(
+            "sum(CASE WHEN ps IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+            " DIV count(1)"
+        )
+        .cast("long")
+        .alias("reciprocity_ppm"),
+    )
+
+
+def q_provenance_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-triple evidence bundle for the canonical KG release: every
+    canonical (subj, relation, obj) from the ER-apply
+    (``kg_canonical_triples``) with its provenance — distinct
+    supporting-document count, raw extraction multiplicity, the BEST
+    extraction confidence, and the sorted supporting-doc id list as a
+    comma-joined string. This is the audit artifact reviewers and
+    downstream filters consume (reference parity: the Neo4j loader
+    keeps MENTIONS edges for exactly this traceability,
+    LoadTriples.scala mention-edge build).
+
+    Parity: the doc list is sort_array(collect_set(...)) vs DuckDB
+    list_sort(list(DISTINCT ...)) — identical ASCII-ordered strings;
+    max(confidence) is order-insensitive over bit-identical doubles
+    (both engines compute 1.0/(1.0+gap) on the same integer gaps).
+
+    Scale shape: identical to the ER-apply (two mention-keyed
+    equi-joins + one hash aggregate); the doc-list payload is bounded
+    by per-triple evidence, and a production run would cap it with
+    slice() — kept exact here because the corpus' evidence lists are
+    small and the oracle must hash-match."""
+    kg = _kg(spark, sf_dir)
+    cc = _mention_canonical(spark, sf_dir)
+    rels = (
+        kg.extraction_triples()
+        .where(F.col("relation").startswith("COOCCURS"))
+        .select(
+            "doc",
+            F.col("subjectValue").alias("sm"),
+            "relation",
+            F.col("objectValue").alias("om"),
+            F.col("meta")["confidence"].alias("conf"),
+        )
+    )
+    j = (
+        rels.join(
+            cc.select(F.col("mention_id").alias("sm"),
+                      F.col("canonical_id").alias("subj")),
+            "sm",
+        )
+        .join(
+            cc.select(F.col("mention_id").alias("om"),
+                      F.col("canonical_id").alias("obj")),
+            "om",
+        )
+        .where(F.col("subj") != F.col("obj"))
+    )
+    return j.groupBy("subj", "relation", "obj").agg(
+        F.countDistinct("doc").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max("conf").alias("best_confidence"),
+        F.array_join(F.sort_array(F.collect_set("doc")), ",").alias(
+            "evidence_docs"
+        ),
     )
 
 
@@ -2505,6 +2668,78 @@ SELECT subj_entity, relation, obj_entity, first_ts_s, last_ts_s, n_obs,
 FROM tt, bd
 WHERE first_ts_s <= (gmin + gmax) // 2
   AND (gmin + gmax) // 2 <= last_ts_s""",
+    "kg_snapshot_diff": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+tt AS (
+    SELECT ls.entity_id AS subj_entity,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj_entity,
+           MIN(s.ts_s) AS first_ts_s,
+           MAX(s.ts_s) AS last_ts_s
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL
+    JOIN spans s ON s.conv_id = a.doc
+               AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln
+    GROUP BY ls.entity_id, relation, lo.entity_id),
+bd AS (SELECT MIN(first_ts_s) AS gmin, MAX(last_ts_s) AS gmax FROM tt),
+fl AS (
+  SELECT relation,
+         CASE WHEN first_ts_s <= gmin + (gmax - gmin) // 4
+               AND gmin + (gmax - gmin) // 4 <= last_ts_s
+              THEN 1 ELSE 0 END AS at1,
+         CASE WHEN first_ts_s <= gmin + ((gmax - gmin) * 3) // 4
+               AND gmin + ((gmax - gmin) * 3) // 4 <= last_ts_s
+              THEN 1 ELSE 0 END AS at2
+  FROM tt, bd)
+SELECT relation,
+       CAST(SUM(CASE WHEN at1 = 0 AND at2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+       CAST(SUM(CASE WHEN at1 = 1 AND at2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       CAST(SUM(CASE WHEN at1 = 1 AND at2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_triples_ever
+FROM fl GROUP BY relation""",
+    "kg_reciprocity": f"""WITH {_base_ctes()},
+etriples AS (
+    SELECT DISTINCT ls.entity_id AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL),
+p AS (SELECT DISTINCT subj AS ps, obj AS po FROM etriples)
+SELECT relation,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(SUM(CASE WHEN p.ps IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_reciprocal,
+       CAST(SUM(CASE WHEN p.ps IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS reciprocity_ppm
+FROM etriples t LEFT JOIN p ON p.ps = t.obj AND p.po = t.subj
+GROUP BY relation""",
+    "kg_provenance_bundle": f"""WITH RECURSIVE {_base_ctes()},
+{_CC_CTES}
+SELECT s.canonical_id AS subj, r.relation, o.canonical_id AS obj,
+       CAST(COUNT(DISTINCT r.doc) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       MAX(r.confidence) AS best_confidence,
+       array_to_string(list_sort(list(DISTINCT r.doc)), ',') AS evidence_docs
+FROM rels r
+JOIN cc s ON s.mention_id = r.subject_mention_id
+JOIN cc o ON o.mention_id = r.object_mention_id
+WHERE s.canonical_id <> o.canonical_id
+GROUP BY s.canonical_id, r.relation, o.canonical_id""",
     "kg_relation_trend": f"""WITH {_base_ctes()},
 {_SHRED_SQL},
 {_ENRICH_SQL},
@@ -2742,6 +2977,9 @@ QUERIES = {
     "kg_rdf_ntriples": q_rdf_ntriples,
     "kg_entity_summary": q_entity_summary,
     "kg_snapshot_asof": q_snapshot_asof,
+    "kg_snapshot_diff": q_snapshot_diff,
+    "kg_reciprocity": q_reciprocity,
+    "kg_provenance_bundle": q_provenance_bundle,
     "kg_relation_signature": q_relation_signature,
     "kg_incremental_triples": q_incremental_triples,
     "kg_relation_trend": q_relation_trend,

@@ -223,6 +223,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "kg_entity_hits",  # 1-row max-score frame per half-round
     "kg_truth_discovery",  # 1-row max-confidence frame per round
     "kg_snapshot_asof",  # 1-row corpus time-bounds frame
+    "kg_snapshot_diff",  # 1-row corpus time-bounds frame
 }
 
 
