@@ -433,6 +433,73 @@ def q_entity_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_entities"))
 
 
+#: tokens of context kept on each side of a mention occurrence
+CONTEXT_TOKENS = 3
+
+
+def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision context builder: for every mention
+    occurrence, the ±CONTEXT_TOKENS raw-token window around it as a
+    space-joined snippet — the (mention, context) training examples a
+    relation-extraction / NER model is fine-tuned on (the step that
+    turns a silver KG back into model training data).
+
+    Scale shape: one doc-keyed equi-join (mention occurrences ⨝ the
+    per-doc token array) then pure slice/array_join projections inside
+    codegen. Snippet size is constant-bounded, output is
+    mention-frame-sized. At 10^12 turns the join co-partitions on the
+    document id — the same key both frames were produced under."""
+    kg = _kg(spark, sf_dir)
+    toks = _documents(spark, sf_dir).select(
+        F.col("doc_id"),
+        F.split(F.col("contents"), " ").alias("toks"),
+    )
+    m = kg.mentions.select(
+        "doc_id",
+        "mention_id",
+        "key",
+        F.col("pos").cast("int").alias("pos"),
+    )
+    j = m.join(toks, "doc_id")
+    start = F.greatest(F.col("pos") - CONTEXT_TOKENS, F.lit(0))
+    end = F.least(F.col("pos") + CONTEXT_TOKENS, F.size("toks") - 1)
+    return j.select(
+        F.col("doc_id").alias("doc"),
+        "mention_id",
+        "key",
+        "pos",
+        F.array_join(
+            F.slice(F.col("toks"), start + 1, end - start + 1), " "
+        ).alias("context"),
+    )
+
+
+def q_adjacency_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity adjacency export of the co-mention graph: sorted
+    distinct neighbor list (comma-joined) + degree — the bulk-import
+    shape graph stores and GNN samplers consume (reference parity: the
+    Neo4j loader's per-node relationship groups,
+    LoadTriples.scala:118-141, as a flat file instead of Cypher).
+
+    Scale shape: distinct undirected edges (already capped + audited),
+    symmetrized by a union, then ONE hash aggregate per vertex;
+    neighbor lists are degree-bounded — the same rows a graph store
+    would hold. A production run caps the list with slice() for
+    super-hubs; exact here because the oracle must hash-match."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy(F.col("src").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.array_join(F.sort_array(F.collect_set("dst")), ",").alias(
+            "neighbors"
+        ),
+    )
+
+
 def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention graph: edges between entities linked within the
     same document, weighted by document count — the KG-analytics
@@ -1867,6 +1934,84 @@ def q_provenance_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming triple extraction — the KG-construction extract stage
+    as a continuous process: each arriving turn is tokenized,
+    lemma-keyed (C2), matched against the broadcast-sized gazetteer
+    (inlined as a map literal — the streaming analog of the broadcast
+    dimension join), and window-bounded co-occurrence triples are
+    emitted per turn. TURN-LOCAL pairs only: cross-turn pairs need
+    document assembly and belong to the batch/incremental job
+    (``kg_incremental_triples``) — the split every streaming KG
+    pipeline makes (low-latency turn-local edges now, document-scope
+    consolidation in the periodic batch).
+
+    Scale shape: a STATELESS streaming projection — pure Column
+    higher-order functions (transform/filter/flatten) inside one
+    codegen stage, then an explode; no watermark, no state store, no
+    shuffle. Each of 10^12 turns is processed exactly once wherever it
+    lands; throughput is source-bounded. The drained append result
+    equals the batch per-turn pair join, which is the oracle.
+    (Reference parity: the per-partition CoreNLP flatMap,
+    ExtractTriples.scala:60-86, re-expressed as a streaming stage.)"""
+    from dstlr_spark.functions.text import PUNCT_RE, lemma_token
+    from dstlr_spark.queries.streamgate import _drain, _transcripts_stream
+
+    gmap = F.create_map(
+        *[F.lit(x) for term, cls in DOC_GAZETTEER for x in (term, cls)]
+    )
+    keys = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: lemma_token(F.regexp_replace(t, PUNCT_RE, "")),
+    )
+    ments = F.filter(
+        F.transform(
+            keys,
+            lambda k, i: F.struct(
+                i.cast("int").alias("pos"),
+                k.alias("key"),
+                F.element_at(gmap, k).alias("cls"),
+            ),
+        ),
+        lambda s: s["cls"].isNotNull(),
+    )
+    t = _transcripts_stream(spark, sf_dir).select(
+        "conv_id", "turn_idx", ments.alias("m")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda a: F.transform(
+                F.filter(
+                    F.col("m"),
+                    lambda b: (b["pos"] > a["pos"])
+                    & (b["pos"] <= a["pos"] + COOCCUR_WINDOW)
+                    & (b["key"] != a["key"]),
+                ),
+                lambda b: F.struct(
+                    a["key"].alias("subj_key"),
+                    F.concat(
+                        F.lit("COOCCURS_"), a["cls"], F.lit("_"), b["cls"]
+                    ).alias("relation"),
+                    b["key"].alias("obj_key"),
+                    a["pos"].alias("a_pos"),
+                    b["pos"].alias("b_pos"),
+                ),
+            ),
+        )
+    )
+    out = t.select("conv_id", "turn_idx", F.explode(pairs).alias("p")).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("p.subj_key").alias("subj_key"),
+        F.col("p.relation").alias("relation"),
+        F.col("p.obj_key").alias("obj_key"),
+        F.col("p.a_pos").alias("a_pos"),
+        F.col("p.b_pos").alias("b_pos"),
+    )
+    return _drain(out, "append")
+
+
 def q_nil_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NIL-entity proposals: mentions whose LINKS_TO target is NULL
     (no alias-dictionary candidate — the reference keeps these edges
@@ -2091,6 +2236,14 @@ def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _PUNCT_SQL = "[.?,:;'\"!]"  # single-quote doubling handled in f-string below
+
+
+#: lemma-key expression for a raw token (oracle side) — same punct class
+#: as _base_ctes; hoisted because f-string expressions can't hold the
+#: escaped-quote backslash inline
+_TURN_KEY_SQL = lemma_token_sql(
+    "regexp_replace(token, '[.?,:;''\"!]', '', 'g')"
+)
 
 
 def _base_ctes() -> str:
@@ -2342,6 +2495,32 @@ deg AS (
     GROUP BY e)
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_entities
 FROM deg GROUP BY degree""",
+    "kg_mention_contexts": f"""WITH {_base_ctes()},
+dt AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, string_split(text, ' ') AS toks
+  FROM documents)
+SELECT m.doc, m.mention_id, m.key, CAST(m.pos AS INT) AS pos,
+       array_to_string(
+         toks[GREATEST(m.pos - {CONTEXT_TOKENS}, 0) + 1 :
+              LEAST(m.pos + {CONTEXT_TOKENS}, len(toks) - 1) + 1],
+         ' ') AS context
+FROM mentions m JOIN dt ON dt.doc = m.doc""",
+    "kg_adjacency_list": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+edges AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+SELECT src AS entity_id, CAST(COUNT(*) AS BIGINT) AS degree,
+       array_to_string(list_sort(list(DISTINCT dst)), ',') AS neighbors
+FROM sym GROUP BY src""",
     "kg_entity_comention": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -2728,6 +2907,29 @@ SELECT relation,
             // COUNT(*) AS BIGINT) AS reciprocity_ppm
 FROM etriples t LEFT JOIN p ON p.ps = t.obj AND p.po = t.subj
 GROUP BY relation""",
+    "stream_turn_triples": f"""WITH {_SHRED_SQL},
+tok AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM turns),
+keyed AS (
+  SELECT conv_id, turn_idx, CAST(pos AS INT) AS pos,
+         {_TURN_KEY_SQL} AS key
+  FROM tok),
+{values_cte("gaz", ["term", "entity_class"], DOC_GAZETTEER)},
+m AS (
+  SELECT conv_id, turn_idx, pos, key, entity_class AS cls
+  FROM keyed JOIN gaz ON keyed.key = gaz.term)
+SELECT a.conv_id, CAST(a.turn_idx AS INT) AS turn_idx,
+       a.key AS subj_key,
+       'COOCCURS_' || a.cls || '_' || b.cls AS relation,
+       b.key AS obj_key,
+       CAST(a.pos AS INT) AS a_pos, CAST(b.pos AS INT) AS b_pos
+FROM m a JOIN m b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND b.pos > a.pos AND b.pos <= a.pos + {COOCCUR_WINDOW}
+ AND a.key <> b.key""",
     "kg_provenance_bundle": f"""WITH RECURSIVE {_base_ctes()},
 {_CC_CTES}
 SELECT s.canonical_id AS subj, r.relation, o.canonical_id AS obj,
@@ -2978,6 +3180,9 @@ QUERIES = {
     "kg_entity_summary": q_entity_summary,
     "kg_snapshot_asof": q_snapshot_asof,
     "kg_snapshot_diff": q_snapshot_diff,
+    "stream_turn_triples": q_stream_turn_triples,
+    "kg_mention_contexts": q_mention_contexts,
+    "kg_adjacency_list": q_adjacency_list,
     "kg_reciprocity": q_reciprocity,
     "kg_provenance_bundle": q_provenance_bundle,
     "kg_relation_signature": q_relation_signature,
