@@ -107,6 +107,12 @@ _GATE_FIRST = [
     "agg_hll_registers",
     "agg_bloom_bits",
     "kg_entity_pagerank",
+    # fifth-burst additions (locally oracle-verified; past the ~50-row
+    # window unless the driver widens it — kept here so they lead any
+    # future window before the long-green tail)
+    "kg_clustering_coefficient",
+    "kg_degree_assortativity",
+    "kg_community_conductance",
 ]
 
 

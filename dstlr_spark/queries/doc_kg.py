@@ -1177,6 +1177,175 @@ def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corners.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per entity over the co-mention
+    graph: cc = 2·triangles / (deg·(deg−1)) as exact integer ppm (DIV)
+    — how tightly an entity's neighborhood is interlinked, the standard
+    ego-density signal for hub-vs-bridge triage and ER candidate
+    vetting (a bridge with cc≈0 spanning two dense regions is a likely
+    conflation; reference parity: the graph-analytics layer the Neo4j
+    store exposes, README.md:136-183, computed engine-side).
+
+    Scale shape: the same canonical-order triangle enumeration as
+    ``kg_entity_triangles`` (two edge-scale equi-joins on a capped edge
+    list) plus one vertex-sized degree aggregate and a vertex-sized
+    left join — no new shuffle class; deg<2 vertices report 0 ppm."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    e3 = edges.select(F.col("src").alias("x"), F.col("dst").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("entity_id"))
+        .unionByName(tri.select(F.col("y").alias("entity_id")))
+        .unionByName(tri.select(F.col("z").alias("entity_id")))
+    )
+    tcnt = corners.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    return (
+        deg.join(tcnt, "entity_id", "left")
+        .select(
+            "entity_id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "2 * coalesce(n_triangles, 0L) * 1000000"
+                    " DIV (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_ppm"),
+        )
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-level degree assortativity (Newman 2002) of the co-mention
+    graph — one row: do high-degree entities link to high-degree
+    entities (assortative, r>0) or to leaves (disassortative, r<0)?
+    The corpus-shape audit run before trusting hub-sensitive analytics
+    (PageRank/k-core) on a new crawl.
+
+    Over the SYMMETRIZED edge list Σx=Σy and Σx²=Σy², so Pearson's r
+    needs no square root: r = (M·Σxy − (Σx)²) / (M·Σxx − (Σx)²) with
+    every term an exact BIGINT — ppm via floor(double) on identically
+    exact inputs (terms < 2^53 up to ~10^8-edge graphs; past that,
+    switch the moment sums to DECIMAL(38,0) — same plan shape).
+
+    Scale shape: one vertex-sized degree aggregate, one edge-scale
+    join to attach endpoint degrees (co-partitioned on the edge key),
+    one global single-row aggregate with map-side partials."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    paired = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sum_xy"),
+        F.sum("dx").cast("long").alias("sum_x"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sum_xx"),
+    )
+    num = F.col("m2") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_x")
+    den = F.col("m2") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "sum_xy",
+        "sum_x",
+        "sum_xx",
+        F.when(den != 0, F.floor(num * 1000000.0 / den))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("assortativity_ppm"),
+    )
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the label-propagation partition:
+    cut / (2·internal + cut) in exact integer ppm — the community
+    QUALITY score (low = well-separated). Run after every community
+    detection pass to decide whether the partition is trustworthy
+    enough to drive entity-resolution merges.
+
+    Scale shape: the shared LPA labels (vertex-sized) joined onto the
+    undirected edge list twice (edge-scale equi-joins on vertex keys —
+    the same class as one LPA round), then one community-keyed hash
+    aggregate. Edges whose endpoints share a community count internal;
+    others charge one cut to EACH side's community."""
+    labels = _lpa_labels(spark, sf_dir)
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+    )
+    lab = lambda side: labels.select(  # noqa: E731
+        F.col("id").alias(side), F.col("label").alias(f"{side}_c")
+    )
+    e = edges.join(lab("src"), "src").join(lab("dst"), "dst")
+    internal = (
+        e.where(F.col("src_c") == F.col("dst_c"))
+        .groupBy(F.col("src_c").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    cut_sides = e.where(F.col("src_c") != F.col("dst_c"))
+    cuts = (
+        cut_sides.select(F.col("src_c").alias("community"))
+        .unionByName(cut_sides.select(F.col("dst_c").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    sizes = labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities")
+    )
+    return (
+        sizes.join(internal, "community", "left")
+        .join(cuts, "community", "left")
+        .select(
+            "community",
+            "n_entities",
+            F.coalesce("internal_edges", F.lit(0)).cast("long").alias(
+                "internal_edges"
+            ),
+            F.coalesce("cut_edges", F.lit(0)).cast("long").alias("cut_edges"),
+            F.expr(
+                "CASE WHEN coalesce(internal_edges, 0L) = 0"
+                "      AND coalesce(cut_edges, 0L) = 0 THEN 0L"
+                " ELSE coalesce(cut_edges, 0L) * 1000000"
+                "      DIV (2 * coalesce(internal_edges, 0L)"
+                "           + coalesce(cut_edges, 0L)) END"
+            )
+            .cast("long")
+            .alias("conductance_ppm"),
+        )
+    )
+
+
 #: wedge-generation hub cap for neighbor-Jaccard: vertices with more
 #: than this many neighbors are excluded as SHARED neighbors (their
 #: wedge fan is deg², and a celebrity entity co-mentioned with everyone
@@ -2169,22 +2338,11 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 LABELPROP_ITERS = 3
 
 
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection over the entity co-mention graph by
-    deterministic synchronous label propagation (Raghavan et al. 2007,
-    made oracle-exact): every vertex starts labeled with its own id;
-    each round it adopts the MOST FREQUENT label among its neighbors,
-    ties broken by smallest label (lexicographic — binary collation in
-    both engines), keeping its current label when it has no neighbors.
-    Unlike connected components (`kg_canonical_clusters`), LPA splits a
-    connected region into densely-linked communities.
-
-    Scale shape per round (same budget as `q_entity_pagerank`): ONE
-    edge-scale join + two hash aggregates — the (vertex, label) count
-    and the min_by mode pick (no windows); lineage cut per round with
-    localCheckpoint. The oracle unrolls LABELPROP_ITERS rounds as CTEs
-    with ROW_NUMBER mode-picking — same (cnt DESC, label ASC) order.
-    """
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, label) after LABELPROP_ITERS synchronous rounds — shared by
+    ``kg_label_propagation`` and ``kg_community_conductance`` so the
+    community partition both report is ONE computation, not two that
+    could drift."""
     ed = _ent_docs(spark, sf_dir)
     und = _comention_und(ed).select("src", "dst").distinct()
     edges = und.unionByName(
@@ -2208,6 +2366,26 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", F.coalesce(F.col("nl"), F.col("label")).alias("label"))
             .localCheckpoint()
         )
+    return labels
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the entity co-mention graph by
+    deterministic synchronous label propagation (Raghavan et al. 2007,
+    made oracle-exact): every vertex starts labeled with its own id;
+    each round it adopts the MOST FREQUENT label among its neighbors,
+    ties broken by smallest label (lexicographic — binary collation in
+    both engines), keeping its current label when it has no neighbors.
+    Unlike connected components (`kg_canonical_clusters`), LPA splits a
+    connected region into densely-linked communities.
+
+    Scale shape per round (same budget as `q_entity_pagerank`): ONE
+    edge-scale join + two hash aggregates — the (vertex, label) count
+    and the min_by mode pick (no windows); lineage cut per round with
+    localCheckpoint. The oracle unrolls LABELPROP_ITERS rounds as CTEs
+    with ROW_NUMBER mode-picking — same (cnt DESC, label ASC) order.
+    """
+    labels = _lpa_labels(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "label").select(
         F.col("id").alias("entity_id"),
@@ -2410,6 +2588,47 @@ cc AS (
     SELECT mention_id,
            MIN(mention_id) OVER (PARTITION BY gcomp) AS canonical_id
     FROM mcomp)"""
+
+
+#: capped undirected co-mention edge CTEs (twin of
+#: _comention_und over _ent_docs): ent_docs → dsz → kept → edges
+_UND_EDGE_CTES = f"""ent_docs AS MATERIALIZED (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS MATERIALIZED (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+edges AS MATERIALIZED (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id)"""
+
+#: synchronous label-propagation chain (twin of _lpa_labels): the
+#: capped edges symmetrized, then LABELPROP_ITERS unrolled rounds with
+#: ROW_NUMBER mode-picking — final labels in l{LABELPROP_ITERS}
+_LPA_CTES = (
+    _UND_EDGE_CTES
+    + """,
+sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+verts AS (SELECT DISTINCT entity_id AS id FROM ent_docs),
+l0 AS (SELECT id, id AS label FROM verts)"""
+    + "".join(
+        f""",
+c{k} AS (
+    SELECT e.dst AS id, l.label, COUNT(*) AS cnt
+    FROM sym e JOIN l{k - 1} l ON l.id = e.src
+    GROUP BY e.dst, l.label),
+m{k} AS (
+    SELECT id, label FROM c{k}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY cnt DESC, label ASC) = 1),
+l{k} AS MATERIALIZED (
+    SELECT p.id, COALESCE(m.label, p.label) AS label
+    FROM l{k - 1} p LEFT JOIN m{k} m ON m.id = p.id)"""
+        for k in range(1, LABELPROP_ITERS + 1)
+    )
+)
 
 
 ORACLES: dict[str, str] = {
@@ -3106,41 +3325,80 @@ SELECT entity_id,
        CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
 FROM linked GROUP BY entity_id""",
     "kg_label_propagation": f"""WITH {_base_ctes()},
-ent_docs AS (
-    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
-dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
-kept AS (
-    SELECT e.doc, e.entity_id FROM ent_docs e
-    JOIN dsz ON dsz.doc = e.doc
-    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
-und AS (
-    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
-    FROM kept a JOIN kept b
-      ON a.doc = b.doc AND a.entity_id < b.entity_id),
-edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
-verts AS (SELECT DISTINCT entity_id AS id FROM ent_docs),
-l0 AS (SELECT id, id AS label FROM verts)"""
-    + "".join(
-        f""",
-c{k} AS (
-    SELECT e.dst AS id, l.label, COUNT(*) AS cnt
-    FROM edges e JOIN l{k - 1} l ON l.id = e.src
-    GROUP BY e.dst, l.label),
-m{k} AS (
-    SELECT id, label FROM c{k}
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY id
-                               ORDER BY cnt DESC, label ASC) = 1),
-l{k} AS (
-    SELECT p.id, COALESCE(m.label, p.label) AS label
-    FROM l{k - 1} p LEFT JOIN m{k} m ON m.id = p.id)"""
-        for k in range(1, LABELPROP_ITERS + 1)
-    )
-    + f"""
+{_LPA_CTES}
 SELECT l.id AS entity_id, l.label AS community,
        CAST(s.community_size AS BIGINT) AS community_size
 FROM l{LABELPROP_ITERS} l
 JOIN (SELECT label, COUNT(*) AS community_size
       FROM l{LABELPROP_ITERS} GROUP BY label) s ON s.label = l.label""",
+    "kg_clustering_coefficient": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS entity_id, COUNT(*) AS degree FROM sym GROUP BY src),
+tri AS (
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (
+    SELECT x AS entity_id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri),
+tc AS (SELECT entity_id, COUNT(*) AS n_triangles FROM corners GROUP BY entity_id)
+SELECT d.entity_id, CAST(d.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.degree >= 2
+                 THEN 2 * COALESCE(tc.n_triangles, 0) * 1000000
+                      // (d.degree * (d.degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_ppm
+FROM deg d LEFT JOIN tc ON tc.entity_id = d.entity_id""",
+    "kg_degree_assortativity": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY src),
+p AS (
+    SELECT dx.d AS dx, dy.d AS dy
+    FROM sym s JOIN deg dx ON dx.id = s.src JOIN deg dy ON dy.id = s.dst),
+a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+           CAST(SUM(dx * dy) AS BIGINT) AS sum_xy,
+           CAST(SUM(dx) AS BIGINT) AS sum_x,
+           CAST(SUM(dx * dx) AS BIGINT) AS sum_xx
+    FROM p)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, sum_xy, sum_x, sum_xx,
+       CAST(CASE WHEN m2 * sum_xx - sum_x * sum_x <> 0
+                 THEN FLOOR((m2 * sum_xy - sum_x * sum_x) * 1000000.0
+                            / (m2 * sum_xx - sum_x * sum_x))
+                 ELSE 0 END AS BIGINT) AS assortativity_ppm
+FROM a""",
+    "kg_community_conductance": f"""WITH {_base_ctes()},
+{_LPA_CTES},
+lab AS (SELECT id, label FROM l{LABELPROP_ITERS}),
+ej AS (
+    SELECT ls.label AS src_c, ld.label AS dst_c
+    FROM edges e JOIN lab ls ON ls.id = e.src JOIN lab ld ON ld.id = e.dst),
+internal AS (
+    SELECT src_c AS community, COUNT(*) AS internal_edges
+    FROM ej WHERE src_c = dst_c GROUP BY src_c),
+cuts AS (
+    SELECT community, COUNT(*) AS cut_edges FROM (
+        SELECT src_c AS community FROM ej WHERE src_c <> dst_c
+        UNION ALL SELECT dst_c FROM ej WHERE src_c <> dst_c)
+    GROUP BY community),
+sizes AS (SELECT label AS community, COUNT(*) AS n_entities
+          FROM l{LABELPROP_ITERS} GROUP BY label)
+SELECT s.community, CAST(s.n_entities AS BIGINT) AS n_entities,
+       CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       CAST(COALESCE(c.cut_edges, 0) AS BIGINT) AS cut_edges,
+       CAST(CASE WHEN COALESCE(i.internal_edges, 0) = 0
+                  AND COALESCE(c.cut_edges, 0) = 0 THEN 0
+                 ELSE COALESCE(c.cut_edges, 0) * 1000000
+                      // (2 * COALESCE(i.internal_edges, 0)
+                          + COALESCE(c.cut_edges, 0)) END
+            AS BIGINT) AS conductance_ppm
+FROM sizes s
+LEFT JOIN internal i ON i.community = s.community
+LEFT JOIN cuts c ON c.community = s.community""",
 }
 
 QUERIES = {
@@ -3172,6 +3430,9 @@ QUERIES = {
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_entity_triangles": q_entity_triangles,
+    "kg_clustering_coefficient": q_clustering_coefficient,
+    "kg_degree_assortativity": q_degree_assortativity,
+    "kg_community_conductance": q_community_conductance,
     "kg_neighbor_jaccard": q_neighbor_jaccard,
     "kg_rule_mining": q_rule_mining,
     "kg_nil_entities": q_nil_entities,
