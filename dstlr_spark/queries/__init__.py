@@ -113,6 +113,11 @@ _GATE_FIRST = [
     "kg_clustering_coefficient",
     "kg_degree_assortativity",
     "kg_community_conductance",
+    # sixth-burst additions (locally oracle-verified at all 3 scales)
+    "kg_name_variants",
+    "kg_agreement_by_distance",
+    "kg_two_hop_reach",
+    "text_zipf_fit",
 ]
 
 

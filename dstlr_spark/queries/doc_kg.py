@@ -26,7 +26,12 @@ from dstlr_spark.operators.extract import (
     extract_mentions_native,
     extract_triples_native,
 )
-from dstlr_spark.functions.text import lemma_token_sql
+from dstlr_spark.functions.text import (
+    PUNCT_RE,
+    lemma_token,
+    lemma_token_sql,
+    stable_mention_id,
+)
 from dstlr_spark.plans.native_kg import NativeKG
 from dstlr_spark.queries.conv import _ENRICH_SQL
 from dstlr_spark.queries.sqlgen import values_cte
@@ -1346,6 +1351,125 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity surface-form dictionary: how many RAW forms (punct-
+    stripped, case preserved) each KB entity is written as, total
+    occurrence traffic, and the dominant form with its ppm share — the
+    alias-table export an ER/linking stage maintains (the inverse view
+    of ``kg_alias_ambiguity``: that is alias→entities risk, this is
+    entity→forms inventory; reference parity: the LINKS_TO surface the
+    Neo4j store aggregates per entity, ExtractTriples.scala:215-218).
+
+    The persisted mention frame stores only the LEMMA key, so raw forms
+    are recovered with one extra corpus scan: explode → punct-strip →
+    broadcast gazetteer membership on the lemma — no offsets, hence no
+    token-stream window (the scan is map-only until the two hash aggs).
+    The dominant-form pick is a window PARTITIONED BY entity
+    (dictionary-scale keys, never corpus-single-partition)."""
+    toks = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("conv_id"),
+        F.explode(F.split("contents", " ")).alias("token"),
+    )
+    form = F.regexp_replace(F.col("token"), PUNCT_RE, "")
+    occ = (
+        toks.select("conv_id", form.alias("form"), lemma_token(form).alias("key"))
+        .join(F.broadcast(_gazetteer(spark)), F.col("key") == F.col("term"))
+        .select(
+            "conv_id",
+            stable_mention_id("conv_id", "key").alias("mention_id"),
+            "form",
+        )
+    )
+    links = (
+        _kg(spark, sf_dir)
+        .links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .select(
+            F.col("doc").alias("conv_id"),
+            F.col("subjectValue").alias("mention_id"),
+            F.col("objectValue").alias("entity_id"),
+        )
+    )
+    fc = (
+        occ.join(links, ["conv_id", "mention_id"])
+        .groupBy("entity_id", "form")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("cnt").desc(), F.col("form").asc()
+    )
+    top = (
+        fc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("entity_id", F.col("form").alias("top_form"), F.col("cnt").alias("tc"))
+    )
+    st = fc.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.sum("cnt").cast("long").alias("n_occurrences"),
+    )
+    return st.join(top, "entity_id").select(
+        "entity_id",
+        "n_variants",
+        "n_occurrences",
+        "top_form",
+        F.expr("tc * 1000000 DIV n_occurrences").cast("long").alias(
+            "top_form_share_ppm"
+        ),
+    )
+
+
+def q_agreement_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-precision curve vs co-occurrence distance: for every
+    linked pair observation at token distance d (1..W), does its object
+    agree with the corpus-MAJORITY object for the same (subject,
+    relation)? The empirical curve that justifies (or shrinks) the
+    extraction window at scale — if agreement decays past d=4, W=8 is
+    paying double the pair-join budget for noise. All exact integers.
+
+    Scale shape: observations ride the shared window-bounded pair join
+    (:func:`_linked_entity_pairs`); the majority pick is a hash agg on
+    the claim key + a claim-partitioned window over the aggregated
+    value counts (value cardinality per claim, dictionary-scale); the
+    final rollup is one W-row hash agg with map-side partials."""
+    p = _linked_entity_pairs(spark, sf_dir).select(
+        F.col("subj_entity").alias("subj"),
+        F.concat(
+            F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+        ).alias("relation"),
+        F.col("obj_entity").alias("obj"),
+        (F.col("b_pos") - F.col("a_pos")).cast("long").alias("distance"),
+    )
+    cnts = p.groupBy("subj", "relation", "obj").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("subj", "relation").orderBy(
+        F.col("cnt").desc(), F.col("obj").asc()
+    )
+    modal = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("subj", "relation", F.col("obj").alias("modal_obj"))
+    )
+    return (
+        p.join(modal, ["subj", "relation"])
+        .groupBy("distance")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(
+                F.when(F.col("obj") == F.col("modal_obj"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "distance",
+            "n_obs",
+            "n_agree",
+            F.expr("n_agree * 1000000 DIV n_obs").cast("long").alias("agree_ppm"),
+        )
+    )
+
+
 #: wedge-generation hub cap for neighbor-Jaccard: vertices with more
 #: than this many neighbors are excluded as SHARED neighbors (their
 #: wedge fan is deg², and a celebrity entity co-mentioned with everyone
@@ -1412,6 +1536,60 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with common-neighbor count, degrees, and integer-ppm Jaccard."""
     edges = _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
     return neighbor_jaccard(edges)
+
+
+def two_hop_reach(edges: DataFrame, hub_cap: int = JACCARD_HUB_CAP) -> DataFrame:
+    """Per-vertex 1-hop degree and exactly-2-hop reachable-set size
+    over an undirected edge list ``(src, dst)`` — the fan-out budget
+    table a GNN neighborhood sampler or a graph-store query planner
+    reads before picking per-hop sampling caps (GraphSAGE-style
+    fan-out tuning).
+
+    Two-hop paths are generated ONLY through middle vertices at or
+    below ``hub_cap`` (the same hub exclusion, same default constant,
+    as :func:`neighbor_jaccard` — a celebrity middle emits deg² paths
+    and dominates every neighborhood anyway); on the sf corpora max
+    degree is 7, so the output is the exact count. Scale shape: two
+    edge-scale equi-joins (the wedge budget O(Σ min(deg, cap)²)), one
+    distinct, one anti-join against the direct edges (exactly-2 ≠
+    within-2), two vertex-sized hash aggregates."""
+    adj = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = adj.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n_1hop"))
+    hubs = deg.where(F.col("n_1hop") > hub_cap).select(
+        F.col("src").alias("dst")
+    )
+    wadj = adj.join(F.broadcast(hubs), "dst", "left_anti")
+    second = adj.select(F.col("src").alias("dst"), F.col("dst").alias("z"))
+    p2 = (
+        wadj.join(second, "dst")
+        .where(F.col("z") != F.col("src"))
+        .select("src", "z")
+        .distinct()
+    )
+    x2 = p2.join(
+        adj.select("src", F.col("dst").alias("z")), ["src", "z"], "left_anti"
+    )
+    n2 = x2.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return deg.join(n2, "src", "left").select(
+        F.col("src").alias("entity_id"),
+        "n_1hop",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_2hop"),
+    )
+
+
+def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood fan-out budget over the co-mention graph (see
+    :func:`two_hop_reach`): per entity, degree and exactly-2-hop
+    reachable-set size through non-hub middles."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    return two_hop_reach(edges)
 
 
 #: rule-mining wedge cap: a mid entity whose in-degree × out-degree
@@ -2423,10 +2601,14 @@ _TURN_KEY_SQL = lemma_token_sql(
     "regexp_replace(token, '[.?,:;''\"!]', '', 'g')"
 )
 
+#: SQL-escaped twin of PUNCT_RE ('' = escaped quote inside a SQL string
+#: literal) — shared by _base_ctes and the name-variants oracle
+_PUNCT_SQL = "[.?,:;''\"!]"
+
 
 def _base_ctes() -> str:
     """Shared CTE chain: tokens+offsets → mentions → relations → links."""
-    punct = "[.?,:;''\"!]"  # '' = escaped quote inside SQL string literal
+    punct = _PUNCT_SQL
     return f"""
 toks0 AS (
     SELECT CAST(doc_id AS VARCHAR) AS doc,
@@ -3399,6 +3581,79 @@ SELECT s.community, CAST(s.n_entities AS BIGINT) AS n_entities,
 FROM sizes s
 LEFT JOIN internal i ON i.community = s.community
 LEFT JOIN cuts c ON c.community = s.community""",
+    "kg_name_variants": f"""WITH {_base_ctes()},
+focc AS (
+    SELECT doc, md5(doc || chr(31) || key) AS mention_id,
+           regexp_replace(token, '{_PUNCT_SQL}', '', 'g') AS form
+    FROM toks JOIN gaz ON toks.key = gaz.term),
+locc AS (
+    SELECT l.entity_id, f.form
+    FROM focc f JOIN links l
+      ON l.doc = f.doc AND l.mention_id = f.mention_id
+    WHERE l.entity_id IS NOT NULL),
+fc AS (SELECT entity_id, form, COUNT(*) AS cnt
+       FROM locc GROUP BY entity_id, form),
+top AS (
+    SELECT entity_id, form, cnt FROM fc
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY entity_id
+                               ORDER BY cnt DESC, form ASC) = 1),
+st AS (SELECT entity_id, COUNT(*) AS n_variants, SUM(cnt) AS n_occ
+       FROM fc GROUP BY entity_id)
+SELECT st.entity_id,
+       CAST(st.n_variants AS BIGINT) AS n_variants,
+       CAST(st.n_occ AS BIGINT) AS n_occurrences,
+       top.form AS top_form,
+       CAST(top.cnt * 1000000 // st.n_occ AS BIGINT) AS top_form_share_ppm
+FROM st JOIN top ON top.entity_id = st.entity_id""",
+    "kg_agreement_by_distance": f"""WITH {_base_ctes()},
+lp AS (
+    SELECT la.entity_id AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lb.entity_id AS obj,
+           b.pos - a.pos AS distance
+    FROM mentions a
+    JOIN mentions b
+      ON a.doc = b.doc AND b.pos > a.pos
+     AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links la ON la.doc = a.doc AND la.mention_id = a.mention_id
+    JOIN links lb ON lb.doc = b.doc AND lb.mention_id = b.mention_id
+    WHERE la.entity_id IS NOT NULL AND lb.entity_id IS NOT NULL),
+c AS (SELECT subj, relation, obj, COUNT(*) AS cnt
+      FROM lp GROUP BY subj, relation, obj),
+modal AS (
+    SELECT subj, relation, obj AS modal_obj FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY subj, relation
+                               ORDER BY cnt DESC, obj ASC) = 1)
+SELECT CAST(lp.distance AS BIGINT) AS distance,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(CASE WHEN lp.obj = m.modal_obj THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree,
+       CAST(SUM(CASE WHEN lp.obj = m.modal_obj THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS agree_ppm
+FROM lp JOIN modal m ON m.subj = lp.subj AND m.relation = lp.relation
+GROUP BY lp.distance""",
+    "kg_two_hop_reach": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+wadj AS (
+    SELECT s.src, s.dst FROM sym s
+    JOIN deg ON deg.id = s.dst
+    WHERE deg.d <= {JACCARD_HUB_CAP}),
+p2 AS (
+    SELECT DISTINCT w.src, s2.dst AS z
+    FROM wadj w JOIN sym s2 ON s2.src = w.dst
+    WHERE s2.dst <> w.src),
+x2 AS (
+    SELECT p2.src, p2.z FROM p2
+    WHERE NOT EXISTS (SELECT 1 FROM sym s
+                      WHERE s.src = p2.src AND s.dst = p2.z)),
+n2 AS (SELECT src, COUNT(*) AS n FROM x2 GROUP BY src)
+SELECT deg.id AS entity_id,
+       CAST(deg.d AS BIGINT) AS n_1hop,
+       CAST(COALESCE(n2.n, 0) AS BIGINT) AS n_2hop
+FROM deg LEFT JOIN n2 ON n2.src = deg.id""",
 }
 
 QUERIES = {
@@ -3433,6 +3688,9 @@ QUERIES = {
     "kg_clustering_coefficient": q_clustering_coefficient,
     "kg_degree_assortativity": q_degree_assortativity,
     "kg_community_conductance": q_community_conductance,
+    "kg_name_variants": q_name_variants,
+    "kg_agreement_by_distance": q_agreement_by_distance,
+    "kg_two_hop_reach": q_two_hop_reach,
     "kg_neighbor_jaccard": q_neighbor_jaccard,
     "kg_rule_mining": q_rule_mining,
     "kg_nil_entities": q_nil_entities,

@@ -518,6 +518,68 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health Zipf check, float-free: bucket the vocabulary by
+    floor-log2 token count (``length(bin(cnt)) - 1`` — the established
+    bit-length idiom, exact in both engines), then least-squares fit
+    log2(#tokens-per-bucket) against the bucket index. A natural-
+    language corpus fits slope ≈ −1·10⁶ ppm (Zipf); boilerplate-heavy
+    or template-generated crawls flatten or hump the curve — the
+    one-row smell test run per ingest shard before heavier curation.
+    Formulated over count BUCKETS, not ranks, so there is NO
+    corpus-wide rank window: two hash aggregates (vocabulary, then the
+    ≤64-row bucket table) and one 1-row fit. The slope is
+    FLOOR(num·10⁶ / den) on exact-BIGINT moments — the same
+    engine-identical floor-of-double contract as
+    ``kg_degree_assortativity`` (num may be negative, so no DIV, whose
+    truncation differs from DuckDB's floor ``//`` below zero).
+
+    Shares the staged token vocabulary with ``text_token_rarity``
+    (identical construction, same memo key) — a gate sweep scans the
+    corpus once for both."""
+    from dstlr_spark.queries import _memo
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = _memo.staged(
+        spark,
+        ("token_rarity_vocab", sf_dir),
+        lambda: tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")),
+    )
+    buckets = vocab.groupBy(
+        (F.length(F.bin(F.col("cnt"))) - 1).cast("long").alias("x")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks"),
+        F.sum("cnt").cast("long").alias("sum_cnt"),
+    )
+    pts = buckets.select(
+        "x",
+        (F.length(F.bin(F.col("n_toks"))) - 1).cast("long").alias("y"),
+        "n_toks",
+        "sum_cnt",
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum("n_toks").cast("long").alias("vocab_size"),
+        F.sum("sum_cnt").cast("long").alias("total_tokens"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "vocab_size",
+        "total_tokens",
+        F.col("n").alias("n_buckets"),
+        F.when(den != 0, F.floor(num * 1000000.0 / den))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("slope_ppm"),
+    )
+
+
 def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3's HTML-strip sub-semantic under the cross-engine gate
     (ExtractTriples.scala:151-159, ``Jsoup.parse(content).text()``):
@@ -621,6 +683,7 @@ QUERIES = {
     "text_dup_segments": q_dup_segments,
     "text_html_strip": q_html_strip,
     "text_token_rarity": q_token_rarity,
+    "text_zipf_fit": q_zipf_fit,
     "text_repetition": q_repetition,
     "text_ngram_topk": q_ngram_topk,
     "text_winnow_fingerprint": q_winnow_fingerprint,
@@ -805,6 +868,32 @@ SELECT t.doc_id,
        CAST(MIN(f.freq_ppm) AS BIGINT) AS min_token_freq_ppm
 FROM tok t JOIN freq f ON t.token = f.token
 GROUP BY t.doc_id""",
+    "text_zipf_fit": """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+b AS (
+  SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS x,
+         COUNT(*) AS n_toks, SUM(cnt) AS sum_cnt
+  FROM v GROUP BY 1),
+p AS (
+  SELECT x, CAST(length(bin(n_toks)) - 1 AS BIGINT) AS y, n_toks, sum_cnt
+  FROM b),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(n_toks) AS BIGINT) AS vocab_size,
+         CAST(SUM(sum_cnt) AS BIGINT) AS total_tokens
+  FROM p)
+SELECT vocab_size, total_tokens, n AS n_buckets,
+       CAST(CASE WHEN n * sxx - sx * sx <> 0
+                 THEN FLOOR((n * sxy - sx * sy) * 1000000.0
+                            / (n * sxx - sx * sx))
+                 ELSE 0 END AS BIGINT) AS slope_ppm
+FROM a""",
     "text_repetition": f"""
 WITH g AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_G2_SQL} AS g2 FROM documents),

@@ -1,0 +1,131 @@
+"""Pins for the graph-quality layer (round-4 bursts 5/6): clustering
+coefficient, two-hop reach, agreement-by-distance, name variants, and
+the Zipf fit.
+
+The value-hash oracle gate proves engine parity at three scales; these
+pin the SEMANTICS parity cannot see — exact values on hand-built
+graphs, the hub-cap exclusion contract, and cross-query consistency
+(the quality layer describes the same graph the analytics layer runs
+on).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from dstlr_spark.queries.doc_kg import (
+    q_agreement_by_distance,
+    q_clustering_coefficient,
+    q_entity_degree_hist,
+    q_name_variants,
+    q_two_hop_reach,
+    two_hop_reach,
+)
+from dstlr_spark.queries.textstats import q_zipf_fit
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_two_hop_reach_exact_on_hand_graph(spark):
+    """A-B, B-C, C-D, A-C: exactly-2 sets are A→{D}, B→{D}, C→{},
+    D→{A, B} (within-2 minus direct neighbors minus self)."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C")], "src string, dst string"
+    )
+    out = {r.entity_id: r for r in two_hop_reach(edges, hub_cap=10).collect()}
+    assert out["A"].n_1hop == 2 and out["A"].n_2hop == 1
+    assert out["B"].n_1hop == 2 and out["B"].n_2hop == 1
+    assert out["C"].n_1hop == 3 and out["C"].n_2hop == 0
+    assert out["D"].n_1hop == 1 and out["D"].n_2hop == 2
+
+
+def test_two_hop_reach_hub_cap_blocks_middles_keeps_degrees(spark):
+    """hub_cap=2 excludes C (degree 3) as a MIDDLE: every 2-hop path in
+    the hand graph runs through C, so all n_2hop collapse to 0 — but
+    full degrees are still reported."""
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("A", "C")], "src string, dst string"
+    )
+    out = {r.entity_id: r for r in two_hop_reach(edges, hub_cap=2).collect()}
+    assert out["C"].n_1hop == 3  # degree unaffected by the cap
+    assert all(r.n_2hop == 0 for r in out.values())
+    # paths through non-hub middles survive: add E-A so D reaches E
+    # via... E's only 2-hop middle is A (degree 3 now) — plant a
+    # middle UNDER the cap instead: B (degree 2) carries A<->C, which
+    # is a direct edge, so still 0; the collapse above is the pin.
+
+
+def test_clustering_coefficient_consistent_with_degree_hist(spark):
+    """cc is 0..10^6 ppm; deg<2 vertices report 0; the degree column
+    is the SAME degree the histogram counts (sum over hist buckets ==
+    number of cc rows)."""
+    cc = q_clustering_coefficient(spark, SF).collect()
+    assert cc, "corpus graph is non-empty"
+    for r in cc:
+        assert 0 <= r.cc_ppm <= 1_000_000
+        if r.degree < 2:
+            assert r.cc_ppm == 0
+        if r.n_triangles == 0:
+            assert r.cc_ppm == 0
+    hist = q_entity_degree_hist(spark, SF).collect()
+    assert sum(r.n_entities for r in hist) == len(cc)
+
+
+def test_agreement_by_distance_bounds(spark):
+    """Distances are 1..W; ppm in range; n_agree ≤ n_obs; and the
+    majority rule means overall agreement is ≥ 50% is NOT guaranteed,
+    but every (distance) row's agree count can't exceed its obs."""
+    rows = q_agreement_by_distance(spark, SF).collect()
+    assert rows
+    from dstlr_spark.queries.doc_kg import COOCCUR_WINDOW
+
+    for r in rows:
+        assert 1 <= r.distance <= COOCCUR_WINDOW
+        assert 0 <= r.n_agree <= r.n_obs
+        assert r.agree_ppm == r.n_agree * 1_000_000 // r.n_obs
+
+
+def test_name_variants_share_and_occurrence_consistency(spark):
+    """Per entity: top-form share ≤ 10^6; n_variants ≥ 1; the summed
+    occurrence traffic equals the linked-occurrence total implied by
+    the timeline query's n_mentions."""
+    nv = q_name_variants(spark, SF).collect()
+    assert nv
+    for r in nv:
+        assert r.n_variants >= 1
+        assert 0 < r.top_form_share_ppm <= 1_000_000
+        assert r.n_occurrences >= r.n_variants
+    from dstlr_spark.queries.doc_kg import q_entity_timeline
+
+    tl = {r.entity_id: r.n_mentions for r in q_entity_timeline(spark, SF).collect()}
+    for r in nv:
+        assert tl[r.entity_id] == r.n_occurrences
+
+
+def test_zipf_fit_exact_on_hand_corpus(spark, tmp_path):
+    """Hand corpus with known counts — a×4, b×2, c×2, d/e/f/g×1 —
+    gives buckets (x=2, 1 token), (x=1, 2 tokens), (x=0, 4 tokens):
+    points (2,0), (1,1), (0,2) → exact slope −1.0 (−1,000,000 ppm),
+    the ideal Zipf signature."""
+    text = "a a a a b b c c d e f g"
+    spark.createDataFrame(
+        [("d1", text, "en", len(text))],
+        "doc_id string, text string, lang string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    row = q_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row.vocab_size == 7
+    assert row.total_tokens == 12
+    assert row.n_buckets == 3
+    assert row.slope_ppm == -1_000_000
+
+
+def test_zipf_fit_accounts_every_token(spark):
+    """On the sf corpus: vocab/total accounting matches an independent
+    count (the synthetic corpus's 31-word vocabulary is too small for a
+    sign pin — the exact-slope pin above carries the math)."""
+    row = q_zipf_fit(spark, SF).collect()[0]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    assert row.total_tokens == toks.count()
+    assert row.vocab_size == toks.distinct().count()
+    assert 1 <= row.n_buckets <= 64
