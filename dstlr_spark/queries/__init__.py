@@ -118,6 +118,9 @@ _GATE_FIRST = [
     "kg_agreement_by_distance",
     "kg_two_hop_reach",
     "text_zipf_fit",
+    # seventh-burst additions (locally oracle-verified at all 3 scales)
+    "kg_rule_predictions",
+    "kg_blocking_quality",
 ]
 
 

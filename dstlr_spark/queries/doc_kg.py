@@ -1599,6 +1599,36 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 RULE_MID_FAN_CAP = 1_000_000
 
 
+def _rule_body(t: DataFrame, fan_cap: int) -> DataFrame:
+    """Distinct 2-hop body paths (r1, r2, a, c) through fan-capped mid
+    entities — shared by :func:`mine_rules` and
+    :func:`rule_predictions` so the rule table and its application see
+    the SAME capped path set. ``t`` must already be lineage-cut."""
+    ind = t.groupBy(F.col("obj").alias("mid")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind")
+    )
+    outd = t.groupBy(F.col("subj").alias("mid")).agg(
+        F.count(F.lit(1)).cast("long").alias("outd")
+    )
+    okmid = (
+        ind.join(outd, "mid")
+        .where(F.col("ind") * F.col("outd") <= fan_cap)
+        .select("mid")
+    )
+    b1 = t.select(
+        F.col("subj").alias("a"), F.col("relation").alias("r1"), F.col("obj").alias("mid")
+    ).join(okmid, "mid", "left_semi")
+    b2 = t.select(
+        F.col("subj").alias("mid"), F.col("relation").alias("r2"), F.col("obj").alias("c")
+    )
+    return (
+        b1.join(b2, "mid")
+        .where(F.col("a") != F.col("c"))
+        .select("r1", "r2", "a", "c")
+        .distinct()
+    )
+
+
 def mine_rules(triples: DataFrame, fan_cap: int = RULE_MID_FAN_CAP) -> DataFrame:
     """AMIE-style composition-rule mining over an entity-level triple
     frame ``(subj, relation, obj)``: for every relation pair (r1, r2),
@@ -1618,29 +1648,7 @@ def mine_rules(triples: DataFrame, fan_cap: int = RULE_MID_FAN_CAP) -> DataFrame
     the body shuffle is O(Σ min(in·out, cap)). Counts and the ppm
     confidence are all-integer."""
     t = triples.localCheckpoint()  # consumed 4×: cut lineage once
-    ind = t.groupBy(F.col("obj").alias("mid")).agg(
-        F.count(F.lit(1)).cast("long").alias("ind")
-    )
-    outd = t.groupBy(F.col("subj").alias("mid")).agg(
-        F.count(F.lit(1)).cast("long").alias("outd")
-    )
-    okmid = (
-        ind.join(outd, "mid")
-        .where(F.col("ind") * F.col("outd") <= fan_cap)
-        .select("mid")
-    )
-    b1 = t.select(
-        F.col("subj").alias("a"), F.col("relation").alias("r1"), F.col("obj").alias("mid")
-    ).join(okmid, "mid", "left_semi")
-    b2 = t.select(
-        F.col("subj").alias("mid"), F.col("relation").alias("r2"), F.col("obj").alias("c")
-    )
-    body = (
-        b1.join(b2, "mid")
-        .where(F.col("a") != F.col("c"))
-        .select("r1", "r2", "a", "c")
-        .distinct()
-    )
+    body = _rule_body(t, fan_cap)
     nb = body.groupBy("r1", "r2").agg(
         F.count(F.lit(1)).cast("long").alias("n_body")
     )
@@ -1661,6 +1669,175 @@ def mine_rules(triples: DataFrame, fan_cap: int = RULE_MID_FAN_CAP) -> DataFrame
         "n_body",
         "support",
         F.expr("support * 1000000 DIV n_body").alias("conf_ppm"),
+    )
+
+
+#: rule-application thresholds: only rules with at least this standard
+#: confidence and body support become link predictors (low-support or
+#: low-precision rules flood the prediction table with noise — the
+#: AMIE default regime).
+RULE_PRED_MIN_CONF_PPM = 250_000
+RULE_PRED_MIN_BODY = 2
+
+
+def rule_predictions(
+    triples: DataFrame,
+    fan_cap: int = RULE_MID_FAN_CAP,
+    min_conf_ppm: int = RULE_PRED_MIN_CONF_PPM,
+    min_body: int = RULE_PRED_MIN_BODY,
+) -> DataFrame:
+    """KB completion by rule application — the link-prediction step
+    that turns :func:`mine_rules` output back into candidate triples:
+    every body path a -r1-> b -r2-> c matching a confident rule
+    r1 ∧ r2 ⇒ r predicts r(a, c) WHEN the KG does not already hold it
+    (the engine-side analog of the reference's missing-information
+    clean query, CleanTriples via README.md:168-176 — there the gap is
+    vs ground-truth facts, here vs the KG's own induced rules).
+
+    Per predicted triple: how many distinct rules fire for it and the
+    best firing rule's confidence. Scale shape: the body frame is the
+    SAME fan-capped 2-hop join as mining (shared :func:`_rule_body`);
+    rule filtering is relation-dictionary-sized (broadcast); the
+    known-triple exclusion is one anti-join on the full triple key."""
+    t = triples.localCheckpoint()
+    body = _rule_body(t, fan_cap)
+    nb = body.groupBy("r1", "r2").agg(F.count(F.lit(1)).cast("long").alias("n_body"))
+    head = t.select(
+        F.col("subj").alias("a"),
+        F.col("relation").alias("head_relation"),
+        F.col("obj").alias("c"),
+    )
+    rules = (
+        body.join(head, ["a", "c"])
+        .groupBy("r1", "r2", "head_relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .join(nb, ["r1", "r2"])
+        .select(
+            "r1",
+            "r2",
+            "head_relation",
+            "n_body",
+            F.expr("support * 1000000 DIV n_body").cast("long").alias("conf_ppm"),
+        )
+        .where(
+            (F.col("conf_ppm") >= min_conf_ppm) & (F.col("n_body") >= min_body)
+        )
+    )
+    cand = body.join(
+        F.broadcast(rules.select("r1", "r2", "head_relation", "conf_ppm")),
+        ["r1", "r2"],
+    )
+    missing = cand.join(head, ["a", "head_relation", "c"], "left_anti")
+    return (
+        missing.groupBy("a", "head_relation", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rules"),
+            F.max("conf_ppm").cast("long").alias("best_conf_ppm"),
+        )
+        .select(
+            F.col("a").alias("subj_entity"),
+            F.col("head_relation").alias("relation"),
+            F.col("c").alias("obj_entity"),
+            "n_rules",
+            "best_conf_ppm",
+        )
+    )
+
+
+def q_rule_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-applied link prediction, CONVERSATION-grounded: entity
+    nodes are scoped per conversation (``conv_id␟entity``), so rules
+    are mined over conversation-local subgraphs (confidence = the
+    fraction of conv-local 2-hop paths closed in the SAME
+    conversation) and predictions are conv-local open paths — "this
+    conversation links a→b→c under a rule that usually closes, but
+    never states a→c". The corpus-GLOBAL entity graph over the fixed
+    KB is complete at every sf (global application predicts nothing);
+    grounding per conversation is what KB completion means for a
+    transcript corpus. Same shared machinery (:func:`rule_predictions`
+    over :func:`_rule_body`) — only the node ids change."""
+    sep = "\x1f"
+    t = (
+        _linked_entity_pairs(spark, sf_dir)
+        .select(
+            F.concat("conv_id", F.lit(sep), "subj_entity").alias("subj"),
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            F.concat("conv_id", F.lit(sep), "obj_entity").alias("obj"),
+        )
+        .distinct()
+    )
+    p = rule_predictions(t)
+    return p.select(
+        F.substring_index("subj_entity", sep, 1).alias("conv_id"),
+        F.substring_index("subj_entity", sep, -1).alias("subj_entity"),
+        "relation",
+        F.substring_index("obj_entity", sep, -1).alias("obj_entity"),
+        "n_rules",
+        "best_conf_ppm",
+    )
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality audit of the linker's lemma-key blocking
+    scheme (X4/X7: candidate entities are only ever considered within
+    a lemma block, operators/linking.py): per block, occurrence
+    traffic, linked share, distinct candidate entities, and purity —
+    the majority entity's ppm share of linked occurrences. Low-purity
+    or high-cardinality blocks are where blocking-based ER leaks
+    (conflations land in one block; aliases split across blocks), so
+    this table is the go/no-go gate before trusting block-local
+    entity resolution at scale.
+
+    Scale shape: one equi-join of the persisted mention frame against
+    the distinct-mention link table (the same join every provenance
+    query pays), two hash aggregates keyed on the block, and one
+    block-partitioned window over per-entity counts (entity
+    cardinality per block is dictionary-scale)."""
+    kg = _kg(spark, sf_dir)
+    occ = kg.mentions.select(
+        F.col("doc_id").alias("conv_id"), "mention_id", "key"
+    )
+    links = kg.links_triples().select(
+        F.col("doc").alias("conv_id"),
+        F.col("subjectValue").alias("mention_id"),
+        F.col("objectValue").alias("entity_id"),
+    )
+    j = occ.join(links, ["conv_id", "mention_id"], "left")
+    base = j.groupBy(F.col("key").alias("block_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.sum(F.when(F.col("entity_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_linked"),
+        F.countDistinct("entity_id").cast("long").alias("n_entities"),
+    )
+    ec = (
+        j.where(F.col("entity_id").isNotNull())
+        .groupBy(F.col("key").alias("block_key"), "entity_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("block_key").orderBy(
+        F.col("cnt").desc(), F.col("entity_id").asc()
+    )
+    top = (
+        ec.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("block_key", F.col("entity_id").alias("top_entity"), "cnt")
+    )
+    return base.join(top, "block_key", "left").select(
+        "block_key",
+        "n_occurrences",
+        "n_linked",
+        "n_entities",
+        "top_entity",
+        F.when(
+            F.col("n_linked") > 0,
+            F.expr("cnt * 1000000 DIV n_linked"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("purity_ppm"),
     )
 
 
@@ -2813,6 +2990,52 @@ l{k} AS MATERIALIZED (
 )
 
 
+def _rule_ctes(subj_sql: str, obj_sql: str) -> str:
+    """Entity-triple → fan-capped rule CTE chain (twin of _rule_body +
+    mine_rules aggregates): etriples → okmid → body → nb/sup — shared
+    by the rule-mining (global node ids) and rule-prediction
+    (conversation-scoped node ids) oracles so both engines' rule
+    tables derive from ONE text. MATERIALIZED where referenced
+    multiply (DuckDB re-inlines CTE references)."""
+    return f"""etriples AS MATERIALIZED (
+    SELECT DISTINCT {subj_sql} AS subj,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           {obj_sql} AS obj
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL),
+ind AS (SELECT obj AS mid, CAST(COUNT(*) AS BIGINT) AS ind
+        FROM etriples GROUP BY obj),
+outd AS (SELECT subj AS mid, CAST(COUNT(*) AS BIGINT) AS outd
+         FROM etriples GROUP BY subj),
+okmid AS (SELECT i.mid FROM ind i JOIN outd o ON o.mid = i.mid
+          WHERE i.ind * o.outd <= {RULE_MID_FAN_CAP}),
+body AS MATERIALIZED (
+    SELECT DISTINCT t1.relation AS r1, t2.relation AS r2,
+           t1.subj AS a, t2.obj AS c
+    FROM etriples t1
+    JOIN okmid k ON k.mid = t1.obj
+    JOIN etriples t2 ON t2.subj = t1.obj
+    WHERE t1.subj <> t2.obj),
+nb AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n_body
+       FROM body GROUP BY r1, r2),
+sup AS MATERIALIZED (
+    SELECT b.r1, b.r2, h.relation AS head_relation,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM body b JOIN etriples h ON h.subj = b.a AND h.obj = b.c
+    GROUP BY b.r1, b.r2, h.relation)"""
+
+
+_RULE_CTES = _rule_ctes("ls.entity_id", "lo.entity_id")
+_RULE_CTES_CONV = _rule_ctes(
+    "a.doc || chr(31) || ls.entity_id", "b.doc || chr(31) || lo.entity_id"
+)
+
+
 ORACLES: dict[str, str] = {
     "kg_assembly_roundtrip": (
         "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
@@ -3425,41 +3648,60 @@ SELECT relation,
            AS inv_functionality_ppm
 FROM etriples GROUP BY relation""",
     "kg_rule_mining": f"""WITH {_base_ctes()},
-etriples AS (
-    SELECT DISTINCT ls.entity_id AS subj,
-           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
-           lo.entity_id AS obj
-    FROM mentions a
-    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
-                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
-    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
-                 AND ls.entity_id IS NOT NULL
-    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
-                 AND lo.entity_id IS NOT NULL),
-ind AS (SELECT obj AS mid, CAST(COUNT(*) AS BIGINT) AS ind
-        FROM etriples GROUP BY obj),
-outd AS (SELECT subj AS mid, CAST(COUNT(*) AS BIGINT) AS outd
-         FROM etriples GROUP BY subj),
-okmid AS (SELECT i.mid FROM ind i JOIN outd o ON o.mid = i.mid
-          WHERE i.ind * o.outd <= {RULE_MID_FAN_CAP}),
-body AS (
-    SELECT DISTINCT t1.relation AS r1, t2.relation AS r2,
-           t1.subj AS a, t2.obj AS c
-    FROM etriples t1
-    JOIN okmid k ON k.mid = t1.obj
-    JOIN etriples t2 ON t2.subj = t1.obj
-    WHERE t1.subj <> t2.obj),
-nb AS (SELECT r1, r2, CAST(COUNT(*) AS BIGINT) AS n_body
-       FROM body GROUP BY r1, r2),
-sup AS (
-    SELECT b.r1, b.r2, h.relation AS head_relation,
-           CAST(COUNT(*) AS BIGINT) AS support
-    FROM body b JOIN etriples h ON h.subj = b.a AND h.obj = b.c
-    GROUP BY b.r1, b.r2, h.relation)
+{_RULE_CTES}
 SELECT s.r1 AS body_r1, s.r2 AS body_r2, s.head_relation,
        n.n_body, s.support,
        CAST(s.support * 1000000 // n.n_body AS BIGINT) AS conf_ppm
 FROM sup s JOIN nb n ON n.r1 = s.r1 AND n.r2 = s.r2""",
+    "kg_rule_predictions": f"""WITH {_base_ctes()},
+{_RULE_CTES_CONV},
+rules AS (
+    SELECT s.r1, s.r2, s.head_relation,
+           CAST(s.support * 1000000 // n.n_body AS BIGINT) AS conf_ppm
+    FROM sup s JOIN nb n ON n.r1 = s.r1 AND n.r2 = s.r2
+    WHERE s.support * 1000000 // n.n_body >= {RULE_PRED_MIN_CONF_PPM}
+      AND n.n_body >= {RULE_PRED_MIN_BODY}),
+cand AS (
+    SELECT b.a, r.head_relation, b.c, r.conf_ppm
+    FROM body b JOIN rules r ON r.r1 = b.r1 AND r.r2 = b.r2),
+missing AS (
+    SELECT * FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM etriples t
+                      WHERE t.subj = cand.a
+                        AND t.relation = cand.head_relation
+                        AND t.obj = cand.c))
+SELECT split_part(a, chr(31), 1) AS conv_id,
+       split_part(a, chr(31), 2) AS subj_entity,
+       head_relation AS relation,
+       split_part(c, chr(31), 2) AS obj_entity,
+       CAST(COUNT(*) AS BIGINT) AS n_rules,
+       CAST(MAX(conf_ppm) AS BIGINT) AS best_conf_ppm
+FROM missing GROUP BY a, head_relation, c""",
+    "kg_blocking_quality": f"""WITH {_base_ctes()},
+occ AS (SELECT doc, mention_id, key FROM mentions),
+j AS (
+    SELECT o.key, l.entity_id
+    FROM occ o LEFT JOIN links l
+      ON l.doc = o.doc AND l.mention_id = o.mention_id),
+base AS (
+    SELECT key AS block_key,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN entity_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_linked,
+           CAST(COUNT(DISTINCT entity_id) AS BIGINT) AS n_entities
+    FROM j GROUP BY key),
+ec AS (
+    SELECT key AS block_key, entity_id, COUNT(*) AS cnt
+    FROM j WHERE entity_id IS NOT NULL GROUP BY key, entity_id),
+top AS (
+    SELECT block_key, entity_id AS top_entity, cnt FROM ec
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY block_key
+                               ORDER BY cnt DESC, entity_id ASC) = 1)
+SELECT b.block_key, b.n_occurrences, b.n_linked, b.n_entities,
+       t.top_entity,
+       CAST(CASE WHEN b.n_linked > 0 THEN t.cnt * 1000000 // b.n_linked
+                 ELSE 0 END AS BIGINT) AS purity_ppm
+FROM base b LEFT JOIN top t ON t.block_key = b.block_key""",
     "kg_entity_pagerank": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -3691,6 +3933,8 @@ QUERIES = {
     "kg_name_variants": q_name_variants,
     "kg_agreement_by_distance": q_agreement_by_distance,
     "kg_two_hop_reach": q_two_hop_reach,
+    "kg_rule_predictions": q_rule_predictions,
+    "kg_blocking_quality": q_blocking_quality,
     "kg_neighbor_jaccard": q_neighbor_jaccard,
     "kg_rule_mining": q_rule_mining,
     "kg_nil_entities": q_nil_entities,

@@ -102,6 +102,46 @@ def test_name_variants_share_and_occurrence_consistency(spark):
         assert tl[r.entity_id] == r.n_occurrences
 
 
+def test_rule_predictions_on_hand_kg(spark):
+    """Planted rule r1 ∧ r2 ⇒ r with one closed and one open body
+    pair: only the open pair is predicted, with the rule's 50%
+    confidence; raising the confidence floor silences it."""
+    from dstlr_spark.queries.doc_kg import rule_predictions
+
+    t = spark.createDataFrame(
+        [
+            ("a", "r1", "b"), ("b", "r2", "c"), ("a", "r", "c"),  # closed
+            ("d", "r1", "e"), ("e", "r2", "f"),                    # open
+        ],
+        "subj string, relation string, obj string",
+    )
+    out = rule_predictions(t, min_conf_ppm=250_000, min_body=2).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p.subj_entity, p.relation, p.obj_entity) == ("d", "r", "f")
+    assert p.n_rules == 1 and p.best_conf_ppm == 500_000
+    assert rule_predictions(t, min_conf_ppm=600_000).count() == 0
+
+
+def test_blocking_quality_accounts_every_occurrence(spark):
+    """Block traffic sums to the mention-occurrence total; linked ≤
+    occurrences; purity is a valid ppm and present exactly when the
+    block has linked occurrences."""
+    from dstlr_spark.queries.doc_kg import q_blocking_quality, q_mentions
+
+    rows = q_blocking_quality(spark, SF).collect()
+    assert rows
+    assert sum(r.n_occurrences for r in rows) == q_mentions(spark, SF).count()
+    for r in rows:
+        assert 0 <= r.n_linked <= r.n_occurrences
+        assert r.n_entities <= r.n_linked
+        if r.n_linked > 0:
+            assert r.top_entity is not None
+            assert 0 < r.purity_ppm <= 1_000_000
+        else:
+            assert r.top_entity is None and r.purity_ppm == 0
+
+
 def test_zipf_fit_exact_on_hand_corpus(spark, tmp_path):
     """Hand corpus with known counts — a×4, b×2, c×2, d/e/f/g×1 —
     gives buckets (x=2, 1 token), (x=1, 2 tokens), (x=0, 4 tokens):
