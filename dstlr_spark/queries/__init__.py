@@ -121,6 +121,7 @@ _GATE_FIRST = [
     # seventh-burst additions (locally oracle-verified at all 3 scales)
     "kg_rule_predictions",
     "kg_blocking_quality",
+    "stream_entity_links",
 ]
 
 

