@@ -142,6 +142,39 @@ def test_blocking_quality_accounts_every_occurrence(spark):
             assert r.top_entity is None and r.purity_ppm == 0
 
 
+def test_alias_winners_lockstep_with_batch_links(spark):
+    """The broadcast alias-winner dictionary (`_alias_winners`) must
+    reproduce the batch link table exactly: for every distinct
+    (doc, key) mention the resolved entity equals the winner — the
+    invariant that justifies replacing the corpus-scale link join in
+    `kg_name_variants` / `stream_entity_links` with a dictionary
+    broadcast."""
+    from dstlr_spark.queries.doc_kg import _alias_winners, _kg
+
+    kg = _kg(spark, SF)
+    links = (
+        kg.links_triples()
+        .where(F.col("objectValue").isNotNull())
+        .join(
+            kg.mentions.select(
+                F.col("doc_id").alias("doc"),
+                F.col("mention_id").alias("subjectValue"),
+                "key",
+            ).distinct(),
+            ["doc", "subjectValue"],
+        )
+        .select("key", F.col("objectValue").alias("linked"))
+        .distinct()
+    )
+    joined = links.join(_alias_winners(spark), "key", "full").collect()
+    assert joined
+    for r in joined:
+        # every linked key has a winner and they agree; winner keys
+        # with no linked row are aliases absent from this corpus
+        if r.linked is not None:
+            assert r.linked == r.entity_id
+
+
 def test_zipf_fit_exact_on_hand_corpus(spark, tmp_path):
     """Hand corpus with known counts — a×4, b×2, c×2, d/e/f/g×1 —
     gives buckets (x=2, 1 token), (x=1, 2 tokens), (x=0, 4 tokens):
