@@ -122,6 +122,9 @@ _GATE_FIRST = [
     "kg_rule_predictions",
     "kg_blocking_quality",
     "stream_entity_links",
+    # ninth-burst additions (locally oracle-verified at all 3 scales)
+    "mm_frame_schedule",
+    "events_transitions",
 ]
 
 

@@ -635,6 +635,39 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANOMALY_SIGMA = 3  # flag |value − mean| > 3σ within the event type
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (first-order Markov
+    counts): for every consecutive event pair in a user's timeline,
+    count (from_type → to_type) and its ppm share of all transitions
+    leaving from_type — the behavioral-drift / bot-detection table
+    (a user stream whose transition mass collapses onto one edge is a
+    scripted client), and the events-side twin of
+    ``conv_role_transitions``.
+
+    Scale shape: ONE user-partitioned lag window (per-user state only —
+    the sessionization budget), one pair-keyed hash aggregate, one
+    dimension-scale (|event_types|²) marginal join. Deterministic
+    ordering: (ts, event_id) — the id breaks timestamp ties
+    identically in both engines."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.withColumn("from_type", F.lag("event_type").over(w)).where(
+        F.col("from_type").isNotNull()
+    )
+    pair = t.groupBy(
+        "from_type", F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    tot = pair.groupBy("from_type").agg(F.sum("n_transitions").alias("tot"))
+    return pair.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000 DIV tot").cast("long").alias(
+            "from_share_ppm"
+        ),
+    )
+
+
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical QC: per-event-type 3σ outlier flags with EXACT
     integer arithmetic — no float mean/stddev anywhere. With v in
@@ -1149,6 +1182,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
+    "events_transitions": q_events_transitions,
 }
 
 ORACLES = {
@@ -1508,4 +1542,20 @@ SELECT CAST(cohort AS VARCHAR) AS cohort,
        COUNT(DISTINCT e.user_id) AS n_active
 FROM events e JOIN first USING (user_id)
 GROUP BY 1, 2""",
+    "events_transitions": """
+WITH t AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events),
+pair AS (
+  SELECT from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM t WHERE from_type IS NOT NULL
+  GROUP BY from_type, event_type),
+tot AS (SELECT from_type, SUM(n_transitions) AS tot
+        FROM pair GROUP BY from_type)
+SELECT p.from_type, p.to_type, p.n_transitions,
+       CAST(p.n_transitions * 1000000 // t.tot AS BIGINT) AS from_share_ppm
+FROM pair p JOIN tot t ON t.from_type = p.from_type""",
 }

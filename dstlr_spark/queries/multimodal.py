@@ -111,8 +111,28 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing under the value gate: the Arrow-batched
+    byte-stride sampler (:func:`dstlr_spark.operators.multimodal.
+    frame_sample` — the video path swaps the stride loop for a codec
+    GOP reader; schema, batching, and the deterministic schedule are
+    what the engine guarantees) emits one row per sampled frame with
+    its byte offset and the sampled byte value. The oracle re-derives
+    the schedule and each sampled byte from hex(payload) arithmetic —
+    no byte-decoding shortcut shared with the Spark side.
+
+    Scale shape: one mapInPandas projection over the binary column —
+    map-only, no shuffle; output is rows-per-frame (bounded by
+    payload_bytes / stride)."""
+    from dstlr_spark.operators.multimodal import frame_sample
+
+    media = synth_media(_docs(spark, sf_dir))
+    return frame_sample(media)
+
+
 QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
+    "mm_frame_schedule": q_frame_schedule,
     "mm_media_dedup": q_media_dedup,
     "mm_media_features": q_media_features,
     "mm_media_meta": q_media_meta,
@@ -120,6 +140,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "mm_frame_schedule": f"""
+WITH p AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+f AS (
+  SELECT doc_id, hx, unnest(range((length(hx) // 2 + 63) // 64)) AS k
+  FROM p)
+SELECT doc_id, CAST(k AS INT) AS frame_idx,
+       CAST(k * 64 AS INT) AS byte_offset,
+       CAST((strpos('0123456789ABCDEF',
+                    substr(hx, CAST(k * 128 + 1 AS INT), 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF',
+                      substr(hx, CAST(k * 128 + 2 AS INT), 1)) - 1)
+            AS INT) AS sample
+FROM f""",
     "mm_media_dedup": f"""
 WITH base AS (
   SELECT CAST(doc_id AS BIGINT) AS did,
