@@ -125,6 +125,7 @@ _GATE_FIRST = [
     # ninth-burst additions (locally oracle-verified at all 3 scales)
     "mm_frame_schedule",
     "events_transitions",
+    "kg_conv_novelty",
 ]
 
 

@@ -1043,6 +1043,61 @@ def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation KG novelty — the ingest-value curve: of the
+    entity-level triples a conversation asserts, how many had NEVER
+    been observed in any earlier conversation (first observation by
+    (timestamp, conv_id) order)? The table crawl/ingest scheduling
+    reads at 100 TB: sources whose novelty_ppm collapses are re-crawls
+    feeding the dedup stage, not the KG.
+
+    Scale shape: observations ride the shared window-bounded pair join
+    + turn attribution (the `kg_triple_temporal` budget); per-conv
+    triple rollup and the first-observation pick are one hash
+    aggregate + one triple-keyed window (rows per key ≤ the triple's
+    conversation reach — never corpus-single-partition); the final
+    rollup is conversation-keyed."""
+    o = (
+        _linked_entity_pairs(spark, sf_dir)
+        .join(_turn_spans(spark, sf_dir), "conv_id")
+        .where(
+            (F.col("b") >= F.col("start"))
+            & (F.col("b") < F.col("start") + F.col("ln"))
+        )
+        .select(
+            "conv_id",
+            "subj_entity",
+            F.concat(
+                F.lit("COOCCURS_"), F.col("a_cls"), F.lit("_"), F.col("b_cls")
+            ).alias("relation"),
+            "obj_entity",
+            "ts_s",
+        )
+        .groupBy("conv_id", "subj_entity", "relation", "obj_entity")
+        .agg(F.min("ts_s").alias("first_ts"))
+    )
+    w = Window.partitionBy("subj_entity", "relation", "obj_entity").orderBy(
+        F.col("first_ts").asc(), F.col("conv_id").asc()
+    )
+    first = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    per = o.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triples")
+    )
+    return per.join(first, "conv_id", "left").select(
+        "conv_id",
+        "n_triples",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.expr("coalesce(n_novel, 0L) * 1000000 DIV n_triples")
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
+
+
 def q_relation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal drift per relation: observation counts in the early vs
     late half of the corpus' time range (split at the midpoint of the
@@ -3381,6 +3436,39 @@ JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
 JOIN spans s ON s.conv_id = a.doc
            AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln
 GROUP BY ls.entity_id, relation, lo.entity_id""",
+    "kg_conv_novelty": f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+o AS (
+  SELECT a.doc AS conv_id, ls.entity_id AS subj,
+         'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+         lo.entity_id AS obj,
+         MIN(s.ts_s) AS first_ts
+  FROM mentions a
+  JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                 AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+  JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+               AND ls.entity_id IS NOT NULL
+  JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+               AND lo.entity_id IS NOT NULL
+  JOIN spans s ON s.conv_id = a.doc
+             AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln
+  GROUP BY a.doc, ls.entity_id, relation, lo.entity_id),
+fst AS (
+  SELECT conv_id FROM (
+    SELECT conv_id,
+           ROW_NUMBER() OVER (PARTITION BY subj, relation, obj
+                              ORDER BY first_ts, conv_id) AS rn
+    FROM o) z
+  WHERE rn = 1),
+nv AS (SELECT conv_id, COUNT(*) AS n_novel FROM fst GROUP BY conv_id),
+per AS (SELECT conv_id, COUNT(*) AS n_triples FROM o GROUP BY conv_id)
+SELECT p.conv_id, CAST(p.n_triples AS BIGINT) AS n_triples,
+       CAST(COALESCE(nv.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(nv.n_novel, 0) * 1000000 // p.n_triples AS BIGINT)
+         AS novelty_ppm
+FROM per p LEFT JOIN nv ON nv.conv_id = p.conv_id""",
     "kg_comention_pmi": f"""WITH {_base_ctes()},
 ent_docs AS (
     SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
@@ -4005,6 +4093,7 @@ QUERIES = {
     "kg_alias_ambiguity": q_alias_ambiguity,
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
+    "kg_conv_novelty": q_conv_novelty,
     "kg_entity_triangles": q_entity_triangles,
     "kg_clustering_coefficient": q_clustering_coefficient,
     "kg_degree_assortativity": q_degree_assortativity,

@@ -92,10 +92,12 @@ missing scenarios).
 """
     (REPO / "BENCH").mkdir(exist_ok=True)
     target = REPO / "BENCH/BASELINE.md"
-    marker = "## Why N=2"
+    # regenerate only the header block this script owns; preserve every
+    # hand-written section (anything from the first "## " heading on)
+    marker = "\n## "
     appended = ""
     if target.exists() and marker in target.read_text():
-        appended = "\n" + marker + target.read_text().split(marker, 1)[1]
+        appended = marker + target.read_text().split(marker, 1)[1]
     target.write_text(md + appended)
 
 
