@@ -17,10 +17,17 @@ analytics; this is that surface as partitioned parquet):
   signatures/   per-relation functionality statistics
   nil/          NIL-entity proposals for unlinked mentions
   trend/        per-relation early/late observation drift
+  quality/      clustering coefficient + degree (hub-vs-bridge triage)
+  conductance/  per-community cut quality of the LPA partition
+  assortativity/ one-row Newman degree-assortativity audit
+  blocking/     ER lemma-block purity audit
+  variants/     entity name-variant dictionary (alias-table export)
+  predictions/  rule-applied link predictions (conv-grounded KB completion)
+  novelty/      per-conversation first-observation novelty curve
 
 Every table is produced by the same oracle-gated operators the driver
 value-checks — this job is their composition, not a re-implementation.
-Extraction state is shared across all nine tables via the session
+Extraction state is shared across all tables via the session
 memo (one annotator pass; on a cluster the staged mention/link frames
 are Iceberg stage tables).
 """
@@ -46,10 +53,18 @@ def main() -> None:
         q_entity_kcore,
         q_entity_pagerank,
         q_label_propagation,
+        q_agreement_by_distance,
+        q_blocking_quality,
+        q_clustering_coefficient,
+        q_community_conductance,
+        q_conv_novelty,
+        q_degree_assortativity,
+        q_name_variants,
         q_nil_entities,
         q_relation_signature,
         q_relation_trend,
         q_rule_mining,
+        q_rule_predictions,
     )
 
     tables = {
@@ -63,6 +78,14 @@ def main() -> None:
         "signatures": q_relation_signature,
         "nil": q_nil_entities,
         "trend": q_relation_trend,
+        "quality": q_clustering_coefficient,
+        "conductance": q_community_conductance,
+        "assortativity": q_degree_assortativity,
+        "calibration": q_agreement_by_distance,
+        "blocking": q_blocking_quality,
+        "variants": q_name_variants,
+        "predictions": q_rule_predictions,
+        "novelty": q_conv_novelty,
     }
     for name, q in tables.items():
         df = q(spark, args.sf_dir)
