@@ -192,6 +192,65 @@ def test_zipf_fit_exact_on_hand_corpus(spark, tmp_path):
     assert row.slope_ppm == -1_000_000
 
 
+def test_conv_novelty_partitions_the_triple_set(spark):
+    """Every distinct triple is novel in EXACTLY one conversation
+    (Σ n_novel == |distinct triples|); ppm bounds hold. (No conv is
+    guaranteed all-novel: turn timestamps are epoch+turn_idx, so a
+    later-id conv can observe a triple at an earlier turn offset.)"""
+    from dstlr_spark.queries.doc_kg import q_conv_novelty, q_triple_temporal
+
+    rows = q_conv_novelty(spark, SF).collect()
+    assert rows
+    n_triples_global = q_triple_temporal(spark, SF).count()
+    assert sum(r.n_novel for r in rows) == n_triples_global
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_triples
+        assert r.novelty_ppm == r.n_novel * 1_000_000 // r.n_triples
+    assert max(r.novelty_ppm for r in rows) > 0
+
+
+def test_events_transitions_shares_sum_to_one(spark):
+    """Per from_type, floor-ppm shares sum into (10^6 − |rows|, 10^6]."""
+    from collections import defaultdict
+
+    from dstlr_spark.queries.curation import q_events_transitions
+
+    rows = q_events_transitions(spark, SF).collect()
+    assert rows
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r)
+    for fr, group in by_from.items():
+        s = sum(r.from_share_ppm for r in group)
+        assert 1_000_000 - len(group) < s <= 1_000_000
+        tot = sum(r.n_transitions for r in group)
+        for r in group:
+            assert r.from_share_ppm == r.n_transitions * 1_000_000 // tot
+
+
+def test_frame_schedule_covers_payload_at_stride(spark):
+    """Frame count per doc == ceil(payload_bytes / 64); offsets are the
+    exact stride grid; samples are valid bytes."""
+    from dstlr_spark.operators.multimodal import synth_media
+    from dstlr_spark.queries.multimodal import _docs, q_frame_schedule
+
+    sizes = {
+        r.doc_id: r.n
+        for r in synth_media(_docs(spark, SF))
+        .select("doc_id", F.length("payload").alias("n"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    frames = defaultdict(list)
+    for r in q_frame_schedule(spark, SF).collect():
+        frames[r.doc_id].append(r)
+        assert 0 <= r.sample <= 255
+        assert r.byte_offset == r.frame_idx * 64
+    for doc_id, n in sizes.items():
+        assert len(frames[doc_id]) == (n + 63) // 64
+
+
 def test_zipf_fit_accounts_every_token(spark):
     """On the sf corpus: vocab/total accounting matches an independent
     count (the synthetic corpus's 31-word vocabulary is too small for a
