@@ -126,6 +126,7 @@ _GATE_FIRST = [
     "mm_frame_schedule",
     "events_transitions",
     "kg_conv_novelty",
+    "kg_wl_signature",
 ]
 
 

@@ -1538,6 +1538,76 @@ def q_agreement_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Weisfeiler-Lehman refinement rounds: 2 is the standard kernel depth
+#: (captures degree + neighbor-degree-multiset structure); each round
+#: is one edge-scale join + one vertex-keyed sorted-list aggregate.
+WL_ROUNDS = 2
+
+
+def q_wl_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman structural signature per entity over the
+    co-mention graph: start from the degree, then WL_ROUNDS rounds of
+    label(v) ← md5(label(v) ‖ sorted neighbor labels). Entities with
+    the SAME final label occupy indistinguishable structural roles
+    (same degree, same neighbor-degree multiset, …) — the structural
+    blocking key for ER (candidates must share a WL orbit), and the
+    graph-canonicalization fingerprint snapshot diffing uses to detect
+    topology changes without comparing edge lists. ``orbit_size``
+    counts the entities sharing each label.
+
+    Scale shape per round: one edge-scale equi-join to fetch neighbor
+    labels + one vertex-keyed hash aggregate whose per-group list is
+    degree-bounded (array_sort of ≤deg elements — never corpus-scale);
+    final orbit sizing is one vertex-sized self-aggregate. The md5
+    relabel keeps labels constant-width however deep the rounds go."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    return wl_signature(edges)
+
+
+def wl_signature(edges: DataFrame, rounds: int = WL_ROUNDS) -> DataFrame:
+    """WL refinement over an undirected edge list (src, dst) — see
+    :func:`q_wl_signature`. Vertex set = entities with ≥1 edge."""
+    adj = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = adj.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("string").alias("label")
+    )
+    for _ in range(rounds):
+        nb = (
+            adj.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(
+                F.array_join(
+                    F.array_sort(F.collect_list("label")), ","
+                ).alias("nbl")
+            )
+        )
+        labels = (
+            labels.join(nb, "id")
+            .select(
+                "id",
+                F.md5(F.concat(F.col("label"), F.lit("|"), F.col("nbl"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint()
+        )
+    orbits = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("orbit_size")
+    )
+    return labels.join(orbits, "label").select(
+        F.col("id").alias("entity_id"),
+        F.col("label").alias("wl_label"),
+        "orbit_size",
+    )
+
+
 #: wedge-generation hub cap for neighbor-Jaccard: vertices with more
 #: than this many neighbors are excluded as SHARED neighbors (their
 #: wedge fan is deg², and a celebrity entity co-mentioned with everyone
@@ -3990,6 +4060,30 @@ SELECT s.community, CAST(s.n_entities AS BIGINT) AS n_entities,
 FROM sizes s
 LEFT JOIN internal i ON i.community = s.community
 LEFT JOIN cuts c ON c.community = s.community""",
+    "kg_wl_signature": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+wl0 AS (SELECT src AS id, CAST(COUNT(*) AS VARCHAR) AS label
+        FROM sym GROUP BY src)"""
+    + "".join(
+        f""",
+wn{k} AS (
+    SELECT s.src AS id,
+           array_to_string(list_sort(list(l.label)), ',') AS nbl
+    FROM sym s JOIN wl{k - 1} l ON l.id = s.dst
+    GROUP BY s.src),
+wl{k} AS MATERIALIZED (
+    SELECT p.id, md5(p.label || '|' || n.nbl) AS label
+    FROM wl{k - 1} p JOIN wn{k} n ON n.id = p.id)"""
+        for k in range(1, WL_ROUNDS + 1)
+    )
+    + f""",
+orb AS (SELECT label, COUNT(*) AS orbit_size
+        FROM wl{WL_ROUNDS} GROUP BY label)
+SELECT l.id AS entity_id, l.label AS wl_label,
+       CAST(o.orbit_size AS BIGINT) AS orbit_size
+FROM wl{WL_ROUNDS} l JOIN orb o ON o.label = l.label""",
     "kg_name_variants": f"""WITH {_base_ctes()},
 focc AS (
     SELECT doc, md5(doc || chr(31) || key) AS mention_id,
@@ -4094,6 +4188,7 @@ QUERIES = {
     "kg_entity_salience": q_entity_salience,
     "kg_triple_temporal": q_triple_temporal,
     "kg_conv_novelty": q_conv_novelty,
+    "kg_wl_signature": q_wl_signature,
     "kg_entity_triangles": q_entity_triangles,
     "kg_clustering_coefficient": q_clustering_coefficient,
     "kg_degree_assortativity": q_degree_assortativity,

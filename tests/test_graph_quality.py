@@ -175,6 +175,27 @@ def test_alias_winners_lockstep_with_batch_links(spark):
             assert r.linked == r.entity_id
 
 
+def test_wl_signature_orbits_on_hand_graphs(spark):
+    """Path A-B-C: the symmetric leaves {A, C} share a WL orbit, the
+    center B is alone. Adding D-E (a disjoint symmetric pair) gives
+    D, E their own shared orbit distinct from the path's leaves
+    (different degree-neighborhood structure)."""
+    from dstlr_spark.queries.doc_kg import wl_signature
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("D", "E")], "src string, dst string"
+    )
+    out = {r.entity_id: r for r in wl_signature(edges).collect()}
+    assert out["A"].wl_label == out["C"].wl_label
+    assert out["A"].orbit_size == 2
+    assert out["B"].orbit_size == 1
+    assert out["B"].wl_label != out["A"].wl_label
+    assert out["D"].wl_label == out["E"].wl_label
+    assert out["D"].orbit_size == 2
+    # degree-1 vertices with different 2-hop structure split orbits
+    assert out["D"].wl_label != out["A"].wl_label
+
+
 def test_zipf_fit_exact_on_hand_corpus(spark, tmp_path):
     """Hand corpus with known counts — a×4, b×2, c×2, d/e/f/g×1 —
     gives buckets (x=2, 1 token), (x=1, 2 tokens), (x=0, 4 tokens):
