@@ -127,6 +127,7 @@ _GATE_FIRST = [
     "events_transitions",
     "kg_conv_novelty",
     "kg_wl_signature",
+    "kg_entity_distances",
 ]
 
 

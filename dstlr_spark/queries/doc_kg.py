@@ -1538,6 +1538,68 @@ def q_agreement_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bounded-path horizon: the Cypher variable-length-path analog
+#: (`MATCH (a)-[*1..3]-(b)`) is materialized to this many hops.
+KHOP_MAX = 3
+
+
+def q_entity_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded shortest-path distance table over the co-mention graph
+    — the engine-side analog of Neo4j's variable-length path match
+    (`MATCH (a)-[*1..{KHOP_MAX}]-(b)`), which the reference's graph
+    store exposes on the loaded KG (README.md:136-183): every
+    unordered entity pair within KHOP_MAX hops, with the exact hop
+    distance. Downstream: relatedness features for linking, Cypher
+    path-query offload, and the distance cutoff audit for
+    `kg_rule_predictions` (rules only ever fire at distance 2).
+
+    Scale shape: frontier expansion — per extra hop, ONE edge-scale
+    equi-join of the known-distance frame with the adjacency list,
+    then a min-hash-aggregate on the pair key (the connected-components
+    budget, bounded to {KHOP_MAX} rounds). All-pairs-within-K explodes
+    combinatorially on dense graphs, exactly as the equivalent Cypher
+    does — at 100 TB this runs ANCHORED (a predicate on `src` pushes
+    into the first frontier scan and every later join, shrinking each
+    frontier to the anchor's neighborhood); the unanchored form here is
+    the gate shape."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    return entity_distances(edges)
+
+
+def entity_distances(edges: DataFrame, max_hops: int = KHOP_MAX) -> DataFrame:
+    """Bounded BFS distance table over an undirected edge list — see
+    :func:`q_entity_distances`."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    dist = sym.select("src", "dst", F.lit(1).alias("hops"))
+    frontier = dist
+    for k in range(2, max_hops + 1):
+        frontier = (
+            frontier.join(
+                sym.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
+                "dst",
+            )
+            .where(F.col("nxt") != F.col("src"))
+            .select("src", F.col("nxt").alias("dst"), F.lit(k).alias("hops"))
+            .distinct()
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(frontier)
+    return (
+        dist.where(F.col("src") < F.col("dst"))
+        .groupBy(
+            F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")
+        )
+        .agg(F.min("hops").cast("long").alias("hops"))
+    )
+
+
 #: Weisfeiler-Lehman refinement rounds: 2 is the standard kernel depth
 #: (captures degree + neighbor-degree-multiset structure); each round
 #: is one edge-scale join + one vertex-keyed sorted-list aggregate.
@@ -4060,6 +4122,25 @@ SELECT s.community, CAST(s.n_entities AS BIGINT) AS n_entities,
 FROM sizes s
 LEFT JOIN internal i ON i.community = s.community
 LEFT JOIN cuts c ON c.community = s.community""",
+    "kg_entity_distances": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+d1 AS (SELECT src, dst, 1 AS hops FROM sym)"""
+    + "".join(
+        f""",
+d{k} AS MATERIALIZED (
+    SELECT DISTINCT f.src, s.dst, {k} AS hops
+    FROM d{k - 1} f JOIN sym s ON s.src = f.dst
+    WHERE s.dst <> f.src)"""
+        for k in range(2, KHOP_MAX + 1)
+    )
+    + f""",
+alld AS ({" UNION ALL ".join(f"SELECT * FROM d{k}" for k in range(1, KHOP_MAX + 1))})
+SELECT src AS entity_a, dst AS entity_b,
+       CAST(MIN(hops) AS BIGINT) AS hops
+FROM alld WHERE src < dst
+GROUP BY src, dst""",
     "kg_wl_signature": f"""WITH {_base_ctes()},
 {_UND_EDGE_CTES},
 sym AS MATERIALIZED (
@@ -4189,6 +4270,7 @@ QUERIES = {
     "kg_triple_temporal": q_triple_temporal,
     "kg_conv_novelty": q_conv_novelty,
     "kg_wl_signature": q_wl_signature,
+    "kg_entity_distances": q_entity_distances,
     "kg_entity_triangles": q_entity_triangles,
     "kg_clustering_coefficient": q_clustering_coefficient,
     "kg_degree_assortativity": q_degree_assortativity,

@@ -175,6 +175,26 @@ def test_alias_winners_lockstep_with_batch_links(spark):
             assert r.linked == r.entity_id
 
 
+def test_entity_distances_exact_on_path_graph(spark):
+    """Path A-B-C-D: six unordered pairs with hops 1/1/1/2/2/3; a
+    tighter horizon drops only the 3-hop pair."""
+    from dstlr_spark.queries.doc_kg import entity_distances
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string"
+    )
+    out = {(r.entity_a, r.entity_b): r.hops for r in entity_distances(edges).collect()}
+    assert out == {
+        ("A", "B"): 1, ("B", "C"): 1, ("C", "D"): 1,
+        ("A", "C"): 2, ("B", "D"): 2, ("A", "D"): 3,
+    }
+    out2 = {
+        (r.entity_a, r.entity_b): r.hops
+        for r in entity_distances(edges, max_hops=2).collect()
+    }
+    assert ("A", "D") not in out2 and len(out2) == 5
+
+
 def test_wl_signature_orbits_on_hand_graphs(spark):
     """Path A-B-C: the symmetric leaves {A, C} share a WL orbit, the
     center B is alone. Adding D-E (a disjoint symmetric pair) gives
