@@ -128,6 +128,7 @@ _GATE_FIRST = [
     "kg_conv_novelty",
     "kg_wl_signature",
     "kg_entity_distances",
+    "kg_entity_distances_anchored",
 ]
 
 

@@ -1571,13 +1571,41 @@ def q_entity_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_distances(edges)
 
 
-def entity_distances(edges: DataFrame, max_hops: int = KHOP_MAX) -> DataFrame:
+#: gate anchor for the anchored-BFS shape (any entity id works; the
+#: gazetteer's highest-traffic entity exercises the widest frontier)
+DIST_ANCHOR = "E-spark"
+
+
+def q_entity_distances_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape of `kg_entity_distances`, executable: the BFS
+    is SEEDED from one anchor entity, so every frontier is the
+    anchor's k-neighborhood instead of all pairs — the plan a Cypher
+    `MATCH (a {{id: $x}})-[*1..{KHOP_MAX}]-(b)` compiles to. Output:
+    (entity_b, hops) for everything within KHOP_MAX of the anchor."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    return entity_distances(edges, anchor=DIST_ANCHOR).select(
+        "entity_b", "hops"
+    )
+
+
+def entity_distances(
+    edges: DataFrame, max_hops: int = KHOP_MAX, anchor: str | None = None
+) -> DataFrame:
     """Bounded BFS distance table over an undirected edge list — see
-    :func:`q_entity_distances`."""
+    :func:`q_entity_distances`. With ``anchor`` set, the first frontier
+    is pre-filtered to the anchor's edges (and every later frontier is
+    therefore anchor-rooted) — pair output has entity_a == anchor."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     dist = sym.select("src", "dst", F.lit(1).alias("hops"))
+    if anchor is not None:
+        dist = dist.where(F.col("src") == anchor)
     frontier = dist
     for k in range(2, max_hops + 1):
         frontier = (
@@ -1591,13 +1619,13 @@ def entity_distances(edges: DataFrame, max_hops: int = KHOP_MAX) -> DataFrame:
             .localCheckpoint()
         )
         dist = dist.unionByName(frontier)
-    return (
-        dist.where(F.col("src") < F.col("dst"))
-        .groupBy(
-            F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")
-        )
-        .agg(F.min("hops").cast("long").alias("hops"))
-    )
+    if anchor is None:
+        dist = dist.where(F.col("src") < F.col("dst"))
+    else:
+        dist = dist.where(F.col("dst") != F.lit(anchor))
+    return dist.groupBy(
+        F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")
+    ).agg(F.min("hops").cast("long").alias("hops"))
 
 
 #: Weisfeiler-Lehman refinement rounds: 2 is the standard kernel depth
@@ -4141,6 +4169,24 @@ SELECT src AS entity_a, dst AS entity_b,
        CAST(MIN(hops) AS BIGINT) AS hops
 FROM alld WHERE src < dst
 GROUP BY src, dst""",
+    "kg_entity_distances_anchored": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+a1 AS (SELECT src, dst, 1 AS hops FROM sym WHERE src = '{DIST_ANCHOR}')"""
+    + "".join(
+        f""",
+a{k} AS MATERIALIZED (
+    SELECT DISTINCT f.src, s.dst, {k} AS hops
+    FROM a{k - 1} f JOIN sym s ON s.src = f.dst
+    WHERE s.dst <> f.src)"""
+        for k in range(2, KHOP_MAX + 1)
+    )
+    + f""",
+alla AS ({" UNION ALL ".join(f"SELECT * FROM a{k}" for k in range(1, KHOP_MAX + 1))})
+SELECT dst AS entity_b, CAST(MIN(hops) AS BIGINT) AS hops
+FROM alla WHERE dst <> '{DIST_ANCHOR}'
+GROUP BY dst""",
     "kg_wl_signature": f"""WITH {_base_ctes()},
 {_UND_EDGE_CTES},
 sym AS MATERIALIZED (
@@ -4271,6 +4317,7 @@ QUERIES = {
     "kg_conv_novelty": q_conv_novelty,
     "kg_wl_signature": q_wl_signature,
     "kg_entity_distances": q_entity_distances,
+    "kg_entity_distances_anchored": q_entity_distances_anchored,
     "kg_entity_triangles": q_entity_triangles,
     "kg_clustering_coefficient": q_clustering_coefficient,
     "kg_degree_assortativity": q_degree_assortativity,

@@ -193,6 +193,13 @@ def test_entity_distances_exact_on_path_graph(spark):
         for r in entity_distances(edges, max_hops=2).collect()
     }
     assert ("A", "D") not in out2 and len(out2) == 5
+    # anchored: BFS seeded at D — exactly the unordered pairs
+    # involving D, now as (anchor, other) with the same hop counts
+    anch = {
+        r.entity_b: r.hops
+        for r in entity_distances(edges, anchor="D").collect()
+    }
+    assert anch == {"C": 1, "B": 2, "A": 3}
 
 
 def test_wl_signature_orbits_on_hand_graphs(spark):
