@@ -5,11 +5,15 @@ image/audio/video travel as ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` UDFs.
 
-This container has no image/audio libraries, so PIXEL decode is stubbed
-(clearly marked ``NotImplementedError`` unless Pillow happens to be
-importable) — but everything Spark-side is real and tested: the binary
-schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
-reads, no codec needed), the batch shapes, and the partitioning.
+Pixel decode is REAL for the uncompressed byte-layout formats — 24-bit
+BMP and binary PPM (P6) decode in pure NumPy (:func:`decode_rgb_bytes`),
+with nearest-neighbor resize (:func:`resize_nearest`) on top; both are
+value-gated end-to-end by the ``mm_media_decode`` driver query. Only
+COMPRESSED codecs (PNG deflate, JPEG DCT) still raise a clearly-marked
+``NotImplementedError`` (no codec library in this container; Pillow is
+used if importable). Everything Spark-side is real and tested either
+way: the binary schema, the header PARSERS (PNG IHDR / WAV fmt are pure
+byte-struct reads), the batch shapes, and the partitioning.
 
 Fixture: :func:`synth_media` builds deterministic fake PNGs from the
 documents table with a REAL IHDR header (magic + length + 'IHDR' +
@@ -261,4 +265,220 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     return media.mapInPandas(
         body, "doc_id string, frame_idx int, byte_offset int, sample int"
+    )
+
+
+# --------------------------------------------------------------------------
+# REAL pixel decode — pure NumPy, no imaging library (round 5)
+# --------------------------------------------------------------------------
+# Uncompressed formats are just byte layouts, so their decoders need no
+# codec: 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows padded to 4
+# bytes) and binary PPM (P6) decode with frombuffer + stride reshapes.
+# This retires the round-4 "decode is a stub" finding: the
+# NotImplementedError path below remains ONLY for genuinely compressed
+# codecs (PNG deflate, JPEG DCT, …), which is what it always claimed.
+
+#: planted-pixel formula for synthetic BMPs: channel c∈{0=R,1=G,2=B} at
+#: (x, y) carries (3x + 7y + 11c + 13) % 251 — position- and
+#: channel-dependent, so a decoder that forgets the bottom-up row flip,
+#: the BGR→RGB swap, or the 4-byte row padding produces a DIFFERENT
+#: value, and the DuckDB oracle can re-derive every pixel analytically
+#: without touching bytes.
+PLANT_MOD = 251
+
+
+def _planted_rgb(w: int, h: int):
+    """(h, w, 3) uint8 array of the planted formula (RGB, row-major)."""
+    import numpy as np
+
+    ys, xs, cs = np.mgrid[0:h, 0:w, 0:3]
+    return ((3 * xs + 7 * ys + 11 * cs + 13) % PLANT_MOD).astype(np.uint8)
+
+
+def encode_bmp(rgb) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit
+    bottom-up BMP (the layout every BMP reader accepts)."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up file order + BGR channel order
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pix = rows.tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    )
+    return header + pix
+
+
+def decode_rgb_bytes(b: bytes):
+    """REAL pixel decode of one payload → (h, w, 3) uint8 RGB array.
+
+    Supports the uncompressed byte-layout formats (no codec required):
+    - 24-bit uncompressed BMP (bottom-up or top-down, BGR, padded rows);
+    - binary PPM ``P6`` (maxval ≤ 255).
+
+    Compressed codecs (PNG/JPEG/…) raise NotImplementedError — the only
+    remaining stub surface, and an honest one: inflate/DCT need a codec
+    library this container doesn't ship.
+    """
+    import numpy as np
+
+    if b[:2] == b"BM":
+        off = struct.unpack("<I", b[10:14])[0]
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        comp = struct.unpack("<I", b[30:34])[0]
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"STUB: BMP bpp={bpp} compression={comp} needs a codec; "
+                "only uncompressed 24-bit BMP decodes natively"
+            )
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        data = np.frombuffer(b, np.uint8, count=stride * h, offset=off)
+        rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR → RGB
+    if b[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("STUB: 16-bit PPM needs widening logic")
+        return (
+            np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    raise NotImplementedError(
+        "STUB: compressed codec (PNG/JPEG/...) — decode needs an imaging "
+        "library this container doesn't ship; uncompressed BMP/PPM decode "
+        "natively via decode_rgb_bytes"
+    )
+
+
+def resize_nearest(rgb, max_side: int):
+    """Nearest-neighbor downscale preserving aspect: the longest side
+    becomes ≤ max_side (no-op if already within). Pure index math:
+    thumb pixel (X, Y) samples source ((X·w) DIV tw, (Y·h) DIV th)."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    m = max(w, h)
+    if m <= max_side:
+        tw, th = w, h
+    else:
+        tw = max(1, (w * max_side) // m)
+        th = max(1, (h * max_side) // m)
+    xs = (np.arange(tw) * w) // tw
+    ys = (np.arange(th) * h) // th
+    return rgb[np.ix_(ys, xs)]
+
+
+def synth_media_bmp(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, n_chars) → (doc_id, payload binary) where
+    payload is a REAL uncompressed 24-bit BMP of the planted-pixel
+    image: width = n_chars % 7 + 2, height = (n_chars·3) % 7 + 2 (2..8
+    px — the gate exercises decode arithmetic, not IO volume), pixels
+    from :data:`PLANT_MOD`'s formula. Deterministic in n_chars only, so
+    the DuckDB oracle re-derives dimensions AND every pixel without
+    parsing a byte. Same F1/F2 null guard as :func:`synth_media`."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 7 + 2
+                h = (int(n_chars) * 3) % 7 + 2
+                rows.append(
+                    dict(doc_id=doc_id, payload=encode_bmp(_planted_rgb(w, h)))
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "payload": pd.Series(dtype="object")}
+            )
+
+    return (
+        documents.where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+        .mapInPandas(body, "doc_id string, payload binary")
+    )
+
+
+def decode_image_np(media: DataFrame) -> DataFrame:
+    """REAL pixel decode operator: (doc_id, payload) → (doc_id, width,
+    height, pixels array<int>) — flattened row-major RGB. Arrow-batched
+    mapInPandas over :func:`decode_rgb_bytes`; per-doc failure isolation
+    (X2): an undecodable payload yields a null-dimension row instead of
+    killing the batch."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rgb = decode_rgb_bytes(bytes(payload))
+                    rows.append(
+                        dict(doc_id=doc_id, width=rgb.shape[1],
+                             height=rgb.shape[0],
+                             pixels=[int(v) for v in rgb.reshape(-1)])
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        dict(doc_id=doc_id, width=None, height=None, pixels=None)
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object")
+                 for c in ["doc_id", "width", "height", "pixels"]}
+            )
+
+    return media.mapInPandas(
+        body, "doc_id string, width int, height int, pixels array<int>"
+    )
+
+
+def resize_image_np(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """REAL decode → nearest-neighbor thumbnail: (doc_id, width, height,
+    pixels array<int>) of the RESIZED image (same failure isolation as
+    :func:`decode_image_np`)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    th = resize_nearest(decode_rgb_bytes(bytes(payload)), max_side)
+                    rows.append(
+                        dict(doc_id=doc_id, width=th.shape[1], height=th.shape[0],
+                             pixels=[int(v) for v in th.reshape(-1)])
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        dict(doc_id=doc_id, width=None, height=None, pixels=None)
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object")
+                 for c in ["doc_id", "width", "height", "pixels"]}
+            )
+
+    return media.mapInPandas(
+        body, "doc_id string, width int, height int, pixels array<int>"
     )

@@ -27,108 +27,64 @@ from pyspark.sql import DataFrame, SparkSession
 # reaching the tail modules), followed by queries whose implementation
 # or oracle changed this round and therefore needs a fresh gate row.
 _GATE_FIRST = [
-    # The driver's correctness window is the registry's first FIFTY
-    # entries (measured: r2/r3 files hold exactly 50 rows). Priority
-    # when the must-gate set exceeds 50:
-    #   1. the 13 queries VERDICT r3 explicitly demands rows for
-    #      (never driver-gated through r3 + the one red row);
-    #   2. the 29 round-4 additions (no driver row exists yet);
-    #   3. the burst-3 additions (triple-scale locally verified; the
-    #      two cheapest/simplest-semantics ones ordered last so they
-    #      are the ones that spill);
-    #   4. r3-green queries whose implementation changed this round
-    #      (stale-but-green rows + triple-scale local re-verification).
-    # never driver-gated through r3 (12, per VERDICT r3) + the red row
-    "corpus_datacard",
-    "stream_dedup_turns",
-    "stream_curate_decision",
-    "dedup_edit_distance",
-    "dedup_incremental",
-    "dedup_containment",
-    "text_repetition",
-    "text_ngram_topk",
-    "text_winnow_fingerprint",
-    "text_sample_lang_capped",
-    "events_zorder",
-    "rel_bilateral_trade",
-    "rel_type_revenue_share",
-    # new in round 4 — must land inside the driver's gate window NOW,
-    # not discover the r3 truncation problem a round later
-    "text_token_rarity",
-    "conv_role_transitions",
-    "conv_turn_stats",
-    "conv_tool_stats",
-    "conv_sessionize",
-    "curate_lm_surprisal",
-    "curate_domain_mix",
-    "text_html_strip",
-    "text_dup_segments",
-    "curate_token_budget",
-    "kg_label_propagation",
-    "kg_comention_pmi",
-    "dedup_substring_coverage",
-    "kg_mention_turn_attribution",
-    "kg_entity_timeline",
-    "kg_entity_role_profile",
-    "kg_entity_bursts",
-    "kg_negative_samples",
-    "kg_entity_kcore",
-    "kg_entity_salience",
-    "kg_triple_temporal",
-    "curate_dsir_weights",
-    "curate_nb_quality",
-    "sim_ann_recall",
-    "conv_sft_pairs",
-    "stream_sft_pairs",
-    "mm_media_dedup",
-    "dedup_keep_list",
-    "kg_alias_ambiguity",
-    # burst-3 additions (all triple-scale locally verified); the final
-    # two are the designated spill if the window stays at 50
-    "kg_rule_mining",
-    "kg_neighbor_jaccard",
-    "kg_nil_entities",
-    "kg_relation_signature",
-    "kg_incremental_triples",
-    "kg_relation_trend",
-    "kg_entity_hits",
-    "curate_blocklist",
-    "kg_canonical_triples",
-    "kg_truth_discovery",
-    "kg_entity_summary",
-    "kg_snapshot_asof",
+    # ROUND-5 WINDOW (driver gates a rolling ~50-query prefix; r2-r4
+    # files each hold exactly 50 rows). VERDICT r4 task #1: the 33
+    # queries below are the ONLY registry entries that have never had
+    # a driver CORRECTNESS row (all judge-verified green locally in
+    # the r4 review) — they lead unconditionally, and registry growth
+    # is FROZEN this round except the two verdict-sanctioned
+    # additions (the hub-cap audit, task #4; real multimodal decode,
+    # task #5), which follow them.
     "conv_assistant_echo",
     "conv_context_pack",
-    "curate_mix_temperature",
     "conv_reply_latency",
     "conv_tool_sequences",
-    # changed in round 4 (HLL bit-rho, Bloom auto-size, PageRank join
-    # reorder) — re-gate the new shapes; r3 rows exist and are green
-    "agg_hll_registers",
-    "agg_bloom_bits",
-    "kg_entity_pagerank",
-    # fifth-burst additions (locally oracle-verified; past the ~50-row
-    # window unless the driver widens it — kept here so they lead any
-    # future window before the long-green tail)
-    "kg_clustering_coefficient",
-    "kg_degree_assortativity",
-    "kg_community_conductance",
-    # sixth-burst additions (locally oracle-verified at all 3 scales)
-    "kg_name_variants",
-    "kg_agreement_by_distance",
-    "kg_two_hop_reach",
-    "text_zipf_fit",
-    # seventh-burst additions (locally oracle-verified at all 3 scales)
-    "kg_rule_predictions",
-    "kg_blocking_quality",
-    "stream_entity_links",
-    # ninth-burst additions (locally oracle-verified at all 3 scales)
-    "mm_frame_schedule",
+    "conv_topic_segments",
+    "curate_mix_temperature",
     "events_transitions",
+    "kg_adjacency_list",
+    "kg_agreement_by_distance",
+    "kg_blocking_quality",
+    "kg_canonical_triples",
+    "kg_clustering_coefficient",
+    "kg_community_conductance",
     "kg_conv_novelty",
-    "kg_wl_signature",
+    "kg_degree_assortativity",
     "kg_entity_distances",
     "kg_entity_distances_anchored",
+    "kg_entity_summary",
+    "kg_mention_contexts",
+    "kg_name_variants",
+    "kg_provenance_bundle",
+    "kg_rdf_ntriples",
+    "kg_reciprocity",
+    "kg_rule_predictions",
+    "kg_snapshot_asof",
+    "kg_snapshot_diff",
+    "kg_truth_discovery",
+    "kg_two_hop_reach",
+    "kg_wl_signature",
+    "mm_frame_schedule",
+    "stream_entity_links",
+    "stream_turn_triples",
+    "text_zipf_fit",
+    # round-5 additions (verdict-sanctioned): loud audit for the
+    # kg_entity_distances hub cap; real (pure-NumPy BMP/PPM) media
+    # decode replacing the r4 stub
+    "kg_distance_hub_audit",
+    "mm_media_decode",
+    # round-5 changed implementations, expected hash-identical (the
+    # _linked_entity_pairs staging + bucketed pair join, VERDICT
+    # tasks #2/#3) — re-gated to prove it; designated spill if the
+    # window is tighter than 50
+    "kg_triple_temporal",
+    "kg_negative_samples",
+    "kg_entity_hits",
+    "kg_entity_salience",
+    "kg_incremental_triples",
+    "kg_relation_signature",
+    "kg_relation_trend",
+    "kg_rule_mining",
 ]
 
 

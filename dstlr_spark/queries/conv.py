@@ -457,13 +457,17 @@ def q_topic_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(
             F.when(
                 F.expr(
-                    "(size(array_distinct(split(prev_text, ' ')))"
-                    " + size(array_distinct(split(text, ' ')))"
-                    " - size(array_union(array_distinct(split(prev_text, ' ')),"
-                    "                    array_distinct(split(text, ' ')))))"
+                    # sizes cast to BIGINT before *1000000: int32 wraps
+                    # silently in non-ANSI mode once adjacent turns share
+                    # >=~2148 distinct tokens (same rule as
+                    # conv_assistant_echo's long-cast sizes)
+                    "(CAST(size(array_distinct(split(prev_text, ' '))) AS BIGINT)"
+                    " + CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+                    " - CAST(size(array_union(array_distinct(split(prev_text, ' ')),"
+                    "                    array_distinct(split(text, ' ')))) AS BIGINT))"
                     " * 1000000"
-                    " DIV size(array_union(array_distinct(split(prev_text, ' ')),"
-                    "                      array_distinct(split(text, ' '))))"
+                    " DIV CAST(size(array_union(array_distinct(split(prev_text, ' ')),"
+                    "                      array_distinct(split(text, ' ')))) AS BIGINT)"
                     f" < {TOPIC_BOUNDARY_PPM}"
                 ),
                 F.lit(1),

@@ -952,57 +952,109 @@ def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_window_pairs(a: DataFrame, bm: DataFrame, window: int) -> DataFrame:
+    """Forward window-bounded pair join — all (a, b) with
+    ``b_pos ∈ (a_pos, a_pos + window]`` within one conv_id — via the
+    :mod:`operators.rangejoin` bucket idiom. ``a`` must carry
+    (conv_id, a_pos, …), ``bm`` (conv_id, b_pos, …); other column
+    names must not collide.
+
+    Positions are bucketed ``pos DIV window``; the a-side is exploded
+    into buckets {k, k+1} (for a_pos in bucket k, every qualifying
+    b_pos lands in k or k+1 — never further, so each pair meets
+    exactly once), making the join key (conv_id, bucket) a real
+    equi-key. Scan work per conversation is O(mentions · window)
+    instead of the naive conv-only equi-join's O(mentions²) — the
+    difference between a straggler and a non-event when one
+    pathological conversation has 100k mentions
+    (tests/test_doc_kg_pairs.py pins 50k-in-seconds)."""
+    ae = a.withColumn(
+        "_bkt",
+        F.explode(
+            F.array(
+                F.expr(f"CAST(a_pos AS BIGINT) DIV {window}"),
+                F.expr(f"CAST(a_pos AS BIGINT) DIV {window} + 1"),
+            )
+        ),
+    )
+    be = bm.withColumn("_bkt", F.expr(f"CAST(b_pos AS BIGINT) DIV {window}"))
+    return (
+        ae.join(be, ["conv_id", "_bkt"])
+        .where(
+            (F.col("b_pos") > F.col("a_pos"))
+            & (F.col("b_pos") <= F.col("a_pos") + window)
+        )
+        .drop("_bkt")
+    )
+
+
 def _linked_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence pairs whose BOTH endpoints resolve to KB
     entities, with the subject occurrence's document offset:
-    (conv_id, subj_entity, a_cls, b_cls, b) — shared by the temporal
-    triples and negative-sampling queries. The pair join is the SAME
-    per-document window-bounded self-join as relation extraction
-    (≤ W partners per occurrence, conversation-bounded); both link
-    resolutions are equi-joins against the distinct-mention link
-    table."""
-    kg = _kg(spark, sf_dir)
-    m = kg.mentions
-    a = m.select(
-        F.col("doc_id").alias("conv_id"),
-        F.col("mention_id").alias("a_mid"),
-        F.col("entity_class").alias("a_cls"),
-        F.col("pos").alias("a_pos"),
-        F.col("key").alias("a_key"),
-        F.col("begin").cast("long").alias("b"),
-    )
-    bm = m.select(
-        F.col("doc_id").alias("conv_id"),
-        F.col("mention_id").alias("b_mid"),
-        F.col("entity_class").alias("b_cls"),
-        F.col("pos").alias("b_pos"),
-        F.col("key").alias("b_key"),
-    )
-    pairs = a.join(bm, "conv_id").where(
-        (F.col("b_pos") > F.col("a_pos"))
-        & (F.col("b_pos") <= F.col("a_pos") + COOCCUR_WINDOW)
-        & (F.col("a_key") != F.col("b_key"))
-    )
-    links = (
-        kg.links_triples()
-        .where(F.col("objectValue").isNotNull())
-        .select(
-            F.col("doc").alias("conv_id"),
-            F.col("subjectValue").alias("mention_id"),
-            F.col("objectValue").alias("entity_id"),
+    (conv_id, subj_entity, a_cls, b_cls, b) — shared by the whole
+    temporal / ER / novelty family (~15 gate queries), so it is STAGED
+    once per (session, sf_dir) via :mod:`queries._memo` exactly like
+    ``_turn_spans`` (on a cluster: an Iceberg stage table all
+    downstream jobs read).
+
+    The pair join is position-BUCKETED (the
+    :mod:`operators.rangejoin` shape): a naive ``join(bm, "conv_id")``
+    with the ``b_pos ∈ (a_pos, a_pos+W]`` band as a post-join filter
+    produces a W-bounded OUTPUT but scans O(mentions²) pairs per
+    conversation — one pathological 100k-mention conversation at
+    corpus scale is a straggler. Bucketing ``pos DIV W`` and exploding
+    the a-side into buckets {k, k+1} makes the equi-key
+    (conv_id, bucket): every qualifying pair meets exactly once (for
+    a_pos in bucket k, b_pos ≤ a_pos+W lands in k or k+1, never
+    further), scan work per conversation drops to O(mentions · W),
+    and the band predicate runs as a residual on bucket-collision
+    pairs only. Both link resolutions stay equi-joins against the
+    distinct-mention link table."""
+    from dstlr_spark.queries._memo import staged
+
+    def build() -> DataFrame:
+        kg = _kg(spark, sf_dir)
+        m = kg.mentions
+        a = m.select(
+            F.col("doc_id").alias("conv_id"),
+            F.col("mention_id").alias("a_mid"),
+            F.col("entity_class").alias("a_cls"),
+            F.col("pos").alias("a_pos"),
+            F.col("key").alias("a_key"),
+            F.col("begin").cast("long").alias("b"),
         )
-    )
-    subj = links.select(
-        "conv_id",
-        F.col("mention_id").alias("a_mid"),
-        F.col("entity_id").alias("subj_entity"),
-    )
-    obj = links.select(
-        "conv_id",
-        F.col("mention_id").alias("b_mid"),
-        F.col("entity_id").alias("obj_entity"),
-    )
-    return pairs.join(subj, ["conv_id", "a_mid"]).join(obj, ["conv_id", "b_mid"])
+        bm = m.select(
+            F.col("doc_id").alias("conv_id"),
+            F.col("mention_id").alias("b_mid"),
+            F.col("entity_class").alias("b_cls"),
+            F.col("pos").alias("b_pos"),
+            F.col("key").alias("b_key"),
+        )
+        pairs = bucketed_window_pairs(a, bm, COOCCUR_WINDOW).where(
+            F.col("a_key") != F.col("b_key")
+        )
+        links = (
+            kg.links_triples()
+            .where(F.col("objectValue").isNotNull())
+            .select(
+                F.col("doc").alias("conv_id"),
+                F.col("subjectValue").alias("mention_id"),
+                F.col("objectValue").alias("entity_id"),
+            )
+        )
+        subj = links.select(
+            "conv_id",
+            F.col("mention_id").alias("a_mid"),
+            F.col("entity_id").alias("subj_entity"),
+        )
+        obj = links.select(
+            "conv_id",
+            F.col("mention_id").alias("b_mid"),
+            F.col("entity_id").alias("obj_entity"),
+        )
+        return pairs.join(subj, ["conv_id", "a_mid"]).join(obj, ["conv_id", "b_mid"])
+
+    return staged(spark, ("kg_linked_entity_pairs", sf_dir), build)
 
 
 def q_triple_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,32 +1595,81 @@ def q_agreement_by_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 KHOP_MAX = 3
 
 
+#: degree above which a vertex is a HUB: the frontier expansion never
+#: pivots THROUGH it (it stays reachable as an endpoint). All-pairs-
+#: within-K explodes combinatorially exactly at high-degree vertices —
+#: one celebrity entity with 10^6 co-mention neighbors contributes
+#: 10^12 candidate 2-hop pairs; capping the pivot bounds each
+#: frontier's fan-out at deg≤CAP per expansion and is the standard
+#: sub-quadratic relaxation (same family as the LSH
+#: ``dedup_lsh_skipped_buckets`` cap, and audited just as loudly by
+#: ``kg_distance_hub_audit``). 4096 is far above any degree the
+#: synthetic gazetteer produces (complete graph on 8 entities, deg 7),
+#: so the gate output is cap-invariant; the cap-BINDING semantics are
+#: pinned by tests/test_doc_kg.py's star-graph unit test.
+DIST_HUB_DEGREE_CAP = 4096
+
+
 def q_entity_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded shortest-path distance table over the co-mention graph
     — the engine-side analog of Neo4j's variable-length path match
     (`MATCH (a)-[*1..{KHOP_MAX}]-(b)`), which the reference's graph
     store exposes on the loaded KG (README.md:136-183): every
-    unordered entity pair within KHOP_MAX hops, with the exact hop
-    distance. Downstream: relatedness features for linking, Cypher
-    path-query offload, and the distance cutoff audit for
-    `kg_rule_predictions` (rules only ever fire at distance 2).
+    unordered entity pair within KHOP_MAX hops (paths pivoting only
+    through non-hub vertices, see :data:`DIST_HUB_DEGREE_CAP`), with
+    the exact hop distance. Downstream: relatedness features for
+    linking, Cypher path-query offload, and the distance cutoff audit
+    for `kg_rule_predictions` (rules only ever fire at distance 2).
 
     Scale shape: frontier expansion — per extra hop, ONE edge-scale
     equi-join of the known-distance frame with the adjacency list,
     then a min-hash-aggregate on the pair key (the connected-components
-    budget, bounded to {KHOP_MAX} rounds). All-pairs-within-K explodes
-    combinatorially on dense graphs, exactly as the equivalent Cypher
-    does — at 100 TB this runs ANCHORED (a predicate on `src` pushes
-    into the first frontier scan and every later join, shrinking each
-    frontier to the anchor's neighborhood); the unanchored form here is
-    the gate shape."""
+    budget, bounded to {KHOP_MAX} rounds). Unbounded all-pairs-within-K
+    explodes combinatorially on dense graphs; two guards make this the
+    100 TB shape: (1) hub pivots are excluded — every expansion joins
+    the frontier against the ≤CAP-degree vertex set first, so per-row
+    fan-out is bounded and a celebrity vertex can't mushroom the
+    frontier (excluded hubs are surfaced by ``kg_distance_hub_audit``,
+    never silently dropped); (2) the ANCHORED twin below pushes a
+    seed predicate into the first frontier scan for point lookups."""
     edges = (
         _comention_und(_ent_docs(spark, sf_dir))
         .select("src", "dst")
         .distinct()
         .localCheckpoint()
     )
-    return entity_distances(edges)
+    return entity_distances(edges, hub_cap=DIST_HUB_DEGREE_CAP)
+
+
+def q_distance_hub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loud audit for the hub cap in `kg_entity_distances`: the full
+    co-mention degree table with the is-hub flag (degree >
+    :data:`DIST_HUB_DEGREE_CAP` ⇒ the vertex is never used as a BFS
+    pivot). Rows with ``is_hub = 1`` are exactly the vertices whose
+    through-paths the distance table under-reports — the audit a
+    capped operator must ship (the ``dedup_lsh_skipped_buckets``
+    pattern: cap loudly, never silently).
+
+    Scale shape: one hash aggregate on the symmetrized edge list —
+    vertex-sized output."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.groupBy(F.col("src").alias("entity_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+    ).select(
+        "entity_id",
+        "degree",
+        F.when(F.col("degree") > DIST_HUB_DEGREE_CAP, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_hub"),
+    )
 
 
 #: gate anchor for the anchored-BFS shape (any entity id works; the
@@ -1594,22 +1695,41 @@ def q_entity_distances_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entity_distances(
-    edges: DataFrame, max_hops: int = KHOP_MAX, anchor: str | None = None
+    edges: DataFrame,
+    max_hops: int = KHOP_MAX,
+    anchor: str | None = None,
+    hub_cap: int | None = None,
 ) -> DataFrame:
     """Bounded BFS distance table over an undirected edge list — see
     :func:`q_entity_distances`. With ``anchor`` set, the first frontier
     is pre-filtered to the anchor's edges (and every later frontier is
-    therefore anchor-rooted) — pair output has entity_a == anchor."""
+    therefore anchor-rooted) — pair output has entity_a == anchor.
+    With ``hub_cap`` set, expansion never pivots THROUGH a vertex of
+    degree > hub_cap: hubs stay reachable as path ENDPOINTS (hop-1
+    edges and frontier targets are uncapped) but contribute no
+    through-paths, bounding every expansion join's per-row fan-out."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+    if hub_cap is not None:
+        # non-hub pivot whitelist (vertex-sized; broadcast on a cluster)
+        nonhub = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .where(F.col("_deg") <= hub_cap)
+            .select(F.col("src").alias("dst"))
+            .localCheckpoint()
+        )
     dist = sym.select("src", "dst", F.lit(1).alias("hops"))
     if anchor is not None:
         dist = dist.where(F.col("src") == anchor)
     frontier = dist
     for k in range(2, max_hops + 1):
+        pivotable = (
+            frontier.join(nonhub, "dst", "semi") if hub_cap is not None else frontier
+        )
         frontier = (
-            frontier.join(
+            pivotable.join(
                 sym.select(F.col("src").alias("dst"), F.col("dst").alias("nxt")),
                 "dst",
             )
@@ -3037,9 +3157,6 @@ def q_entity_mention_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracles — generated from the same constants
 # --------------------------------------------------------------------------
 
-_PUNCT_SQL = "[.?,:;'\"!]"  # single-quote doubling handled in f-string below
-
-
 #: lemma-key expression for a raw token (oracle side) — same punct class
 #: as _base_ctes; hoisted because f-string expressions can't hold the
 #: escaped-quote backslash inline
@@ -4154,12 +4271,16 @@ LEFT JOIN cuts c ON c.community = s.community""",
 {_UND_EDGE_CTES},
 sym AS MATERIALIZED (
     SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+nonhub AS MATERIALIZED (
+    SELECT src AS id FROM sym GROUP BY src
+    HAVING COUNT(*) <= {DIST_HUB_DEGREE_CAP}),
 d1 AS (SELECT src, dst, 1 AS hops FROM sym)"""
     + "".join(
         f""",
 d{k} AS MATERIALIZED (
     SELECT DISTINCT f.src, s.dst, {k} AS hops
-    FROM d{k - 1} f JOIN sym s ON s.src = f.dst
+    FROM d{k - 1} f JOIN nonhub nh ON nh.id = f.dst
+    JOIN sym s ON s.src = f.dst
     WHERE s.dst <> f.src)"""
         for k in range(2, KHOP_MAX + 1)
     )
@@ -4169,6 +4290,15 @@ SELECT src AS entity_a, dst AS entity_b,
        CAST(MIN(hops) AS BIGINT) AS hops
 FROM alld WHERE src < dst
 GROUP BY src, dst""",
+    "kg_distance_hub_audit": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges)
+SELECT src AS entity_id,
+       CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(CASE WHEN COUNT(*) > {DIST_HUB_DEGREE_CAP} THEN 1 ELSE 0 END
+            AS INT) AS is_hub
+FROM sym GROUP BY src""",
     "kg_entity_distances_anchored": f"""WITH {_base_ctes()},
 {_UND_EDGE_CTES},
 sym AS MATERIALIZED (
@@ -4318,6 +4448,7 @@ QUERIES = {
     "kg_wl_signature": q_wl_signature,
     "kg_entity_distances": q_entity_distances,
     "kg_entity_distances_anchored": q_entity_distances_anchored,
+    "kg_distance_hub_audit": q_distance_hub_audit,
     "kg_entity_triangles": q_entity_triangles,
     "kg_clustering_coefficient": q_clustering_coefficient,
     "kg_degree_assortativity": q_degree_assortativity,

@@ -130,8 +130,52 @@ def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode + resize under the value gate (retires the
+    round-4 stub finding): synth a 24-bit BMP per document with
+    planted position/channel-dependent pixels, decode it with the
+    pure-NumPy BMP decoder, nearest-neighbor-resize to max_side=4, and
+    emit per-doc dimensions, the full-pixel checksum, orientation
+    probes (first-R / last-B pixel — catches a missing bottom-up flip
+    or BGR swap, which a sum alone cannot), and the thumbnail's
+    dimensions + checksum. The oracle re-derives EVERY value
+    analytically from n_chars (the planted formula) without touching a
+    byte — two independent derivations of the BMP spec.
+
+    Scale shape: two map-only Arrow-batched decode passes + one
+    doc-keyed equi-join — no corpus shuffle beyond the join; payloads
+    are bounded (≤8×8 px here; real corpora bound by
+    maxRecordsPerBatch)."""
+    from dstlr_spark.operators.multimodal import (
+        decode_image_np,
+        resize_image_np,
+        synth_media_bmp,
+    )
+
+    media = synth_media_bmp(_docs(spark, sf_dir)).localCheckpoint()
+    pixel_sum = lambda: F.aggregate(  # noqa: E731
+        F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    dec = decode_image_np(media).select(
+        "doc_id",
+        "width",
+        "height",
+        pixel_sum().alias("pixel_sum"),
+        F.element_at("pixels", 1).cast("int").alias("px_first_r"),
+        F.element_at("pixels", -1).cast("int").alias("px_last_b"),
+    )
+    th = resize_image_np(media, max_side=4).select(
+        "doc_id",
+        F.col("width").cast("int").alias("thumb_w"),
+        F.col("height").cast("int").alias("thumb_h"),
+        pixel_sum().alias("thumb_sum"),
+    )
+    return dec.join(th, "doc_id")
+
+
 QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
+    "mm_media_decode": q_media_decode,
     "mm_frame_schedule": q_frame_schedule,
     "mm_media_dedup": q_media_dedup,
     "mm_media_features": q_media_features,
@@ -140,6 +184,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    # analytic re-derivation of the planted BMP: w/h from n_chars, every
+    # pixel from (3x+7y+11c+13) % 251, nearest-neighbor source index
+    # (X·w) DIV tw — no byte parsing anywhere on the oracle side
+    "mm_media_decode": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         n_chars % 7 + 2 AS w, (n_chars * 3) % 7 + 2 AS h
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+dims AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) <= 4 THEN w
+              ELSE greatest(1, (w * 4) // greatest(w, h)) END AS tw,
+         CASE WHEN greatest(w, h) <= 4 THEN h
+              ELSE greatest(1, (h * 4) // greatest(w, h)) END AS th
+  FROM m),
+xs AS (SELECT doc_id, h, unnest(range(w)) AS x FROM dims),
+ys AS (SELECT doc_id, x, unnest(range(h)) AS y FROM xs),
+cs AS (SELECT doc_id, x, y, unnest(range(3)) AS c FROM ys),
+px AS (SELECT doc_id, CAST(SUM((3*x + 7*y + 11*c + 13) % 251) AS BIGINT)
+              AS pixel_sum
+       FROM cs GROUP BY doc_id),
+txs AS (SELECT doc_id, w, h, tw, th, unnest(range(tw)) AS tx FROM dims),
+tys AS (SELECT doc_id, w, h, tw, th, tx, unnest(range(th)) AS ty FROM txs),
+tcs AS (SELECT doc_id, (tx * w) // tw AS sx, (ty * h) // th AS sy,
+               unnest(range(3)) AS c
+        FROM tys),
+tpx AS (SELECT doc_id, CAST(SUM((3*sx + 7*sy + 11*c + 13) % 251) AS BIGINT)
+               AS thumb_sum
+        FROM tcs GROUP BY doc_id)
+SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       px.pixel_sum,
+       CAST(13 AS INT) AS px_first_r,
+       CAST((3*(d.w - 1) + 7*(d.h - 1) + 11*2 + 13) % 251 AS INT) AS px_last_b,
+       CAST(d.tw AS INT) AS thumb_w, CAST(d.th AS INT) AS thumb_h,
+       tpx.thumb_sum
+FROM dims d
+JOIN px ON px.doc_id = d.doc_id
+JOIN tpx ON tpx.doc_id = d.doc_id""",
     "mm_frame_schedule": f"""
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx

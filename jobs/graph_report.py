@@ -21,6 +21,7 @@ analytics; this is that surface as partitioned parquet):
   conductance/  per-community cut quality of the LPA partition
   assortativity/ one-row Newman degree-assortativity audit
   blocking/     ER lemma-block purity audit
+  calibration/  agreement-by-distance extraction-precision curve
   variants/     entity name-variant dictionary (alias-table export)
   predictions/  rule-applied link predictions (conv-grounded KB completion)
   novelty/      per-conversation first-observation novelty curve

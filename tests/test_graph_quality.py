@@ -202,6 +202,44 @@ def test_entity_distances_exact_on_path_graph(spark):
     assert anch == {"C": 1, "B": 2, "A": 3}
 
 
+def test_entity_distances_hub_cap_binds_on_star_graph(spark):
+    """Star H-{L1..L6} plus a path edge L1-X. With hub_cap=5 the
+    center H (degree 6) is never a pivot: leaves keep their hop-1
+    edge TO H (hubs stay reachable as endpoints) but leaf↔leaf
+    2-hop paths through H vanish; the non-hub pivot L1 still routes
+    H↔X and leaf↔X paths. Uncapped (or cap ≥ 6) reproduces the full
+    all-pairs-within-K table — pinning that the cap changes pivot
+    eligibility and nothing else."""
+    from dstlr_spark.queries.doc_kg import entity_distances
+
+    rows = [("H", f"L{i}") for i in range(1, 7)] + [("L1", "X")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+
+    capped = {
+        (r.entity_a, r.entity_b): r.hops
+        for r in entity_distances(edges, hub_cap=5).collect()
+    }
+    # hop-1 edges survive (hubs are endpoints, not pivots)
+    assert capped[("H", "L1")] == 1 and capped[("L1", "X")] == 1
+    # leaf-leaf pairs only existed through the hub: gone — as is
+    # L2→X, whose only path (L2-H-L1-X) needs H as an interior pivot
+    assert ("L2", "L3") not in capped and ("L2", "X") not in capped
+    # paths pivoting through the non-hub L1 survive
+    assert capped[("H", "X")] == 2
+
+    uncapped = {
+        (r.entity_a, r.entity_b): r.hops
+        for r in entity_distances(edges).collect()
+    }
+    high_cap = {
+        (r.entity_a, r.entity_b): r.hops
+        for r in entity_distances(edges, hub_cap=6).collect()
+    }
+    assert high_cap == uncapped
+    assert uncapped[("L2", "L3")] == 2
+    assert set(capped) < set(uncapped)
+
+
 def test_wl_signature_orbits_on_hand_graphs(spark):
     """Path A-B-C: the symmetric leaves {A, C} share a WL orbit, the
     center B is alone. Adding D-E (a disjoint symmetric pair) gives

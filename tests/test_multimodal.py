@@ -85,3 +85,101 @@ def test_frame_sample_stride(spark):
         (r["frame_idx"], r["byte_offset"]) for r in rows if r["doc_id"] == "d1"
     )
     assert d1 == [(0, 0), (1, 10), (2, 20), (3, 30)]  # 35 bytes → 4 frames
+
+
+# --------------------------------------------------------------------------
+# round 5: REAL pixel decode (pure-NumPy BMP/PPM) — no Spark needed
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_and_orientation():
+    """encode_bmp → decode_rgb_bytes is the identity, including the
+    bottom-up flip and BGR→RGB swap (an asymmetric image catches
+    both), and rows pad to 4 bytes (w=3 → stride 12 ≠ 9)."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes, encode_bmp
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    out = decode_rgb_bytes(encode_bmp(rgb))
+    assert out.shape == (5, 3, 3) and (out == rgb).all()
+
+
+def test_bmp_topdown_negative_height():
+    """A top-down BMP (negative height) decodes without the flip."""
+    import struct
+
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes, encode_bmp
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    b = bytearray(encode_bmp(rgb[::-1]))  # flip rows, then mark top-down
+    b[22:26] = struct.pack("<i", -2)
+    assert (decode_rgb_bytes(bytes(b)) == rgb[::-1][::-1]).all()
+
+
+def test_ppm_p6_with_comment():
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    rgb = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = b"P6\n# synthetic\n4 2\n255\n" + rgb.tobytes()
+    assert (decode_rgb_bytes(payload) == rgb).all()
+
+
+def test_unsupported_codecs_raise_not_implemented():
+    import struct
+
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    with pytest.raises(NotImplementedError):
+        decode_rgb_bytes(bytes.fromhex("89504E470D0A1A0A") + b"\0" * 32)  # PNG
+    # 8-bit paletted BMP: real header, unsupported bpp
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_rgb_bytes(hdr + b"\0" * 46)
+
+
+def test_resize_nearest_matches_index_math():
+    """Thumb pixel (X, Y) must sample source ((X·w) DIV tw, (Y·h) DIV th)
+    — the exact rule the DuckDB oracle re-derives — and small images
+    pass through untouched."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import resize_nearest
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    th = resize_nearest(rgb, 4)
+    assert th.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert (th[y, x] == rgb[(y * 6) // 3, (x * 8) // 4]).all()
+    assert (resize_nearest(rgb, 8) == rgb).all()
+
+
+def test_decode_image_np_isolates_bad_payloads(spark):
+    """One decodable BMP + one compressed payload in a batch: the bad
+    row degrades to null dims (X2 failure isolation), the good row
+    decodes fully."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_image_np, encode_bmp
+
+    good = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    bad = bytes.fromhex("89504E470D0A1A0A") + b"\0" * 16
+    media = spark.createDataFrame(
+        [("g", bytearray(good)), ("b", bytearray(bad))],
+        "doc_id string, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_np(media).collect()}
+    assert rows["g"].width == 2 and rows["g"].pixels == [0] * 12
+    assert rows["b"].width is None and rows["b"].pixels is None
