@@ -132,13 +132,40 @@ def main() -> None:
             name, lambda n=name: qs[n](spark, sf_dir).count()
         )
 
-    total = round(sum(timings.values()), 3)
+    # The cross-round comparator is PINNED to the round-3 headline set:
+    # growing the headline total with each round's additions made r4's
+    # 17-query total read as a regression when the shared-13 subtotal
+    # had actually improved (r4 verdict finding #4). `value` is the
+    # comparator total; round additions are timed and reported in their
+    # own block, never folded into the comparator.
+    COMPARATOR = (
+        "kg_pipeline",
+        "kg_clean_supporting",
+        "kg_pattern_e2e",
+        "kg_assembly_roundtrip",
+        "dedup_minhash_pairs",
+        "sim_topk_cosine",
+        "text_quality_score",
+        "dedup_embedding_neardup",
+        "sim_kmeans_iters",
+        "kg_entity_pagerank",
+        "curate_decision",
+        "curate_decontaminate",
+        "rel_bilateral_trade",
+    )
+    missing = [q for q in COMPARATOR if q not in timings]
+    assert not missing, f"comparator queries not timed: {missing}"
+    total = round(sum(timings[q] for q in COMPARATOR), 3)
+    additions = {q: t for q, t in timings.items() if q not in COMPARATOR}
     pipeline_sec = timings["kg_pipeline"]
     pat_sec = timings.get("kg_pattern_e2e")
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "comparator_queries": list(COMPARATOR),
+        "additions_this_round": additions,
+        "additions_total": round(sum(additions.values()), 3),
         "queries": timings,
         "n_registry_queries": len(qs),
         "sf": sf,

@@ -315,3 +315,55 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_bucketed")
+
+
+def test_linked_entity_pairs_staged_and_bucketed(spark):
+    """The temporal/ER family's shared pair frame must be (a) STAGED —
+    a consumer's plan reads the localCheckpoint (ExistingRDD), never
+    re-deriving the mention/link joins — and (b) position-BUCKETED at
+    build time: the build plan's self-join carries the _bkt equi-key
+    (conv-only equi-join would scan O(mentions²) per conversation) and
+    plans as a real hash/sort-merge join, never a nested loop."""
+    from dstlr_spark.queries import _memo
+    from dstlr_spark.queries.doc_kg import (
+        _linked_entity_pairs,
+        q_triple_temporal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # drop any memo entry from earlier tests so the BUILD plan is fresh
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _memo._CACHE if k[:2] == (app, "kg_linked_entity_pairs")]:
+        del _memo._CACHE[k]
+    pairs = _linked_entity_pairs(spark, sf)
+    # consumer plan: reads the staged frame only
+    plan = _plan(spark, q_triple_temporal(spark, sf))
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # second call returns the SAME staged frame object (one derivation
+    # per session — the r4 verdict's per-consumer rebuild finding)
+    assert _linked_entity_pairs(spark, sf) is pairs
+
+
+def test_bucketed_window_pairs_plans_as_equi_join(spark):
+    """The pair join's build shape: the _bkt position bucket must be
+    part of the join EQUI-key (hash or sort-merge join on conv_id +
+    _bkt), with the band predicate as a residual — never a
+    conv-id-only join with the band as a post-join filter (that plan
+    scans O(mentions²) per conversation) and never a nested loop."""
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.queries.doc_kg import bucketed_window_pairs
+
+    m = spark.range(100).select(
+        F.lit("c").alias("conv_id"), F.col("id").cast("int").alias("pos")
+    )
+    df = bucketed_window_pairs(
+        m.select("conv_id", F.col("pos").alias("a_pos")),
+        m.select("conv_id", F.col("pos").alias("b_pos")),
+        8,
+    )
+    plan = _plan(spark, df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the bucket column participates in the join key
+    assert "_bkt" in plan
