@@ -73,6 +73,9 @@ _GATE_FIRST = [
     # decode replacing the r4 stub
     "kg_distance_hub_audit",
     "mm_media_decode",
+    # multi-anchor batch BFS (verdict task #4's suggested batch
+    # variant — K point lookups in one traversal)
+    "kg_entity_distances_batch",
     # round-5 changed implementations, expected hash-identical (the
     # _linked_entity_pairs staging + bucketed pair join, VERDICT
     # tasks #2/#3) — re-gated to prove it; designated spill if the

@@ -1694,20 +1694,58 @@ def q_entity_distances_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: gate seed set for the MULTI-ANCHOR batch BFS — two gazetteer
+#: entities with disjoint 1-hop neighborhoods exercise the union-of-
+#: neighborhoods frontier (not just a renamed single-anchor run)
+DIST_BATCH_ANCHORS: tuple[str, ...] = ("E-spark", "E-customer")
+
+
+def q_entity_distances_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-point-lookup form of `kg_entity_distances_anchored`: distances
+    from EVERY seed in :data:`DIST_BATCH_ANCHORS` in ONE BFS pass — the
+    seed set semi-joins the hop-1 frontier, so K anchored lookups pay
+    one graph traversal instead of K (each frontier is the UNION of the
+    seeds' k-neighborhoods, never all pairs). This is the shape a batch
+    of Cypher `MATCH (a {{id: $x}})-[*1..{KHOP_MAX}]-(b)` point queries
+    compiles to when serviced together at 100 TB. Output: (entity_a =
+    seed, entity_b, hops) for everything within KHOP_MAX of each seed.
+
+    Scale shape: per hop, one edge-scale equi-join of the seed-rooted
+    frontier with the adjacency list; the seed set itself is broadcast
+    (query-sized, K rows) so the frontier never shuffles on K."""
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = spark.createDataFrame(
+        [(a,) for a in DIST_BATCH_ANCHORS], "id string"
+    )
+    return entity_distances(edges, anchors=seeds)
+
+
 def entity_distances(
     edges: DataFrame,
     max_hops: int = KHOP_MAX,
     anchor: str | None = None,
     hub_cap: int | None = None,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded BFS distance table over an undirected edge list — see
     :func:`q_entity_distances`. With ``anchor`` set, the first frontier
     is pre-filtered to the anchor's edges (and every later frontier is
     therefore anchor-rooted) — pair output has entity_a == anchor.
-    With ``hub_cap`` set, expansion never pivots THROUGH a vertex of
-    degree > hub_cap: hubs stay reachable as path ENDPOINTS (hop-1
-    edges and frontier targets are uncapped) but contribute no
-    through-paths, bounding every expansion join's per-row fan-out."""
+    With ``anchors`` set (a 1-column frame of seed entity ids — the
+    MULTI-ANCHOR batch form), the BFS runs from every seed in ONE pass:
+    the seed set semi-joins the first frontier, so frontier volume is
+    Σ per-seed neighborhoods, never all-pairs — the shape for "distances
+    from these K query entities" lookups at 100 TB (K point BFSes would
+    pay K graph scans; this pays one). With ``hub_cap`` set, expansion
+    never pivots THROUGH a vertex of degree > hub_cap: hubs stay
+    reachable as path ENDPOINTS (hop-1 edges and frontier targets are
+    uncapped) but contribute no through-paths, bounding every expansion
+    join's per-row fan-out."""
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1723,6 +1761,11 @@ def entity_distances(
     dist = sym.select("src", "dst", F.lit(1).alias("hops"))
     if anchor is not None:
         dist = dist.where(F.col("src") == anchor)
+    if anchors is not None:
+        seed = anchors.toDF("src").distinct()
+        # broadcast semi-join: seed sets are query-sized (K entities),
+        # the frontier is edge-scale — never shuffle the frontier on K
+        dist = dist.join(F.broadcast(seed), "src", "semi")
     frontier = dist
     for k in range(2, max_hops + 1):
         pivotable = (
@@ -1739,10 +1782,13 @@ def entity_distances(
             .localCheckpoint()
         )
         dist = dist.unionByName(frontier)
-    if anchor is None:
-        dist = dist.where(F.col("src") < F.col("dst"))
-    else:
+    if anchor is not None:
         dist = dist.where(F.col("dst") != F.lit(anchor))
+    elif anchors is not None:
+        # rooted pairs: keep (seed, other), drop self-distances
+        dist = dist.where(F.col("dst") != F.col("src"))
+    else:
+        dist = dist.where(F.col("src") < F.col("dst"))
     return dist.groupBy(
         F.col("src").alias("entity_a"), F.col("dst").alias("entity_b")
     ).agg(F.min("hops").cast("long").alias("hops"))
@@ -4317,6 +4363,26 @@ alla AS ({" UNION ALL ".join(f"SELECT * FROM a{k}" for k in range(1, KHOP_MAX + 
 SELECT dst AS entity_b, CAST(MIN(hops) AS BIGINT) AS hops
 FROM alla WHERE dst <> '{DIST_ANCHOR}'
 GROUP BY dst""",
+    "kg_entity_distances_batch": f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+b1 AS (SELECT src, dst, 1 AS hops FROM sym
+       WHERE src IN ({", ".join(f"'{a}'" for a in DIST_BATCH_ANCHORS)}))"""
+    + "".join(
+        f""",
+b{k} AS MATERIALIZED (
+    SELECT DISTINCT f.src, s.dst, {k} AS hops
+    FROM b{k - 1} f JOIN sym s ON s.src = f.dst
+    WHERE s.dst <> f.src)"""
+        for k in range(2, KHOP_MAX + 1)
+    )
+    + f""",
+allb AS ({" UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(1, KHOP_MAX + 1))})
+SELECT src AS entity_a, dst AS entity_b,
+       CAST(MIN(hops) AS BIGINT) AS hops
+FROM allb WHERE dst <> src
+GROUP BY src, dst""",
     "kg_wl_signature": f"""WITH {_base_ctes()},
 {_UND_EDGE_CTES},
 sym AS MATERIALIZED (
@@ -4448,6 +4514,7 @@ QUERIES = {
     "kg_wl_signature": q_wl_signature,
     "kg_entity_distances": q_entity_distances,
     "kg_entity_distances_anchored": q_entity_distances_anchored,
+    "kg_entity_distances_batch": q_entity_distances_batch,
     "kg_distance_hub_audit": q_distance_hub_audit,
     "kg_entity_triangles": q_entity_triangles,
     "kg_clustering_coefficient": q_clustering_coefficient,

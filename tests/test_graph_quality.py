@@ -347,3 +347,28 @@ def test_zipf_fit_accounts_every_token(spark):
     assert row.total_tokens == toks.count()
     assert row.vocab_size == toks.distinct().count()
     assert 1 <= row.n_buckets <= 64
+
+
+def test_entity_distances_multi_anchor_batch(spark):
+    """Multi-anchor batch BFS (one pass, K seeds) must equal the union
+    of per-seed anchored runs — the K-point-lookup shape that pays one
+    graph traversal instead of K."""
+    from dstlr_spark.queries.doc_kg import entity_distances
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("B", "E")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("A",), ("D",)], "id string")
+    batch = {
+        (r.entity_a, r.entity_b): r.hops
+        for r in entity_distances(edges, anchors=seeds).collect()
+    }
+    singles = {}
+    for s in ("A", "D"):
+        for r in entity_distances(edges, anchor=s).collect():
+            singles[(s, r.entity_b)] = r.hops
+    assert batch == singles
+    # sanity: expected content from seed A (hops ≤ 3)
+    assert batch[("A", "B")] == 1 and batch[("A", "C")] == 2
+    assert batch[("A", "D")] == 3 and batch[("A", "E")] == 2
