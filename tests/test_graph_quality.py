@@ -372,3 +372,99 @@ def test_entity_distances_multi_anchor_batch(spark):
     # sanity: expected content from seed A (hops ≤ 3)
     assert batch[("A", "B")] == 1 and batch[("A", "C")] == 2
     assert batch[("A", "D")] == 3 and batch[("A", "E")] == 2
+
+
+def _py_bfs_pairs(edges, max_hops, cap=None, seeds=None):
+    """Pure-Python reference for entity_distances: min hops over paths
+    whose INTERIOR vertices all have degree <= cap (endpoints uncapped;
+    cap=None disables). Independent of the Spark join-expansion shape."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    out = {}
+    roots = seeds if seeds is not None else sorted(adj)
+    for s in roots:
+        seen = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            d = seen[u]
+            if d >= max_hops:
+                continue
+            # pivoting THROUGH u requires u to be the root or a non-hub
+            if u != s and cap is not None and deg.get(u, 0) > cap:
+                continue
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = d + 1
+                    dq.append(v)
+        for v, d in seen.items():
+            if v != s:
+                out[(s, v)] = d
+    return out
+
+
+def test_entity_distances_matches_python_bfs_on_random_graphs(spark):
+    """Property pin on seeded random graphs: the join-expansion BFS
+    (exact, hub-capped, and multi-anchor batch forms) must equal an
+    independent pure-Python BFS — the gazetteer gate graph is tiny and
+    regular, so this is where wrong-shape bugs (revisit handling,
+    min-hops after capped detours, seed rooting) would actually show."""
+    import random
+
+    from dstlr_spark.queries.doc_kg import KHOP_MAX, entity_distances
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        n = 18
+        edges = sorted(
+            {
+                (f"v{min(i, j):02d}", f"v{max(i, j):02d}")
+                for i in range(n)
+                for j in range(n)
+                if i != j and rng.random() < 0.12
+            }
+        )
+        if not edges:
+            continue
+        edf = spark.createDataFrame(edges, "src string, dst string")
+
+        # exact all-pairs-within-K (hub_cap disabled)
+        got = {
+            (r.entity_a, r.entity_b): r.hops
+            for r in entity_distances(edf).collect()
+        }
+        ref = _py_bfs_pairs(edges, KHOP_MAX)
+        want = {(a, b): d for (a, b), d in ref.items() if a < b}
+        assert got == want, f"exact mismatch (seed={seed})"
+
+        # hub-capped: cap at the median degree so it genuinely binds
+        from collections import Counter
+
+        degc = Counter()
+        for a, b in edges:
+            degc[a] += 1
+            degc[b] += 1
+        cap = sorted(degc.values())[len(degc) // 2]
+        got_c = {
+            (r.entity_a, r.entity_b): r.hops
+            for r in entity_distances(edf, hub_cap=cap).collect()
+        }
+        ref_c = _py_bfs_pairs(edges, KHOP_MAX, cap=cap)
+        want_c = {(a, b): d for (a, b), d in ref_c.items() if a < b}
+        assert got_c == want_c, f"hub-cap mismatch (seed={seed}, cap={cap})"
+        assert any(d > cap for d in degc.values()) or got_c == got
+
+        # multi-anchor batch: 3 seeds, rooted pairs
+        seeds = sorted(rng.sample(sorted(degc), 3))
+        sdf = spark.createDataFrame([(s,) for s in seeds], "id string")
+        got_b = {
+            (r.entity_a, r.entity_b): r.hops
+            for r in entity_distances(edf, anchors=sdf).collect()
+        }
+        want_b = _py_bfs_pairs(edges, KHOP_MAX, seeds=seeds)
+        assert got_b == want_b, f"batch mismatch (seed={seed}, seeds={seeds})"
