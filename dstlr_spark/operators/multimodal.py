@@ -436,10 +436,12 @@ def decode_image_np(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     rgb = decode_rgb_bytes(bytes(payload))
+                    # ndarray.tolist() emits Python ints at C speed —
+                    # the per-pixel int() loop dominated large decodes
                     rows.append(
                         dict(doc_id=doc_id, width=rgb.shape[1],
                              height=rgb.shape[0],
-                             pixels=[int(v) for v in rgb.reshape(-1)])
+                             pixels=rgb.reshape(-1).tolist())
                     )
                 except NotImplementedError:
                     rows.append(
@@ -452,6 +454,62 @@ def decode_image_np(media: DataFrame) -> DataFrame:
 
     return media.mapInPandas(
         body, "doc_id string, width int, height int, pixels array<int>"
+    )
+
+
+def decode_features_np(media: DataFrame) -> DataFrame:
+    """The 100 TB form of :func:`decode_image_np`: decode AND reduce
+    INSIDE the Arrow stage — (doc_id, payload) → (doc_id, width,
+    height, pixel_sum, px_first_r, px_last_b, mean_r, mean_g, mean_b).
+    Never materializes the pixel array through Arrow: at media scale
+    the decoded plane is 12× the file bytes as an ``array<int>`` row,
+    and shipping it out of the stage (not the decode) is the
+    bottleneck — `scripts/probe_round5.py` measures the gap. The
+    value-gated twin keeps emitting pixels so the DuckDB oracle can
+    check them; this operator is the shape a curation pipeline runs.
+    Same per-doc failure isolation (X2)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rgb = decode_rgb_bytes(bytes(payload))
+                    flat = rgb.reshape(-1)
+                    means = rgb.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                    rows.append(
+                        dict(
+                            doc_id=doc_id,
+                            width=rgb.shape[1],
+                            height=rgb.shape[0],
+                            pixel_sum=int(flat.sum(dtype=np.int64)),
+                            px_first_r=int(flat[0]),
+                            px_last_b=int(flat[-1]),
+                            mean_r=float(means[0]),
+                            mean_g=float(means[1]),
+                            mean_b=float(means[2]),
+                        )
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        dict(doc_id=doc_id, width=None, height=None,
+                             pixel_sum=None, px_first_r=None, px_last_b=None,
+                             mean_r=None, mean_g=None, mean_b=None)
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object")
+                 for c in ["doc_id", "width", "height", "pixel_sum",
+                           "px_first_r", "px_last_b", "mean_r", "mean_g",
+                           "mean_b"]}
+            )
+
+    return media.mapInPandas(
+        body,
+        "doc_id string, width int, height int, pixel_sum long, "
+        "px_first_r int, px_last_b int, mean_r double, mean_g double, "
+        "mean_b double",
     )
 
 
@@ -468,7 +526,7 @@ def resize_image_np(media: DataFrame, max_side: int = 64) -> DataFrame:
                     th = resize_nearest(decode_rgb_bytes(bytes(payload)), max_side)
                     rows.append(
                         dict(doc_id=doc_id, width=th.shape[1], height=th.shape[0],
-                             pixels=[int(v) for v in th.reshape(-1)])
+                             pixels=th.reshape(-1).tolist())
                     )
                 except NotImplementedError:
                     rows.append(

@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Scale probes for the round-5 additions (BENCH/BASELINE.md evidence).
+
+1. Multi-anchor batch BFS (`kg_entity_distances_batch` shape): on a
+   deterministic pseudo-random graph (N vertices, ~6N directed edge
+   slots built from hash arithmetic — no driver-side generation), time
+   ONE batch traversal from K seeds vs single-anchor traversals, and
+   report the measured batch-vs-K-singles advantage. The claim under
+   test: K point lookups pay ~one graph traversal, not K.
+
+2. Real BMP decode throughput (`mm_media_decode` operators at media
+   size): synthesize W×H 24-bit BMPs per doc IN the executors
+   (mapInPandas), then decode + thumbnail with the pure-NumPy path and
+   reduce to per-doc checksums — the shape a real multimodal curation
+   stage runs. Reports imgs/s and decoded MB/s.
+
+Usage: python scripts/probe_round5.py [n_vertices] [n_docs] [side]
+Defaults: 100000 vertices, 20000 docs, 96 px.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dstlr_spark.session import get_spark  # noqa: E402
+
+
+def probe_batch_bfs(spark, n_vertices: int, k_seeds: int = 64) -> None:
+    from dstlr_spark.queries.doc_kg import entity_distances
+
+    # deterministic pseudo-random 6-regular-ish multigraph: vertex i
+    # links to xxhash64(i, salt) mod N for 6 salts — built entirely
+    # from range() + column arithmetic, no data ships from the driver
+    v = spark.range(n_vertices).select(F.col("id").cast("string").alias("src"),
+                                       F.col("id").alias("i"))
+    edges = None
+    for salt in range(6):
+        e = v.select(
+            "src",
+            F.pmod(F.xxhash64(F.col("i"), F.lit(salt)), F.lit(n_vertices))
+            .cast("string")
+            .alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    edges = edges.distinct().localCheckpoint()
+    n_edges = edges.count()
+    print(f"graph: {n_vertices} vertices, {n_edges} undirectable edges")
+
+    seeds = [str((i * 7919) % n_vertices) for i in range(k_seeds)]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id string")
+
+    t0 = time.perf_counter()
+    n_batch = entity_distances(edges, anchors=sdf).count()
+    t_batch = time.perf_counter() - t0
+    print(f"batch BFS  K={k_seeds}: {t_batch:.2f}s, {n_batch} (seed,entity,hops) rows")
+
+    singles = []
+    for s in seeds[:4]:
+        t0 = time.perf_counter()
+        entity_distances(edges, anchor=s).count()
+        singles.append(time.perf_counter() - t0)
+    t_single = sum(singles) / len(singles)
+    print(
+        f"anchored BFS mean of 4: {t_single:.2f}s → K-singles estimate "
+        f"{t_single * k_seeds:.1f}s; batch advantage "
+        f"{t_single * k_seeds / t_batch:.1f}x"
+    )
+
+
+def probe_bmp_decode(spark, n_docs: int, side: int) -> None:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import (
+        decode_features_np,
+        decode_image_np,
+        resize_image_np,
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.multimodal import _planted_rgb, encode_bmp
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                w = side + int(doc_id) % 7
+                h = side + (int(doc_id) * 3) % 7
+                rows.append(
+                    dict(doc_id=str(doc_id), payload=encode_bmp(_planted_rgb(w, h)))
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "payload": pd.Series(dtype="object")}
+            )
+
+    media = (
+        spark.range(n_docs)
+        .repartition(32)
+        .mapInPandas(synth, "doc_id string, payload binary")
+        .localCheckpoint()
+    )
+    total_bytes = media.select(F.sum(F.length("payload"))).collect()[0][0]
+    print(f"media: {n_docs} BMPs ~{side}px, {total_bytes / 1e6:.1f} MB")
+
+    pixel_sum = F.aggregate(
+        F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    t0 = time.perf_counter()
+    n = (
+        decode_image_np(media)
+        .select("doc_id", "width", "height", pixel_sum.alias("pixel_sum"))
+        .count()
+    )
+    t_dec = time.perf_counter() - t0
+    print(
+        f"decode:        {t_dec:.2f}s  {n / t_dec:,.0f} imgs/s  "
+        f"{total_bytes / t_dec / 1e6:.1f} MB/s"
+    )
+
+    t0 = time.perf_counter()
+    n = decode_features_np(media).count()
+    t_feat = time.perf_counter() - t0
+    print(
+        f"decode→feats:  {t_feat:.2f}s  {n / t_feat:,.0f} imgs/s  "
+        f"{total_bytes / t_feat / 1e6:.1f} MB/s  (in-stage reduce, no pixel ship)"
+    )
+
+    t0 = time.perf_counter()
+    n = (
+        resize_image_np(media, max_side=64)
+        .select("doc_id", "width", "height", pixel_sum.alias("thumb_sum"))
+        .count()
+    )
+    t_th = time.perf_counter() - t0
+    print(
+        f"decode+resize: {t_th:.2f}s  {n / t_th:,.0f} imgs/s  "
+        f"{total_bytes / t_th / 1e6:.1f} MB/s"
+    )
+
+
+def main() -> None:
+    n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+    side = int(sys.argv[3]) if len(sys.argv) > 3 else 96
+    spark = get_spark("probe-r5", master="local[32]", shuffle_partitions=32)
+    import __spark_entry__ as e
+
+    e._ensure_workers_can_import(spark)
+    probe_batch_bfs(spark, n_vertices)
+    probe_bmp_decode(spark, n_docs, side)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

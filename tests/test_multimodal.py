@@ -183,3 +183,38 @@ def test_decode_image_np_isolates_bad_payloads(spark):
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
     assert rows["g"].width == 2 and rows["g"].pixels == [0] * 12
     assert rows["b"].width is None and rows["b"].pixels is None
+
+
+def test_decode_features_np_matches_materialized_decode(spark):
+    """The in-stage-reduce decode (100 TB shape, never ships pixels)
+    must agree value-for-value with the materializing decode the gate
+    checks: dims, checksum, orientation probes, channel means — plus
+    the same null-row failure isolation."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        _planted_rgb,
+        decode_features_np,
+        decode_image_np,
+        encode_bmp,
+    )
+
+    imgs = {f"d{i}": _planted_rgb(3 + i, 2 + 2 * i) for i in range(4)}
+    rows = [(k, bytearray(encode_bmp(v))) for k, v in imgs.items()]
+    rows.append(("bad", bytearray(b"\x89PNG\r\n\x1a\n" + b"\0" * 16)))
+    media = spark.createDataFrame(rows, "doc_id string, payload binary")
+
+    feats = {r.doc_id: r for r in decode_features_np(media).collect()}
+    full = {r.doc_id: r for r in decode_image_np(media).collect()}
+
+    for k, rgb in imgs.items():
+        f, m = feats[k], full[k]
+        assert (f.width, f.height) == (m.width, m.height) == (
+            rgb.shape[1], rgb.shape[0])
+        assert f.pixel_sum == sum(m.pixels) == int(rgb.sum(dtype=np.int64))
+        assert f.px_first_r == m.pixels[0] and f.px_last_b == m.pixels[-1]
+        means = rgb.reshape(-1, 3).mean(axis=0)
+        assert abs(f.mean_r - means[0]) < 1e-9
+        assert abs(f.mean_g - means[1]) < 1e-9
+        assert abs(f.mean_b - means[2]) < 1e-9
+    assert feats["bad"].width is None and feats["bad"].pixel_sum is None

@@ -367,3 +367,21 @@ def test_bucketed_window_pairs_plans_as_equi_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     # the bucket column participates in the join key
     assert "_bkt" in plan
+
+
+def test_batch_bfs_seed_join_broadcasts(spark):
+    """The multi-anchor BFS's seed semi-join must broadcast the seed
+    set (K rows, query-sized) — shuffling the edge-scale frontier on K
+    would be the wrong plan at any scale."""
+    from dstlr_spark.queries.doc_kg import entity_distances
+
+    edges = spark.range(200).select(
+        F.col("id").cast("string").alias("src"),
+        ((F.col("id") * 7 + 3) % 200).cast("string").alias("dst"),
+    )
+    seeds = spark.createDataFrame([("1",), ("50",)], "id string")
+    plan = _plan(spark, entity_distances(edges, anchors=seeds))
+    assert "BroadcastHashJoin" in plan
+    # the semi-join side is the broadcast one
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
