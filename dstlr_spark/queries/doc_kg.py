@@ -2872,60 +2872,11 @@ def q_stream_turn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch per-turn pair join, which is the oracle.
     (Reference parity: the per-partition CoreNLP flatMap,
     ExtractTriples.scala:60-86, re-expressed as a streaming stage.)"""
-    from dstlr_spark.functions.text import PUNCT_RE, lemma_token
     from dstlr_spark.queries.streamgate import _drain, _transcripts_stream
+    from dstlr_spark.streaming.transcripts_stream import turn_triples_stream
 
-    gmap = F.create_map(
-        *[F.lit(x) for term, cls in DOC_GAZETTEER for x in (term, cls)]
-    )
-    keys = F.transform(
-        F.split(F.col("text"), " "),
-        lambda t: lemma_token(F.regexp_replace(t, PUNCT_RE, "")),
-    )
-    ments = F.filter(
-        F.transform(
-            keys,
-            lambda k, i: F.struct(
-                i.cast("int").alias("pos"),
-                k.alias("key"),
-                F.element_at(gmap, k).alias("cls"),
-            ),
-        ),
-        lambda s: s["cls"].isNotNull(),
-    )
-    t = _transcripts_stream(spark, sf_dir).select(
-        "conv_id", "turn_idx", ments.alias("m")
-    )
-    pairs = F.flatten(
-        F.transform(
-            F.col("m"),
-            lambda a: F.transform(
-                F.filter(
-                    F.col("m"),
-                    lambda b: (b["pos"] > a["pos"])
-                    & (b["pos"] <= a["pos"] + COOCCUR_WINDOW)
-                    & (b["key"] != a["key"]),
-                ),
-                lambda b: F.struct(
-                    a["key"].alias("subj_key"),
-                    F.concat(
-                        F.lit("COOCCURS_"), a["cls"], F.lit("_"), b["cls"]
-                    ).alias("relation"),
-                    b["key"].alias("obj_key"),
-                    a["pos"].alias("a_pos"),
-                    b["pos"].alias("b_pos"),
-                ),
-            ),
-        )
-    )
-    out = t.select("conv_id", "turn_idx", F.explode(pairs).alias("p")).select(
-        "conv_id",
-        F.col("turn_idx").cast("int").alias("turn_idx"),
-        F.col("p.subj_key").alias("subj_key"),
-        F.col("p.relation").alias("relation"),
-        F.col("p.obj_key").alias("obj_key"),
-        F.col("p.a_pos").alias("a_pos"),
-        F.col("p.b_pos").alias("b_pos"),
+    out = turn_triples_stream(
+        _transcripts_stream(spark, sf_dir), DOC_GAZETTEER, COOCCUR_WINDOW
     )
     return _drain(out, "append")
 

@@ -67,6 +67,74 @@ def mention_rate_stream(
     )
 
 
+def turn_triples_stream(
+    transcripts: DataFrame,
+    gazetteer: list[tuple[str, str]],
+    cooccur_window: int,
+) -> DataFrame:
+    """Streaming triple extraction over raw turns (conv_id, turn_idx,
+    text): tokenize, lemma-key (C2), match the broadcast-sized
+    gazetteer (inlined map literal — the streaming analog of a
+    broadcast dimension join), emit window-bounded TURN-LOCAL
+    co-occurrence pairs. Stateless — pure higher-order Column
+    expressions in one codegen stage, then an explode; no watermark,
+    no state store, no shuffle. Gated via ``stream_turn_triples``
+    (`queries/doc_kg.py::q_stream_turn_triples`); throughput/scaling
+    measured by `scripts/probe_streaming.py`."""
+    from dstlr_spark.functions.text import PUNCT_RE, lemma_token
+
+    gmap = F.create_map(
+        *[F.lit(x) for term, cls in gazetteer for x in (term, cls)]
+    )
+    keys = F.transform(
+        F.split(F.col("text"), " "),
+        lambda t: lemma_token(F.regexp_replace(t, PUNCT_RE, "")),
+    )
+    ments = F.filter(
+        F.transform(
+            keys,
+            lambda k, i: F.struct(
+                i.cast("int").alias("pos"),
+                k.alias("key"),
+                F.element_at(gmap, k).alias("cls"),
+            ),
+        ),
+        lambda s: s["cls"].isNotNull(),
+    )
+    t = transcripts.select("conv_id", "turn_idx", ments.alias("m"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("m"),
+            lambda a: F.transform(
+                F.filter(
+                    F.col("m"),
+                    lambda b: (b["pos"] > a["pos"])
+                    & (b["pos"] <= a["pos"] + cooccur_window)
+                    & (b["key"] != a["key"]),
+                ),
+                lambda b: F.struct(
+                    a["key"].alias("subj_key"),
+                    F.concat(
+                        F.lit("COOCCURS_"), a["cls"], F.lit("_"), b["cls"]
+                    ).alias("relation"),
+                    b["key"].alias("obj_key"),
+                    a["pos"].alias("a_pos"),
+                    b["pos"].alias("b_pos"),
+                ),
+            ),
+        )
+    )
+    return t.select("conv_id", "turn_idx", F.explode(pairs).alias("p")).select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("p.subj_key").alias("subj_key"),
+        F.col("p.relation").alias("relation"),
+        F.col("p.obj_key").alias("obj_key"),
+        F.col("p.a_pos").alias("a_pos"),
+        F.col("p.b_pos").alias("b_pos"),
+    )
+
+
 def conversation_sessions_stream(transcripts: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-conversation session aggregation via ``session_window``:
     a conversation 'session' closes after ``gap`` of turn silence —
