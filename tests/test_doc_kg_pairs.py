@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import time
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from dstlr_spark.queries.doc_kg import bucketed_window_pairs
@@ -61,6 +63,37 @@ def test_parity_with_naive_join(spark):
         .collect()
     }
     assert out == naive
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    positions=st.lists(
+        st.tuples(st.sampled_from(["c1", "c2"]), st.integers(0, 60)),
+        min_size=1,
+        max_size=25,
+    ),
+    window=st.integers(1, 10),
+)
+def test_fuzz_parity_with_python_oracle(spark, positions, window):
+    """Random (conv, pos) multisets — duplicate positions included —
+    vs a pure-Python oracle: every qualifying ordered pair appears
+    exactly once, none invented, across bucket boundaries for any
+    window. Multiset semantics: k copies of a position pair with j
+    qualifying partners contribute k·j rows."""
+    want: list[tuple[str, int, int]] = []
+    for ca, pa in positions:
+        for cb, pb in positions:
+            if ca == cb and pa < pb <= pa + window:
+                want.append((ca, pa, pb))
+    got = [
+        (r.conv_id, r.a_pos, r.b_pos)
+        for r in _frames(spark, positions, window=window).collect()
+    ]
+    assert sorted(got) == sorted(want)
 
 
 def test_50k_mention_conversation_in_seconds(spark):
