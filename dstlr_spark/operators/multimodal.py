@@ -5,15 +5,17 @@ image/audio/video travel as ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` UDFs.
 
-Pixel decode is REAL for the uncompressed byte-layout formats — 24-bit
-BMP and binary PPM (P6) decode in pure NumPy (:func:`decode_rgb_bytes`),
-with nearest-neighbor resize (:func:`resize_nearest`) on top; both are
-value-gated end-to-end by the ``mm_media_decode`` driver query. Only
-COMPRESSED codecs (PNG deflate, JPEG DCT) still raise a clearly-marked
-``NotImplementedError`` (no codec library in this container; Pillow is
-used if importable). Everything Spark-side is real and tested either
-way: the binary schema, the header PARSERS (PNG IHDR / WAV fmt are pure
-byte-struct reads), the batch shapes, and the partitioning.
+Pixel decode is REAL for 24-bit BMP, binary PPM (P6), and — round 5 —
+PNG (stdlib ``zlib`` inflate + NumPy unfilter of all five scanline
+filters; 8-bit gray/RGB/RGBA non-interlaced — :func:`decode_png`),
+with nearest-neighbor resize (:func:`resize_nearest`) on top; all
+value-gated end-to-end by the ``mm_media_decode`` driver query over a
+MIXED BMP+PNG planted-pixel corpus. Only codecs that genuinely need an
+imaging library (JPEG DCT, Adam7/palette PNG variants) still raise a
+clearly-marked ``NotImplementedError`` (Pillow is used if importable).
+Everything Spark-side is real and tested either way: the binary
+schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
+reads), the batch shapes, and the partitioning.
 
 Fixture: :func:`synth_media` builds deterministic fake PNGs from the
 documents table with a REAL IHDR header (magic + length + 'IHDR' +
@@ -274,9 +276,11 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # Uncompressed formats are just byte layouts, so their decoders need no
 # codec: 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows padded to 4
 # bytes) and binary PPM (P6) decode with frombuffer + stride reshapes.
-# This retires the round-4 "decode is a stub" finding: the
-# NotImplementedError path below remains ONLY for genuinely compressed
-# codecs (PNG deflate, JPEG DCT, …), which is what it always claimed.
+# PNG joins them because its codec IS the stdlib: zlib inflate + the
+# five scanline filters (decode_png). This retires the round-4 "decode
+# is a stub" finding: the NotImplementedError path below remains ONLY
+# for codecs that truly need an imaging library (JPEG DCT, Adam7 /
+# palette PNG variants).
 
 #: planted-pixel formula for synthetic BMPs: channel c∈{0=R,1=G,2=B} at
 #: (x, y) carries (3x + 7y + 11c + 13) % 251 — position- and
@@ -317,13 +321,15 @@ def encode_bmp(rgb) -> bytes:
 def decode_rgb_bytes(b: bytes):
     """REAL pixel decode of one payload → (h, w, 3) uint8 RGB array.
 
-    Supports the uncompressed byte-layout formats (no codec required):
+    Supports the formats whose codec needs no imaging library:
     - 24-bit uncompressed BMP (bottom-up or top-down, BGR, padded rows);
-    - binary PPM ``P6`` (maxval ≤ 255).
+    - binary PPM ``P6`` (maxval ≤ 255);
+    - PNG, 8-bit gray/RGB/RGBA non-interlaced (stdlib zlib inflate +
+      NumPy unfilter — :func:`decode_png`).
 
-    Compressed codecs (PNG/JPEG/…) raise NotImplementedError — the only
-    remaining stub surface, and an honest one: inflate/DCT need a codec
-    library this container doesn't ship.
+    JPEG (DCT) and the exotic PNG variants raise NotImplementedError —
+    the only remaining stub surface, and an honest one: those need a
+    codec library this container doesn't ship.
     """
     import numpy as np
 
@@ -368,11 +374,179 @@ def decode_rgb_bytes(b: bytes):
             .reshape(h, w, 3)
             .copy()
         )
+    if b[:8] == bytes.fromhex(PNG_MAGIC):
+        return decode_png(b)
     raise NotImplementedError(
-        "STUB: compressed codec (PNG/JPEG/...) — decode needs an imaging "
-        "library this container doesn't ship; uncompressed BMP/PPM decode "
-        "natively via decode_rgb_bytes"
+        "STUB: compressed codec (JPEG/...) — DCT decode needs an imaging "
+        "library this container doesn't ship; BMP/PPM/PNG decode natively "
+        "via decode_rgb_bytes"
     )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): pick the neighbor (left,
+    up, upper-left) closest to the linear estimate a + b - c, ties
+    breaking left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rgb, row_filters=None) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL 8-bit truecolor
+    PNG (bit depth 8, color type 2, non-interlaced) using only stdlib
+    ``zlib``. ``row_filters`` pins the per-scanline filter byte
+    (default: rotate 0..4 by row so one fixture exercises every
+    unfilter path — None/Sub/Up/Average/Paeth); the stream stays valid
+    for any external reader because filters are per-row free choice."""
+    import zlib
+
+    import numpy as np
+
+    raw = rgb.astype(np.uint8)
+    h, w, _ = raw.shape
+    bpp = 3
+    if row_filters is None:
+        row_filters = [y % 5 for y in range(h)]
+    lines = []
+    prev = np.zeros(w * bpp, np.uint8)
+    for y in range(h):
+        cur = raw[y].reshape(-1)
+        ft = int(row_filters[y])
+        left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            filt = cur - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        elif ft == 4:  # Paeth
+            ul = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prev, ul)],
+                np.uint8,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad PNG filter {ft}")
+        lines.append(bytes([ft]) + filt.tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        bytes.fromhex(PNG_MAGIC)
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes):
+    """REAL PNG decode → (h, w, 3) uint8 RGB, pure stdlib ``zlib`` +
+    NumPy (no imaging library): chunk walk with CRC verification,
+    inflate of the concatenated IDAT stream, per-scanline unfilter
+    (all five filters), then grayscale expand / alpha drop to RGB.
+
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced — the overwhelmingly common web/export shape.
+    Adam7 interlace, palette (3), and sub-byte depths raise
+    NotImplementedError; a corrupt stream (bad CRC / truncated IDAT)
+    raises ValueError so the per-doc isolation wrapper can skip it.
+
+    Filters Up/Sub vectorize (uint8 wraparound add / per-lane mod-256
+    cumsum); Average/Paeth are per-byte sequential by definition —
+    fine for the bounded payloads the operators cap batches at, and a
+    codec library drops into the same operator contract for bulk
+    media."""
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != bytes.fromhex(PNG_MAGIC):
+        raise ValueError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(b):
+        ln, tag = struct.unpack(">I4s", b[pos : pos + 8])
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])[0]
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0 or comp != 0:
+        raise NotImplementedError(
+            f"STUB: PNG depth={depth} color={color} interlace={interlace} — "
+            "only 8-bit gray/RGB/RGBA non-interlaced decodes natively"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        rec = out[y]
+        if ft == 0:
+            rec[:] = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-ch] → lane cumsum
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(line[lane::ch], dtype=np.uint8)
+        elif ft == 2:  # Up (uint8 add wraps mod 256)
+            rec[:] = line + prev
+        elif ft == 3:  # Average
+            for x in range(stride):
+                left = int(rec[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                rec[x] = (int(line[x]) + _paeth(a, up, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if ch == 4:
+        return px[..., :3].copy()  # straight alpha drop
+    return px.copy()
 
 
 def resize_nearest(rgb, max_side: int):
@@ -423,6 +597,35 @@ def synth_media_bmp(documents: DataFrame) -> DataFrame:
     )
 
 
+def synth_media_mixed(documents: DataFrame) -> DataFrame:
+    """Two-codec twin of :func:`synth_media_bmp`: the SAME planted
+    image per document (dims and pixels are functions of n_chars
+    alone), but even n_chars serialize as uncompressed 24-bit BMP and
+    odd n_chars as PNG (rotating per-row filters 0..4, so the corpus
+    exercises every unfilter path). A decoder is correct iff BOTH
+    codecs reproduce the identical planted array — which is exactly
+    what lets one format-agnostic analytic oracle gate both."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
+                enc = encode_bmp if n % 2 == 0 else encode_png
+                rows.append(dict(doc_id=doc_id, payload=enc(rgb)))
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "payload": pd.Series(dtype="object")}
+            )
+
+    return (
+        documents.where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+        .mapInPandas(body, "doc_id string, payload binary")
+    )
+
+
 def decode_image_np(media: DataFrame) -> DataFrame:
     """REAL pixel decode operator: (doc_id, payload) → (doc_id, width,
     height, pixels array<int>) — flattened row-major RGB. Arrow-batched
@@ -443,7 +646,7 @@ def decode_image_np(media: DataFrame) -> DataFrame:
                              height=rgb.shape[0],
                              pixels=rgb.reshape(-1).tolist())
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows.append(
                         dict(doc_id=doc_id, width=None, height=None, pixels=None)
                     )
@@ -492,7 +695,7 @@ def decode_features_np(media: DataFrame) -> DataFrame:
                             mean_b=float(means[2]),
                         )
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows.append(
                         dict(doc_id=doc_id, width=None, height=None,
                              pixel_sum=None, px_first_r=None, px_last_b=None,
@@ -528,7 +731,7 @@ def resize_image_np(media: DataFrame, max_side: int = 64) -> DataFrame:
                         dict(doc_id=doc_id, width=th.shape[1], height=th.shape[0],
                              pixels=th.reshape(-1).tolist())
                     )
-                except NotImplementedError:
+                except (NotImplementedError, ValueError):
                     rows.append(
                         dict(doc_id=doc_id, width=None, height=None, pixels=None)
                     )

@@ -132,15 +132,19 @@ def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resize under the value gate (retires the
-    round-4 stub finding): synth a 24-bit BMP per document with
-    planted position/channel-dependent pixels, decode it with the
-    pure-NumPy BMP decoder, nearest-neighbor-resize to max_side=4, and
+    round-4 stub finding): synth the planted position/channel-dependent
+    image per document as a TWO-CODEC corpus — even n_chars as 24-bit
+    BMP, odd as PNG with rotating scanline filters 0..4 (zlib inflate +
+    all five unfilter paths exercised at gate time) — decode with the
+    pure-NumPy decoders, nearest-neighbor-resize to max_side=4, and
     emit per-doc dimensions, the full-pixel checksum, orientation
     probes (first-R / last-B pixel — catches a missing bottom-up flip
     or BGR swap, which a sum alone cannot), and the thumbnail's
     dimensions + checksum. The oracle re-derives EVERY value
     analytically from n_chars (the planted formula) without touching a
-    byte — two independent derivations of the BMP spec.
+    byte, and is format-BLIND: both codecs must reproduce the identical
+    planted array for the hash to match — two independent derivations
+    of the BMP spec and the PNG spec in one gate.
 
     Scale shape: two map-only Arrow-batched decode passes + one
     doc-keyed equi-join — no corpus shuffle beyond the join; payloads
@@ -149,10 +153,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dstlr_spark.operators.multimodal import (
         decode_image_np,
         resize_image_np,
-        synth_media_bmp,
+        synth_media_mixed,
     )
 
-    media = synth_media_bmp(_docs(spark, sf_dir)).localCheckpoint()
+    media = synth_media_mixed(_docs(spark, sf_dir)).localCheckpoint()
     pixel_sum = lambda: F.aggregate(  # noqa: E731
         F.col("pixels"), F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
     )
