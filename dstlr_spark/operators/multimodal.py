@@ -549,6 +549,156 @@ def decode_png(b: bytes):
     return px.copy()
 
 
+# --------------------------------------------------------------------------
+# REAL audio decode — PCM WAV is a byte layout, not a codec (round 5)
+# --------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
+    """Encode an int16 sample array (interleaved if stereo) as a PCM
+    WAV (RIFF/WAVE, fmt + data chunks) — stdlib struct only."""
+    import numpy as np
+
+    pcm = np.asarray(samples, np.int16).tobytes()
+    block = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes):
+    """REAL PCM WAV decode → (samples int16 ndarray interleaved,
+    sample_rate, n_channels) — RIFF chunk walk with word-aligned
+    skipping, stdlib struct + NumPy frombuffer.
+
+    Supported: 16-bit integer PCM (format tag 1), any rate/channel
+    count. Compressed formats (IEEE float, A-law, MP3-in-RIFF, …)
+    raise NotImplementedError; a malformed container raises
+    ValueError."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        tag, ln = struct.unpack("<4sI", b[pos : pos + 8])
+        chunk = b[pos + 8 : pos + 8 + ln]
+        if len(chunk) != ln:
+            raise ValueError(f"truncated WAV chunk {tag!r}")
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"STUB: WAV format={audio_format} bits={bits} needs a codec; "
+            "only 16-bit integer PCM decodes natively"
+        )
+    return np.frombuffer(data, "<i2"), rate, n_channels
+
+
+def audio_features_np(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: (doc_id, payload) → per-clip
+    (n_samples, n_channels, sample_rate, duration_us, sumsq, peak,
+    zero_crossings) from the DECODED samples, all exact integers so
+    an analytic oracle can reproduce them bit-for-bit. Arrow-batched
+    mapInPandas; per-doc failure isolation (X2) — an undecodable clip
+    yields a null-feature row. Map-only: no shuffle, features are the
+    only bytes that leave the stage (the decode_features_np shape)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    s, rate, ch = decode_wav(bytes(payload))
+                    s64 = s.astype(np.int64)
+                    rows.append(
+                        dict(
+                            doc_id=doc_id,
+                            n_samples=int(s.size),
+                            n_channels=int(ch),
+                            sample_rate=int(rate),
+                            duration_us=int(s.size // ch) * 1_000_000 // int(rate),
+                            sumsq=int((s64 * s64).sum()),
+                            peak=int(np.abs(s64).max()) if s.size else 0,
+                            zero_crossings=int(((s64[:-1] * s64[1:]) < 0).sum()),
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append(
+                        dict(doc_id=doc_id, n_samples=None, n_channels=None,
+                             sample_rate=None, duration_us=None, sumsq=None,
+                             peak=None, zero_crossings=None)
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object")
+                 for c in ["doc_id", "n_samples", "n_channels", "sample_rate",
+                           "duration_us", "sumsq", "peak", "zero_crossings"]}
+            )
+
+    return media.mapInPandas(
+        body,
+        "doc_id string, n_samples int, n_channels int, sample_rate int, "
+        "duration_us long, sumsq long, peak int, zero_crossings int",
+    )
+
+
+#: planted-sample formula for synthetic WAVs: sample i of a doc with
+#: n_chars = n is ((n·31 + i·17) % 4097) − 2048 ∈ [−2048, 2048] —
+#: index- and doc-dependent, so a decoder that drops samples, misreads
+#: the rate, or breaks int16 sign produces different features, and the
+#: DuckDB oracle re-derives every feature from range() arithmetic
+#: without touching bytes.
+WAV_MOD = 4097
+WAV_BASE_RATE = 8000
+
+
+def synth_media_wav(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, n_chars) → (doc_id, payload binary):
+    a REAL mono 16-bit PCM WAV per document with planted samples
+    (count = n_chars % 50 + 10, rate = 8000 + (n_chars % 2)·8000).
+    Deterministic in n_chars only — same oracle contract as
+    :func:`synth_media_bmp`. Same F1/F2 null guard."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                count = n % 50 + 10
+                rate = WAV_BASE_RATE + (n % 2) * WAV_BASE_RATE
+                i = np.arange(count, dtype=np.int64)
+                samples = ((n * 31 + i * 17) % WAV_MOD - 2048).astype(np.int16)
+                rows.append(
+                    dict(doc_id=doc_id, payload=encode_wav(samples, rate))
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "payload": pd.Series(dtype="object")}
+            )
+
+    return (
+        documents.where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+        .mapInPandas(body, "doc_id string, payload binary")
+    )
+
+
 def resize_nearest(rgb, max_side: int):
     """Nearest-neighbor downscale preserving aspect: the longest side
     becomes ≤ max_side (no-op if already within). Pure index math:

@@ -73,6 +73,9 @@ _GATE_FIRST = [
     # decode replacing the r4 stub
     "kg_distance_hub_audit",
     "mm_media_decode",
+    # late round-5 addition, still inside the ~50-row window (this is
+    # entry ≤45): REAL PCM WAV decode + exact integer clip features
+    "mm_audio_features",
     # multi-anchor batch BFS (verdict task #4's suggested batch
     # variant — K point lookups in one traversal)
     "kg_entity_distances_batch",

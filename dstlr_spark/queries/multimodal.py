@@ -177,9 +177,32 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.join(th, "doc_id")
 
 
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature extraction under the value gate:
+    synth a mono 16-bit PCM WAV per document with planted samples
+    (count, rate, and every sample value are functions of n_chars),
+    decode it with the pure-struct/NumPy RIFF reader, and emit exact
+    integer clip features — sample count, channel count, rate,
+    integer-microsecond duration, energy (sum of squares), peak
+    amplitude, and strict sign-change zero crossings. The oracle
+    re-derives EVERY feature from range() arithmetic without touching
+    a byte — two independent derivations of the PCM WAV spec.
+
+    Scale shape: one map-only Arrow-batched decode+reduce pass (the
+    decode_features_np shape — samples never leave the stage)."""
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        synth_media_wav,
+    )
+
+    return audio_features_np(synth_media_wav(_docs(spark, sf_dir)))
+
+
 QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
     "mm_media_decode": q_media_decode,
+    "mm_audio_features": q_audio_features,
     "mm_frame_schedule": q_frame_schedule,
     "mm_media_dedup": q_media_dedup,
     "mm_media_features": q_media_features,
@@ -226,6 +249,36 @@ SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
 FROM dims d
 JOIN px ON px.doc_id = d.doc_id
 JOIN tpx ON tpx.doc_id = d.doc_id""",
+    # analytic re-derivation of the planted WAV: count/rate from
+    # n_chars, every sample from (n*31 + i*17) % 4097 - 2048, zero
+    # crossings via LAG — no byte parsing anywhere on the oracle side
+    "mm_audio_features": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         n_chars % 50 + 10 AS cnt,
+         8000 + (n_chars % 2) * 8000 AS rate,
+         n_chars AS n
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+s AS (
+  SELECT doc_id, i, (n * 31 + i * 17) % 4097 - 2048 AS v
+  FROM (SELECT doc_id, n, unnest(range(cnt)) AS i FROM m)),
+sx AS (
+  SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s),
+f AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sumsq,
+         CAST(MAX(ABS(v)) AS INT) AS peak,
+         CAST(COUNT(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 END)
+              AS INT) AS zero_crossings
+  FROM sx GROUP BY doc_id)
+SELECT m.doc_id,
+       CAST(m.cnt AS INT) AS n_samples,
+       CAST(1 AS INT) AS n_channels,
+       CAST(m.rate AS INT) AS sample_rate,
+       CAST(m.cnt AS BIGINT) * 1000000 // m.rate AS duration_us,
+       f.sumsq, f.peak, f.zero_crossings
+FROM m JOIN f ON f.doc_id = m.doc_id""",
     "mm_frame_schedule": f"""
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx

@@ -246,6 +246,91 @@ def test_png_corrupt_and_unsupported():
     assert isinstance(np.zeros(1), np.ndarray)  # keep the np import honest
 
 
+def test_wav_roundtrip_mono_and_stereo():
+    """encode_wav → decode_wav is the identity for mono and
+    interleaved stereo, preserving rate and channel count; an
+    odd-length extra chunk before data exercises RIFF word-aligned
+    skipping."""
+    import struct
+
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=37, dtype=np.int16)
+    s, rate, ch = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and ch == 1 and (s == mono).all()
+
+    stereo = rng.integers(-32768, 32768, size=24, dtype=np.int16)
+    s, rate, ch = decode_wav(encode_wav(stereo, 44100, n_channels=2))
+    assert rate == 44100 and ch == 2 and (s == stereo).all()
+
+    # splice an odd-length LIST chunk between fmt and data: the walker
+    # must skip its pad byte or the data chunk tag misaligns
+    b = encode_wav(mono, 8000)
+    i = b.index(b"data")
+    spliced = b[:i] + b"LIST" + struct.pack("<I", 3) + b"odd\x00" + b[i:]
+    s, rate, ch = decode_wav(spliced)
+    assert (s == mono).all()
+
+
+def test_wav_unsupported_and_corrupt():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_wav, encode_wav
+
+    good = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    fmt_off = good.index(b"fmt ") + 8
+    bad = bytearray(good)
+    bad[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # IEEE float tag
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
+    with pytest.raises(ValueError):
+        decode_wav(bytes(good[: len(good) - 3]))  # truncated data chunk
+
+
+def test_audio_features_match_samples(spark):
+    """Feature operator values recomputed independently from the
+    planted formula, plus null-row isolation for a non-PCM clip."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        WAV_MOD,
+        audio_features_np,
+        synth_media_wav,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), "t", 10 + i) for i in range(6)],
+        "doc_id string, text string, n_chars int",
+    )
+    media = synth_media_wav(docs)
+    rows = {r.doc_id: r for r in audio_features_np(media).collect()}
+    for i in range(6):
+        n = 10 + i
+        cnt, rate = n % 50 + 10, 8000 + (n % 2) * 8000
+        v = (np.arange(cnt, dtype=np.int64) * 17 + n * 31) % WAV_MOD - 2048
+        r = rows[str(i)]
+        assert (r.n_samples, r.n_channels, r.sample_rate) == (cnt, 1, rate)
+        assert r.duration_us == cnt * 1_000_000 // rate
+        assert r.sumsq == int((v * v).sum())
+        assert r.peak == int(np.abs(v).max())
+        assert r.zero_crossings == int(((v[:-1] * v[1:]) < 0).sum())
+
+    bad = spark.createDataFrame(
+        [("x", bytearray(b"RIFF\x00\x00\x00\x00WAVE"))],
+        "doc_id string, payload binary",
+    )
+    r = audio_features_np(bad).collect()[0]
+    assert r.doc_id == "x" and r.n_samples is None and r.sumsq is None
+
+
 def test_synth_media_mixed_decodes_to_planted(spark):
     """The two-codec gate corpus: every doc decodes to the planted
     array regardless of codec parity (even n_chars → BMP, odd → PNG),
