@@ -73,9 +73,11 @@ _GATE_FIRST = [
     # decode replacing the r4 stub
     "kg_distance_hub_audit",
     "mm_media_decode",
-    # late round-5 addition, still inside the ~50-row window (this is
-    # entry ≤45): REAL PCM WAV decode + exact integer clip features
+    # late round-5 additions, still inside the ~50-row window (these
+    # are entries ≤46): REAL PCM WAV decode + exact integer clip
+    # features; REAL Y4M video decode + sampled-frame luma features
     "mm_audio_features",
+    "mm_video_frames",
     # multi-anchor batch BFS (verdict task #4's suggested batch
     # variant — K point lookups in one traversal)
     "kg_entity_distances_batch",

@@ -199,10 +199,32 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features_np(synth_media_wav(_docs(spark, sf_dir)))
 
 
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling under the value gate: synth
+    a mono Y4M clip per document with planted frame/position-dependent
+    luma, decode the YUV4MPEG2 container with the pure-byte/NumPy
+    reader, sample every 2nd frame, and emit per-sampled-frame exact
+    integer features (dims, luma sum/min/max). The oracle re-derives
+    every row from range() arithmetic — two independent derivations of
+    the Y4M container spec, and the per-frame sums pin the frame
+    boundaries (a one-byte misalignment shifts every later frame).
+
+    Scale shape: one map-only Arrow-batched decode+reduce pass; rows
+    out = sampled frames (bounded), pixels never leave the stage."""
+    from dstlr_spark.operators.multimodal import (
+        synth_media_y4m,
+        video_frame_features_np,
+    )
+
+    return video_frame_features_np(synth_media_y4m(_docs(spark, sf_dir)))
+
+
 QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
     "mm_media_decode": q_media_decode,
     "mm_audio_features": q_audio_features,
+    "mm_video_frames": q_video_frames,
     "mm_frame_schedule": q_frame_schedule,
     "mm_media_dedup": q_media_dedup,
     "mm_media_features": q_media_features,
@@ -279,6 +301,35 @@ SELECT m.doc_id,
        CAST(m.cnt AS BIGINT) * 1000000 // m.rate AS duration_us,
        f.sumsq, f.peak, f.zero_crossings
 FROM m JOIN f ON f.doc_id = m.doc_id""",
+    # analytic re-derivation of the planted Y4M clip: dims/frame count
+    # from n_chars, every sampled frame's luma stats from the
+    # (5x + 3y + 7f + 11) % 241 formula — no byte parsing on the
+    # oracle side; min/max come from the same enumeration
+    "mm_video_frames": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         n_chars % 6 + 2 AS w, (n_chars * 5) % 6 + 2 AS h,
+         n_chars % 6 + 2 AS nf
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+fr AS (
+  SELECT doc_id, w, h, unnest(range(nf)) AS f FROM m),
+sampled AS (
+  SELECT doc_id, w, h, f FROM fr WHERE f % 2 = 0),
+px AS (
+  SELECT s.doc_id, s.f, s.w, s.h,
+         (5 * x.x + 3 * y.y + 7 * s.f + 11) % 241 AS v
+  FROM sampled s,
+       LATERAL (SELECT unnest(range(s.w)) AS x) x,
+       LATERAL (SELECT unnest(range(s.h)) AS y) y),
+agg AS (
+  SELECT doc_id, f, w, h,
+         CAST(SUM(v) AS BIGINT) AS y_sum,
+         CAST(MIN(v) AS INT) AS y_min,
+         CAST(MAX(v) AS INT) AS y_max
+  FROM px GROUP BY doc_id, f, w, h)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height, y_sum, y_min, y_max
+FROM agg""",
     "mm_frame_schedule": f"""
 WITH p AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, hex({_PAYLOAD_SQL}) AS hx

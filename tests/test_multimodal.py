@@ -331,6 +331,88 @@ def test_audio_features_match_samples(spark):
     assert r.doc_id == "x" and r.n_samples is None and r.sumsq is None
 
 
+def test_y4m_roundtrip_and_colorspaces():
+    """encode_y4m → decode_y4m is the identity for mono and C444;
+    a hand-built C420jpeg stream (quarter chroma, even dims) pins the
+    chroma-skip arithmetic against the container spec."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(9)
+    fr = rng.integers(0, 256, size=(4, 3, 5), dtype=np.uint8)
+    out, fps, cs = decode_y4m(encode_y4m(fr, fps=(30, 1)))
+    assert (out == fr).all() and fps == (30, 1) and cs == "Cmono"
+    out, _, cs = decode_y4m(encode_y4m(fr, colorspace="C444"))
+    assert (out == fr).all() and cs == "C444"
+
+    fr2 = rng.integers(0, 256, size=(2, 4, 6), dtype=np.uint8)
+    raw = b"YUV4MPEG2 W6 H4 F25:1 Ip A1:1 C420jpeg\n" + b"".join(
+        b"FRAME\n" + fr2[f].tobytes() + bytes(6) + bytes(6) for f in range(2)
+    )
+    out, _, cs = decode_y4m(raw)
+    assert (out == fr2).all() and cs == "C420jpeg"
+
+
+def test_y4m_corrupt_and_unsupported():
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    good = encode_y4m(np.zeros((2, 2, 2), np.uint8))
+    with pytest.raises(ValueError):
+        decode_y4m(good[:-3])  # truncated frame payload
+    with pytest.raises(ValueError):
+        decode_y4m(b"AVI1 nope")
+    with pytest.raises(NotImplementedError):  # interlaced
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 It A1:1 Cmono\nFRAME\n" + bytes(4))
+    with pytest.raises(ValueError):  # C420 with odd width
+        decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 Ip C420\n")
+
+
+def test_video_frame_features_sample_and_isolate(spark):
+    """Every 2nd frame of the planted clip appears with its exact luma
+    stats (recomputed independently); an undecodable payload degrades
+    to one null row."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        Y4M_MOD,
+        synth_media_y4m,
+        video_frame_features_np,
+    )
+
+    docs = spark.createDataFrame(
+        [(str(i), "t", 20 + i) for i in range(5)],
+        "doc_id string, text string, n_chars int",
+    )
+    rows = [
+        r for r in video_frame_features_np(synth_media_y4m(docs)).collect()
+    ]
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i in range(5):
+        n = 20 + i
+        w, h, nf = n % 6 + 2, (n * 5) % 6 + 2, n % 6 + 2
+        got = sorted(by_doc[str(i)], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == list(range(0, nf, 2))
+        for r in got:
+            fs, ys, xs = np.mgrid[r.frame_idx : r.frame_idx + 1, 0:h, 0:w]
+            y = (5 * xs + 3 * ys + 7 * fs + 11) % Y4M_MOD
+            assert (r.width, r.height) == (w, h)
+            assert r.y_sum == int(y.sum())
+            assert r.y_min == int(y.min()) and r.y_max == int(y.max())
+
+    bad = spark.createDataFrame(
+        [("x", bytearray(b"YUV4MPEG2 W2 H2\nFRAME\n"))],
+        "doc_id string, payload binary",
+    )
+    r = video_frame_features_np(bad).collect()
+    assert len(r) == 1 and r[0].frame_idx is None and r[0].y_sum is None
+
+
 def test_synth_media_mixed_decodes_to_planted(spark):
     """The two-codec gate corpus: every doc decodes to the planted
     array regardless of codec parity (even n_chars → BMP, odd → PNG),
