@@ -145,16 +145,98 @@ def probe_bmp_decode(spark, n_docs: int, side: int) -> None:
     )
 
 
+def probe_codecs(spark, n_docs: int) -> None:
+    """3. Late-round-5 codec throughput at realistic payload sizes:
+    PNG (96px-ish planted images, all five scanline filters), PCM WAV
+    (1-second 16 kHz mono clips), Y4M (16 frames of 64×64 mono).
+    Every stage is synth-in-executor → decode → in-stage reduce, the
+    decode_features_np shape (payloads and samples never leave the
+    stage)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        decode_features_np,
+        video_frame_features_np,
+    )
+
+    def run(label, synth_body, ddl, op):
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(synth_body, ddl)
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = op(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} clips/s  {total / dt / 1e6:.1f} MB/s"
+        )
+
+    def synth_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.multimodal import _planted_rgb, encode_png
+
+        for pdf in batches:
+            rows = [
+                dict(doc_id=str(i),
+                     payload=encode_png(_planted_rgb(96 + int(i) % 7,
+                                                     96 + (int(i) * 3) % 7)))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    def synth_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dstlr_spark.operators.multimodal import encode_wav
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                idx = np.arange(16_000, dtype=np.int64)
+                s = ((int(i) * 31 + idx * 17) % 4097 - 2048).astype(np.int16)
+                rows.append(dict(doc_id=str(i), payload=encode_wav(s, 16_000)))
+            yield pd.DataFrame(rows)
+
+    def synth_y4m(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dstlr_spark.operators.multimodal import encode_y4m
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                fs, ys, xs = np.mgrid[0:16, 0:64, 0:64]
+                fr = ((5 * xs + 3 * ys + 7 * fs + int(i)) % 241).astype(np.uint8)
+                rows.append(dict(doc_id=str(i), payload=encode_y4m(fr)))
+            yield pd.DataFrame(rows)
+
+    ddl = "doc_id string, payload binary"
+    run("png decode→feats ", synth_png, ddl, decode_features_np)
+    run("wav decode→feats ", synth_wav, ddl, audio_features_np)
+    run("y4m decode→frames", synth_y4m, ddl, video_frame_features_np)
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
     side = int(sys.argv[3]) if len(sys.argv) > 3 else 96
+    only = sys.argv[4] if len(sys.argv) > 4 else "all"
     spark = get_spark("probe-r5", master="local[32]", shuffle_partitions=32)
     import __spark_entry__ as e
 
     e._ensure_workers_can_import(spark)
-    probe_batch_bfs(spark, n_vertices)
-    probe_bmp_decode(spark, n_docs, side)
+    if only in ("all", "bfs"):
+        probe_batch_bfs(spark, n_vertices)
+    if only in ("all", "bmp"):
+        probe_bmp_decode(spark, n_docs, side)
+    if only in ("all", "codecs"):
+        probe_codecs(spark, n_docs)
     spark.stop()
 
 
