@@ -507,3 +507,72 @@ def test_decode_features_np_matches_materialized_decode(spark):
         assert abs(f.mean_g - means[1]) < 1e-9
         assert abs(f.mean_b - means[2]) < 1e-9
     assert feats["bad"].width is None and feats["bad"].pixel_sum is None
+
+
+# --------------------------------------------------------------------------
+# round 5 (late): property fuzz — codec round-trips hold for ARBITRARY
+# content, not just the planted formulas (no Spark, pure codec layer)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    data=st.data(),
+)
+def test_fuzz_png_roundtrip(w, h, seed, data):
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes, encode_png
+
+    rgb = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+    )
+    out = decode_rgb_bytes(encode_png(rgb, row_filters=filters))
+    assert out.shape == rgb.shape and (out == rgb).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 500),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    stereo=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_fuzz_wav_roundtrip(n, rate, stereo, seed):
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_wav, encode_wav
+
+    ch = 2 if stereo else 1
+    s = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n * ch, dtype=np.int16
+    )
+    out, got_rate, got_ch = decode_wav(encode_wav(s, rate, n_channels=ch))
+    assert got_rate == rate and got_ch == ch and (out == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 12),
+    nf=st.integers(0, 6),
+    c444=st.booleans(),
+    seed=st.integers(0, 2**31),
+)
+def test_fuzz_y4m_roundtrip(w, h, nf, c444, seed):
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    fr = np.random.default_rng(seed).integers(0, 256, (nf, h, w), dtype=np.uint8)
+    cs = "C444" if c444 else "Cmono"
+    out, fps, got_cs = decode_y4m(encode_y4m(fr, colorspace=cs))
+    assert got_cs == cs and fps == (25, 1)
+    assert out.shape == (nf, h, w) and (out == fr).all()
