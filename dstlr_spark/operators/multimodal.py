@@ -76,6 +76,7 @@ def sniff_media_type(payload) -> F.Column:
         F.when(head8 == PNG_MAGIC, F.lit("image/png"))
         .when(head4 == "52494646", F.lit("audio/wav"))  # 'RIFF'
         .when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
+        .when(F.hex(F.substring(payload, 1, 3)) == "474946", F.lit("image/gif"))
         .otherwise(F.lit("application/octet-stream"))
     )
 
@@ -325,7 +326,9 @@ def decode_rgb_bytes(b: bytes):
     - 24-bit uncompressed BMP (bottom-up or top-down, BGR, padded rows);
     - binary PPM ``P6`` (maxval ≤ 255);
     - PNG, 8-bit gray/RGB/RGBA non-interlaced (stdlib zlib inflate +
-      NumPy unfilter — :func:`decode_png`).
+      NumPy unfilter — :func:`decode_png`);
+    - GIF, non-interlaced first frame (pure-Python variable-width LZW
+      + palette mapping — :func:`decode_gif`).
 
     JPEG (DCT) and the exotic PNG variants raise NotImplementedError —
     the only remaining stub surface, and an honest one: those need a
@@ -376,6 +379,8 @@ def decode_rgb_bytes(b: bytes):
         )
     if b[:8] == bytes.fromhex(PNG_MAGIC):
         return decode_png(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(b)
     raise NotImplementedError(
         "STUB: compressed codec (JPEG/...) — DCT decode needs an imaging "
         "library this container doesn't ship; BMP/PPM/PNG decode natively "
@@ -547,6 +552,199 @@ def decode_png(b: bytes):
     if ch == 4:
         return px[..., :3].copy()  # straight alpha drop
     return px.copy()
+
+
+# --------------------------------------------------------------------------
+# REAL GIF decode — LZW is implementable from the spec (round 5, late)
+# --------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: clear/EOI codes, code width grows 9→12 bits
+    (encoder bumps when the next free code no longer fits), table
+    reset via an explicit clear at 4096 — emits the packed
+    little-endian bitstream of the image sub-blocks."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def fresh():
+        return {bytes([i]): i for i in range(1 << min_code_size)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    out_bits.append((clear, width))
+    buf = b""
+    for sym in bytes(bytearray(int(i) for i in indices)):
+        cand = buf + bytes([sym])
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        if next_code <= 4095:
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            out_bits.append((clear, width))
+            table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+        buf = bytes([sym])
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((eoi, width))
+
+    acc = n = 0
+    data = bytearray()
+    for code, w in out_bits:
+        acc |= code << n
+        n += w
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+    """Inverse of :func:`_lzw_encode` → uint8 index array. The decoder
+    grows its code width one table entry EARLIER than the encoder
+    (when entry 2^width − 1 is created) because its table fills one
+    step behind the encoder's — the GIF spec's known asymmetry."""
+    import numpy as np
+
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+    out = bytearray()
+    table = list(base)
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = n = pos = 0
+    while True:
+        while n < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without EOI")
+            acc |= data[pos] << n
+            pos += 1
+            n += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table) or not table[code]:
+                raise ValueError("LZW: first code not in table")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW: code beyond table")
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+        out += entry
+        prev = entry
+    if len(out) != n_expected:
+        raise ValueError(
+            f"LZW output length {len(out)} != expected {n_expected}"
+        )
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def encode_gif(indices, palette) -> bytes:
+    """Encode an (h, w) uint8 index array + (256, 3) palette as a
+    non-interlaced GIF89a with a global color table and real LZW
+    compression — stdlib only."""
+    import numpy as np
+
+    idx = np.asarray(indices, np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, np.uint8)
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    gct = pal.tobytes()
+    desc = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode(idx.reshape(-1))
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return head + gct + desc + bytes(blocks) + b";"
+
+
+def decode_gif(b: bytes):
+    """REAL GIF decode → (h, w, 3) uint8 RGB, pure Python LZW +
+    NumPy palette mapping: logical screen descriptor, global/local
+    color tables, extension-block skipping, sub-block reassembly,
+    variable-width LZW with clear/EOI and table growth to 12 bits.
+    First image frame only (animation = repeated frames of the same
+    machinery). Interlaced frames raise NotImplementedError; a
+    malformed stream raises ValueError."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    flags = b[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if iflags & 0x40:
+                raise NotImplementedError(
+                    "STUB: interlaced GIF needs row reordering"
+                )
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF index beyond palette")
+            return pal[idx].reshape(h, w, 3).copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
 
 
 # --------------------------------------------------------------------------

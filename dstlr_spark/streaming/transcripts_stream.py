@@ -339,7 +339,7 @@ def conversation_progress_tws(transcripts: DataFrame) -> DataFrame:
             )
 
         def close(self) -> None:
-            pass
+            pass  # required StatefulProcessor override; no resources held
 
     return (
         transcripts.where(F.col("conv_id").isNotNull() & F.col("text").isNotNull())

@@ -576,3 +576,76 @@ def test_fuzz_y4m_roundtrip(w, h, nf, c444, seed):
     out, fps, got_cs = decode_y4m(encode_y4m(fr, colorspace=cs))
     assert got_cs == cs and fps == (25, 1)
     assert out.shape == (nf, h, w) and (out == fr).all()
+
+
+# --------------------------------------------------------------------------
+# round 5 (late): REAL GIF decode — pure-Python variable-width LZW
+# --------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_and_palette():
+    """encode_gif → decode_rgb_bytes maps every index through the
+    palette; 100×50 random indices force LZW width growth through
+    9→12 bits and a 4096-entry table reset."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes, encode_gif
+
+    rng = np.random.default_rng(2)
+    for w, h in [(1, 1), (5, 3), (40, 40), (100, 50)]:
+        idx = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        out = decode_rgb_bytes(encode_gif(idx, pal))
+        assert out.shape == (h, w, 3) and (out == pal[idx]).all(), (w, h)
+
+
+def test_gif_skips_extension_blocks():
+    """A graphic-control extension spliced before the image descriptor
+    (the shape every animated/transparent GIF has) is walked over."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_gif, encode_gif
+
+    idx = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    pal = np.arange(256 * 3, dtype=np.uint16).reshape(256, 3) % 256
+    g = encode_gif(idx, pal.astype(np.uint8))
+    desc = 13 + 256 * 3  # header + logical screen descriptor + GCT
+    assert g[desc : desc + 1] == b","
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE + 4-byte block + term
+    spliced = g[:desc] + gce + g[desc:]
+    assert (decode_gif(spliced) == pal.astype(np.uint8)[idx]).all()
+
+
+def test_gif_corrupt_and_interlaced():
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_gif, encode_gif
+
+    g = encode_gif(np.zeros((2, 2), np.uint8), np.zeros((256, 3), np.uint8))
+    b = bytearray(g)
+    b[13 + 256 * 3 + 9] |= 0x40  # interlace flag in the image descriptor
+    with pytest.raises(NotImplementedError):
+        decode_gif(bytes(b))
+    with pytest.raises(ValueError):
+        decode_gif(g[:-8])  # truncated LZW stream
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF")
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 30),
+    h=st.integers(1, 20),
+    n_colors=st.integers(1, 256),
+    seed=st.integers(0, 2**31),
+)
+def test_fuzz_gif_roundtrip(w, h, n_colors, seed):
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
