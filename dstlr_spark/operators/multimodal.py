@@ -1115,23 +1115,47 @@ def synth_media_bmp(documents: DataFrame) -> DataFrame:
     )
 
 
+def palettize_rgb(rgb):
+    """(h, w, 3) uint8 RGB → (index array, (256, 3) palette) for GIF
+    encoding. Requires ≤256 distinct colors (the planted gate images
+    are ≤8×8 px, so ≤64); raises ValueError beyond that — the caller
+    must quantize first, which the exact-valued gate never does."""
+    import numpy as np
+
+    a = np.asarray(rgb, np.uint8)
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"{len(colors)} colors exceed a GIF palette")
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(colors)] = colors
+    return idx.astype(np.uint8).reshape(a.shape[:2]), pal
+
+
+def _encode_gif_rgb(rgb) -> bytes:
+    idx, pal = palettize_rgb(rgb)
+    return encode_gif(idx, pal)
+
+
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Two-codec twin of :func:`synth_media_bmp`: the SAME planted
+    """Three-codec twin of :func:`synth_media_bmp`: the SAME planted
     image per document (dims and pixels are functions of n_chars
-    alone), but even n_chars serialize as uncompressed 24-bit BMP and
-    odd n_chars as PNG (rotating per-row filters 0..4, so the corpus
-    exercises every unfilter path). A decoder is correct iff BOTH
-    codecs reproduce the identical planted array — which is exactly
-    what lets one format-agnostic analytic oracle gate both."""
+    alone), serialized per n_chars MOD 3 — 0 as uncompressed 24-bit
+    BMP, 1 as PNG (rotating per-row filters 0..4, so the corpus
+    exercises every unfilter path), 2 as palettized GIF89a (real LZW,
+    exercising variable-width code growth + sub-block reassembly). A
+    decoder is correct iff ALL THREE codecs reproduce the identical
+    planted array — which is exactly what lets one format-agnostic
+    analytic oracle gate all of them."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        encoders = (encode_bmp, encode_png, _encode_gif_rgb)
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
-                enc = encode_bmp if n % 2 == 0 else encode_png
-                rows.append(dict(doc_id=doc_id, payload=enc(rgb)))
+                rows.append(dict(doc_id=doc_id, payload=encoders[n % 3](rgb)))
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
                  "payload": pd.Series(dtype="object")}

@@ -216,8 +216,25 @@ def probe_codecs(spark, n_docs: int) -> None:
                 rows.append(dict(doc_id=str(i), payload=encode_y4m(fr)))
             yield pd.DataFrame(rows)
 
+    def synth_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from dstlr_spark.operators.multimodal import encode_gif
+
+        pal = (np.arange(256 * 3, dtype=np.uint16) % 256).astype(np.uint8)
+        pal = pal.reshape(256, 3)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                w, h = 96 + int(i) % 7, 96 + (int(i) * 3) % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                idx = ((3 * xs + 7 * ys + int(i)) % 251).astype(np.uint8)
+                rows.append(dict(doc_id=str(i), payload=encode_gif(idx, pal)))
+            yield pd.DataFrame(rows)
+
     ddl = "doc_id string, payload binary"
     run("png decode→feats ", synth_png, ddl, decode_features_np)
+    run("gif decode→feats ", synth_gif, ddl, decode_features_np)
     run("wav decode→feats ", synth_wav, ddl, audio_features_np)
     run("y4m decode→frames", synth_y4m, ddl, video_frame_features_np)
 

@@ -414,10 +414,12 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The two-codec gate corpus: every doc decodes to the planted
-    array regardless of codec parity (even n_chars → BMP, odd → PNG),
-    through the same Spark operator the driver gate runs."""
+    """The three-codec gate corpus: every doc decodes to the planted
+    array regardless of codec (n_chars MOD 3 → BMP / PNG / GIF),
+    through the same Spark operator the driver gate runs — and the
+    corpus genuinely contains all three magics."""
     from dstlr_spark.operators.multimodal import (
+        PNG_MAGIC,
         _planted_rgb,
         decode_image_np,
         synth_media_mixed,
@@ -427,7 +429,12 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         [(str(i), "t" * (10 + i), 10 + i) for i in range(8)],
         "doc_id string, text string, n_chars int",
     )
-    rows = {r.doc_id: r for r in decode_image_np(synth_media_mixed(docs)).collect()}
+    media = synth_media_mixed(docs).localCheckpoint()
+    magics = {bytes(r.payload)[:6] for r in media.collect()}
+    assert b"BM" in {m[:2] for m in magics}
+    assert bytes.fromhex(PNG_MAGIC)[:6] in magics
+    assert b"GIF89a" in magics
+    rows = {r.doc_id: r for r in decode_image_np(media).collect()}
     assert len(rows) == 8
     for i in range(8):
         n = 10 + i
