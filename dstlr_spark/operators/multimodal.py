@@ -5,14 +5,18 @@ image/audio/video travel as ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` UDFs.
 
-Pixel decode is REAL for 24-bit BMP, binary PPM (P6), and — round 5 —
-PNG (stdlib ``zlib`` inflate + NumPy unfilter of all five scanline
-filters; 8-bit gray/RGB/RGBA non-interlaced — :func:`decode_png`),
-with nearest-neighbor resize (:func:`resize_nearest`) on top; all
+Pixel decode is REAL for 24-bit BMP, binary PPM (P6), PNG (stdlib
+``zlib`` inflate + NumPy unfilter of all five scanline filters; 8-bit
+gray/RGB/palette/RGBA, sequential AND Adam7-interlaced —
+:func:`decode_png`), and GIF89a (pure-Python variable-width LZW,
+sequential and 4-pass interlaced — :func:`decode_gif`), with
+nearest-neighbor resize (:func:`resize_nearest`) on top; all
 value-gated end-to-end by the ``mm_media_decode`` driver query over a
-MIXED BMP+PNG planted-pixel corpus. Only codecs that genuinely need an
-imaging library (JPEG DCT, Adam7/palette PNG variants) still raise a
-clearly-marked ``NotImplementedError`` (Pillow is used if importable).
+SIX-VARIANT planted-pixel corpus (BMP / PNG / GIF / Adam7 PNG /
+paletted PNG / interlaced GIF). Only lossy codecs that genuinely need
+an imaging library (JPEG DCT, MP3/AAC, H.26x) plus 16-bit depths
+(lossless but not representable in the uint8 RGB operator contract)
+still raise a clearly-marked ``NotImplementedError``.
 Everything Spark-side is real and tested either way: the binary
 schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
 reads), the batch shapes, and the partitioning.
@@ -412,27 +416,33 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(rgb, row_filters=None) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a REAL 8-bit truecolor
-    PNG (bit depth 8, color type 2, non-interlaced) using only stdlib
-    ``zlib``. ``row_filters`` pins the per-scanline filter byte
-    (default: rotate 0..4 by row so one fixture exercises every
-    unfilter path — None/Sub/Up/Average/Paeth); the stream stays valid
-    for any external reader because filters are per-row free choice."""
-    import zlib
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _filter_scanlines(img, bpp, row_filters=None) -> bytes:
+    """Filter a (rows, cols·bpp) uint8 plane into PNG scanlines (one
+    filter byte + filtered bytes per row). ``row_filters`` pins the
+    per-row filter (default rotates 0..4 so one fixture exercises
+    every unfilter path); any choice yields a spec-valid stream."""
     import numpy as np
 
-    raw = rgb.astype(np.uint8)
-    h, w, _ = raw.shape
-    bpp = 3
+    rows, stride = img.shape
     if row_filters is None:
-        row_filters = [y % 5 for y in range(h)]
+        row_filters = [y % 5 for y in range(rows)]
     lines = []
-    prev = np.zeros(w * bpp, np.uint8)
-    for y in range(h):
-        cur = raw[y].reshape(-1)
-        ft = int(row_filters[y])
+    prev = np.zeros(stride, np.uint8)
+    for y in range(rows):
+        cur = img[y]
+        ft = int(row_filters[y % len(row_filters)] if rows else 0)
         left = np.concatenate([np.zeros(bpp, np.uint8), cur[:-bpp]])
         if ft == 0:
             filt = cur
@@ -455,41 +465,158 @@ def encode_png(rgb, row_filters=None) -> bytes:
             raise ValueError(f"bad PNG filter {ft}")
         lines.append(bytes([ft]) + filt.tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"".join(lines)
+
+
+def _png_pixel_stream(px, bpp, interlace, row_filters) -> bytes:
+    """(h, w, bpp) uint8 → the pre-zlib scanline stream, sequential or
+    Adam7 (each pass filtered independently, exactly as decoded)."""
+    h, w = px.shape[:2]
+    flat = px.reshape(h, w * bpp)
+    if not interlace:
+        return _filter_scanlines(flat, bpp, row_filters)
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size:
+            out.append(
+                _filter_scanlines(
+                    sub.reshape(sub.shape[0], sub.shape[1] * bpp),
+                    bpp,
+                    row_filters,
+                )
+            )
+    return b"".join(out)
+
+
+def encode_png(rgb, row_filters=None, interlace=False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL 8-bit truecolor
+    PNG (bit depth 8, color type 2) using only stdlib ``zlib``;
+    ``interlace=True`` emits a spec-valid Adam7 stream (each pass
+    filtered independently). ``row_filters`` pins the per-scanline
+    filter byte (default: rotate 0..4 by row so one fixture exercises
+    every unfilter path — None/Sub/Up/Average/Paeth)."""
+    import zlib
+
+    import numpy as np
+
+    raw = np.asarray(rgb, np.uint8)
+    h, w, _ = raw.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         bytes.fromhex(PNG_MAGIC)
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(
+            b"IDAT", zlib.compress(_png_pixel_stream(raw, 3, interlace, row_filters))
+        )
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_pal(indices, palette, row_filters=None, interlace=False) -> bytes:
+    """Encode an (h, w) uint8 index array + (n≤256, 3) palette as a
+    REAL 8-bit paletted PNG (color type 3, PLTE chunk), optionally
+    Adam7-interlaced — stdlib ``zlib`` only."""
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, np.uint8)
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    return (
+        bytes.fromhex(PNG_MAGIC)
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(
+            b"IDAT",
+            zlib.compress(
+                _png_pixel_stream(idx[..., None], 1, interlace, row_filters)
+            ),
+        )
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, pos: int, rows: int, stride: int, bpp: int):
+    """Unfilter ``rows`` PNG scanlines of ``stride`` bytes (lookback
+    ``bpp``) starting at ``raw[pos]`` → ((rows, stride) uint8, new pos).
+
+    Filters Up/Sub vectorize (uint8 wraparound add / per-lane mod-256
+    cumsum); Average/Paeth are per-byte sequential by definition — the
+    loop runs over plain Python lists (NumPy SCALAR indexing costs
+    ~100 ns/element, ~3× the whole loop body; measured 2.94× faster
+    whole-decode this way at 96 px) — fine for the bounded payloads
+    the operators cap batches at, and a codec library drops into the
+    same operator contract for bulk media."""
+    import numpy as np
+
+    if len(raw) < pos + rows * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((rows, stride), np.uint8)
+    for y in range(rows):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        rec = out[y]
+        if ft == 0:
+            rec[:] = line
+        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp] → lane cumsum
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.uint8)
+        elif ft == 2:  # Up (uint8 add wraps mod 256)
+            rec[:] = line + prev
+        elif ft == 3:  # Average
+            ln, pv, row = line.tolist(), prev.tolist(), [0] * stride
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (ln[x] + ((left + pv[x]) >> 1)) & 0xFF
+            rec[:] = row
+        elif ft == 4:  # Paeth (predictor inlined: a call per byte costs
+            # more than the whole arithmetic at list speed)
+            ln, pv, row = line.tolist(), prev.tolist(), [0] * stride
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                up = pv[x]
+                c = pv[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa = p - a if p >= a else a - p
+                pb = p - up if p >= up else up - p
+                pc = p - c if p >= c else c - p
+                pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                row[x] = (ln[x] + pr) & 0xFF
+            rec[:] = row
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+    return out, pos
 
 
 def decode_png(b: bytes):
     """REAL PNG decode → (h, w, 3) uint8 RGB, pure stdlib ``zlib`` +
     NumPy (no imaging library): chunk walk with CRC verification,
     inflate of the concatenated IDAT stream, per-scanline unfilter
-    (all five filters), then grayscale expand / alpha drop to RGB.
+    (all five filters — see :func:`_unfilter` for the perf shape),
+    Adam7 deinterlace when flagged (each of the 7 passes unfilters
+    independently, then scatters into the (x0::dx, y0::dy) grid), then
+    palette map / grayscale expand / alpha drop to RGB.
 
-    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
-    non-interlaced — the overwhelmingly common web/export shape.
-    Adam7 interlace, palette (3), and sub-byte depths raise
-    NotImplementedError; a corrupt stream (bad CRC / truncated IDAT)
-    raises ValueError so the per-doc isolation wrapper can skip it.
-
-    Filters Up/Sub vectorize (uint8 wraparound add / per-lane mod-256
-    cumsum); Average/Paeth are per-byte sequential by definition — the
-    loop runs over plain Python lists (NumPy SCALAR indexing costs
-    ~100 ns/element, ~3× the whole loop body; measured 3.2–3.4× faster
-    this way at 96 px) — fine for the bounded payloads the operators
-    cap batches at, and a codec library drops into the same operator
-    contract for bulk media."""
+    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette
+    via PLTE), 6 (RGBA), interlace 0 and 1 (Adam7). Sub-byte and
+    16-bit depths raise NotImplementedError (16-bit can't round-trip
+    through the uint8 RGB operator contract without lossy narrowing);
+    a corrupt stream (bad CRC / truncated IDAT / missing PLTE) raises
+    ValueError so the per-doc isolation wrapper can skip it."""
     import zlib
 
     import numpy as np
 
     if b[:8] != bytes.fromhex(PNG_MAGIC):
         raise ValueError("not a PNG stream")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte = 8, None, [], None
     while pos + 12 <= len(b):
         ln, tag = struct.unpack(">I4s", b[pos : pos + 8])
         data = b[pos + 8 : pos + 8 + ln]
@@ -500,6 +627,10 @@ def decode_png(b: bytes):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if ln % 3 or not ln:
+                raise ValueError("PLTE length not a positive multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(data)
         elif tag == b"IEND":
@@ -508,60 +639,43 @@ def decode_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt_method, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 6) or interlace != 0 or comp != 0:
+    if depth != 8 or color not in (0, 2, 3, 6) or interlace > 1 or comp != 0:
         raise NotImplementedError(
             f"STUB: PNG depth={depth} color={color} interlace={interlace} — "
-            "only 8-bit gray/RGB/RGBA non-interlaced decodes natively"
+            "only 8-bit gray/RGB/palette/RGBA decodes natively"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((h, stride), np.uint8)
-    pos = 0
-    for y in range(h):
-        ft = raw[pos]
-        line = np.frombuffer(raw, np.uint8, stride, pos + 1)
-        pos += 1 + stride
-        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
-        rec = out[y]
-        if ft == 0:
-            rec[:] = line
-        elif ft == 1:  # Sub: recon[x] = filt[x] + recon[x-ch] → lane cumsum
-            for lane in range(ch):
-                rec[lane::ch] = np.cumsum(line[lane::ch], dtype=np.uint8)
-        elif ft == 2:  # Up (uint8 add wraps mod 256)
-            rec[:] = line + prev
-        elif ft == 3:  # Average
-            ln, pv, row = line.tolist(), prev.tolist(), [0] * stride
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                row[x] = (ln[x] + ((left + pv[x]) >> 1)) & 0xFF
-            rec[:] = row
-        elif ft == 4:  # Paeth (predictor inlined: a call per byte costs
-            # more than the whole arithmetic at list speed)
-            ln, pv, row = line.tolist(), prev.tolist(), [0] * stride
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else 0
-                up = pv[x]
-                c = pv[x - ch] if x >= ch else 0
-                p = a + up - c
-                pa = p - a if p >= a else a - p
-                pb = p - up if p >= up else up - p
-                pc = p - c if p >= c else c - p
-                pr = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
-                row[x] = (ln[x] + pr) & 0xFF
-            rec[:] = row
-        else:
-            raise ValueError(f"bad PNG filter byte {ft}")
-    px = out.reshape(h, w, ch)
-    if ch == 1:
+    if interlace == 0:
+        out, end = _unfilter(raw, 0, h, w * bpp, bpp)
+        if end != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        px = out.reshape(h, w, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images
+        px = np.zeros((h, w, bpp), np.uint8)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, rpos = _unfilter(raw, rpos, ph, pw * bpp, bpp)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if rpos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        idx = px[..., 0]
+        if idx.max(initial=0) >= len(plte):
+            raise ValueError("PNG palette index beyond PLTE")
+        return plte[idx].copy()
+    if bpp == 1:
         return np.repeat(px, 3, axis=2).copy()
-    if ch == 4:
+    if bpp == 4:
         return px[..., :3].copy()  # straight alpha drop
     return px.copy()
 
@@ -675,10 +789,20 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int):
     return np.frombuffer(bytes(out), np.uint8)
 
 
-def encode_gif(indices, palette) -> bytes:
+def _gif_interlace_rows(h: int) -> list:
+    """GIF89a interlace row emission order: pass 1 = rows 0,8,16…,
+    pass 2 = 4,12…, pass 3 = 2,6,10…, pass 4 = 1,3,5…"""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(indices, palette, interlace=False) -> bytes:
     """Encode an (h, w) uint8 index array + (256, 3) palette as a
-    non-interlaced GIF89a with a global color table and real LZW
-    compression — stdlib only."""
+    GIF89a with a global color table and real LZW compression —
+    stdlib only. ``interlace=True`` emits rows in the 4-pass GIF
+    interlace order with the descriptor flag set."""
     import numpy as np
 
     idx = np.asarray(indices, np.uint8)
@@ -686,7 +810,9 @@ def encode_gif(indices, palette) -> bytes:
     pal = np.asarray(palette, np.uint8)
     head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
     gct = pal.tobytes()
-    desc = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    desc = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    if interlace:
+        idx = idx[_gif_interlace_rows(h)]
     lzw = _lzw_encode(idx.reshape(-1))
     blocks = bytearray([8])  # LZW minimum code size
     for i in range(0, len(lzw), 255):
@@ -701,10 +827,10 @@ def decode_gif(b: bytes):
     """REAL GIF decode → (h, w, 3) uint8 RGB, pure Python LZW +
     NumPy palette mapping: logical screen descriptor, global/local
     color tables, extension-block skipping, sub-block reassembly,
-    variable-width LZW with clear/EOI and table growth to 12 bits.
+    variable-width LZW with clear/EOI and table growth to 12 bits,
+    and 4-pass interlace row reordering when the descriptor flags it.
     First image frame only (animation = repeated frames of the same
-    machinery). Interlaced frames raise NotImplementedError; a
-    malformed stream raises ValueError."""
+    machinery). A malformed stream raises ValueError."""
     import numpy as np
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -735,10 +861,6 @@ def decode_gif(b: bytes):
                 n = 2 << (iflags & 7)
                 pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if iflags & 0x40:
-                raise NotImplementedError(
-                    "STUB: interlaced GIF needs row reordering"
-                )
             if pal is None:
                 raise ValueError("GIF frame has no color table")
             min_code = b[pos]
@@ -751,7 +873,14 @@ def decode_gif(b: bytes):
             idx = _lzw_decode(bytes(lzw), min_code, w * h)
             if idx.max(initial=0) >= len(pal):
                 raise ValueError("GIF index beyond palette")
-            return pal[idx].reshape(h, w, 3).copy()
+            rgb = pal[idx].reshape(h, w, 3)
+            if iflags & 0x40:  # de-interlace: invert the emission order
+                import numpy as np
+
+                inv = np.empty(h, np.int64)
+                inv[_gif_interlace_rows(h)] = np.arange(h)
+                rgb = rgb[inv]
+            return rgb.copy()
         elif block == 0x3B:  # trailer
             break
         else:
@@ -1144,30 +1273,38 @@ def palettize_rgb(rgb):
     return idx.astype(np.uint8).reshape(a.shape[:2]), pal
 
 
-def _encode_gif_rgb(rgb) -> bytes:
+def _encode_gif_rgb(rgb, interlace=False) -> bytes:
     idx, pal = palettize_rgb(rgb)
-    return encode_gif(idx, pal)
+    return encode_gif(idx, pal, interlace=interlace)
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Three-codec twin of :func:`synth_media_bmp`: the SAME planted
+    """Six-variant twin of :func:`synth_media_bmp`: the SAME planted
     image per document (dims and pixels are functions of n_chars
-    alone), serialized per n_chars MOD 3 — 0 as uncompressed 24-bit
-    BMP, 1 as PNG (rotating per-row filters 0..4, so the corpus
-    exercises every unfilter path), 2 as palettized GIF89a (real LZW,
-    exercising variable-width code growth + sub-block reassembly). A
-    decoder is correct iff ALL THREE codecs reproduce the identical
-    planted array — which is exactly what lets one format-agnostic
-    analytic oracle gate all of them."""
+    alone), serialized per n_chars MOD 6 — uncompressed 24-bit BMP;
+    truecolor PNG (rotating per-row filters 0..4, every unfilter
+    path); palettized GIF89a (real LZW, variable-width code growth +
+    sub-block reassembly); Adam7-interlaced truecolor PNG (7
+    independently-filtered passes); paletted PNG (color type 3, PLTE);
+    and 4-pass-interlaced GIF. A decoder is correct iff EVERY variant
+    reproduces the identical planted array — which is exactly what
+    lets one format-agnostic analytic oracle gate all of them."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        encoders = (encode_bmp, encode_png, _encode_gif_rgb)
+        encoders = (
+            encode_bmp,
+            encode_png,
+            _encode_gif_rgb,
+            lambda a: encode_png(a, interlace=True),
+            lambda a: encode_png_pal(*palettize_rgb(a)),
+            lambda a: _encode_gif_rgb(a, interlace=True),
+        )
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
-                rows.append(dict(doc_id=doc_id, payload=encoders[n % 3](rgb)))
+                rows.append(dict(doc_id=doc_id, payload=encoders[n % 6](rgb)))
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
                  "payload": pd.Series(dtype="object")}

@@ -133,19 +133,21 @@ def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resize under the value gate (retires the
     round-4 stub finding): synth the planted position/channel-dependent
-    image per document as a THREE-CODEC corpus keyed on n_chars MOD 3 —
-    24-bit BMP, PNG with rotating scanline filters 0..4 (zlib inflate +
-    all five unfilter paths exercised at gate time), and palettized
-    GIF89a (real variable-width LZW + sub-block reassembly) — decode
+    image per document as a SIX-VARIANT corpus keyed on n_chars MOD 6 —
+    24-bit BMP; truecolor PNG with rotating scanline filters 0..4 (zlib
+    inflate + all five unfilter paths exercised at gate time);
+    palettized GIF89a (real variable-width LZW + sub-block reassembly);
+    Adam7-interlaced PNG; paletted PNG (PLTE); interlaced GIF — decode
     with the pure-NumPy decoders, nearest-neighbor-resize to max_side=4,
     emit per-doc dimensions, the full-pixel checksum, orientation
     probes (first-R / last-B pixel — catches a missing bottom-up flip
     or BGR swap, which a sum alone cannot), and the thumbnail's
     dimensions + checksum. The oracle re-derives EVERY value
     analytically from n_chars (the planted formula) without touching a
-    byte, and is format-BLIND: all three codecs must reproduce the
+    byte, and is format-BLIND: every codec variant must reproduce the
     identical planted array for the hash to match — independent
-    derivations of the BMP, PNG, and GIF specs in one gate.
+    derivations of the BMP, PNG (sequential + Adam7, truecolor +
+    paletted), and GIF (sequential + interlaced) specs in one gate.
 
     Scale shape: two map-only Arrow-batched decode passes + one
     doc-keyed equi-join — no corpus shuffle beyond the join; payloads

@@ -212,7 +212,11 @@ def test_png_gray_and_rgba_decode():
 
 def test_png_corrupt_and_unsupported():
     """Bad CRC / truncated stream → ValueError (isolatable corruption);
-    Adam7 interlace → NotImplementedError (honest stub)."""
+    16-bit depth → NotImplementedError (honest stub: the uint8 RGB
+    operator contract can't round-trip it losslessly). Plus a
+    DECODER-ONLY Adam7 check: a 2×2 interlaced stream built by hand
+    (pass 1 → (0,0); pass 6 → (0,1); pass 7 → row 1), so the
+    deinterlace grid is pinned independently of encode_png."""
     import struct
     import zlib
 
@@ -235,15 +239,36 @@ def test_png_corrupt_and_unsupported():
     with pytest.raises(ValueError):
         decode_png(good[: len(good) // 2])
 
-    interlaced = (
+    deep = (
         bytes.fromhex(PNG_MAGIC)
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + _png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        decode_png(interlaced)
-    assert isinstance(np.zeros(1), np.ndarray)  # keep the np import honest
+        decode_png(deep)
+
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    stream = (
+        b"\x00" + px[0, 0].tobytes()   # pass 1: (0,0)
+        + b"\x00" + px[0, 1].tobytes()  # pass 6: (0,1)
+        + b"\x00" + px[1].tobytes()     # pass 7: row 1
+    )
+    interlaced = (
+        bytes.fromhex(PNG_MAGIC)
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(interlaced) == px).all()
+    # short one pass-7 byte → length mismatch, not a silent wrap
+    with pytest.raises(ValueError):
+        decode_png(
+            bytes.fromhex(PNG_MAGIC)
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + _png_chunk(b"IDAT", zlib.compress(stream[:-1]))
+            + _png_chunk(b"IEND", b"")
+        )
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -414,10 +439,12 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The three-codec gate corpus: every doc decodes to the planted
-    array regardless of codec (n_chars MOD 3 → BMP / PNG / GIF),
-    through the same Spark operator the driver gate runs — and the
-    corpus genuinely contains all three magics."""
+    """The six-variant gate corpus: every doc decodes to the planted
+    array regardless of codec (n_chars MOD 6 → BMP / PNG / GIF /
+    Adam7 PNG / paletted PNG / interlaced GIF), through the same Spark
+    operator the driver gate runs — and the 8-doc corpus genuinely
+    spans all three container magics (n covers 10..17, all 6
+    residues)."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -535,14 +562,29 @@ from hypothesis import strategies as st  # noqa: E402
 def test_fuzz_png_roundtrip(w, h, seed, data):
     import numpy as np
 
-    from dstlr_spark.operators.multimodal import decode_rgb_bytes, encode_png
+    from dstlr_spark.operators.multimodal import (
+        decode_rgb_bytes,
+        encode_png,
+        encode_png_pal,
+    )
 
-    rgb = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     filters = data.draw(
         st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
     )
-    out = decode_rgb_bytes(encode_png(rgb, row_filters=filters))
+    interlace = data.draw(st.booleans(), label="interlace")
+    out = decode_rgb_bytes(
+        encode_png(rgb, row_filters=filters, interlace=interlace)
+    )
     assert out.shape == rgb.shape and (out == rgb).all()
+    # paletted twin (color type 3) through the same filter/interlace draw
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    out = decode_rgb_bytes(
+        encode_png_pal(idx, pal, row_filters=filters, interlace=interlace)
+    )
+    assert (out == pal[idx]).all()
 
 
 @settings(max_examples=25, deadline=None)
@@ -624,20 +666,33 @@ def test_gif_skips_extension_blocks():
 
 
 def test_gif_corrupt_and_interlaced():
+    """Corruption → ValueError; interlace: a genuine interlaced encode
+    round-trips, and DECODER-ONLY, flipping the interlace flag on a
+    sequential 4-row stream must reorder rows by the inverse of the
+    4-pass emission order (0,2,1,3 for h=4) — pinning the grid
+    independently of the encoder."""
     import numpy as np
     import pytest
 
     from dstlr_spark.operators.multimodal import decode_gif, encode_gif
 
     g = encode_gif(np.zeros((2, 2), np.uint8), np.zeros((256, 3), np.uint8))
-    b = bytearray(g)
-    b[13 + 256 * 3 + 9] |= 0x40  # interlace flag in the image descriptor
-    with pytest.raises(NotImplementedError):
-        decode_gif(bytes(b))
     with pytest.raises(ValueError):
         decode_gif(g[:-8])  # truncated LZW stream
     with pytest.raises(ValueError):
         decode_gif(b"NOTGIF")
+
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal, interlace=True)) == pal[idx]).all()
+
+    seq = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    b = bytearray(encode_gif(seq, pal))
+    b[13 + 256 * 3 + 9] |= 0x40  # claim interlace on a sequential stream
+    got = decode_gif(bytes(b))
+    # stored rows are treated as emission order 0,2,1,3 → inverse map
+    assert (got == pal[seq[[0, 2, 1, 3]]]).all()
 
 
 @settings(max_examples=20, deadline=None)
@@ -656,3 +711,4 @@ def test_fuzz_gif_roundtrip(w, h, n_colors, seed):
     idx = rng.integers(0, n_colors, size=(h, w), dtype=np.uint8)
     pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
     assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    assert (decode_gif(encode_gif(idx, pal, interlace=True)) == pal[idx]).all()
