@@ -329,14 +329,15 @@ def decode_rgb_bytes(b: bytes):
     Supports the formats whose codec needs no imaging library:
     - 24-bit uncompressed BMP (bottom-up or top-down, BGR, padded rows);
     - binary PPM ``P6`` (maxval ≤ 255);
-    - PNG, 8-bit gray/RGB/RGBA non-interlaced (stdlib zlib inflate +
-      NumPy unfilter — :func:`decode_png`);
-    - GIF, non-interlaced first frame (pure-Python variable-width LZW
-      + palette mapping — :func:`decode_gif`).
+    - PNG, 8-bit gray/RGB/palette/RGBA, sequential or Adam7-interlaced
+      (stdlib zlib inflate + NumPy unfilter — :func:`decode_png`);
+    - GIF first frame, sequential or 4-pass interlaced (pure-Python
+      variable-width LZW + palette mapping — :func:`decode_gif`).
 
-    JPEG (DCT) and the exotic PNG variants raise NotImplementedError —
-    the only remaining stub surface, and an honest one: those need a
-    codec library this container doesn't ship.
+    JPEG (DCT) and 16-bit depths raise NotImplementedError — the only
+    remaining stub surface, and an honest one: lossy codecs need a
+    codec library this container doesn't ship, and 16-bit samples
+    can't round-trip the uint8 RGB contract losslessly.
     """
     import numpy as np
 
@@ -387,8 +388,8 @@ def decode_rgb_bytes(b: bytes):
         return decode_gif(b)
     raise NotImplementedError(
         "STUB: compressed codec (JPEG/...) — DCT decode needs an imaging "
-        "library this container doesn't ship; BMP/PPM/PNG decode natively "
-        "via decode_rgb_bytes"
+        "library this container doesn't ship; BMP/PPM/PNG/GIF decode "
+        "natively via decode_rgb_bytes"
     )
 
 

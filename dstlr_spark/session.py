@@ -76,6 +76,12 @@ def ship_package(spark: SparkSession) -> None:
     from pathlib import Path
 
     pkg = Path(__file__).resolve().parent
+    if not pkg.is_dir():
+        # imported from a zip (spark-submit --py-files dist/dstlr_spark.zip):
+        # the archive is already on every executor's path — nothing to ship,
+        # and rglob over a zip member path would build an empty archive
+        spark._dstlr_pyfiles_added = True
+        return
     fd, zpath = tempfile.mkstemp(prefix="dstlr_spark_", suffix=".zip")
     os.close(fd)
     with zipfile.ZipFile(zpath, "w") as z:
