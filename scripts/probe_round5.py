@@ -216,25 +216,49 @@ def probe_codecs(spark, n_docs: int) -> None:
                 rows.append(dict(doc_id=str(i), payload=encode_y4m(fr)))
             yield pd.DataFrame(rows)
 
-    def synth_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def synth_png_adam7(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.multimodal import _planted_rgb, encode_png
+
+        for pdf in batches:
+            rows = [
+                dict(doc_id=str(i),
+                     payload=encode_png(_planted_rgb(96 + int(i) % 7,
+                                                     96 + (int(i) * 3) % 7),
+                                        interlace=True))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    def _gif_rows(pdf, interlace):
         import numpy as np
 
         from dstlr_spark.operators.multimodal import encode_gif
 
         pal = (np.arange(256 * 3, dtype=np.uint16) % 256).astype(np.uint8)
         pal = pal.reshape(256, 3)
+        rows = []
+        for i in pdf["id"]:
+            w, h = 96 + int(i) % 7, 96 + (int(i) * 3) % 7
+            ys, xs = np.mgrid[0:h, 0:w]
+            idx = ((3 * xs + 7 * ys + int(i)) % 251).astype(np.uint8)
+            rows.append(
+                dict(doc_id=str(i), payload=encode_gif(idx, pal, interlace))
+            )
+        return pd.DataFrame(rows)
+
+    def synth_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                w, h = 96 + int(i) % 7, 96 + (int(i) * 3) % 7
-                ys, xs = np.mgrid[0:h, 0:w]
-                idx = ((3 * xs + 7 * ys + int(i)) % 251).astype(np.uint8)
-                rows.append(dict(doc_id=str(i), payload=encode_gif(idx, pal)))
-            yield pd.DataFrame(rows)
+            yield _gif_rows(pdf, False)
+
+    def synth_gif_il(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _gif_rows(pdf, True)
 
     ddl = "doc_id string, payload binary"
     run("png decode→feats ", synth_png, ddl, decode_features_np)
+    run("png adam7 → feats", synth_png_adam7, ddl, decode_features_np)
     run("gif decode→feats ", synth_gif, ddl, decode_features_np)
+    run("gif ilace → feats", synth_gif_il, ddl, decode_features_np)
     run("wav decode→feats ", synth_wav, ddl, audio_features_np)
     run("y4m decode→frames", synth_y4m, ddl, video_frame_features_np)
 
