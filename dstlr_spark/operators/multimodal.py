@@ -5,18 +5,20 @@ image/audio/video travel as ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` UDFs.
 
-Pixel decode is REAL for 24-bit BMP, binary PPM (P6), PNG (stdlib
-``zlib`` inflate + NumPy unfilter of all five scanline filters; 8-bit
-gray/RGB/palette/RGBA, sequential AND Adam7-interlaced —
-:func:`decode_png`), and GIF89a (pure-Python variable-width LZW,
-sequential and 4-pass interlaced — :func:`decode_gif`), with
-nearest-neighbor resize (:func:`resize_nearest`) on top; all
-value-gated end-to-end by the ``mm_media_decode`` driver query over a
-SIX-VARIANT planted-pixel corpus (BMP / PNG / GIF / Adam7 PNG /
-paletted PNG / interlaced GIF). Only lossy codecs that genuinely need
-an imaging library (JPEG DCT, MP3/AAC, H.26x) plus 16-bit depths
-(lossless but not representable in the uint8 RGB operator contract)
-still raise a clearly-marked ``NotImplementedError``.
+Pixel decode is REAL for 24-bit BMP, binary PPM (P6, maxval ≤ 65535),
+PNG (stdlib ``zlib`` inflate + NumPy unfilter of all five scanline
+filters; 8/16-bit gray/RGB/RGBA + 8-bit palette, sequential AND
+Adam7-interlaced — :func:`decode_png`), and GIF89a (pure-Python
+variable-width LZW, sequential and 4-pass interlaced —
+:func:`decode_gif`), with nearest-neighbor resize
+(:func:`resize_nearest`) on top; all value-gated end-to-end by the
+``mm_media_decode`` driver query over a SEVEN-VARIANT planted-pixel
+corpus (BMP / PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF /
+16-bit PNG). 16-bit samples decode to exact uint16 — the operator
+contract is ``array<int>``, never narrowed. Only lossy codecs that
+genuinely need an imaging library (JPEG DCT, MP3/AAC, H.26x) and
+sub-byte bit-packed depths still raise a clearly-marked
+``NotImplementedError``.
 Everything Spark-side is real and tested either way: the binary
 schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
 reads), the batch shapes, and the partitioning.
@@ -328,16 +330,17 @@ def decode_rgb_bytes(b: bytes):
 
     Supports the formats whose codec needs no imaging library:
     - 24-bit uncompressed BMP (bottom-up or top-down, BGR, padded rows);
-    - binary PPM ``P6`` (maxval ≤ 255);
-    - PNG, 8-bit gray/RGB/palette/RGBA, sequential or Adam7-interlaced
-      (stdlib zlib inflate + NumPy unfilter — :func:`decode_png`);
+    - binary PPM ``P6`` (maxval ≤ 255 → uint8; ≤ 65535 → exact uint16);
+    - PNG, 8/16-bit gray/RGB/RGBA + 8-bit palette, sequential or
+      Adam7-interlaced (stdlib zlib inflate + NumPy unfilter —
+      :func:`decode_png`); 16-bit → exact uint16;
     - GIF first frame, sequential or 4-pass interlaced (pure-Python
       variable-width LZW + palette mapping — :func:`decode_gif`).
 
-    JPEG (DCT) and 16-bit depths raise NotImplementedError — the only
-    remaining stub surface, and an honest one: lossy codecs need a
-    codec library this container doesn't ship, and 16-bit samples
-    can't round-trip the uint8 RGB contract losslessly.
+    JPEG (DCT) and sub-byte bit-packed depths raise
+    NotImplementedError — the only remaining stub surface, and an
+    honest one: lossy codecs need a codec library this container
+    doesn't ship.
     """
     import numpy as np
 
@@ -375,8 +378,14 @@ def decode_rgb_bytes(b: bytes):
             fields.append(int(b[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
-        if maxval > 255:
-            raise NotImplementedError("STUB: 16-bit PPM needs widening logic")
+        if maxval > 65535:
+            raise ValueError(f"PPM maxval {maxval} exceeds the P6 spec")
+        if maxval > 255:  # 2-byte big-endian samples, exact values
+            return (
+                np.frombuffer(b, ">u2", count=w * h * 3, offset=pos)
+                .reshape(h, w, 3)
+                .astype(np.uint16)
+            )
         return (
             np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
             .reshape(h, w, 3)
@@ -491,24 +500,35 @@ def _png_pixel_stream(px, bpp, interlace, row_filters) -> bytes:
 
 
 def encode_png(rgb, row_filters=None, interlace=False) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a REAL 8-bit truecolor
-    PNG (bit depth 8, color type 2) using only stdlib ``zlib``;
-    ``interlace=True`` emits a spec-valid Adam7 stream (each pass
-    filtered independently). ``row_filters`` pins the per-scanline
-    filter byte (default: rotate 0..4 by row so one fixture exercises
-    every unfilter path — None/Sub/Up/Average/Paeth)."""
+    """Encode an (h, w, 3) RGB array as a REAL truecolor PNG (color
+    type 2) using only stdlib ``zlib``: uint8 input → bit depth 8,
+    uint16 input → bit depth 16 (big-endian samples, filters over the
+    byte stream with bpp 6, per spec). ``interlace=True`` emits a
+    spec-valid Adam7 stream (each pass filtered independently).
+    ``row_filters`` pins the per-scanline filter byte (default: rotate
+    0..4 by row so one fixture exercises every unfilter path —
+    None/Sub/Up/Average/Paeth)."""
     import zlib
 
     import numpy as np
 
-    raw = np.asarray(rgb, np.uint8)
-    h, w, _ = raw.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    arr = np.asarray(rgb)
+    if arr.dtype == np.uint16:
+        depth = 16
+        # big-endian byte plane: (h, w, 3) u16 → (h, w, 6) u8
+        raw = arr.astype(">u2").view(np.uint8)
+    else:
+        depth = 8
+        raw = arr.astype(np.uint8)
+    h, w = arr.shape[:2]
+    bpp = raw.shape[2]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
     return (
         bytes.fromhex(PNG_MAGIC)
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(
-            b"IDAT", zlib.compress(_png_pixel_stream(raw, 3, interlace, row_filters))
+            b"IDAT",
+            zlib.compress(_png_pixel_stream(raw, bpp, interlace, row_filters)),
         )
         + _png_chunk(b"IEND", b"")
     )
@@ -605,11 +625,12 @@ def decode_png(b: bytes):
     independently, then scatters into the (x0::dx, y0::dy) grid), then
     palette map / grayscale expand / alpha drop to RGB.
 
-    Supported: bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette
-    via PLTE), 6 (RGBA), interlace 0 and 1 (Adam7). Sub-byte and
-    16-bit depths raise NotImplementedError (16-bit can't round-trip
-    through the uint8 RGB operator contract without lossy narrowing);
-    a corrupt stream (bad CRC / truncated IDAT / missing PLTE) raises
+    Supported: bit depths 8 and 16 for color types 0 (gray), 2 (RGB),
+    6 (RGBA); depth 8 for 3 (palette via PLTE); interlace 0 and 1
+    (Adam7). Depth 16 returns EXACT uint16 samples (filter lookback
+    widens to channels·2 bytes per spec; big-endian). Sub-byte
+    bit-packed depths raise NotImplementedError; a corrupt stream
+    (bad CRC / truncated IDAT / missing PLTE / 16-bit palette) raises
     ValueError so the per-doc isolation wrapper can skip it."""
     import zlib
 
@@ -640,12 +661,20 @@ def decode_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt_method, interlace = ihdr
-    if depth != 8 or color not in (0, 2, 3, 6) or interlace > 1 or comp != 0:
+    if color == 3 and depth == 16:
+        raise ValueError("PNG: 16-bit palette is invalid per spec")
+    if (
+        depth not in (8, 16)
+        or color not in (0, 2, 3, 6)
+        or interlace > 1
+        or comp != 0
+    ):
         raise NotImplementedError(
             f"STUB: PNG depth={depth} color={color} interlace={interlace} — "
-            "only 8-bit gray/RGB/palette/RGBA decodes natively"
+            "8/16-bit gray/RGB/RGBA and 8-bit palette decode natively"
         )
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    bpp = ch * (depth // 8)  # filter lookback is in BYTES per pixel
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -667,6 +696,9 @@ def decode_png(b: bytes):
             px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
         if rpos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
+    if depth == 16:  # exact sample values, never narrowed
+        px = np.frombuffer(px.tobytes(), ">u2").reshape(h, w, ch)
+        px = px.astype(np.uint16)
     if color == 3:
         if plte is None:
             raise ValueError("paletted PNG missing PLTE")
@@ -674,9 +706,9 @@ def decode_png(b: bytes):
         if idx.max(initial=0) >= len(plte):
             raise ValueError("PNG palette index beyond PLTE")
         return plte[idx].copy()
-    if bpp == 1:
+    if ch == 1:
         return np.repeat(px, 3, axis=2).copy()
-    if bpp == 4:
+    if ch == 4:
         return px[..., :3].copy()  # straight alpha drop
     return px.copy()
 
@@ -1280,18 +1312,26 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Six-variant twin of :func:`synth_media_bmp`: the SAME planted
+    """Seven-variant twin of :func:`synth_media_bmp`: the SAME planted
     image per document (dims and pixels are functions of n_chars
-    alone), serialized per n_chars MOD 6 — uncompressed 24-bit BMP;
+    alone), serialized per (n_chars DIV 7) MOD 7 — DIV 7 first so the
+    codec choice is independent of the (n_chars MOD 7)-derived dims
+    and every codec sees every image shape — uncompressed 24-bit BMP;
     truecolor PNG (rotating per-row filters 0..4, every unfilter
     path); palettized GIF89a (real LZW, variable-width code growth +
     sub-block reassembly); Adam7-interlaced truecolor PNG (7
     independently-filtered passes); paletted PNG (color type 3, PLTE);
-    and 4-pass-interlaced GIF. A decoder is correct iff EVERY variant
-    reproduces the identical planted array — which is exactly what
-    lets one format-agnostic analytic oracle gate all of them."""
+    4-pass-interlaced GIF; and 16-BIT truecolor PNG carrying the same
+    sample values (<256, so the decoded uint16 array is value-equal to
+    the uint8 planted array — the depth-16 byte layout and bpp-6
+    filter lookback get gated without breaking format blindness). A
+    decoder is correct iff EVERY variant reproduces the identical
+    planted values — which is exactly what lets one format-agnostic
+    analytic oracle gate all of them."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         encoders = (
             encode_bmp,
             encode_png,
@@ -1299,13 +1339,16 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_png(a, interlace=True),
             lambda a: encode_png_pal(*palettize_rgb(a)),
             lambda a: _encode_gif_rgb(a, interlace=True),
+            lambda a: encode_png(a.astype(np.uint16)),
         )
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
-                rows.append(dict(doc_id=doc_id, payload=encoders[n % 6](rgb)))
+                rows.append(
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 7](rgb))
+                )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
                  "payload": pd.Series(dtype="object")}

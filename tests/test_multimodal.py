@@ -212,11 +212,11 @@ def test_png_gray_and_rgba_decode():
 
 def test_png_corrupt_and_unsupported():
     """Bad CRC / truncated stream → ValueError (isolatable corruption);
-    16-bit depth → NotImplementedError (honest stub: the uint8 RGB
-    operator contract can't round-trip it losslessly). Plus a
-    DECODER-ONLY Adam7 check: a 2×2 interlaced stream built by hand
-    (pass 1 → (0,0); pass 6 → (0,1); pass 7 → row 1), so the
-    deinterlace grid is pinned independently of encode_png."""
+    sub-byte depth → NotImplementedError (honest stub: bit-packed
+    scanlines). Plus a DECODER-ONLY Adam7 check: a 2×2 interlaced
+    stream built by hand (pass 1 → (0,0); pass 6 → (0,1); pass 7 →
+    row 1), so the deinterlace grid is pinned independently of
+    encode_png."""
     import struct
     import zlib
 
@@ -239,14 +239,14 @@ def test_png_corrupt_and_unsupported():
     with pytest.raises(ValueError):
         decode_png(good[: len(good) // 2])
 
-    deep = (
+    subbyte = (
         bytes.fromhex(PNG_MAGIC)
-        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + _png_chunk(b"IEND", b"")
     )
     with pytest.raises(NotImplementedError):
-        decode_png(deep)
+        decode_png(subbyte)
 
     px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     stream = (
@@ -269,6 +269,86 @@ def test_png_corrupt_and_unsupported():
             + _png_chunk(b"IDAT", zlib.compress(stream[:-1]))
             + _png_chunk(b"IEND", b"")
         )
+
+
+def test_png_and_ppm_16bit_exact():
+    """16-bit samples decode to EXACT uint16 values (never narrowed):
+    truecolor PNG round-trips at depth 16 sequential + Adam7 (filter
+    lookback widens to 6 bytes/pixel); gray-16 and RGBA-16 streams
+    built by hand pin the decoder independently of the encoder; P6 PPM
+    with maxval 65535 reads big-endian 2-byte samples; a 16-bit
+    palette PNG (invalid per spec) raises ValueError; and the
+    decode_image_np operator passes values > 255 through its
+    array<int> contract untouched."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+        decode_rgb_bytes,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    for h, w in [(1, 1), (3, 2), (7, 9), (33, 16)]:
+        x16 = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+        for il in (False, True):
+            out = decode_png(encode_png(x16, interlace=il))
+            assert out.dtype == np.uint16 and (out == x16).all(), (h, w, il)
+
+    g = rng.integers(0, 65536, (3, 4)).astype(">u2")
+    lines = b"".join(b"\x00" + g[y].tobytes() for y in range(3))
+    png = (
+        bytes.fromhex(PNG_MAGIC)
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(png)
+    assert out.dtype == np.uint16
+    assert (out[..., 0] == g.astype(np.uint16)).all()
+    assert (out[..., 1] == out[..., 0]).all() and (out[..., 2] == out[..., 0]).all()
+
+    a = rng.integers(0, 65536, (2, 3, 4)).astype(">u2")
+    lines = b"".join(b"\x00" + a[y].tobytes() for y in range(2))
+    png = (
+        bytes.fromhex(PNG_MAGIC)
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 16, 6, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(lines))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == a.astype(np.uint16)[..., :3]).all()
+
+    p = rng.integers(0, 65536, (5, 6, 3)).astype(np.uint16)
+    out = decode_rgb_bytes(b"P6 6 5 65535\n" + p.astype(">u2").tobytes())
+    assert out.dtype == np.uint16 and (out == p).all()
+
+    with pytest.raises(ValueError):
+        decode_png(
+            bytes.fromhex(PNG_MAGIC)
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+
+
+def test_decode_image_np_16bit_passthrough(spark):
+    from dstlr_spark.operators.multimodal import decode_image_np, encode_png
+    import numpy as np
+
+    x16 = (np.arange(12, dtype=np.uint16) * 5000 + 300).reshape(2, 2, 3)
+    media = spark.createDataFrame(
+        [("d", bytearray(encode_png(x16)))], "doc_id string, payload binary"
+    )
+    r = decode_image_np(media).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    assert r.pixels == x16.reshape(-1).tolist()
+    assert max(r.pixels) > 255  # genuinely wide values survive array<int>
 
 
 def test_wav_roundtrip_mono_and_stereo():
@@ -439,12 +519,13 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The six-variant gate corpus: every doc decodes to the planted
-    array regardless of codec (n_chars MOD 6 → BMP / PNG / GIF /
-    Adam7 PNG / paletted PNG / interlaced GIF), through the same Spark
-    operator the driver gate runs — and the 8-doc corpus genuinely
-    spans all three container magics (n covers 10..17, all 6
-    residues)."""
+    """The seven-variant gate corpus: every doc decodes to the planted
+    array regardless of codec ((n_chars DIV 7) MOD 7 → BMP / PNG /
+    GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit PNG),
+    through the same Spark operator the driver gate runs. n_chars =
+    8·v hits exactly variant v with v-dependent dims, so the 7-doc
+    corpus covers every encoder, and all three container magics
+    appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -453,7 +534,7 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     )
 
     docs = spark.createDataFrame(
-        [(str(i), "t" * (10 + i), 10 + i) for i in range(8)],
+        [(str(v), "t" * (8 * v), 8 * v) for v in range(7)],
         "doc_id string, text string, n_chars int",
     )
     media = synth_media_mixed(docs).localCheckpoint()
@@ -462,11 +543,11 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert bytes.fromhex(PNG_MAGIC)[:6] in magics
     assert b"GIF89a" in magics
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 8
-    for i in range(8):
-        n = 10 + i
+    assert len(rows) == 7
+    for v in range(7):
+        n = 8 * v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
-        r = rows[str(i)]
+        r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]
         assert r.pixels == planted.reshape(-1).tolist()
 
@@ -578,6 +659,12 @@ def test_fuzz_png_roundtrip(w, h, seed, data):
         encode_png(rgb, row_filters=filters, interlace=interlace)
     )
     assert out.shape == rgb.shape and (out == rgb).all()
+    # depth-16 twin through the same filter/interlace draw
+    rgb16 = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+    out = decode_rgb_bytes(
+        encode_png(rgb16, row_filters=filters, interlace=interlace)
+    )
+    assert out.dtype == np.uint16 and (out == rgb16).all()
     # paletted twin (color type 3) through the same filter/interlace draw
     idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
     pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
