@@ -345,6 +345,10 @@ def decode_rgb_bytes(b: bytes):
     import numpy as np
 
     if b[:2] == b"BM":
+        if len(b) < 34:
+            # contract: malformed input is ValueError (isolatable), never
+            # struct.error — one bad payload must not kill an Arrow batch
+            raise ValueError("truncated BMP header")
         off = struct.unpack("<I", b[10:14])[0]
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
@@ -648,6 +652,8 @@ def decode_png(b: bytes):
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR length {ln} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"PLTE":
             if ln % 3 or not ln:
@@ -896,6 +902,10 @@ def decode_gif(b: bytes):
                 pos += n * 3
             if pal is None:
                 raise ValueError("GIF frame has no color table")
+            if pos >= len(b):
+                # contract: malformed input is ValueError (isolatable),
+                # never IndexError — see decode_rgb_bytes' BMP guard
+                raise ValueError("GIF truncated before LZW code size")
             min_code = b[pos]
             pos += 1
             lzw = bytearray()
@@ -964,6 +974,8 @@ def decode_wav(b: bytes):
         if len(chunk) != ln:
             raise ValueError(f"truncated WAV chunk {tag!r}")
         if tag == b"fmt ":
+            if ln < 16:
+                raise ValueError("WAV fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif tag == b"data":
             data = chunk

@@ -782,7 +782,76 @@ def test_gif_corrupt_and_interlaced():
     assert (got == pal[seq[[0, 2, 1, 3]]]).all()
 
 
-@settings(max_examples=20, deadline=None)
+def test_decoder_exception_contract_under_corruption():
+    """100 TB isolation contract: every decoder raises ONLY ValueError
+    or NotImplementedError on malformed input — never struct.error /
+    IndexError / zlib.error — because the per-doc isolation wrappers
+    catch exactly those two, and anything else kills the whole Arrow
+    batch. Exercised by truncating each valid stream at EVERY byte
+    offset and by seeded random mutations + magic-prefixed garbage.
+    (Found for real: BMP struct.error on short headers, GIF IndexError
+    at the LZW code-size byte.)"""
+    import random
+
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        _planted_rgb,
+        decode_rgb_bytes,
+        decode_wav,
+        decode_y4m,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_png_pal,
+        encode_wav,
+        encode_y4m,
+        palettize_rgb,
+    )
+
+    rng = random.Random(1)
+    nprng = np.random.default_rng(1)
+    rgb = _planted_rgb(9, 7)
+    idx, pal = palettize_rgb(rgb)
+    streams = {
+        "bmp": (decode_rgb_bytes, encode_bmp(rgb)),
+        "png": (decode_rgb_bytes, encode_png(rgb)),
+        "png_a7": (decode_rgb_bytes, encode_png(rgb, interlace=True)),
+        "png_pal": (decode_rgb_bytes, encode_png_pal(idx, pal)),
+        "png16": (decode_rgb_bytes, encode_png(rgb.astype(np.uint16))),
+        "gif": (decode_rgb_bytes, encode_gif(idx, pal)),
+        "gif_il": (decode_rgb_bytes, encode_gif(idx, pal, interlace=True)),
+        "ppm": (decode_rgb_bytes, b"P6 9 7 255\n" + rgb.tobytes()),
+        "wav": (decode_wav,
+                encode_wav(nprng.integers(-99, 99, 64).astype(np.int16), 8000)),
+        "y4m": (decode_y4m,
+                encode_y4m(nprng.integers(0, 255, (2, 4, 4)).astype(np.uint8))),
+    }
+
+    def check(dec, payload, ctx):
+        try:
+            dec(payload)
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as e:  # noqa: BLE001 — the point of the test
+            raise AssertionError(
+                f"{ctx}: {type(e).__name__} escaped the contract: {e}"
+            ) from e
+
+    for name, (dec, b) in streams.items():
+        for cut in range(len(b)):
+            check(dec, b[:cut], f"{name} trunc@{cut}")
+        for i in range(200):
+            m = bytearray(b)
+            for _ in range(rng.randint(1, 4)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            check(dec, bytes(m), f"{name} mut#{i}")
+        for i in range(100):
+            g = b[:8] + bytes(rng.randrange(256) for _ in range(rng.randint(0, 120)))
+            check(dec, g, f"{name} garbage#{i}")
+
+
+@settings(max_examples=25, deadline=None)
 @given(
     w=st.integers(1, 30),
     h=st.integers(1, 20),
