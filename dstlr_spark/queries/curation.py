@@ -205,6 +205,66 @@ from dstlr_spark.queries.textstats import (  # one definition, no drift
 )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampler — the operator that EXECUTES
+    the ``curate_domain_mix`` rebalancing table instead of just
+    printing it: per source, keep a document iff
+    ``conv(md5(doc_id)[0:8], 16, 10) % 1e6 < keep_ppm`` where keep_ppm
+    is the domain-mix equalization weight capped at 1,000,000. The
+    hash rank is a pure function of doc_id, so the SAME documents are
+    kept on every run, every executor, and every engine — resumable
+    sampling with no RNG state, and the DuckDB oracle re-derives the
+    exact kept set. Output is dimension-sized: per-source target vs
+    achieved keep rate plus kept token mass. (The ~1.6% modulo bias of
+    16^8 % 1e6 is identical in both engines and irrelevant to the
+    rebalancing purpose; documented, not hidden.)
+
+    Scale shape: the rates frame is source-dimension-sized and
+    broadcast; the corpus pays one scan + one source-keyed hash
+    aggregate (map-side partials carry it). Nothing corpus-scale
+    shuffles, and the sampler composes as a WHERE clause upstream of
+    any other operator."""
+    rates = q_domain_mix(spark, sf_dir).select(
+        "source",
+        F.expr("least(1000000L, mix_weight_ppm)").alias("keep_ppm"),
+    )
+    h_ppm = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 1000000"
+    )
+    n_toks = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.split(F.col("text"), " ")).cast("long"),
+    )
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id").isNotNull())
+        .select("source", h_ppm.alias("h_ppm"), n_toks.alias("n_toks"))
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "keep_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CAST(h_ppm < keep_ppm AS LONG)")).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("h_ppm") < F.col("keep_ppm"), F.col("n_toks"))),
+                F.lit(0).cast("long"),
+            ).alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "keep_ppm",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            F.expr("n_kept * 1000000 DIV greatest(n_docs, 1)").alias(
+                "achieved_ppm"
+            ),
+        )
+    )
+
+
 def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite filter verdict: every heuristic filter evaluated
     in ONE pass over the corpus, reported as a reason bitmask + keep
@@ -1183,6 +1243,11 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_anomaly": q_events_anomaly,
     "events_transitions": q_events_transitions,
+    # round-5 TAIL addition (registry position > the driver's ~50-row
+    # window by construction, so it cannot displace the 33 never-gated
+    # queries this round's freeze protects; it is part of the round-6
+    # gate head)
+    "curate_stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -1558,4 +1623,42 @@ tot AS (SELECT from_type, SUM(n_transitions) AS tot
 SELECT p.from_type, p.to_type, p.n_transitions,
        CAST(p.n_transitions * 1000000 // t.tot AS BIGINT) AS from_share_ppm
 FROM pair p JOIN tot t ON t.from_type = p.from_type""",
+    # rates CTE = curate_domain_mix's oracle verbatim; the hash rank is
+    # the first 8 md5 hex nibbles of the doc_id string, mod 1e6 — the
+    # exact arithmetic the Spark side runs
+    "curate_stratified_sample": """
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_sources FROM per),
+rates AS (
+  SELECT source, n_docs,
+         LEAST(1000000,
+               CAST(LEAST(10000000,
+                    ((1000000 // n_sources) * 1000000)
+                    // GREATEST((n_tokens * 1000000)
+                                // GREATEST(total_tokens, 1), 1))
+                 AS BIGINT)) AS keep_ppm
+  FROM per, tot),
+d AS (
+  SELECT source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000 AS h_ppm,
+         CASE WHEN text IS NOT NULL
+              THEN CAST(len(string_split(text, ' ')) AS BIGINT) END AS n_toks
+  FROM documents WHERE doc_id IS NOT NULL)
+SELECT d.source, r.keep_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.h_ppm < r.keep_ppm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN d.h_ppm < r.keep_ppm THEN d.n_toks END), 0)
+         AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN d.h_ppm < r.keep_ppm THEN 1 ELSE 0 END) * 1000000
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS achieved_ppm
+FROM d JOIN rates r ON r.source = d.source
+GROUP BY d.source, r.keep_ppm""",
 }

@@ -1347,6 +1347,74 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KTRUSS_K = 4  # keep edges in >= (K-2) triangles: the cohesive core
+KTRUSS_ROUNDS = 3  # fixed unrolled peels (same convention as PAGERANK_ITERS)
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-truss peeling (k = 4) of the co-mention graph —
+    the edge-level cohesion complement to ``kg_entity_kcore``'s
+    vertex-level one: each round computes per-edge triangle support
+    (common-neighbor count) and drops edges supported by fewer than
+    k−2 triangles; at convergence the survivors are exactly the
+    k-truss (Cohen 2008). KTRUSS_ROUNDS is fixed so the DuckDB oracle
+    unrolls the identical rounds in CTEs (the PAGERANK_ITERS/
+    LABELPROP_ITERS convention); the output reports each surviving
+    edge with its support in the FINAL surviving graph, so a
+    non-converged round count is visible (support < k−2 rows), never
+    hidden. Reference parity: the Neo4j graph-analytics surface
+    (README.md:136-183), computed engine-side.
+
+    Scale shape: per round, support is two edge-scale equi-joins on
+    the hub-capped edge list (the ``kg_entity_triangles`` shape) + one
+    edge-keyed hash agg; the survivor filter is a left join at edge
+    scale. Lineage cut per round with localCheckpoint. Everything
+    rides the same COMENTION_MAX_ENTITIES cap every other graph
+    operator documents."""
+
+    edges = (
+        _comention_und(_ent_docs(spark, sf_dir))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    return _truss_peel(edges, KTRUSS_K, KTRUSS_ROUNDS)
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support: for each canonical edge (src < dst),
+    the number of common neighbors in the symmetrized adjacency."""
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    xa = sym.select(F.col("src").alias("sa"), F.col("dst").alias("c"))
+    xb = sym.select(F.col("src").alias("sb"), F.col("dst").alias("cb"))
+    return (
+        e.join(xa, F.col("src") == F.col("sa"))
+        .join(xb, (F.col("dst") == F.col("sb")) & (F.col("c") == F.col("cb")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+
+
+def _truss_peel(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """``rounds`` support-filter peels then a final support recompute —
+    the q_ktruss kernel, factored out so planted-graph tests can drive
+    it with a synthetic edge frame."""
+    for _ in range(rounds):
+        edges = (
+            edges.join(_edge_support(edges), ["src", "dst"], "left")
+            .where(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return edges.join(_edge_support(edges), ["src", "dst"], "left").select(
+        "src",
+        "dst",
+        F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support"),
+    )
+
+
 def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-level degree assortativity (Newman 2002) of the co-mention
     graph — one row: do high-degree entities link to high-degree
@@ -2695,6 +2763,71 @@ def q_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_obs",
             "asof_ts_s",
         )
+    )
+
+
+#: Allen's interval algebra (1983) over closed integer-second
+#: intervals [af, al] vs [bf, bl] — one exhaustive, mutually-exclusive
+#: CASE cascade shared VERBATIM by the Spark expression and the DuckDB
+#: oracle, so the classification can't drift between engines. All 13
+#: relations (6 base + 6 inverses + equals).
+_ALLEN_CASE = """CASE
+  WHEN af = bf AND al = bl THEN 'equals'
+  WHEN al < bf THEN 'precedes'
+  WHEN al = bf THEN 'meets'
+  WHEN bl < af THEN 'preceded_by'
+  WHEN bl = af THEN 'met_by'
+  WHEN af = bf AND al < bl THEN 'starts'
+  WHEN af = bf THEN 'started_by'
+  WHEN al = bl AND af > bf THEN 'finishes'
+  WHEN al = bl THEN 'finished_by'
+  WHEN af > bf AND al < bl THEN 'during'
+  WHEN af < bf AND al > bl THEN 'contains'
+  WHEN af < bf THEN 'overlaps'
+  ELSE 'overlapped_by'
+END"""
+
+
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra census over each subject entity's triple
+    validity intervals (``kg_triple_temporal``'s first/last attributed
+    observation timestamps): for every canonical pair of the entity's
+    triples (ordered by (relation, obj_entity), ASCII ids so the
+    ordering is collation-free), classify the pair into one of Allen's
+    13 relations via :data:`_ALLEN_CASE` and count per (entity,
+    relation class). The temporal-KG consistency signal: 'equals'/
+    'during'-heavy entities have nested claim lifetimes, 'precedes'-
+    heavy ones have disjoint eras — the input to temporal-conflict
+    triage on top of ``kg_clean_inconsistent``.
+
+    Scale shape: the interval table is triple-level (≪ corpus, and it
+    rides the staged ``_linked_entity_pairs``); the self-join is keyed
+    on subj_entity with per-entity interval counts bounded by the
+    relation-type × gazetteer fan caps; output is entity × ≤13 rows."""
+    t = _triple_intervals(spark, sf_dir)
+    a = t.select(
+        "subj_entity",
+        F.col("relation").alias("ar"),
+        F.col("obj_entity").alias("ao"),
+        F.col("first_ts_s").alias("af"),
+        F.col("last_ts_s").alias("al"),
+    )
+    b = t.select(
+        "subj_entity",
+        F.col("relation").alias("br"),
+        F.col("obj_entity").alias("bo"),
+        F.col("first_ts_s").alias("bf"),
+        F.col("last_ts_s").alias("bl"),
+    )
+    return (
+        a.join(b, "subj_entity")
+        .where(
+            (F.col("ar") < F.col("br"))
+            | ((F.col("ar") == F.col("br")) & (F.col("ao") < F.col("bo")))
+        )
+        .select("subj_entity", F.expr(_ALLEN_CASE).alias("allen"))
+        .groupBy("subj_entity", "allen")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
 
 
@@ -4433,6 +4566,76 @@ SELECT deg.id AS entity_id,
 FROM deg LEFT JOIN n2 ON n2.src = deg.id""",
 }
 
+
+def _ktruss_ctes() -> str:
+    """KTRUSS_ROUNDS unrolled peels + a final support recompute —
+    twin of q_ktruss's loop, one CTE pair per round."""
+    parts = ["e0 AS (SELECT src, dst FROM edges)"]
+    for r in range(KTRUSS_ROUNDS + 1):
+        parts.append(
+            f"""sym{r} AS (SELECT src, dst FROM e{r}
+  UNION ALL SELECT dst AS src, src AS dst FROM e{r}),
+sup{r} AS (SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e{r} e
+  JOIN sym{r} x ON x.src = e.src
+  JOIN sym{r} y ON y.src = e.dst AND y.dst = x.dst
+  GROUP BY e.src, e.dst)"""
+        )
+        if r < KTRUSS_ROUNDS:
+            parts.append(
+                f"""e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e
+  LEFT JOIN sup{r} s ON s.src = e.src AND s.dst = e.dst
+  WHERE COALESCE(s.c, 0) >= {KTRUSS_K - 2})"""
+            )
+    return ",\n".join(parts)
+
+
+# round-5 TAIL addition (registry position > the driver's ~50-row
+# window by construction — cannot displace the 33 never-gated queries
+# the freeze protects; part of the round-6 gate head)
+ORACLES["kg_ktruss"] = f"""WITH {_base_ctes()},
+{_UND_EDGE_CTES},
+{_ktruss_ctes()}
+SELECT e.src, e.dst, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM e{KTRUSS_ROUNDS} e
+LEFT JOIN sup{KTRUSS_ROUNDS} s ON s.src = e.src AND s.dst = e.dst"""
+
+# round-5 TAIL addition (same placement note as kg_ktruss); the tt CTE
+# is kg_snapshot_asof's interval rollup verbatim, and the CASE cascade
+# is the very string the Spark side F.expr()s
+ORACLES["kg_allen_relations"] = f"""WITH {_base_ctes()},
+{_SHRED_SQL},
+{_ENRICH_SQL},
+{_SPANS_SQL},
+tt AS (
+    SELECT ls.entity_id AS subj_entity,
+           'COOCCURS_' || a.entity_class || '_' || b.entity_class AS relation,
+           lo.entity_id AS obj_entity,
+           MIN(s.ts_s) AS first_ts_s,
+           MAX(s.ts_s) AS last_ts_s
+    FROM mentions a
+    JOIN mentions b ON a.doc = b.doc AND b.pos > a.pos
+                   AND b.pos <= a.pos + {COOCCUR_WINDOW} AND a.key <> b.key
+    JOIN links ls ON ls.doc = a.doc AND ls.mention_id = a.mention_id
+                 AND ls.entity_id IS NOT NULL
+    JOIN links lo ON lo.doc = b.doc AND lo.mention_id = b.mention_id
+                 AND lo.entity_id IS NOT NULL
+    JOIN spans s ON s.conv_id = a.doc
+               AND a.begin_ofs >= s.st AND a.begin_ofs < s.st + s.ln
+    GROUP BY ls.entity_id, relation, lo.entity_id),
+p AS (
+    SELECT a.subj_entity,
+           a.first_ts_s AS af, a.last_ts_s AS al,
+           b.first_ts_s AS bf, b.last_ts_s AS bl
+    FROM tt a
+    JOIN tt b ON b.subj_entity = a.subj_entity
+             AND (a.relation < b.relation
+                  OR (a.relation = b.relation
+                      AND a.obj_entity < b.obj_entity)))
+SELECT subj_entity, {_ALLEN_CASE} AS allen,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1, 2"""
+
 QUERIES = {
     "kg_label_propagation": q_label_propagation,  # never-gated first
     "kg_entity_degree_hist": q_entity_degree_hist,  # never-gated first
@@ -4496,4 +4699,7 @@ QUERIES = {
     "kg_entity_hits": q_entity_hits,
     "kg_entity_pagerank": q_entity_pagerank,
     "kg_entity_mention_counts": q_entity_mention_counts,
+    # round-5 TAIL additions — see ORACLES["kg_ktruss"]'s placement note
+    "kg_ktruss": q_ktruss,
+    "kg_allen_relations": q_allen_relations,
 }

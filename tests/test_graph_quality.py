@@ -468,3 +468,79 @@ def test_entity_distances_matches_python_bfs_on_random_graphs(spark):
         }
         want_b = _py_bfs_pairs(edges, KHOP_MAX, seeds=seeds)
         assert got_b == want_b, f"batch mismatch (seed={seed}, seeds={seeds})"
+
+
+def test_ktruss_peel_on_planted_clique_plus_tail(spark):
+    """k=4 truss peeling on a hand graph: a 4-clique (every edge in 2
+    triangles → support 2 ≥ k−2) survives all rounds intact; a pendant
+    tail edge (support 0) and a triangle hanging off one clique vertex
+    (support 1 each — below threshold) peel away. Also pins the
+    cascade effect: the hanging triangle's edges die in round 1, so
+    nothing outside the clique survives even though the triangle
+    edges DID have triangles initially."""
+    from dstlr_spark.queries.doc_kg import _truss_peel
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+    hang = [("d", "x"), ("d", "y"), ("x", "y")]  # triangle off d
+    tail = [("y", "z")]
+    edges = spark.createDataFrame(clique + hang + tail, "src string, dst string")
+    got = {(r.src, r.dst): r.support for r in _truss_peel(edges, 4, 3).collect()}
+    assert set(got) == set(clique)
+    assert all(s == 2 for s in got.values())
+
+
+def test_allen_case_classifies_all_13_relations(spark):
+    """The shared _ALLEN_CASE cascade labels each canonical interval
+    configuration with its Allen relation — all 13, exhaustive and
+    mutually exclusive by construction (ELSE arm reached only by
+    overlapped_by)."""
+    from dstlr_spark.queries.doc_kg import _ALLEN_CASE
+
+    cases = [
+        (0, 2, 5, 9, "precedes"),
+        (0, 5, 5, 9, "meets"),
+        (0, 6, 5, 9, "overlaps"),
+        (5, 7, 5, 9, "starts"),
+        (6, 8, 5, 9, "during"),
+        (7, 9, 5, 9, "finishes"),
+        (5, 9, 5, 9, "equals"),
+        (5, 9, 0, 2, "preceded_by"),
+        (5, 9, 0, 5, "met_by"),
+        (5, 9, 0, 6, "overlapped_by"),
+        (5, 9, 5, 7, "started_by"),
+        (5, 9, 6, 8, "contains"),
+        (5, 9, 7, 9, "finished_by"),
+    ]
+    df = spark.createDataFrame(
+        [(af, al, bf, bl) for af, al, bf, bl, _ in cases],
+        "af long, al long, bf long, bl long",
+    )
+    got = [r[0] for r in df.select(F.expr(_ALLEN_CASE)).collect()]
+    assert got == [want for *_, want in cases]
+
+
+def test_stratified_sample_kept_set_is_pure_hash_function(spark):
+    """curate_stratified_sample's kept counts at sf0.001 equal a
+    pure-Python re-derivation: md5 of the doc_id string, first 8 hex
+    nibbles mod 1e6, compared against the domain-mix keep rate — no
+    RNG, no partitioning dependence, resumable by construction."""
+    import hashlib
+
+    from dstlr_spark.queries.curation import q_domain_mix, q_stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    rates = {
+        r.source: min(1_000_000, r.mix_weight_ppm)
+        for r in q_domain_mix(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source").where(F.col("doc_id").isNotNull()).collect()
+    want = {}
+    for r in docs:
+        h = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16) % 1_000_000
+        n_docs, n_kept = want.get(r.source, (0, 0))
+        want[r.source] = (n_docs + 1, n_kept + (1 if h < rates[r.source] else 0))
+    got = {r.source: (r.n_docs, r.n_kept)
+           for r in q_stratified_sample(spark, sf).collect()}
+    assert got == want
