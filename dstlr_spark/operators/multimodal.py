@@ -740,6 +740,9 @@ def _lzw_encode(indices, min_code_size: int = 8) -> bytes:
     width = min_code_size + 1
     out_bits.append((clear, width))
     buf = b""
+    first_in_segment = True  # decoder appends no entry for a segment's
+    # first code — tracked so the final-flush width mirror below knows
+    # whether the decoder will append after the last data code
     for sym in bytes(bytearray(int(i) for i in indices)):
         cand = buf + bytes([sym])
         if cand in table:
@@ -754,9 +757,26 @@ def _lzw_encode(indices, min_code_size: int = 8) -> bytes:
         else:
             out_bits.append((clear, width))
             table, next_code, width = fresh(), eoi + 1, min_code_size + 1
+            first_in_segment = True
+            buf = bytes([sym])
+            continue
+        first_in_segment = False
         buf = bytes([sym])
     if buf:
         out_bits.append((table[buf], width))
+        # the decoder appends one entry after this FINAL data code (its
+        # table always lags one behind) and widens if that lands on
+        # (1<<width)-1 — the encoder adds no entry on the flush, so it
+        # must mirror the bump or EOI is emitted one bit narrower than
+        # the decoder reads it (found by interlaced-corpus fuzz: the
+        # permuted rows land the boundary exactly on the last code)
+        if (
+            not first_in_segment
+            and next_code <= 4095
+            and next_code == (1 << width) - 1
+            and width < 12
+        ):
+            width += 1
     out_bits.append((eoi, width))
 
     acc = n = 0

@@ -774,6 +774,15 @@ def test_gif_corrupt_and_interlaced():
     pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
     assert (decode_gif(encode_gif(idx, pal, interlace=True)) == pal[idx]).all()
 
+    # regression pin (hypothesis-found): 17×15 of 148 colors, rng(0) —
+    # the LZW code-width boundary (table 511 = 2^9−1) lands exactly on
+    # the FINAL data code, where the decoder appends+widens but the
+    # pre-fix encoder emitted EOI one bit narrower
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 148, size=(17, 15), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal, interlace=True)) == pal[idx]).all()
+
     seq = np.arange(16, dtype=np.uint8).reshape(4, 4)
     b = bytearray(encode_gif(seq, pal))
     b[13 + 256 * 3 + 9] |= 0x40  # claim interlace on a sequential stream

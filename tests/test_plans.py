@@ -224,6 +224,7 @@ _ALLOWED_SCALAR_BROADCAST = {
     "kg_truth_discovery",  # 1-row max-confidence frame per round
     "kg_snapshot_asof",  # 1-row corpus time-bounds frame
     "kg_snapshot_diff",  # 1-row corpus time-bounds frame
+    "curate_stratified_sample",  # rides curate_domain_mix's 1-row totals
 }
 
 
