@@ -12,6 +12,12 @@ SF ?= sf0.01
 BENCH_SF ?= /root/testdata/sf0.1
 OUT := gate_out
 
+# pipefail so `cmd | tee log` fails when cmd fails — without it a
+# pytest collection error (exit 2, last line "N errors", no word
+# "failed") or a bench.py crash would still leave a green gate
+SHELL := /bin/bash
+.SHELLFLAGS := -o pipefail -ec
+
 .PHONY: gate oracles test bench
 
 oracles:
@@ -27,6 +33,7 @@ test:
 bench:
 	@mkdir -p $(OUT)
 	SPARK_GRAFT_SF_DIR=$(BENCH_SF) python bench.py 2>$(OUT)/bench.err | tee $(OUT)/bench.json
+	@python -c "import json; json.load(open('$(OUT)/bench.json'))"
 
 gate: oracles test bench
 	@echo "gate complete: $(OUT)/oracles_$(SF).log $(OUT)/pytest.log $(OUT)/bench.json"

@@ -83,6 +83,14 @@ def sniff_media_type(payload) -> F.Column:
         .when(head4 == "52494646", F.lit("audio/wav"))  # 'RIFF'
         .when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
         .when(F.hex(F.substring(payload, 1, 3)) == "474946", F.lit("image/gif"))
+        # every format decode_rgb_bytes/decode_y4m supports is a named
+        # type here — routing on the sniff must not drop decodable media
+        # into the octet-stream bucket
+        .when(F.hex(F.substring(payload, 1, 2)) == "424D", F.lit("image/bmp"))
+        .when(F.hex(F.substring(payload, 1, 2)) == "5036",  # 'P6'
+              F.lit("image/x-portable-pixmap"))
+        .when(F.hex(F.substring(payload, 1, 9)) == "595556344D50454732",
+              F.lit("video/x-yuv4mpeg"))  # 'YUV4MPEG2'
         .otherwise(F.lit("application/octet-stream"))
     )
 
@@ -284,10 +292,11 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # codec: 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows padded to 4
 # bytes) and binary PPM (P6) decode with frombuffer + stride reshapes.
 # PNG joins them because its codec IS the stdlib: zlib inflate + the
-# five scanline filters (decode_png). This retires the round-4 "decode
-# is a stub" finding: the NotImplementedError path below remains ONLY
-# for codecs that truly need an imaging library (JPEG DCT, Adam7 /
-# palette PNG variants).
+# five scanline filters (decode_png) — including Adam7 interlace and
+# paletted color — and GIF via pure-Python LZW (decode_gif). This
+# retires the round-4 "decode is a stub" finding: the
+# NotImplementedError path below remains ONLY for codecs that truly
+# need an imaging library (JPEG DCT, sub-byte bit-packed depths).
 
 #: planted-pixel formula for synthetic BMPs: channel c∈{0=R,1=G,2=B} at
 #: (x, y) carries (3x + 7y + 11c + 13) % 251 — position- and
@@ -358,6 +367,11 @@ def decode_rgb_bytes(b: bytes):
                 f"STUB: BMP bpp={bpp} compression={comp} needs a codec; "
                 "only uncompressed 24-bit BMP decodes natively"
             )
+        if w <= 0 or h == 0:
+            # zero/negative-width and zero-height headers are malformed:
+            # a (h, 0, 3) "successful" decode would push the empty-array
+            # crash into every downstream feature reducer
+            raise ValueError(f"BMP dimensions {w}x{h} invalid")
         flip = h > 0
         h = abs(h)
         stride = (w * 3 + 3) & ~3
@@ -382,6 +396,8 @@ def decode_rgb_bytes(b: bytes):
             fields.append(int(b[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
+        if w <= 0 or h <= 0:
+            raise ValueError(f"PPM dimensions {w}x{h} invalid")
         if maxval > 65535:
             raise ValueError(f"PPM maxval {maxval} exceeds the P6 spec")
         if maxval > 255:  # 2-byte big-endian samples, exact values
@@ -667,6 +683,12 @@ def decode_png(b: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt_method, interlace = ihdr
+    if not w or not h:
+        raise ValueError(f"PNG dimensions {w}x{h} invalid (zero per spec)")
+    if filt_method != 0:
+        # spec defines only filter method 0; decoding a nonzero method's
+        # rows under method-0 semantics would return garbage as success
+        raise ValueError(f"PNG filter method {filt_method} invalid")
     if color == 3 and depth == 16:
         raise ValueError("PNG: 16-bit palette is invalid per spec")
     if (
@@ -914,6 +936,8 @@ def decode_gif(b: bytes):
             if pos + 10 > len(b):
                 raise ValueError("truncated GIF image descriptor")
             _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            if not w or not h:
+                raise ValueError(f"GIF dimensions {w}x{h} invalid")
             pos += 10
             pal = gct
             if iflags & 0x80:  # local color table
@@ -1003,6 +1027,12 @@ def decode_wav(b: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, rate, _, _, bits = fmt
+    if rate <= 0 or n_channels <= 0:
+        # a rate/channel count of 0 is a malformed fmt chunk: returning
+        # it as a "successful" decode turns into ZeroDivisionError in
+        # every duration/per-channel reducer downstream, escaping the
+        # (NotImplementedError, ValueError) per-doc isolation
+        raise ValueError(f"WAV rate={rate} channels={n_channels} invalid")
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
             f"STUB: WAV format={audio_format} bits={bits} needs a codec; "
@@ -1209,6 +1239,12 @@ def video_frame_features_np(media: DataFrame, every_n: int = 2) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     fr, _, _ = decode_y4m(bytes(payload))
+                    if not fr.shape[0]:
+                        # header-only stream: no frames to sample. Route
+                        # to the null-feature row so the doc still emits
+                        # exactly one row (per-doc contract) instead of
+                        # silently vanishing from the output
+                        raise ValueError("empty Y4M stream: zero frames")
                     for idx in range(0, fr.shape[0], every_n):
                         y = fr[idx].astype(np.int64)
                         rows.append(

@@ -133,11 +133,14 @@ def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resize under the value gate (retires the
     round-4 stub finding): synth the planted position/channel-dependent
-    image per document as a SIX-VARIANT corpus keyed on n_chars MOD 6 —
+    image per document as a SEVEN-VARIANT corpus keyed on
+    (n_chars DIV 7) MOD 7 (DIV 7 first so the codec choice is
+    independent of the MOD-7-derived dims — see synth_media_mixed) —
     24-bit BMP; truecolor PNG with rotating scanline filters 0..4 (zlib
     inflate + all five unfilter paths exercised at gate time);
     palettized GIF89a (real variable-width LZW + sub-block reassembly);
-    Adam7-interlaced PNG; paletted PNG (PLTE); interlaced GIF — decode
+    Adam7-interlaced PNG; paletted PNG (PLTE); interlaced GIF; and
+    16-bit truecolor PNG carrying the same sample values — decode
     with the pure-NumPy decoders, nearest-neighbor-resize to max_side=4,
     emit per-doc dimensions, the full-pixel checksum, orientation
     probes (first-R / last-B pixel — catches a missing bottom-up flip

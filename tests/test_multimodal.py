@@ -877,3 +877,147 @@ def test_fuzz_gif_roundtrip(w, h, n_colors, seed):
     pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
     assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
     assert (decode_gif(encode_gif(idx, pal, interlace=True)) == pal[idx]).all()
+
+
+def test_zero_dimension_headers_raise_value_error():
+    """Structurally valid headers carrying zero/invalid dimensions or a
+    zero sample rate are MALFORMED, not decodable: a 'successful'
+    (h, 0, 3) or rate=0 decode pushes IndexError / ZeroDivisionError
+    into the feature reducers, escaping the (NotImplementedError,
+    ValueError) per-doc isolation and killing the whole Arrow batch."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import (
+        PNG_MAGIC,
+        _png_chunk,
+        decode_png,
+        decode_rgb_bytes,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    # BMP: patch biWidth = 0 (54-byte header alone reproduces the crash)
+    bmp = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    bmp[18:22] = struct.pack("<i", 0)
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(bytes(bmp))
+    bmp[18:22] = struct.pack("<i", -3)  # negative width is also invalid
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(bytes(bmp))
+
+    # PPM: zero width
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(b"P6 0 7 255\n")
+
+    # PNG: zero width; and filter method != 0 (spec defines only 0)
+    def png_with_ihdr(w, h, filt):
+        ihdr = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, filt, 0))
+        idat = _png_chunk(b"IDAT", zlib.compress(b"\x00" * (1 + 3 * max(w, 1) * max(h, 1))))
+        return bytes.fromhex(PNG_MAGIC) + ihdr + idat + _png_chunk(b"IEND", b"")
+
+    with pytest.raises(ValueError):
+        decode_png(png_with_ihdr(0, 3, 0))
+    with pytest.raises(ValueError):
+        decode_png(png_with_ihdr(2, 2, 1))
+
+    # GIF: image descriptor with width 0
+    gif = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x80, 0, 0) + bytes(6)  # 2-entry GCT
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 0, 1, 0) + bytes(4)
+    )
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(gif)
+
+    # WAV: fmt chunk with rate = 0 / channels = 0
+    wav = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    assert wav[12:16] == b"fmt "
+    wav[24:28] = struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+    wav[24:28] = struct.pack("<I", 8000)
+    wav[22:24] = struct.pack("<H", 0)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(wav))
+
+
+def test_feature_wrappers_isolate_zero_dim_and_empty_payloads(spark):
+    """The review-found batch killers route to null-feature rows: a
+    zero-width BMP through decode_features_np, a rate-0 WAV through
+    audio_features_np, and a header-only (zero-frame) Y4M through
+    video_frame_features_np each yield exactly ONE null row — the doc
+    neither kills its Arrow batch nor silently vanishes."""
+    import struct
+
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        decode_features_np,
+        encode_bmp,
+        encode_wav,
+        video_frame_features_np,
+    )
+
+    bmp = bytearray(encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    bmp[18:22] = struct.pack("<i", 0)
+    img = spark.createDataFrame(
+        [("z", bytes(bmp))], "doc_id string, payload binary"
+    )
+    rows = decode_features_np(img).collect()
+    assert len(rows) == 1 and rows[0].width is None
+
+    wav = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
+    wav[24:28] = struct.pack("<I", 0)
+    aud = spark.createDataFrame(
+        [("z", bytes(wav))], "doc_id string, payload binary"
+    )
+    arows = audio_features_np(aud).collect()
+    assert len(arows) == 1 and arows[0].sample_rate is None
+
+    vid = spark.createDataFrame(
+        [("z", b"YUV4MPEG2 W2 H2 F25:1 Ip Cmono\n")],
+        "doc_id string, payload binary",
+    )
+    vrows = video_frame_features_np(vid).collect()
+    assert len(vrows) == 1 and vrows[0].frame_idx is None
+
+
+def test_sniff_covers_every_native_decode_format(spark):
+    """sniff_media_type names every format the native decoders support
+    — BMP/PPM/Y4M must not fall into the octet-stream bucket while
+    decode_rgb_bytes / decode_y4m decode them natively."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        encode_bmp,
+        encode_y4m,
+        sniff_media_type,
+    )
+
+    rgb = np.zeros((2, 2, 3), np.uint8)
+    rows = spark.createDataFrame(
+        [
+            ("bmp", bytes(encode_bmp(rgb))),
+            ("ppm", b"P6 2 2 255\n" + rgb.tobytes()),
+            ("y4m", bytes(encode_y4m(np.zeros((1, 2, 2), np.uint8)))),
+            ("other", b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09"),
+        ],
+        "doc_id string, payload binary",
+    )
+    got = {
+        r.doc_id: r.t
+        for r in rows.select(
+            "doc_id", sniff_media_type(F.col("payload")).alias("t")
+        ).collect()
+    }
+    assert got == {
+        "bmp": "image/bmp",
+        "ppm": "image/x-portable-pixmap",
+        "y4m": "video/x-yuv4mpeg",
+        "other": "application/octet-stream",
+    }
