@@ -3209,6 +3209,93 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("id").alias("entity_id"), "rank_ppb")
 
 
+PPR_ITERS = 3
+
+
+def q_ppr_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the anchored-BFS seed entity — the
+    relevance-ranking twin of `kg_entity_distances_anchored`: where the
+    BFS reports WHICH entities sit within k hops of the anchor, PPR
+    reports HOW MUCH of a random surfer's time (restarting at the
+    anchor) each of them absorbs, so multi-path neighbors outrank
+    single-edge ones at the same hop count. This is the query behind
+    "entities most related to X" panels and anchored KB-completion
+    candidate ranking (the reference's demo.md SUPPORTING/MISSING
+    Cypher walks are fixed-shape chains; PPR is their weighted
+    any-shape generalization).
+
+    Exact integer fixed point (the `kg_entity_pagerank` spec with the
+    teleport vector concentrated on the anchor):
+      r₀(v)   = SCALE·[v = anchor]
+      rₖ₊₁(v) = (15·SCALE DIV 100)·[v = anchor]
+                + (85 · Σ_{{u→v}} (rₖ(u) DIV deg(u))) DIV 100
+    All floor divisions of non-negative ints — Spark DIV and DuckDB //
+    agree bit-for-bit; the oracle unrolls PPR_ITERS rounds as CTEs.
+
+    Scale shape: identical per-round budget to `q_entity_pagerank`
+    (vertex-sized rank⨝deg pre-join, then ONE edge-scale join +
+    aggregate, lineage cut per round) — but the rank frame is SPARSE:
+    only vertices within k hops of the anchor carry nonzero mass, and
+    the inner join against `deg` drops zero-rank sources, so each
+    round's edge join touches the anchor's k-neighborhood, not the
+    graph (the same locality the anchored BFS exploits). Output keeps
+    only nonzero ranks: k-neighborhood-sized, never vertex-count-sized."""
+    ed = _ent_docs(spark, sf_dir)
+    und = _comention_und(ed).select("src", "dst").distinct()
+    verts = ed.select(F.col("entity_id").alias("id")).distinct()
+    return ppr_anchored(und, DIST_ANCHOR, verts=verts)
+
+
+def ppr_anchored(
+    und_edges: DataFrame,
+    anchor: str,
+    iters: int = PPR_ITERS,
+    verts: DataFrame | None = None,
+) -> DataFrame:
+    """Personalized-PageRank core over distinct undirected (src, dst)
+    edges (symmetrized here) — see :func:`q_ppr_anchored` for the spec
+    and scale shape. ``verts`` widens the vertex set beyond edge
+    endpoints (isolated vertices; the corpus query passes every linked
+    entity) — an isolated anchor still emits its teleport mass."""
+    edges = und_edges.select("src", "dst").unionByName(
+        und_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    if verts is None:
+        verts = edges.select(F.col("src").alias("id")).distinct()
+    verts = verts.localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    seed = F.when(F.col("id") == anchor, F.lit(_PR_SCALE)).otherwise(F.lit(0))
+    teleport = F.when(
+        F.col("id") == anchor, F.lit(15 * _PR_SCALE // 100)
+    ).otherwise(F.lit(0))
+    ranks = verts.select("id", seed.cast("long").alias("ppr_ppb"))
+    for _ in range(iters):
+        # sparse frontier: zero-rank sources contribute 0 DIV deg = 0,
+        # and the WHERE keeps them out of the edge join entirely
+        per_src = (
+            ranks.where(F.col("ppr_ppb") > 0)
+            .join(deg, ranks["id"] == deg["src"])
+            .select("src", F.expr("ppr_ppb DIV deg").alias("c"))
+        )
+        contrib = (
+            edges.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(contrib, verts["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (teleport + F.expr("85 * coalesce(s, 0L) DIV 100"))
+                .cast("long")
+                .alias("ppr_ppb"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.where(F.col("ppr_ppb") > 0).select(
+        F.col("id").alias("entity_id"), "ppr_ppb"
+    )
+
+
 LABELPROP_ITERS = 3
 
 
@@ -4311,6 +4398,41 @@ r{k} AS (
     + f"""
 SELECT id AS entity_id, CAST(rank_ppb AS BIGINT) AS rank_ppb
 FROM r{PAGERANK_ITERS}""",
+    "kg_ppr_anchored": f"""WITH {_base_ctes()},
+ent_docs AS (
+    SELECT DISTINCT doc, entity_id FROM links WHERE entity_id IS NOT NULL),
+dsz AS (SELECT doc, COUNT(*) AS n FROM ent_docs GROUP BY doc),
+kept AS (
+    SELECT e.doc, e.entity_id FROM ent_docs e
+    JOIN dsz ON dsz.doc = e.doc
+    WHERE dsz.n <= {COMENTION_MAX_ENTITIES}),
+und AS (
+    SELECT DISTINCT a.entity_id AS src, b.entity_id AS dst
+    FROM kept a JOIN kept b
+      ON a.doc = b.doc AND a.entity_id < b.entity_id),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst AS src, src AS dst FROM und),
+verts AS (SELECT DISTINCT entity_id AS id FROM ent_docs),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+p0 AS (SELECT id, CASE WHEN id = '{DIST_ANCHOR}' THEN {_PR_SCALE} ELSE 0 END AS ppr_ppb
+       FROM verts)"""
+    + "".join(
+        f""",
+ps{k} AS (
+    SELECT e.dst, SUM(r.ppr_ppb // d.deg) AS s
+    FROM edges e
+    JOIN p{k - 1} r ON r.id = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst),
+p{k} AS (
+    SELECT v.id,
+           CASE WHEN v.id = '{DIST_ANCHOR}' THEN {15 * _PR_SCALE // 100} ELSE 0 END
+             + (85 * COALESCE(s.s, 0)) // 100 AS ppr_ppb
+    FROM verts v LEFT JOIN ps{k} s ON s.dst = v.id)"""
+        for k in range(1, PPR_ITERS + 1)
+    )
+    + f"""
+SELECT id AS entity_id, CAST(ppr_ppb AS BIGINT) AS ppr_ppb
+FROM p{PPR_ITERS} WHERE ppr_ppb > 0""",
     "kg_entity_mention_counts": f"""WITH {_base_ctes()},
 men_edges AS (SELECT DISTINCT doc, mention_id FROM mentions),
 linked AS (
@@ -4698,6 +4820,7 @@ QUERIES = {
     "kg_relation_trend": q_relation_trend,
     "kg_entity_hits": q_entity_hits,
     "kg_entity_pagerank": q_entity_pagerank,
+    "kg_ppr_anchored": q_ppr_anchored,
     "kg_entity_mention_counts": q_entity_mention_counts,
     # round-5 TAIL additions — see ORACLES["kg_ktruss"]'s placement note
     "kg_ktruss": q_ktruss,

@@ -105,6 +105,72 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining — the training-data op behind
+    embedding-model fine-tuning (SimCSE/DPR-style): for each query
+    anchor, the TOP_K vectors with the HIGHEST cosine similarity whose
+    ``label`` differs from the anchor's. These near-miss wrong-class
+    items are exactly the negatives a contrastive loss learns most
+    from; random negatives are trivially separable and teach nothing.
+
+    Semantics: the `sim_topk_cosine` scoring spec (integer-quantized
+    dot + one fixed IEEE division) with a label anti-filter BEFORE
+    ranking, so rank k = the k-th hardest negative. Labels ride from
+    the embeddings table; the anchor's own label is excluded, not just
+    its vec_id.
+
+    Scale shape: identical to the brute-force baseline — the Q-anchor
+    broadcast cross join is loudly bounded (Q = N_QUERIES; documented
+    at `_emb`), and the production path is the same mining through the
+    LSH/IVF index (bucket first, label-filter inside the bucket) that
+    `sim_ann_lsh` / `sim_ivf_probe_topk` gate. The label filter
+    REDUCES candidate volume; nothing new shuffles."""
+    e = _emb(spark, sf_dir)
+    labels = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("label").cast("int").alias("label"))
+    )
+    el = e.join(labels, "vec_id")
+    queries = el.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("q").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = el.crossJoin(F.broadcast(queries)).where(
+        F.col("label") != F.col("q_label")
+    )
+    scored = pairs.select(
+        "q_id",
+        "vec_id",
+        "q_label",
+        F.col("label").alias("neg_label"),
+        _dot(F.col("qv"), F.col("q")).alias("dot"),
+        "qn",
+        "norm",
+    ).select(
+        "q_id",
+        "vec_id",
+        "q_label",
+        "neg_label",
+        "dot",
+        (
+            F.col("dot")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("norm").cast("double")))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "q_id", "vec_id", "rank", "q_label", "neg_label",
+            "dot", F.round("score", 6).alias("score"),
+        )
+    )
+
+
 MRL_PREFIX_DIM = 16  # coarse pass uses the embedding's first 16 dims
 MRL_SHORTLIST = 20  # coarse candidates per query fed to full-dim rescore
 
@@ -877,6 +943,7 @@ QUERIES = {
     "sim_semantic_dedup": q_semantic_dedup,
     "sim_mrl_topk": q_mrl_topk,
     "sim_topk_cosine": q_topk_cosine,
+    "sim_hard_negatives": q_hard_negatives,
     "sim_pq_adc_topk": q_pq_adc_topk,
     "sim_ann_lsh": q_ann_lsh,
     "sim_ann_ivf": q_ann_ivf,
@@ -992,6 +1059,26 @@ ranked AS (
          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
   FROM scored)
 SELECT q_id, vec_id, rank, dot, ROUND(score, 6) AS score
+FROM ranked WHERE rank <= {TOP_K}""",
+    "sim_hard_negatives": f"""
+WITH qe AS ({_QUANT_SQL}),
+lab AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INT) AS label
+        FROM embeddings),
+e AS (SELECT qe.vec_id, q, CAST({_NORM_SQL} AS BIGINT) AS norm, label
+      FROM qe JOIN lab ON lab.vec_id = qe.vec_id),
+qs AS (SELECT vec_id AS q_id, q AS qv, norm AS qn, label AS q_label
+       FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q_id, e.vec_id, q_label, e.label AS neg_label,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS BIGINT) AS dot,
+         CAST(list_sum([x[1] * x[2] FOR x IN list_zip(qv, q)]) AS DOUBLE)
+           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(e.norm AS DOUBLE))) AS score
+  FROM e CROSS JOIN qs WHERE e.label <> qs.q_label),
+ranked AS (
+  SELECT q_id, vec_id, q_label, neg_label, dot, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored)
+SELECT q_id, vec_id, rank, q_label, neg_label, dot, ROUND(score, 6) AS score
 FROM ranked WHERE rank <= {TOP_K}""",
     "sim_ann_lsh": f"""
 WITH qe AS ({_QUANT_SQL}),

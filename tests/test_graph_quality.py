@@ -544,3 +544,72 @@ def test_stratified_sample_kept_set_is_pure_hash_function(spark):
     got = {r.source: (r.n_docs, r.n_kept)
            for r in q_stratified_sample(spark, sf).collect()}
     assert got == want
+
+
+def _py_ppr(edges, anchor, verts, iters=3, scale=1_000_000_000):
+    """Pure-Python mirror of the exact integer PPR spec."""
+    sym = {}
+    for a, b in edges:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    ranks = {v: scale if v == anchor else 0 for v in verts}
+    for _ in range(iters):
+        s = {v: 0 for v in verts}
+        for u, nbrs in sym.items():
+            c = ranks.get(u, 0) // len(nbrs)
+            for v in nbrs:
+                s[v] += c
+        ranks = {
+            v: (15 * scale // 100 if v == anchor else 0) + 85 * s[v] // 100
+            for v in verts
+        }
+    return {v: r for v, r in ranks.items() if r > 0}
+
+
+def test_ppr_anchored_multipath_beats_single_path(spark):
+    """Diamond A-{B,C}-D plus pendant A-E-F: D (two length-2 paths
+    from the anchor A) must outrank F (one length-2 path), which plain
+    hop counts cannot distinguish — the reason PPR exists next to the
+    anchored BFS. Exact values pinned against the pure-Python spec."""
+    from dstlr_spark.queries.doc_kg import ppr_anchored
+
+    rows = [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"),
+            ("A", "E"), ("E", "F")]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    got = {r.entity_id: r.ppr_ppb for r in ppr_anchored(edges, "A").collect()}
+    verts = sorted({v for e in rows for v in e})
+    assert got == _py_ppr(rows, "A", verts)
+    assert got["D"] > got["F"]  # two paths absorb more restart mass
+
+
+def test_ppr_anchored_matches_python_on_random_graphs(spark):
+    """Randomized lockstep: PPR over seeded random graphs equals the
+    pure-Python reference exactly (integer spec — no tolerance), with
+    an isolated-anchor corner: teleport mass still emitted via verts."""
+    import random
+
+    from dstlr_spark.queries.doc_kg import ppr_anchored
+
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        verts = [f"v{i}" for i in range(14)]
+        rows = sorted(
+            {
+                tuple(sorted(rng.sample(verts, 2)))
+                for _ in range(22)
+            }
+        )
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        anchor = verts[0]
+        got = {r.entity_id: r.ppr_ppb
+               for r in ppr_anchored(edges, anchor).collect()}
+        assert got == _py_ppr(rows, anchor, verts=sorted(
+            {v for e in rows for v in e}
+        ))
+
+    # isolated anchor: no edges touch Z, but verts includes it
+    edges = spark.createDataFrame([("A", "B")], "src string, dst string")
+    vf = spark.createDataFrame([("A",), ("B",), ("Z",)], "id string")
+    got = {r.entity_id: r.ppr_ppb
+           for r in ppr_anchored(edges, "Z", verts=vf).collect()}
+    assert got == {"Z": 150_000_000}

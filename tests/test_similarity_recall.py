@@ -257,3 +257,54 @@ def test_calibration_artifact_matches_live_corpus():
         "scripts/calibrate_neardup_artifact.py: "
         f"live={live} artifact={artifact}"
     )
+
+
+def test_hard_negatives_numpy_lockstep_and_label_exclusion():
+    """sim_hard_negatives == the full cosine ranking restricted to
+    wrong-label candidates, recomputed independently with NumPy exact
+    integer dots — and no returned negative ever shares the anchor's
+    label (the property that makes it contrastive mining, not top-k)."""
+    import duckdb
+
+    from dstlr_spark.queries.similarity import (
+        N_QUERIES,
+        TOP_K,
+        q_hard_negatives,
+    )
+    from dstlr_spark.session import get_spark
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = duckdb.sql(
+        f"select vec_id, embedding, label from '{sf_dir}/embeddings.parquet'"
+        " order by vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q = np.array(
+        [np.floor(np.array(r[1], dtype=np.float64) * QUANT) for r in rows]
+    ).astype(np.int64)
+    labels = np.array([r[2] for r in rows], dtype=np.int64)
+    norms = (q * q).sum(axis=1)
+    keep = norms > 0
+    ids, q, labels, norms = ids[keep], q[keep], labels[keep], norms[keep]
+
+    spark = get_spark("hard-neg-test", master="local[4]", shuffle_partitions=4)
+    got = {
+        (r.q_id, r.rank): (r.vec_id, r.dot, r.q_label, r.neg_label)
+        for r in q_hard_negatives(spark, sf_dir).collect()
+    }
+    for qi in np.where(ids < N_QUERIES)[0]:
+        dots = q @ q[qi]
+        scores = dots / (np.sqrt(float(norms[qi])) * np.sqrt(norms.astype(np.float64)))
+        mask = labels != labels[qi]
+        order = sorted(
+            ((float(scores[j]), int(ids[j])) for j in np.where(mask)[0]),
+            key=lambda t: (-t[0], t[1]),
+        )[:TOP_K]
+        for rank, (_, vid) in enumerate(order, 1):
+            vec_id, dot, q_label, neg_label = got[(int(ids[qi]), rank)]
+            assert vec_id == vid
+            j = int(np.where(ids == vid)[0][0])
+            assert dot == int(dots[j])
+            assert q_label == labels[qi] and neg_label == labels[j]
+            assert neg_label != q_label
+    assert len(got) == int((ids < N_QUERIES).sum()) * TOP_K
