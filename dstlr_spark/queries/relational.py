@@ -264,6 +264,58 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the event change
+    stream — the CDC-merge pattern every lakehouse ingest runs: treat
+    each user's events (ordered by ts, event_id) as updates to a
+    tracked state attribute (event_type here), suppress no-op updates
+    (consecutive identical states collapse into one version), and emit
+    versioned validity intervals [valid_from, valid_to) with the open
+    interval flagged current. Downstream as-of lookups
+    (`events_asof_join`) and snapshot queries read exactly this table.
+
+    Null semantics: rows missing the CDC key or timestamp (user_id/ts
+    NULL) are dropped — a change record without key or time is
+    unmergeable; a NULL state is a legal state value (IS DISTINCT FROM
+    change test, identical in both engines).
+
+    Scale shape: ONE shuffle on user_id; the first window pass marks
+    state changes over the full stream, the second (version numbering
+    + interval close via lead) runs over the CHANGE-COMPRESSED frame —
+    at CDC ratios that is orders of magnitude smaller than the input.
+    No joins, no driver state; output is version-count-sized."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = marked.where(
+        (F.col("rn") == 1) | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
+    )
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.row_number().over(w).cast("int").alias("version"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+                "valid_to"
+            ),
+        )
+        .withColumn(
+            "is_current",
+            F.when(F.col("valid_to").isNull(), F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows by event type (batch analog of the
     streaming windowed agg — see dstlr_spark/streaming)."""
@@ -424,6 +476,7 @@ QUERIES = {
     "rel_small_quantity_revenue": q_small_quantity_revenue,
     "rel_quantity_percentiles": q_quantity_percentiles,
     "events_sessions": q_event_sessions,
+    "events_scd2": q_events_scd2,
     "events_hourly": q_events_hourly,
     "events_pivot": q_events_pivot,
     "events_asof_join": q_events_asof_join,
@@ -568,6 +621,26 @@ SELECT user_id,
        CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM g GROUP BY user_id""",
+    "events_scd2": """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type,
+         ROW_NUMBER() OVER w AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM m
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
+SELECT user_id, event_type AS state,
+       CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM chg
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "events_hourly": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

@@ -356,3 +356,54 @@ def test_blocklist_hard_drops_and_soft_threshold(spark, tmp_path):
 
     both = q_blocklist(spark, SF_DIR).groupBy("keep").count().collect()
     assert {r["keep"] for r in both} == {0, 1}, "corpus must split"
+
+
+def test_events_scd2_suppresses_noops_and_chains_intervals(spark, tmp_path):
+    """Hand CDC stream: A,A,B,A for user 1 → versions A/B/A (the
+    middle no-op A is suppressed); intervals chain exactly (each
+    valid_to = the next version's valid_from) and only the last is
+    current. User 2's single event is version 1 and current; a
+    NULL-user and a NULL-ts record are dropped, and a NULL state
+    counts as a real state change (IS DISTINCT FROM semantics)."""
+    import datetime
+
+    from dstlr_spark.queries.relational import q_events_scd2
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, at(0), 1, "A", 1.0, "{}"),
+        (2, at(10), 1, "A", 1.0, "{}"),   # no-op: suppressed
+        (3, at(20), 1, "B", 1.0, "{}"),
+        (4, at(30), 1, "A", 1.0, "{}"),   # back to A: NEW version
+        (5, at(0), 2, "X", 1.0, "{}"),
+        (6, at(5), 2, None, 1.0, "{}"),   # NULL state: a change
+        (7, at(0), None, "A", 1.0, "{}"),  # keyless: dropped
+        (8, None, 3, "A", 1.0, "{}"),      # timeless: dropped
+    ]
+    d = str(tmp_path / "scd")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    out = sorted(
+        q_events_scd2(spark, d).collect(),
+        key=lambda r: (r.user_id, r.version),
+    )
+    u1 = [r for r in out if r.user_id == 1]
+    assert [(r.version, r.state, r.is_current) for r in u1] == [
+        (1, "A", 0), (2, "B", 0), (3, "A", 1)
+    ]
+    # intervals chain: each close equals the next open; last is open
+    assert [r.valid_to for r in u1[:-1]] == [r.valid_from for r in u1[1:]]
+    assert u1[-1].valid_to is None
+    u2 = [r for r in out if r.user_id == 2]
+    assert [(r.version, r.state, r.is_current) for r in u2] == [
+        (1, "X", 0), (2, None, 1)
+    ]
+    assert {r.user_id for r in out} == {1, 2}  # null key/ts rows dropped
