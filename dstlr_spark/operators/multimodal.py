@@ -1519,6 +1519,55 @@ def decode_features_np(media: DataFrame) -> DataFrame:
     )
 
 
+PHASH_SIDE = 4  # aHash grid: SIDE² bits (16 here — gate-sized; prod uses 8²=64)
+
+
+def phash_np(media: DataFrame, side: int = PHASH_SIDE) -> DataFrame:
+    """Perceptual average-hash (aHash) over the DECODED image — the
+    multimodal near-dup key exact byte hashing cannot provide: the
+    same picture serialized as BMP vs PNG vs GIF has different bytes
+    (different md5 — `mm_media_dedup` misses it) but the same decoded
+    pixels, hence the same aHash. Spec, all exact integer arithmetic:
+
+      thumb (X, Y)   = source ((X·w) DIV side, (Y·h) DIV side)
+      gray           = (r + g + b) DIV 3
+      mu             = (Σ gray) DIV side²
+      bit(Y, X)      = [gray > mu], weight 2^(Y·side + X)
+
+    (the :func:`resize_nearest` index math at a FIXED side — aspect is
+    deliberately not preserved: aHash trades shape fidelity for a
+    constant-width key). Arrow-batched mapInPandas; per-doc isolation
+    (X2): undecodable payloads yield a null-hash row. Map-only — only
+    (doc_id, 64-bit key) leaves the stage; grouping on the key is one
+    hash aggregate, the `dedup_exact` shape."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(side * side, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    rgb = decode_rgb_bytes(bytes(payload))
+                    h, w = rgb.shape[:2]
+                    xs = (np.arange(side) * w) // side
+                    ys = (np.arange(side) * h) // side
+                    gray = rgb[np.ix_(ys, xs)].astype(np.int64).sum(axis=2) // 3
+                    mu = int(gray.sum()) // (side * side)
+                    bits = (gray > mu).reshape(-1)
+                    rows.append(
+                        dict(doc_id=doc_id, phash=int(weights[bits].sum()))
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append(dict(doc_id=doc_id, phash=None))
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in ["doc_id", "phash"]}
+            )
+
+    return media.mapInPandas(body, "doc_id string, phash long")
+
+
 def resize_image_np(media: DataFrame, max_side: int = 64) -> DataFrame:
     """REAL decode → nearest-neighbor thumbnail: (doc_id, width, height,
     pixels array<int>) of the RESIZED image (same failure isolation as

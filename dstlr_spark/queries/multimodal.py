@@ -111,6 +111,48 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (aHash) near-dup groups over the mixed-codec corpus —
+    the dedup exact byte hashing cannot do: `synth_media_mixed` keys
+    the CODEC on (n_chars DIV 7) MOD 7 and the IMAGE on n_chars MOD 7,
+    so the same planted picture ships as BMP in one doc and PNG/GIF in
+    another — different payload md5, same decoded pixels, same aHash.
+    Groups therefore span codec variants (n_variants > 1 rows are the
+    cross-format matches), which is exactly the multimodal-curation
+    story: dedup AFTER decode, not on container bytes.
+
+    The oracle re-derives every hash analytically from n_chars (planted
+    pixel formula + the fixed-side nearest-neighbor index math + the
+    gray/mean/bit spec in :func:`dstlr_spark.operators.multimodal.
+    phash_np`) without touching a byte — format-blind, so all seven
+    codec paths must land the identical 16-bit key.
+
+    Scale shape: map-only decode+hash (only (doc_id, key) leaves the
+    stage) then ONE hash aggregate on the key — the `dedup_exact`
+    shape at any corpus size."""
+    from dstlr_spark.operators.multimodal import phash_np, synth_media_mixed
+
+    docs = _docs(spark, sf_dir)
+    ph = phash_np(synth_media_mixed(docs))
+    variants = docs.where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("CAST((n_chars DIV 7) % 7 AS INT)").alias("variant"),
+    )
+    return (
+        ph.where(F.col("phash").isNotNull())
+        .join(variants, "doc_id")
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("variant").cast("long").alias("n_variants"),
+            F.min(F.col("doc_id").cast("long")).alias("canonical_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
 def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing under the value gate: the Arrow-batched
     byte-stride sampler (:func:`dstlr_spark.operators.multimodal.
@@ -229,6 +271,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     # never-truncated-first ordering (see dedup.QUERIES)
     "mm_media_decode": q_media_decode,
+    "mm_phash_groups": q_phash_groups,
     "mm_audio_features": q_audio_features,
     "mm_video_frames": q_video_frames,
     "mm_frame_schedule": q_frame_schedule,
@@ -277,6 +320,39 @@ SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
 FROM dims d
 JOIN px ON px.doc_id = d.doc_id
 JOIN tpx ON tpx.doc_id = d.doc_id""",
+    # analytic re-derivation of the aHash: planted pixels + fixed-side
+    # nearest index math + gray/mean/bit spec, grouped on the key — no
+    # byte parsing anywhere on the oracle side (format-blind: all seven
+    # codec variants of one planted image must land the same hash)
+    "mm_phash_groups": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars,
+         n_chars % 7 + 2 AS w, (n_chars * 3) % 7 + 2 AS h,
+         CAST((n_chars // 7) % 7 AS INT) AS variant
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+txs AS (SELECT doc_id, w, h, unnest(range(4)) AS tx FROM m),
+tys AS (SELECT doc_id, w, h, tx, unnest(range(4)) AS ty FROM txs),
+g AS (
+  SELECT doc_id, ty, tx,
+         CAST(((3*((tx*w)//4) + 7*((ty*h)//4) + 11*0 + 13) % 251
+             + (3*((tx*w)//4) + 7*((ty*h)//4) + 11*1 + 13) % 251
+             + (3*((tx*w)//4) + 7*((ty*h)//4) + 11*2 + 13) % 251) // 3 AS BIGINT)
+           AS gray
+  FROM tys),
+mu AS (SELECT doc_id, SUM(gray) // 16 AS mu FROM g GROUP BY doc_id),
+hsh AS (
+  SELECT g.doc_id,
+         CAST(SUM(CASE WHEN g.gray > mu.mu
+                       THEN 1 << (g.ty * 4 + g.tx) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM g JOIN mu ON mu.doc_id = g.doc_id
+  GROUP BY g.doc_id)
+SELECT h.phash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT m.variant) AS BIGINT) AS n_variants,
+       CAST(MIN(CAST(m.doc_id AS BIGINT)) AS BIGINT) AS canonical_doc
+FROM hsh h JOIN m ON m.doc_id = h.doc_id
+GROUP BY h.phash HAVING COUNT(*) > 1""",
     # analytic re-derivation of the planted WAV: count/rate from
     # n_chars, every sample from (n*31 + i*17) % 4097 - 2048, zero
     # crossings via LAG — no byte parsing anywhere on the oracle side

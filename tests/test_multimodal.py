@@ -1021,3 +1021,53 @@ def test_sniff_covers_every_native_decode_format(spark):
         "y4m": "video/x-yuv4mpeg",
         "other": "application/octet-stream",
     }
+
+
+def test_phash_invariant_across_codecs_and_matches_spec(spark):
+    """The same planted image encoded as BMP, sequential PNG, Adam7
+    PNG, and GIF lands ONE identical aHash (different payload bytes —
+    the cross-codec match exact md5 dedup misses), the hash equals an
+    independent pure-Python recompute of the spec, and an undecodable
+    payload rides the null-hash row instead of killing the batch."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        PHASH_SIDE,
+        _planted_rgb,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        palettize_rgb,
+        phash_np,
+    )
+
+    rgb = _planted_rgb(7, 5)
+    idx, pal = palettize_rgb(rgb)
+    payloads = [
+        ("bmp", bytes(encode_bmp(rgb))),
+        ("png", bytes(encode_png(rgb))),
+        ("png_a7", bytes(encode_png(rgb, interlace=True))),
+        ("gif", bytes(encode_gif(idx, pal))),
+        ("junk", b"\x00\x01\x02"),
+    ]
+    assert len({p for _, p in payloads}) == 5  # genuinely different bytes
+    media = spark.createDataFrame(payloads, "doc_id string, payload binary")
+    got = {r.doc_id: r.phash for r in phash_np(media).collect()}
+
+    # independent recompute of the spec from the planted array
+    side = PHASH_SIDE
+    h, w = rgb.shape[:2]
+    gray = [
+        [sum(int(rgb[(ty * h) // side, (tx * w) // side, c]) for c in range(3)) // 3
+         for tx in range(side)]
+        for ty in range(side)
+    ]
+    mu = sum(sum(row) for row in gray) // (side * side)
+    expect = sum(
+        1 << (ty * side + tx)
+        for ty in range(side)
+        for tx in range(side)
+        if gray[ty][tx] > mu
+    )
+    assert got["bmp"] == got["png"] == got["png_a7"] == got["gif"] == expect
+    assert got["junk"] is None
