@@ -126,6 +126,10 @@ def main() -> None:
         "conv_sessionize",  # conv-partitioned windows + session hash agg
         "kg_triple_temporal",  # mention→turn attribution + 2-sided linking
         "conv_sft_pairs",  # transcript → (prompt, response) training pairs
+        "kg_ppr_anchored",  # sparse-frontier personalized PageRank
+        "sim_hard_negatives",  # label-filtered contrastive mining
+        "events_scd2",  # CDC change-compression + validity intervals
+        "mm_phash_groups",  # decode + in-stage aHash + key aggregate
     ):
         assert name in qs, f"headline query {name!r} missing from registry"
         counters[f"{name}_rows"] = timed(

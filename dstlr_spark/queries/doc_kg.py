@@ -375,15 +375,22 @@ COMENTION_MAX_ENTITIES = 1_000  # per-doc entity cap for co-mention edges
 
 def _ent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc, entity_id) links — the co-mention family's shared
-    input, materialized once per query."""
-    return (
-        _kg(spark, sf_dir)
-        .links_triples()
-        .where(F.col("objectValue").isNotNull())
-        .select("doc", F.col("objectValue").alias("entity_id"))
-        .dropDuplicates(["doc", "entity_id"])
-        .localCheckpoint()
-    )
+    input, staged ONCE per (session, sf_dir) via :mod:`_memo` (the
+    `_turn_spans` / `_linked_entity_pairs` pattern): ~20 graph queries
+    consume this frame, so a gate run materializes the links extraction
+    once instead of once per consumer."""
+    from dstlr_spark.queries._memo import staged
+
+    def build() -> DataFrame:
+        return (
+            _kg(spark, sf_dir)
+            .links_triples()
+            .where(F.col("objectValue").isNotNull())
+            .select("doc", F.col("objectValue").alias("entity_id"))
+            .dropDuplicates(["doc", "entity_id"])
+        )
+
+    return staged(spark, ("kg_ent_docs", sf_dir), build)
 
 
 def skipped_comention_docs(ent_docs: DataFrame, cap: int = COMENTION_MAX_ENTITIES) -> DataFrame:
@@ -395,6 +402,26 @@ def skipped_comention_docs(ent_docs: DataFrame, cap: int = COMENTION_MAX_ENTITIE
         .agg(F.count(F.lit(1)).alias("n_entities"))
         .where(F.col("n_entities") > cap)
     )
+
+
+def _comention_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT undirected co-mention edge set (src, dst) — staged
+    once per (session, sf_dir): eight graph-analytics queries re-derive
+    exactly this frame (`_comention_und(...).select("src",
+    "dst").distinct()`), so a gate run pays the doc-level pair join
+    once. Doc-weighted consumers (PMI, co-mention counts) still derive
+    from the staged `_ent_docs` directly — they need the per-doc rows
+    this frame deliberately collapses."""
+    from dstlr_spark.queries._memo import staged
+
+    def build() -> DataFrame:
+        return (
+            _comention_und(_ent_docs(spark, sf_dir))
+            .select("src", "dst")
+            .distinct()
+        )
+
+    return staged(spark, ("kg_comention_edges", sf_dir), build)
 
 
 def _comention_und(ent_docs: DataFrame, cap: int = COMENTION_MAX_ENTITIES) -> DataFrame:
@@ -428,7 +455,7 @@ def q_entity_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidences over the distinct undirected edge set; two hash
     aggregates over the edge frame, output bounded by max degree."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+        _comention_edges(spark, sf_dir)
     )
     ends = edges.select(F.col("src").alias("e")).unionByName(
         edges.select(F.col("dst").alias("e"))
@@ -491,7 +518,7 @@ def q_adjacency_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     would hold. A production run caps the list with slice() for
     super-hubs; exact here because the oracle must hash-match."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+        _comention_edges(spark, sf_dir)
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1275,7 +1302,7 @@ def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard distributed triangle enumeration: no direction double
     counting, join keys not inequality residuals); every triangle then
     credits its three corners."""
-    edges = _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+    edges = _comention_edges(spark, sf_dir)
     e1 = edges.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     e2 = edges.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     e3 = edges.select(F.col("src").alias("x"), F.col("dst").alias("z"))
@@ -1302,9 +1329,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     list) plus one vertex-sized degree aggregate and a vertex-sized
     left join — no new shuffle class; deg<2 vertices report 0 ppm."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     sym = edges.unionByName(
@@ -1373,9 +1398,7 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator documents."""
 
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     return _truss_peel(edges, KTRUSS_K, KTRUSS_ROUNDS)
@@ -1432,9 +1455,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     join to attach endpoint degrees (co-partitioned on the edge key),
     one global single-row aggregate with map-side partials."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     sym = edges.unionByName(
@@ -1481,7 +1502,7 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     others charge one cut to EACH side's community."""
     labels = _lpa_labels(spark, sf_dir)
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+        _comention_edges(spark, sf_dir)
     )
     lab = lambda side: labels.select(  # noqa: E731
         F.col("id").alias(side), F.col("label").alias(f"{side}_c")
@@ -1701,9 +1722,7 @@ def q_entity_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     never silently dropped); (2) the ANCHORED twin below pushes a
     seed predicate into the first frontier scan for point lookups."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     return entity_distances(edges, hub_cap=DIST_HUB_DEGREE_CAP)
@@ -1721,9 +1740,7 @@ def q_distance_hub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one hash aggregate on the symmetrized edge list —
     vertex-sized output."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1752,9 +1769,7 @@ def q_entity_distances_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     `MATCH (a {{id: $x}})-[*1..{KHOP_MAX}]-(b)` compiles to. Output:
     (entity_b, hops) for everything within KHOP_MAX of the anchor."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     return entity_distances(edges, anchor=DIST_ANCHOR).select(
@@ -1782,9 +1797,7 @@ def q_entity_distances_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier with the adjacency list; the seed set itself is broadcast
     (query-sized, K rows) so the frontier never shuffles on K."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     seeds = spark.createDataFrame(
@@ -1885,9 +1898,7 @@ def q_wl_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     final orbit sizing is one vertex-sized self-aggregate. The md5
     relabel keeps labels constant-width however deep the rounds go."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     return wl_signature(edges)
@@ -1996,7 +2007,7 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbor-overlap similarity over the co-mention graph (see
     :func:`neighbor_jaccard`): every entity pair sharing ≥ 1 neighbor,
     with common-neighbor count, degrees, and integer-ppm Jaccard."""
-    edges = _comention_und(_ent_docs(spark, sf_dir)).select("src", "dst").distinct()
+    edges = _comention_edges(spark, sf_dir)
     return neighbor_jaccard(edges)
 
 
@@ -2046,9 +2057,7 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`two_hop_reach`): per entity, degree and exactly-2-hop
     reachable-set size through non-hub middles."""
     edges = (
-        _comention_und(_ent_docs(spark, sf_dir))
-        .select("src", "dst")
-        .distinct()
+        _comention_edges(spark, sf_dir)
         .localCheckpoint()
     )
     return two_hop_reach(edges)
@@ -3168,7 +3177,7 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialization of the whole KG upstream: edges AND verts both
     # derive from this frame, and each round re-reads it
     ed = _ent_docs(spark, sf_dir)
-    und = _comention_und(ed).select("src", "dst").distinct()
+    und = _comention_edges(spark, sf_dir)
     edges = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -3241,7 +3250,7 @@ def q_ppr_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph (the same locality the anchored BFS exploits). Output keeps
     only nonzero ranks: k-neighborhood-sized, never vertex-count-sized."""
     ed = _ent_docs(spark, sf_dir)
-    und = _comention_und(ed).select("src", "dst").distinct()
+    und = _comention_edges(spark, sf_dir)
     verts = ed.select(F.col("entity_id").alias("id")).distinct()
     return ppr_anchored(und, DIST_ANCHOR, verts=verts)
 
@@ -3262,38 +3271,52 @@ def ppr_anchored(
     ).localCheckpoint()
     if verts is None:
         verts = edges.select(F.col("src").alias("id")).distinct()
-    verts = verts.localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
-    seed = F.when(F.col("id") == anchor, F.lit(_PR_SCALE)).otherwise(F.lit(0))
-    teleport = F.when(
-        F.col("id") == anchor, F.lit(15 * _PR_SCALE // 100)
-    ).otherwise(F.lit(0))
-    ranks = verts.select("id", seed.cast("long").alias("ppr_ppb"))
+    # the anchor row carries all teleport mass; it must exist in verts
+    # (an isolated anchor still emits its teleport rank)
+    anchor_row = (
+        verts.where(F.col("id") == anchor)
+        .select("id", F.lit(15 * _PR_SCALE // 100).cast("long").alias("ppr_ppb"))
+        .localCheckpoint()
+    )
+    ranks = verts.where(F.col("id") == anchor).select(
+        "id", F.lit(_PR_SCALE).cast("long").alias("ppr_ppb")
+    )
     for _ in range(iters):
-        # sparse frontier: zero-rank sources contribute 0 DIV deg = 0,
-        # and the WHERE keeps them out of the edge join entirely
+        # the rank frame holds ONLY nonzero-mass vertices (the anchor's
+        # visited neighborhood), so this pre-join and the broadcast
+        # below are neighborhood-sized, never graph-sized. Vertices the
+        # oracle computes as exactly 0 (85·s DIV 100 == 0 for s < 2,
+        # or never reached) are absent here and filtered there — same
+        # output. Broadcasting the frontier makes the edge join
+        # map-side: no edge-frame shuffle at any round (bounded because
+        # the co-mention graph is hub-capped upstream — the same bound
+        # every anchored traversal in this module relies on).
         per_src = (
-            ranks.where(F.col("ppr_ppb") > 0)
-            .join(deg, ranks["id"] == deg["src"])
+            ranks.join(deg, ranks["id"] == deg["src"])
             .select("src", F.expr("ppr_ppb DIV deg").alias("c"))
         )
         contrib = (
-            edges.join(per_src, "src").groupBy("dst").agg(F.sum("c").alias("s"))
+            edges.join(F.broadcast(per_src), "src")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
         )
+        # no per-round localCheckpoint: unlike the vertex-sized global
+        # PageRank frame, lineage here is `iters` (3) rounds of
+        # neighborhood-sized ops — shallow enough to keep lazy, and the
+        # per-round broadcast already materializes the frontier
         ranks = (
-            verts.join(contrib, verts["id"] == contrib["dst"], "left")
-            .select(
-                "id",
-                (teleport + F.expr("85 * coalesce(s, 0L) DIV 100"))
-                .cast("long")
-                .alias("ppr_ppb"),
+            contrib.select(
+                F.col("dst").alias("id"),
+                F.expr("85 * s DIV 100").cast("long").alias("ppr_ppb"),
             )
-            .localCheckpoint()
+            .unionByName(anchor_row)
+            .groupBy("id")
+            .agg(F.sum("ppr_ppb").cast("long").alias("ppr_ppb"))
+            .where(F.col("ppr_ppb") > 0)
         )
-    return ranks.where(F.col("ppr_ppb") > 0).select(
-        F.col("id").alias("entity_id"), "ppr_ppb"
-    )
+    return ranks.select(F.col("id").alias("entity_id"), "ppr_ppb")
 
 
 LABELPROP_ITERS = 3
@@ -3305,7 +3328,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     community partition both report is ONE computation, not two that
     could drift."""
     ed = _ent_docs(spark, sf_dir)
-    und = _comention_und(ed).select("src", "dst").distinct()
+    und = _comention_edges(spark, sf_dir)
     edges = und.unionByName(
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()

@@ -203,6 +203,7 @@ _ALLOWED_BROADCAST_PRODUCT = {
     # rows) — the no-global-window prefix-sum; plus its 1-row totals
     "curate_token_budget",
     "sim_ann_recall",  # exact-baseline side reuses sim_topk_cosine's product
+    "sim_hard_negatives",  # the sim_topk_cosine product + a label anti-filter
 }
 
 #: queries that broadcast a 1-ROW corpus-totals frame (scalar join —
