@@ -269,6 +269,107 @@ def q_tool_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOOP_MAX_PERIOD = 3  # detect 1-, 2-, and 3-gram tool cycles
+LOOP_MIN_REPEATS = 3  # a k-gram must occur ≥3 times consecutively
+
+
+def q_agent_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate agent-loop detection — the trajectory-quality filter
+    an agent-transcript curation pipeline runs before training: a
+    conversation whose turn-signature sequence contains a short cycle
+    repeated many times (user>assistant>user>assistant with no tool
+    progress, or search>code>search>code — the agent is stuck) is a
+    low-quality trajectory. `conv_tool_sequences` mines WHICH tool
+    sequences dominate; this query measures HOW LOOPY each
+    conversation is: over the turn-signature alphabet (the role, or
+    ``tool:<name>`` for tool turns — the per-turn action label a
+    trajectory miner keys on), for every period p ≤ LOOP_MAX_PERIOD,
+    the maximum number of consecutive occurrences of any p-gram,
+    reported where it reaches LOOP_MIN_REPEATS.
+
+    Detection is the classic self-lag trick: position i continues a
+    period-p cycle iff sig_i = sig_{i−p}; a maximal run of L such
+    matches means the p-gram occurred L DIV p + 1 times. Runs are
+    delimited with a gaps-and-islands cumulative sum — all
+    conv-partitioned windows.
+
+    Scale shape: ONE shuffle on conv_id; two window passes (matches
+    for all periods in one pass, island ids in the next), a 3-way
+    struct explode, and two hash aggregates on (conv, period[,
+    island]) keys. Per-conversation state bounded by turn count;
+    embarrassingly parallel at 10^12 turns."""
+    t = _turns(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            F.col("tool").isNotNull(), F.concat(F.lit("tool:"), F.col("tool"))
+        )
+        .otherwise(F.col("role"))
+        .alias("sig"),
+    )
+    return detect_cycles(t)
+
+
+def detect_cycles(
+    t: DataFrame,
+    max_period: int = LOOP_MAX_PERIOD,
+    min_repeats: int = LOOP_MIN_REPEATS,
+) -> DataFrame:
+    """Cycle-detection core over (conv_id, turn_idx, sig) — see
+    :func:`q_agent_loops` for semantics and the scale shape."""
+    periods = range(1, max_period + 1)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ms = t.select(
+        "conv_id",
+        "turn_idx",
+        *[
+            F.when(F.col("sig") == F.lag("sig", p).over(w), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias(f"m{p}")
+            for p in periods
+        ],
+    )
+    isl = ms.select(
+        "conv_id",
+        *[F.col(f"m{p}") for p in periods],
+        *[
+            F.sum(F.lit(1) - F.col(f"m{p}")).over(wc).alias(f"i{p}")
+            for p in periods
+        ],
+    )
+    stacked = isl.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("period"),
+                        F.col(f"m{p}").alias("m"),
+                        F.col(f"i{p}").alias("isl"),
+                    )
+                    for p in periods
+                ]
+            )
+        ).alias("s"),
+    ).select("conv_id", "s.period", "s.m", "s.isl")
+    runs = (
+        stacked.where(F.col("m") == 1)
+        .groupBy("conv_id", "period", "isl")
+        .agg(F.count(F.lit(1)).alias("l"))
+    )
+    return (
+        runs.groupBy("conv_id", "period")
+        .agg(F.max("l").alias("maxl"))
+        .select(
+            "conv_id",
+            F.col("period").cast("int").alias("period"),
+            F.expr("CAST(maxl DIV period + 1 AS BIGINT)").alias("repeats"),
+        )
+        .where(F.col("repeats") >= min_repeats)
+    )
+
+
 def q_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assistant reply-latency distribution: for every strict
     user→assistant adjacency (the same rule as ``conv_sft_pairs``),
@@ -503,6 +604,9 @@ QUERIES = {
     "conv_turn_stats": q_turn_stats,
     "conv_tool_stats": q_tool_stats,
     "conv_sessionize": q_sessionize,
+    # registry-tail placement: keeps the staged round-5 gate window
+    # (46 head entries + already-gated filler) byte-identical
+    "conv_agent_loops": q_agent_loops,
 }
 
 ORACLES = {
@@ -578,6 +682,37 @@ per AS (
   GROUP BY conv_id)
 SELECT tool_seq, n_calls, CAST(COUNT(*) AS BIGINT) AS n_convs
 FROM per GROUP BY tool_seq, n_calls""",
+    "conv_agent_loops": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
+tt AS (SELECT conv_id, turn_idx,
+              CASE WHEN tool IS NOT NULL THEN 'tool:' || tool
+                   ELSE role END AS sig
+       FROM e),
+m AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN sig = LAG(sig, 1) OVER w THEN 1 ELSE 0 END AS m1,
+         CASE WHEN sig = LAG(sig, 2) OVER w THEN 1 ELSE 0 END AS m2,
+         CASE WHEN sig = LAG(sig, 3) OVER w THEN 1 ELSE 0 END AS m3
+  FROM tt WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+c AS (
+  SELECT conv_id, m1, m2, m3,
+         SUM(1 - m1) OVER w2 AS i1,
+         SUM(1 - m2) OVER w2 AS i2,
+         SUM(1 - m3) OVER w2 AS i3
+  FROM m WINDOW w2 AS (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+u AS (
+  SELECT conv_id, 1 AS period, m1 AS m, i1 AS isl FROM c
+  UNION ALL SELECT conv_id, 2, m2, i2 FROM c
+  UNION ALL SELECT conv_id, 3, m3, i3 FROM c),
+runs AS (
+  SELECT conv_id, period, isl, COUNT(*) AS l
+  FROM u WHERE m = 1 GROUP BY conv_id, period, isl),
+best AS (
+  SELECT conv_id, period, MAX(l) AS maxl
+  FROM runs GROUP BY conv_id, period)
+SELECT conv_id, CAST(period AS INT) AS period,
+       CAST(maxl // period + 1 AS BIGINT) AS repeats
+FROM best WHERE maxl // period + 1 >= {LOOP_MIN_REPEATS}""",
     "conv_reply_latency": f"""WITH {_SHRED_SQL}, {_ENRICH_SQL},
 p AS (
   SELECT conv_id, turn_idx, role, ts_s,

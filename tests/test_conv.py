@@ -139,3 +139,48 @@ def test_assistant_echo_bounds_and_pair_conservation(spark):
         assert 0 <= r["mean_echo_ppm"] <= r["max_echo_ppm"] <= 1_000_000
     total_pairs = sum(r["n_pairs"] for r in rows)
     assert total_pairs == q_sft_pairs(spark, SF).count()
+
+
+def test_detect_cycles_on_hand_sequences(spark):
+    """Loop-detector spec pins: AAAA → period-1 ×4; ABABAB → period-2
+    ×3 (and period-1 never); ABCABCABC → period-3 ×3; a broken run
+    (ABAB X ABAB) maxes at 2 repeats per fragment and is filtered by
+    the ≥3 threshold; a fresh conversation with <period+1 turns emits
+    nothing."""
+    from dstlr_spark.queries.conv import detect_cycles
+
+    def frame(seqs):
+        rows = [
+            (cid, i, s)
+            for cid, seq in seqs.items()
+            for i, s in enumerate(seq)
+        ]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, sig string"
+        )
+
+    t = frame(
+        {
+            "aaaa": list("AAAA"),
+            "abab": list("ABABAB"),
+            "abc3": list("ABCABCABC"),
+            "broken": list("ABAB") + ["X"] + list("ABAB"),
+            "tiny": list("AB"),
+        }
+    )
+    got = {(r.conv_id, r.period): r.repeats for r in detect_cycles(t).collect()}
+    assert got == {
+        ("aaaa", 1): 4,
+        ("abab", 2): 3,
+        ("abc3", 3): 3,
+        # ABCABCABC also matches period... no: sig_i == sig_{i-1}/{i-2}
+        # never holds for distinct A,B,C — only the period-3 row exists
+    }
+    # sanity on thresholds: broken ABAB|X|ABAB has max period-2 run of
+    # length 2 (repeats 2 < 3) on each side of X; tiny has no run
+    low = {
+        (r.conv_id, r.period): r.repeats
+        for r in detect_cycles(t, min_repeats=2).collect()
+    }
+    assert low[("broken", 2)] == 2
+    assert ("tiny", 1) not in low and ("tiny", 2) not in low
