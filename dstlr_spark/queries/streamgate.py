@@ -347,6 +347,19 @@ def q_stream_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(sft_pairs_stream(enrich_turns(tr)), "update")
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD type-2 under the value oracle: the drained
+    update-mode output of :func:`dstlr_spark.streaming.events_stream.
+    scd2_stream` must equal the batch CDC merge (`events_scd2`)
+    restricted to CLOSED versions — the open version of each key is
+    state, not output, exactly as an open session is. Continuous
+    dimension maintenance verified against its batch twin."""
+    from dstlr_spark.streaming.events_stream import scd2_stream
+
+    ev = _events_stream(spark, sf_dir)
+    return _drain(scd2_stream(ev), "update")
+
+
 QUERIES = {
     "stream_sft_pairs": q_stream_sft_pairs,
     "stream_events_hourly": q_stream_events_hourly,
@@ -356,6 +369,7 @@ QUERIES = {
     "stream_mention_rate": q_stream_mention_rate,
     "stream_dedup_turns": q_stream_dedup_turns,
     "stream_curate_decision": q_stream_curate_decision,
+    "stream_scd2": q_stream_scd2,
 }
 
 ORACLES = {
@@ -440,6 +454,30 @@ FROM turns""",
 from dstlr_spark.queries import curation as _curation  # noqa: E402
 
 ORACLES["stream_curate_decision"] = _curation.ORACLES["curate_decision"]
+
+ORACLES["stream_scd2"] = """
+WITH base AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+m AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type,
+         ROW_NUMBER() OVER w AS rn
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM m
+  WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type),
+v AS (
+  SELECT user_id, event_type AS state,
+         CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(LEAD(ts) OVER w2, '%Y-%m-%d %H:%M:%S') AS valid_to
+  FROM chg
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, state, version, valid_from, valid_to
+FROM v WHERE valid_to IS NOT NULL"""
+
 
 # "stream_sft_pairs" shares the batch conv_sft_pairs oracle text, which
 # lives in conv.py (it is built from conv's _ENRICH_SQL); conv registers

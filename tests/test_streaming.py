@@ -313,3 +313,64 @@ def test_sft_pairs_stream_state_across_batches(spark, tmp_path):
         (0, "hello there", "hi friend", 2),
         (4, "next question", "an answer", 2),
     }
+
+
+def test_scd2_stream_equals_batch_closed_versions(spark, tmp_path):
+    """Batch↔stream parity on a hand CDC stream (the events_scd2 unit
+    fixture): the drained scd2_stream output must equal the batch SCD2
+    table restricted to closed versions — same rows, and the open
+    (is_current) version of each key absent, because it is state, not
+    output."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.queries.relational import q_events_scd2
+    from dstlr_spark.streaming.events_stream import scd2_stream
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, at(0), 1, "A", 1.0, "{}"),
+        (2, at(10), 1, "A", 1.0, "{}"),
+        (3, at(20), 1, "B", 1.0, "{}"),
+        (4, at(30), 1, "A", 1.0, "{}"),
+        (5, at(0), 2, "X", 1.0, "{}"),
+        (6, at(5), 2, None, 1.0, "{}"),
+        (7, at(0), None, "A", 1.0, "{}"),
+        (8, None, 3, "A", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "scd_stream")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    batch_closed = {
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to)
+        for r in q_events_scd2(spark, d).where(F.col("is_current") == 0).collect()
+    }
+
+    ev = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(f"{d}/events.parquet")
+    q = (
+        scd2_stream(ev)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("scd2_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to)
+        for r in spark.table("scd2_parity").collect()
+    }
+    assert streamed == batch_closed
+    assert len(streamed) == 3  # u1: A,B closed; u2: X closed; opens absent
