@@ -1271,6 +1271,124 @@ def video_frame_features_np(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+VAD_FRAME = 10  # VAD frame length in samples (gate-sized; prod uses rate·20ms)
+VAD_ENERGY_MIN = 1  # a frame is voiced iff Σ s² ≥ this (planted silence is 0)
+#: planted-silence block length for the VAD corpus: samples alternate
+#: 25 voiced (the synth_media_wav formula) / 25 exact zeros, so segment
+#: boundaries are analytic functions of the sample index alone
+VAD_SILENCE_BLOCK = 25
+
+
+def audio_vad_np(
+    media: DataFrame, frame: int = VAD_FRAME, thresh: int = VAD_ENERGY_MIN
+) -> DataFrame:
+    """Voice-activity detection over the DECODED samples — the speech
+    curation pass an audio corpus runs before transcription/training
+    (silence/near-silence regions carry no training signal and skew
+    duration stats): frame the clip into ``frame``-sample windows
+    (last partial frame included), mark a frame voiced iff its energy
+    Σ s² ≥ ``thresh`` (exact integers), and emit one row per maximal
+    voiced segment — (doc_id, seg_idx, start_frame, n_frames, energy).
+
+    Mono only (interleaved multi-channel energy would mix channels);
+    stereo clips raise NotImplementedError — a production pass VADs
+    per channel after de-interleave. Arrow-batched mapInPandas with
+    per-doc isolation (X2): undecodable/unsupported clips and clips
+    with NO voiced frame yield one null-segment row (the doc never
+    vanishes). Map-only: only segment tuples leave the stage."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["doc_id", "seg_idx", "start_frame", "n_frames", "energy"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    s, _, ch = decode_wav(bytes(payload))
+                    if ch != 1:
+                        raise NotImplementedError(
+                            "STUB: multi-channel VAD needs per-channel "
+                            "de-interleave; only mono decodes here"
+                        )
+                    s64 = s.astype(np.int64)
+                    sq = s64 * s64
+                    bounds = np.arange(0, s64.size, frame)
+                    energy = (
+                        np.add.reduceat(sq, bounds)
+                        if s64.size
+                        else np.zeros(0, np.int64)
+                    )
+                    voiced = energy >= thresh
+                    if not voiced.any():
+                        raise ValueError("no voiced frame in clip")
+                    # maximal runs of voiced frames
+                    edges = np.flatnonzero(np.diff(voiced.astype(np.int8)))
+                    starts = [0] if voiced[0] else []
+                    starts += [int(e) + 1 for e in edges if voiced[e + 1]]
+                    ends = [int(e) + 1 for e in edges if voiced[e]]
+                    ends += [int(voiced.size)] if voiced[-1] else []
+                    for k, (a, b) in enumerate(zip(starts, ends)):
+                        rows.append(
+                            dict(
+                                doc_id=doc_id,
+                                seg_idx=k,
+                                start_frame=a,
+                                n_frames=b - a,
+                                energy=int(energy[a:b].sum()),
+                            )
+                        )
+                except (NotImplementedError, ValueError):
+                    rows.append(
+                        dict(doc_id=doc_id, seg_idx=None, start_frame=None,
+                             n_frames=None, energy=None)
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return media.mapInPandas(
+        body,
+        "doc_id string, seg_idx int, start_frame int, n_frames int, "
+        "energy long",
+    )
+
+
+def synth_media_wav_vad(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): a REAL mono 16-bit PCM WAV per
+    document with PLANTED SILENCE — sample i is 0 when
+    (i DIV VAD_SILENCE_BLOCK) is odd, else the :func:`synth_media_wav`
+    formula ((n·31 + i·17) % WAV_MOD) − 2048. Count = n_chars % 120 +
+    40 samples at 8 kHz, so clips span 1–7 silence blocks and the VAD
+    segment table is a pure function of n_chars — the analytic-oracle
+    contract every planted corpus here carries."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                cnt = n % 120 + 40
+                i = np.arange(cnt, dtype=np.int64)
+                s = (n * 31 + i * 17) % WAV_MOD - 2048
+                s[(i // VAD_SILENCE_BLOCK) % 2 == 1] = 0
+                rows.append(
+                    dict(doc_id=doc_id, payload=encode_wav(s.astype(np.int16), 8000))
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "payload": pd.Series(dtype="object")}
+            )
+
+    return (
+        documents.where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+        .mapInPandas(body, "doc_id string, payload binary")
+    )
+
+
 #: planted-luma formula for synthetic Y4M clips: frame f pixel (x, y)
 #: carries (5x + 3y + 7f + 11) % 241 — position- AND frame-dependent,
 #: so a decoder that misaligns frame boundaries or swaps plane order

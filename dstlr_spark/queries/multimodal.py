@@ -153,6 +153,23 @@ def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation under the value gate: REAL PCM
+    decode → exact integer frame energies → maximal voiced segments
+    (:func:`dstlr_spark.operators.multimodal.audio_vad_np`), over the
+    planted-silence corpus (`synth_media_wav_vad`: alternating
+    25-sample voice/zero blocks). The oracle re-derives every segment
+    analytically from n_chars — sample values from range() arithmetic
+    with the silence mask, frames by i DIV VAD_FRAME, segments via the
+    gaps-and-islands sum — without touching a byte. Scale shape:
+    map-only decode + in-stage segmentation, the
+    `mm_audio_features` shape with a per-clip (not per-corpus)
+    run-detection step."""
+    from dstlr_spark.operators.multimodal import audio_vad_np, synth_media_wav_vad
+
+    return audio_vad_np(synth_media_wav_vad(_docs(spark, sf_dir)))
+
+
 def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing under the value gate: the Arrow-batched
     byte-stride sampler (:func:`dstlr_spark.operators.multimodal.
@@ -273,6 +290,7 @@ QUERIES = {
     "mm_media_decode": q_media_decode,
     "mm_phash_groups": q_phash_groups,
     "mm_audio_features": q_audio_features,
+    "mm_audio_vad": q_audio_vad,
     "mm_video_frames": q_video_frames,
     "mm_frame_schedule": q_frame_schedule,
     "mm_media_dedup": q_media_dedup,
@@ -353,6 +371,44 @@ SELECT h.phash,
        CAST(MIN(CAST(m.doc_id AS BIGINT)) AS BIGINT) AS canonical_doc
 FROM hsh h JOIN m ON m.doc_id = h.doc_id
 GROUP BY h.phash HAVING COUNT(*) > 1""",
+    # analytic re-derivation of the VAD table: planted samples with the
+    # silence mask, frame energies by i DIV frame, segments via the
+    # gaps-and-islands sum — no byte parsing anywhere on the oracle side
+    "mm_audio_vad": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars AS n,
+         n_chars % 120 + 40 AS cnt
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+i AS (SELECT doc_id, n, unnest(range(cnt)) AS i FROM m),
+s AS (
+  SELECT doc_id, i // 10 AS fr,
+         CASE WHEN (i // 25) % 2 = 1 THEN 0
+              ELSE (n * 31 + i * 17) % 4097 - 2048 END AS v
+  FROM i),
+fe AS (
+  SELECT doc_id, fr, CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, fr),
+vd AS (
+  SELECT doc_id, fr, energy,
+         CASE WHEN energy >= 1 THEN 1 ELSE 0 END AS voiced
+  FROM fe),
+isl AS (
+  SELECT doc_id, fr, energy, voiced,
+         SUM(1 - voiced) OVER (PARTITION BY doc_id ORDER BY fr
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS g
+  FROM vd),
+seg AS (
+  SELECT doc_id, g, MIN(fr) AS start_frame,
+         COUNT(*) AS n_frames, SUM(energy) AS energy
+  FROM isl WHERE voiced = 1 GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame)
+            - 1 AS INT) AS seg_idx,
+       CAST(start_frame AS INT) AS start_frame,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(energy AS BIGINT) AS energy
+FROM seg""",
     # analytic re-derivation of the planted WAV: count/rate from
     # n_chars, every sample from (n*31 + i*17) % 4097 - 2048, zero
     # crossings via LAG — no byte parsing anywhere on the oracle side

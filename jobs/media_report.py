@@ -17,6 +17,8 @@ like jobs/graph_report.py composes the KG layer):
   phash_dedup/  cross-codec perceptual near-dup groups (mm_phash_groups)
   audio/        exact integer clip features from PCM decode
                 (mm_audio_features)
+  vad/          voice-activity segments from decoded samples
+                (mm_audio_vad — planted-silence corpus)
   video/        per-sampled-frame luma features from Y4M decode
                 (mm_video_frames)
   frames/       deterministic frame-sampling schedule (mm_frame_schedule)
@@ -43,6 +45,7 @@ def main() -> None:
     spark = get_spark("dstlr-media-report")
     from dstlr_spark.queries.multimodal import (
         q_audio_features,
+        q_audio_vad,
         q_frame_schedule,
         q_media_decode,
         q_media_dedup,
@@ -61,6 +64,7 @@ def main() -> None:
         "exact_dedup": q_media_dedup,
         "phash_dedup": q_phash_groups,
         "audio": q_audio_features,
+        "vad": q_audio_vad,
         "video": q_video_frames,
         "frames": q_frame_schedule,
     }

@@ -1071,3 +1071,37 @@ def test_phash_invariant_across_codecs_and_matches_spec(spark):
     )
     assert got["bmp"] == got["png"] == got["png_a7"] == got["gif"] == expect
     assert got["junk"] is None
+
+
+def test_audio_vad_segments_on_hand_clip(spark):
+    """VAD spec pin: a hand clip with known voice/silence layout yields
+    exactly the expected (start_frame, n_frames, energy) segments; an
+    all-silent clip and a stereo clip ride the null-segment row."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import audio_vad_np, encode_wav
+
+    # 50 samples, frame=10: frames 0-4. Voice in samples 0-9 (value 2)
+    # and 25-34 (value 3): frame 0 voiced (E=40); frame 2 covers 20-29
+    # → 5 samples of 3 (E=45); frame 3 covers 30-39 → 5 samples of 3
+    # (E=45); frames 1 and 4 silent → segments [0,1) and [2,4).
+    s = np.zeros(50, np.int16)
+    s[0:10] = 2
+    s[25:35] = 3
+    media = spark.createDataFrame(
+        [
+            ("clip", encode_wav(s, 8000)),
+            ("silent", encode_wav(np.zeros(30, np.int16), 8000)),
+            ("stereo", encode_wav(np.ones(20, np.int16), 8000, n_channels=2)),
+        ],
+        "doc_id string, payload binary",
+    )
+    rows = audio_vad_np(media).collect()
+    segs = sorted(
+        [(r.seg_idx, r.start_frame, r.n_frames, r.energy)
+         for r in rows if r.doc_id == "clip"]
+    )
+    assert segs == [(0, 0, 1, 40), (1, 2, 2, 90)]
+    for d in ("silent", "stereo"):
+        null_rows = [r for r in rows if r.doc_id == d]
+        assert len(null_rows) == 1 and null_rows[0].seg_idx is None
