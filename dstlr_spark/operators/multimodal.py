@@ -1427,6 +1427,103 @@ def synth_media_y4m(documents: DataFrame) -> DataFrame:
     )
 
 
+SHOT_DIFF_MIN = 1  # a frame starts a new shot iff Σ|Y_f − Y_{f−1}| ≥ this
+#: scene length (frames) for the planted-shot corpus: luma depends on
+#: f DIV SHOT_SCENE_LEN, so within-scene frame deltas are exactly 0 and
+#: scene boundaries are analytic functions of the frame index
+SHOT_SCENE_LEN = 3
+
+
+def video_shots_np(media: DataFrame, thresh: int = SHOT_DIFF_MIN) -> DataFrame:
+    """Shot-boundary detection over the DECODED luma stack — the video
+    sibling of :func:`audio_vad_np` and the canonical prerequisite of
+    frame sampling (sample per shot, not per fixed stride, so long
+    static scenes don't dominate the frame budget): frame f starts a
+    new shot iff the exact integer luma delta Σ|Y_f − Y_{f−1}| ≥
+    ``thresh``; emit one row per shot — (doc_id, shot_idx,
+    start_frame, n_frames, y_sum). Arrow-batched mapInPandas with
+    per-doc isolation (X2): undecodable/zero-frame clips yield one
+    null-shot row. Map-only: only shot tuples leave the stage."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["doc_id", "shot_idx", "start_frame", "n_frames", "y_sum"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    fr, _, _ = decode_y4m(bytes(payload))
+                    if not fr.shape[0]:
+                        raise ValueError("empty Y4M stream: zero frames")
+                    y = fr.astype(np.int64)
+                    deltas = np.abs(np.diff(y, axis=0)).sum(axis=(1, 2))
+                    # frame 0 always opens shot 0
+                    boundary = np.concatenate(([True], deltas >= thresh))
+                    starts = np.flatnonzero(boundary)
+                    ends = np.append(starts[1:], y.shape[0])
+                    sums = y.sum(axis=(1, 2))
+                    for k, (a, b) in enumerate(zip(starts, ends)):
+                        rows.append(
+                            dict(
+                                doc_id=doc_id,
+                                shot_idx=k,
+                                start_frame=int(a),
+                                n_frames=int(b - a),
+                                y_sum=int(sums[a:b].sum()),
+                            )
+                        )
+                except (NotImplementedError, ValueError):
+                    rows.append(
+                        dict(doc_id=doc_id, shot_idx=None, start_frame=None,
+                             n_frames=None, y_sum=None)
+                    )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return media.mapInPandas(
+        body,
+        "doc_id string, shot_idx int, start_frame int, n_frames int, "
+        "y_sum long",
+    )
+
+
+def synth_media_y4m_shots(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload): a REAL mono Y4M clip per document
+    with PLANTED SCENES — frame f pixel (x, y) carries
+    (5x + 3y + 31·(f DIV SHOT_SCENE_LEN) + 11) % 241, so luma is
+    constant WITHIN a scene (frame deltas exactly 0) and jumps at every
+    scene boundary. Dims w = n_chars % 5 + 2, h = (n_chars·3) % 5 + 2,
+    frames = n_chars % 9 + 3 (1–4 scenes, last possibly partial). The
+    shot table is a pure function of n_chars — the analytic-oracle
+    contract every planted corpus here carries."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                w, h, nf = n % 5 + 2, (n * 3) % 5 + 2, n % 9 + 3
+                fs, ys, xs = np.mgrid[0:nf, 0:h, 0:w]
+                fr = (
+                    (5 * xs + 3 * ys + 31 * (fs // SHOT_SCENE_LEN) + 11) % Y4M_MOD
+                ).astype(np.uint8)
+                rows.append(dict(doc_id=doc_id, payload=encode_y4m(fr)))
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"doc_id": pd.Series(dtype="object"),
+                 "payload": pd.Series(dtype="object")}
+            )
+
+    return (
+        documents.where(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "n_chars")
+        .mapInPandas(body, "doc_id string, payload binary")
+    )
+
+
 def resize_nearest(rgb, max_side: int):
     """Nearest-neighbor downscale preserving aspect: the longest side
     becomes ≤ max_side (no-op if already within). Pure index math:

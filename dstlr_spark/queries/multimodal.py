@@ -170,6 +170,25 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_vad_np(synth_media_wav_vad(_docs(spark, sf_dir)))
 
 
+def q_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection under the value gate: REAL Y4M decode →
+    exact integer frame-delta sums → shots (:func:`dstlr_spark.
+    operators.multimodal.video_shots_np`), over the planted-scene
+    corpus (`synth_media_y4m_shots`: luma constant within 3-frame
+    scenes, jumping at boundaries). The oracle re-derives every shot
+    analytically from n_chars — per-pixel luma via range() arithmetic,
+    frame deltas via LAG over (doc, x, y), boundaries + shots via the
+    gaps-and-islands sum — without touching a byte. Scale shape:
+    map-only decode + in-stage segmentation (the `mm_audio_vad`
+    shape on the video axis)."""
+    from dstlr_spark.operators.multimodal import (
+        synth_media_y4m_shots,
+        video_shots_np,
+    )
+
+    return video_shots_np(synth_media_y4m_shots(_docs(spark, sf_dir)))
+
+
 def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing under the value gate: the Arrow-batched
     byte-stride sampler (:func:`dstlr_spark.operators.multimodal.
@@ -291,6 +310,7 @@ QUERIES = {
     "mm_phash_groups": q_phash_groups,
     "mm_audio_features": q_audio_features,
     "mm_audio_vad": q_audio_vad,
+    "mm_video_shots": q_video_shots,
     "mm_video_frames": q_video_frames,
     "mm_frame_schedule": q_frame_schedule,
     "mm_media_dedup": q_media_dedup,
@@ -371,6 +391,46 @@ SELECT h.phash,
        CAST(MIN(CAST(m.doc_id AS BIGINT)) AS BIGINT) AS canonical_doc
 FROM hsh h JOIN m ON m.doc_id = h.doc_id
 GROUP BY h.phash HAVING COUNT(*) > 1""",
+    # analytic re-derivation of the shot table: planted per-pixel luma,
+    # frame deltas via LAG over (doc, x, y), boundaries + shots via the
+    # gaps-and-islands sum — no byte parsing anywhere on the oracle side
+    "mm_video_shots": """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars AS n,
+         n_chars % 5 + 2 AS w, (n_chars * 3) % 5 + 2 AS h,
+         n_chars % 9 + 3 AS nf
+  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+fs AS (SELECT doc_id, n, w, h, unnest(range(nf)) AS f FROM m),
+ys AS (SELECT doc_id, n, w, f, unnest(range(h)) AS y FROM fs),
+xs AS (SELECT doc_id, f, y, unnest(range(w)) AS x FROM ys),
+px AS (SELECT doc_id, f, x, y,
+              (5 * x + 3 * y + 31 * (f // 3) + 11) % 241 AS v
+       FROM xs),
+d AS (
+  SELECT doc_id, f, v,
+         ABS(v - LAG(v) OVER (PARTITION BY doc_id, x, y ORDER BY f)) AS dv
+  FROM px),
+fr AS (
+  SELECT doc_id, f, CAST(SUM(v) AS BIGINT) AS ysum,
+         CAST(COALESCE(SUM(dv), 0) AS BIGINT) AS delta,
+         CAST(COUNT(dv) AS BIGINT) AS n_dv
+  FROM d GROUP BY doc_id, f),
+b AS (
+  SELECT doc_id, f, ysum,
+         CASE WHEN f = 0 OR (n_dv > 0 AND delta >= 1) THEN 1 ELSE 0 END
+           AS boundary
+  FROM fr),
+sh AS (
+  SELECT doc_id, f, ysum,
+         SUM(boundary) OVER (PARTITION BY doc_id ORDER BY f
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS shot_id
+  FROM b)
+SELECT doc_id, CAST(shot_id - 1 AS INT) AS shot_idx,
+       CAST(MIN(f) AS INT) AS start_frame,
+       CAST(COUNT(*) AS INT) AS n_frames,
+       CAST(SUM(ysum) AS BIGINT) AS y_sum
+FROM sh GROUP BY doc_id, shot_id""",
     # analytic re-derivation of the VAD table: planted samples with the
     # silence mask, frame energies by i DIV frame, segments via the
     # gaps-and-islands sum — no byte parsing anywhere on the oracle side

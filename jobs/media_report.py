@@ -19,6 +19,8 @@ like jobs/graph_report.py composes the KG layer):
                 (mm_audio_features)
   vad/          voice-activity segments from decoded samples
                 (mm_audio_vad — planted-silence corpus)
+  shots/        shot boundaries from decoded luma deltas
+                (mm_video_shots — planted-scene corpus)
   video/        per-sampled-frame luma features from Y4M decode
                 (mm_video_frames)
   frames/       deterministic frame-sampling schedule (mm_frame_schedule)
@@ -52,6 +54,7 @@ def main() -> None:
         q_media_features,
         q_media_meta,
         q_media_sniff,
+        q_video_shots,
         q_phash_groups,
         q_video_frames,
     )
@@ -65,6 +68,7 @@ def main() -> None:
         "phash_dedup": q_phash_groups,
         "audio": q_audio_features,
         "vad": q_audio_vad,
+        "shots": q_video_shots,
         "video": q_video_frames,
         "frames": q_frame_schedule,
     }

@@ -1105,3 +1105,34 @@ def test_audio_vad_segments_on_hand_clip(spark):
     for d in ("silent", "stereo"):
         null_rows = [r for r in rows if r.doc_id == d]
         assert len(null_rows) == 1 and null_rows[0].seg_idx is None
+
+
+def test_video_shots_on_hand_clip(spark):
+    """Shot-detection spec pin: a hand clip whose luma is constant for
+    frames 0-2, jumps for 3-4, and jumps again for 5 yields exactly
+    three shots with the right extents and exact luma sums; a
+    header-only clip rides the null-shot row."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import encode_y4m, video_shots_np
+
+    fr = np.zeros((6, 2, 2), np.uint8)
+    fr[0:3] = 10
+    fr[3:5] = 40
+    fr[5:] = 90
+    media = spark.createDataFrame(
+        [
+            ("clip", encode_y4m(fr)),
+            ("empty", b"YUV4MPEG2 W2 H2 F25:1 Ip Cmono\n"),
+        ],
+        "doc_id string, payload binary",
+    )
+    rows = video_shots_np(media).collect()
+    shots = sorted(
+        (r.shot_idx, r.start_frame, r.n_frames, r.y_sum)
+        for r in rows
+        if r.doc_id == "clip"
+    )
+    assert shots == [(0, 0, 3, 120), (1, 3, 2, 320), (2, 5, 1, 360)]
+    nulls = [r for r in rows if r.doc_id == "empty"]
+    assert len(nulls) == 1 and nulls[0].shot_idx is None
