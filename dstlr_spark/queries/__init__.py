@@ -81,10 +81,31 @@ _GATE_FIRST = [
     # multi-anchor batch BFS (verdict task #4's suggested batch
     # variant — K point lookups in one traversal)
     "kg_entity_distances_batch",
-    # round-5 changed implementations, expected hash-identical (the
-    # _linked_entity_pairs staging + bucketed pair join, VERDICT
-    # tasks #2/#3) — re-gated to prove it; designated spill if the
-    # window is tighter than 50
+    # remaining round-5 additions that have never had a driver row —
+    # this is the FINAL round, so every never-gated query must sit
+    # inside the ~50-row window or it never gets a hard driver signal
+    # (judge-local verification only). 33 backlog + 16 round-5
+    # additions = 49 never-gated entries above + below.
+    "conv_agent_loops",
+    "curate_stratified_sample",
+    "kg_ppr_anchored",
+    "kg_ktruss",
+    "kg_allen_relations",
+    "sim_hard_negatives",
+    "mm_phash_groups",
+    "mm_audio_vad",
+    "mm_video_shots",
+    "stream_scd2",
+    "events_scd2",
+    # slot 50: ONE re-gate of a changed implementation, expected
+    # hash-identical (the _linked_entity_pairs staging + bucketed pair
+    # join, VERDICT tasks #2/#3) — proves the refactor preserved
+    # values under the driver's own comparator. The other staged
+    # consumers (kg_negative_samples, kg_entity_hits, kg_entity_salience,
+    # kg_incremental_triples, kg_relation_signature, kg_relation_trend,
+    # kg_rule_mining) follow immediately as spill: each already has a
+    # green r3/r4 driver row and is re-proved hash-identical by
+    # scripts/check_oracles.py locally.
     "kg_triple_temporal",
     "kg_negative_samples",
     "kg_entity_hits",
