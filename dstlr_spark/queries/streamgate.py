@@ -45,15 +45,22 @@ def _events_stream_dir(sf_dir: str) -> str:
     read-only files. Stage a temp directory containing a symlink to the
     events parquet once per sf_dir (a production deployment streams from
     the table's real directory/Iceberg location — this shim exists only
-    for the single-file sandbox layout)."""
+    for the single-file sandbox layout). When the table IS already a
+    directory of part files (any Spark-written table, e.g. the
+    replicated probe corpora), stream it directly — symlinking a
+    directory under a listing root would hide its files from the
+    non-recursive file source (the stream silently sees zero input)."""
     d = _STREAM_DIRS.get(sf_dir)
     if d is None:
         import os
         import shutil
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="dstlr_stream_events_")
         src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            _STREAM_DIRS[sf_dir] = src
+            return src
+        d = tempfile.mkdtemp(prefix="dstlr_stream_events_")
         dst = os.path.join(d, "events.parquet")
         try:
             os.symlink(src, dst)
@@ -228,7 +235,8 @@ DOCS_SCHEMA = (
 
 def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the sf documents parquet (same symlink
-    shim as the events stream)."""
+    shim as the events stream, incl. the stream-the-directory-directly
+    branch for Spark-written tables)."""
     key = f"documents::{sf_dir}"
     d = _STREAM_DIRS.get(key)
     if d is None:
@@ -236,14 +244,18 @@ def _docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
         import tempfile
 
-        d = tempfile.mkdtemp(prefix="dstlr_stream_docs_")
         src = f"{sf_dir}/documents.parquet"
-        dst = os.path.join(d, "documents.parquet")
-        try:
-            os.symlink(src, dst)
-        except OSError:
-            shutil.copy(src, dst)
-        _STREAM_DIRS[key] = d
+        if os.path.isdir(src):
+            _STREAM_DIRS[key] = src
+            d = src
+        else:
+            d = tempfile.mkdtemp(prefix="dstlr_stream_docs_")
+            dst = os.path.join(d, "documents.parquet")
+            try:
+                os.symlink(src, dst)
+            except OSError:
+                shutil.copy(src, dst)
+            _STREAM_DIRS[key] = d
     return spark.readStream.schema(DOCS_SCHEMA).parquet(d)
 
 

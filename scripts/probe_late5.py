@@ -127,7 +127,22 @@ def main() -> None:
             continue
         t0 = time.monotonic()
         cnt = fn(spark, staged).count()
-        print(f"{name:28s} {time.monotonic() - t0:7.1f}s  {cnt} rows", flush=True)
+        cold = time.monotonic() - t0
+        # second invocation in the same session: memoized-stage
+        # consumers (the kg_* graph family) now reuse the staged
+        # mention/link/edge frames, so warm-vs-cold attributes the
+        # shared derivation cost vs the operator's own. Stateful
+        # stream drains have no memo to warm — skip the re-run.
+        if name.startswith("stream_"):
+            print(f"{name:28s} cold {cold:7.1f}s  {cnt} rows", flush=True)
+            continue
+        t0 = time.monotonic()
+        fn(spark, staged).count()
+        warm = time.monotonic() - t0
+        print(
+            f"{name:28s} cold {cold:7.1f}s  warm {warm:7.1f}s  {cnt} rows",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -374,3 +374,51 @@ def test_scd2_stream_equals_batch_closed_versions(spark, tmp_path):
     }
     assert streamed == batch_closed
     assert len(streamed) == 3  # u1: A,B closed; u2: X closed; opens absent
+
+
+def test_stream_sources_see_spark_written_directory_tables(spark, tmp_path):
+    """The registered stream queries must see input when the sf tables
+    are Spark-written DIRECTORIES of part files, not single files (the
+    production layout, and the replicated probe corpora). Regression:
+    the symlink shim used to link the directory under a new listing
+    root, where the non-recursive file source silently saw ZERO files —
+    q_stream_scd2 returned 0 rows on a 4M-event corpus while its batch
+    twin returned 3.2M."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dstlr_spark.queries.relational import q_events_scd2
+    from dstlr_spark.queries.streamgate import q_stream_scd2
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    rows = [
+        (1, at(0), 1, "A", 1.0, "{}"),
+        (2, at(10), 1, "B", 1.0, "{}"),
+        (3, at(20), 1, "C", 1.0, "{}"),
+        (4, at(0), 2, "X", 1.0, "{}"),
+        (5, at(10), 2, "Y", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "sf_dirlayout")
+    # repartition(2): a genuine multi-part directory, the layout the
+    # single-file symlink shim could not stream
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).repartition(2).write.parquet(f"{d}/events.parquet")
+
+    batch_closed = {
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to)
+        for r in q_events_scd2(spark, d).where(F.col("is_current") == 0).collect()
+    }
+    streamed = {
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to)
+        for r in q_stream_scd2(spark, d).collect()
+    }
+    assert streamed == batch_closed
+    assert len(streamed) == 3  # u1: A,B closed; u2: X closed
