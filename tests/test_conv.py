@@ -184,3 +184,29 @@ def test_detect_cycles_on_hand_sequences(spark):
     }
     assert low[("broken", 2)] == 2
     assert ("tiny", 1) not in low and ("tiny", 2) not in low
+
+
+def test_trajectory_report_job_tables(spark, tmp_path):
+    """jobs/trajectory_report.py: the eleven conversation-layer release
+    tables materialize with the same shapes their oracle-gated
+    operators produce."""
+    import os
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "jobs/trajectory_report.py", "--sf-dir",
+         "/root/testdata/sf0.001", "--output", str(tmp_path / "traj")],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "PYTHONPATH": "/root/repo"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for table in ("transitions", "turns", "tools", "sessions", "sft_pairs",
+                  "latency", "packing", "echo", "segments", "sequences",
+                  "loops"):
+        assert f"{table}:" in out.stdout
+    pairs = spark.read.parquet(str(tmp_path / "traj/sft_pairs"))
+    assert pairs.count() > 0
+    assert {"conv_id", "prompt", "response"} <= set(pairs.columns)
+    packs = spark.read.parquet(str(tmp_path / "traj/packing"))
+    assert packs.count() > 0 and "n_turns_kept" in packs.columns

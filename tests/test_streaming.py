@@ -422,3 +422,37 @@ def test_stream_sources_see_spark_written_directory_tables(spark, tmp_path):
     }
     assert streamed == batch_closed
     assert len(streamed) == 3  # u1: A,B closed; u2: X closed
+
+
+def test_docs_stream_sees_directory_layout(spark, tmp_path):
+    """Same directory-layout regression for the documents stream shim:
+    q_stream_curate_decision over a Spark-written multi-part documents
+    table must reproduce the batch curation decisions, not silently
+    stream zero input."""
+    from dstlr_spark.queries.curation import curation_decision_frame
+    from dstlr_spark.queries.streamgate import q_stream_curate_decision
+
+    rows = [
+        (1, "a perfectly ordinary sentence about spark tables.", "en", "web", 49),
+        (2, "short", "en", "web", 5),
+        (3, "another document with several plain words inside it.", "en", "web", 52),
+        (4, "x " * 40, "en", "web", 80),
+    ]
+    d = str(tmp_path / "sf_docs_dirlayout")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(2).write.parquet(f"{d}/documents.parquet")
+
+    from pyspark.sql import functions as F
+
+    batch = {
+        tuple(r)
+        for r in curation_decision_frame(
+            spark.read.parquet(f"{d}/documents.parquet").select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text"
+            )
+        ).collect()
+    }
+    streamed = {tuple(r) for r in q_stream_curate_decision(spark, d).collect()}
+    assert streamed == batch
+    assert len(streamed) == 4
