@@ -15,10 +15,11 @@ variable-width LZW, sequential and 4-pass interlaced —
 ``mm_media_decode`` driver query over a SEVEN-VARIANT planted-pixel
 corpus (BMP / PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF /
 16-bit PNG). 16-bit samples decode to exact uint16 — the operator
-contract is ``array<int>``, never narrowed. Only lossy codecs that
-genuinely need an imaging library (JPEG DCT, MP3/AAC, H.26x) and
-sub-byte bit-packed depths still raise a clearly-marked
-``NotImplementedError``.
+contract is ``array<int>``, never narrowed. PNG covers EVERY
+spec-valid (color, depth) combination — sub-byte bit-packed 1/2/4
+gray and palette, plus gray+alpha, included. Only lossy codecs that
+genuinely need an imaging library (JPEG DCT, MP3/AAC, H.26x) still
+raise a clearly-marked ``NotImplementedError``.
 Everything Spark-side is real and tested either way: the binary
 schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
 reads), the batch shapes, and the partitioning.
@@ -296,7 +297,7 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 # paletted color — and GIF via pure-Python LZW (decode_gif). This
 # retires the round-4 "decode is a stub" finding: the
 # NotImplementedError path below remains ONLY for codecs that truly
-# need an imaging library (JPEG DCT, sub-byte bit-packed depths).
+# need an imaging library (JPEG DCT).
 
 #: planted-pixel formula for synthetic BMPs: channel c∈{0=R,1=G,2=B} at
 #: (x, y) carries (3x + 7y + 11c + 13) % 251 — position- and
@@ -346,10 +347,9 @@ def decode_rgb_bytes(b: bytes):
     - GIF first frame, sequential or 4-pass interlaced (pure-Python
       variable-width LZW + palette mapping — :func:`decode_gif`).
 
-    JPEG (DCT) and sub-byte bit-packed depths raise
-    NotImplementedError — the only remaining stub surface, and an
-    honest one: lossy codecs need a codec library this container
-    doesn't ship.
+    JPEG (DCT) raises NotImplementedError — the only remaining stub
+    surface, and an honest one: lossy codecs need a codec library this
+    container doesn't ship.
     """
     import numpy as np
 
@@ -554,10 +554,47 @@ def encode_png(rgb, row_filters=None, interlace=False) -> bytes:
     )
 
 
-def encode_png_pal(indices, palette, row_filters=None, interlace=False) -> bytes:
+def _pack_subbyte(samples, depth: int):
+    """Pack (rows, width) uint8 samples into bit-packed PNG scanline
+    bytes (rows, ceil(width·depth/8)), MSB-first per spec §7.2 —
+    the encode-side inverse of :func:`_unpack_subbyte`."""
+    import numpy as np
+
+    rows, wid = samples.shape
+    per = 8 // depth
+    stride = (wid * depth + 7) // 8
+    padded = np.zeros((rows, stride * per), np.uint8)
+    padded[:, :wid] = samples & ((1 << depth) - 1)
+    out = np.zeros((rows, stride), np.uint8)
+    for j in range(per):
+        out = (out << depth) | padded[:, j::per][:, :stride]
+    return out
+
+
+def _png_subbyte_stream(samples, depth, interlace, row_filters) -> bytes:
+    """(h, w) sub-byte samples → pre-zlib scanline stream (each
+    scanline packed THEN filtered with 1-byte lookback, per spec;
+    Adam7 packs each pass's scanlines independently)."""
+    if not interlace:
+        return _filter_scanlines(_pack_subbyte(samples, depth), 1, row_filters)
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        if sub.size:
+            out.append(
+                _filter_scanlines(_pack_subbyte(sub, depth), 1, row_filters)
+            )
+    return b"".join(out)
+
+
+def encode_png_pal(
+    indices, palette, row_filters=None, interlace=False, depth=8
+) -> bytes:
     """Encode an (h, w) uint8 index array + (n≤256, 3) palette as a
-    REAL 8-bit paletted PNG (color type 3, PLTE chunk), optionally
-    Adam7-interlaced — stdlib ``zlib`` only."""
+    REAL paletted PNG (color type 3, PLTE chunk), optionally
+    Adam7-interlaced — stdlib ``zlib`` only. ``depth`` of 1/2/4 emits
+    bit-packed scanlines (indices must fit the depth); 8 is the
+    byte-per-index layout."""
     import zlib
 
     import numpy as np
@@ -567,17 +604,66 @@ def encode_png_pal(indices, palette, row_filters=None, interlace=False) -> bytes
     pal = np.asarray(palette, np.uint8)
     if idx.max(initial=0) >= len(pal):
         raise ValueError("palette index out of range")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlace else 0)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"paletted PNG depth {depth} invalid per spec")
+    if depth < 8:
+        if idx.max(initial=0) >= (1 << depth):
+            raise ValueError(f"palette index does not fit depth {depth}")
+        stream = _png_subbyte_stream(idx, depth, interlace, row_filters)
+    else:
+        stream = _png_pixel_stream(idx[..., None], 1, interlace, row_filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
     return (
         bytes.fromhex(PNG_MAGIC)
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", pal.tobytes())
-        + _png_chunk(
-            b"IDAT",
-            zlib.compress(
-                _png_pixel_stream(idx[..., None], 1, interlace, row_filters)
-            ),
+        + _png_chunk(b"IDAT", zlib.compress(stream))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray(
+    samples, depth=8, row_filters=None, interlace=False, alpha=None
+) -> bytes:
+    """Encode an (h, w) grayscale array as a REAL PNG: color type 0
+    (depths 1/2/4/8/16 — sub-byte bit-packed per spec) or, with an
+    ``alpha`` plane, color type 4 (gray+alpha, depths 8/16). uint16
+    input at depth 16 carries exact big-endian samples."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    h, w = arr.shape
+    if alpha is not None:
+        if depth not in (8, 16):
+            raise ValueError("gray+alpha supports depths 8/16 only per spec")
+        plane = np.stack([arr, np.asarray(alpha)], axis=2)
+        dt = ">u2" if depth == 16 else np.uint8
+        bpp = 2 * (depth // 8)
+        raw = plane.astype(dt).view(np.uint8).reshape(h, w, bpp)
+        stream = _png_pixel_stream(raw, bpp, interlace, row_filters)
+        color = 4
+    elif depth < 8:
+        if depth not in (1, 2, 4):
+            raise ValueError(f"gray PNG depth {depth} invalid per spec")
+        if arr.max(initial=0) >= (1 << depth):
+            raise ValueError(f"gray sample does not fit depth {depth}")
+        stream = _png_subbyte_stream(
+            arr.astype(np.uint8), depth, interlace, row_filters
         )
+        color = 0
+    else:
+        dt = ">u2" if depth == 16 else np.uint8
+        raw = arr.astype(dt).view(np.uint8).reshape(h, w, depth // 8)
+        stream = _png_pixel_stream(raw, depth // 8, interlace, row_filters)
+        color = 0
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0,
+                       1 if interlace else 0)
+    return (
+        bytes.fromhex(PNG_MAGIC)
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -645,13 +731,16 @@ def decode_png(b: bytes):
     independently, then scatters into the (x0::dx, y0::dy) grid), then
     palette map / grayscale expand / alpha drop to RGB.
 
-    Supported: bit depths 8 and 16 for color types 0 (gray), 2 (RGB),
-    6 (RGBA); depth 8 for 3 (palette via PLTE); interlace 0 and 1
-    (Adam7). Depth 16 returns EXACT uint16 samples (filter lookback
-    widens to channels·2 bytes per spec; big-endian). Sub-byte
-    bit-packed depths raise NotImplementedError; a corrupt stream
-    (bad CRC / truncated IDAT / missing PLTE / 16-bit palette) raises
-    ValueError so the per-doc isolation wrapper can skip it."""
+    Supported: EVERY spec-valid (color, depth) combination of Table
+    11.1 — gray (0) at 1/2/4/8/16, RGB (2) at 8/16, palette (3) at
+    1/2/4/8 via PLTE, gray+alpha (4) at 8/16, RGBA (6) at 8/16;
+    interlace 0 and 1 (Adam7). Sub-byte depths unpack the bit-packed
+    scanlines MSB-first (filter lookback floors at 1 byte per spec)
+    and gray expands by exact left-bit replication. Depth 16 returns
+    EXACT uint16 samples (filter lookback widens to channels·2 bytes
+    per spec; big-endian). A corrupt stream (bad CRC / truncated IDAT /
+    missing PLTE / spec-invalid depth-color combo) raises ValueError
+    so the per-doc isolation wrapper can skip it."""
     import zlib
 
     import numpy as np
@@ -689,39 +778,52 @@ def decode_png(b: bytes):
         # spec defines only filter method 0; decoding a nonzero method's
         # rows under method-0 semantics would return garbage as success
         raise ValueError(f"PNG filter method {filt_method} invalid")
-    if color == 3 and depth == 16:
-        raise ValueError("PNG: 16-bit palette is invalid per spec")
-    if (
-        depth not in (8, 16)
-        or color not in (0, 2, 3, 6)
-        or interlace > 1
-        or comp != 0
-    ):
-        raise NotImplementedError(
-            f"STUB: PNG depth={depth} color={color} interlace={interlace} — "
-            "8/16-bit gray/RGB/RGBA and 8-bit palette decode natively"
+    # spec-valid (color, depth) pairs (PNG spec §11.2.2, Table 11.1) —
+    # anything outside the table is a MALFORMED header (ValueError, so
+    # the per-doc isolation wrapper skips it), not an unsupported codec
+    _VALID_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+    if color not in _VALID_DEPTHS or depth not in _VALID_DEPTHS[color]:
+        raise ValueError(f"PNG depth={depth} color={color} invalid per spec")
+    if interlace > 1 or comp != 0:
+        raise ValueError(
+            f"PNG interlace={interlace} compression={comp} invalid per spec"
         )
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
-    bpp = ch * (depth // 8)  # filter lookback is in BYTES per pixel
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    subbyte = depth < 8  # only colors 0 and 3, always single-channel
+    # filter lookback is in BYTES per pixel, floored at 1 (spec §9.2)
+    bpp = 1 if subbyte else ch * (depth // 8)
+
+    def _rowbytes(pw: int) -> int:
+        return (pw * depth + 7) // 8 if subbyte else pw * bpp
+
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if interlace == 0:
-        out, end = _unfilter(raw, 0, h, w * bpp, bpp)
+        out, end = _unfilter(raw, 0, h, _rowbytes(w), bpp)
         if end != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        px = out.reshape(h, w, bpp)
+        px = (
+            _unpack_subbyte(out, w, depth)[..., None]
+            if subbyte
+            else out.reshape(h, w, bpp)
+        )
     else:  # Adam7: 7 independently-filtered sub-images
-        px = np.zeros((h, w, bpp), np.uint8)
+        px = np.zeros((h, w, 1 if subbyte else bpp), np.uint8)
         rpos = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            sub, rpos = _unfilter(raw, rpos, ph, pw * bpp, bpp)
-            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            sub, rpos = _unfilter(raw, rpos, ph, _rowbytes(pw), bpp)
+            px[y0::dy, x0::dx] = (
+                _unpack_subbyte(sub, pw, depth)[..., None]
+                if subbyte
+                else sub.reshape(ph, pw, bpp)
+            )
         if rpos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
     if depth == 16:  # exact sample values, never narrowed
@@ -734,11 +836,35 @@ def decode_png(b: bytes):
         if idx.max(initial=0) >= len(plte):
             raise ValueError("PNG palette index beyond PLTE")
         return plte[idx].copy()
+    if color == 0 and subbyte:
+        # gray expansion per spec §12.5: left-bit-replicate == multiply
+        # by 255/(2^d−1), which is exact (255, 85, 17 for d = 1, 2, 4)
+        gray = px * np.uint8(255 // ((1 << depth) - 1))
+        return np.repeat(gray, 3, axis=2).copy()
+    if color == 4:  # gray + alpha: straight alpha drop, then expand
+        return np.repeat(px[..., :1], 3, axis=2).copy()
     if ch == 1:
         return np.repeat(px, 3, axis=2).copy()
     if ch == 4:
         return px[..., :3].copy()  # straight alpha drop
     return px.copy()
+
+
+def _unpack_subbyte(rows, width: int, depth: int):
+    """Unpack bit-packed PNG scanline bytes → samples: (rows, stride)
+    uint8 → (rows, width) uint8, samples MSB-first within each byte
+    (spec §7.2), trailing pad bits of each scanline dropped."""
+    import numpy as np
+
+    bits = np.unpackbits(np.ascontiguousarray(rows), axis=1)
+    if depth == 1:
+        samples = bits
+    else:  # regroup consecutive `depth` bits into one sample
+        n = bits.shape[1] // depth
+        samples = np.zeros((rows.shape[0], n), np.uint8)
+        for k in range(depth):
+            samples = (samples << 1) | bits[:, k::depth][:, :n]
+    return samples[:, :width]
 
 
 # --------------------------------------------------------------------------

@@ -212,11 +212,12 @@ def test_png_gray_and_rgba_decode():
 
 def test_png_corrupt_and_unsupported():
     """Bad CRC / truncated stream → ValueError (isolatable corruption);
-    sub-byte depth → NotImplementedError (honest stub: bit-packed
-    scanlines). Plus a DECODER-ONLY Adam7 check: a 2×2 interlaced
-    stream built by hand (pass 1 → (0,0); pass 6 → (0,1); pass 7 →
-    row 1), so the deinterlace grid is pinned independently of
-    encode_png."""
+    sub-byte depths now DECODE (bit-packed scanlines — the hand-built
+    2×2 depth-4 gray stream below pins the MSB-first unpack
+    independently of the encoder). Plus a DECODER-ONLY Adam7 check: a
+    2×2 interlaced stream built by hand (pass 1 → (0,0); pass 6 →
+    (0,1); pass 7 → row 1), so the deinterlace grid is pinned
+    independently of encode_png."""
     import struct
     import zlib
 
@@ -239,14 +240,32 @@ def test_png_corrupt_and_unsupported():
     with pytest.raises(ValueError):
         decode_png(good[: len(good) // 2])
 
+    # hand-built 2×2 depth-4 gray: one packed byte per scanline, two
+    # samples MSB-first (0xAB → nibbles A, B), expansion factor 17 —
+    # pins the sub-byte bit order independently of _pack_subbyte
     subbyte = (
         bytes.fromhex(PNG_MAGIC)
         + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xab\x00\x3c"))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(subbyte)
+    exp = np.repeat(
+        (np.array([[0xA, 0xB], [0x3, 0xC]], np.uint8) * 17)[..., None], 3, axis=2
+    )
+    assert (decode_png(subbyte) == exp).all()
+    # spec-INVALID depth/color combos are malformed headers (ValueError,
+    # isolatable) — depth 4 truecolor and depth 2 gray+alpha don't exist
+    for color, depth in ((2, 4), (4, 2), (6, 1), (3, 16)):
+        bad_hdr = (
+            bytes.fromhex(PNG_MAGIC)
+            + _png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, 0)
+            )
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(bad_hdr)
 
     px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
     stream = (
@@ -269,6 +288,49 @@ def test_png_corrupt_and_unsupported():
             + _png_chunk(b"IDAT", zlib.compress(stream[:-1]))
             + _png_chunk(b"IEND", b"")
         )
+
+
+def test_png_subbyte_and_gray_alpha_roundtrip():
+    """Sub-byte bit-packed depths (1/2/4, gray AND palette) and
+    gray+alpha (color 4, depths 8/16) round-trip through
+    encode_png_gray / encode_png_pal → decode_png, sequential AND
+    Adam7, across widths that exercise every scanline-pad residue
+    (w mod (8/depth) ∈ all classes). Gray expansion is the exact
+    left-bit-replication factor (255/85/17); alpha drops straight.
+    With this the decoder covers EVERY spec-valid (color, depth)
+    combination of PNG Table 11.1."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        encode_png_pal,
+    )
+
+    rng = np.random.default_rng(42)
+    for depth in (1, 2, 4):
+        factor = 255 // ((1 << depth) - 1)
+        for w, h in ((1, 1), (3, 5), (8, 2), (9, 4), (15, 3), (16, 9)):
+            for inter in (False, True):
+                g = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+                out = decode_png(encode_png_gray(g, depth=depth, interlace=inter))
+                assert (out == np.repeat((g * factor)[..., None], 3, 2)).all()
+                pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+                idx = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+                out = decode_png(
+                    encode_png_pal(idx, pal, depth=depth, interlace=inter)
+                )
+                assert (out == pal[idx]).all()
+    for depth, dt in ((8, np.uint8), (16, np.uint16)):
+        hi = 1 << depth
+        for inter in (False, True):
+            g = rng.integers(0, hi, size=(5, 7)).astype(dt)
+            a = rng.integers(0, hi, size=(5, 7)).astype(dt)
+            out = decode_png(
+                encode_png_gray(g, depth=depth, alpha=a, interlace=inter)
+            )
+            assert out.dtype == dt
+            assert (out == np.repeat(g[..., None], 3, 2)).all()
 
 
 def test_png_and_ppm_16bit_exact():
