@@ -17,9 +17,11 @@ corpus (BMP / PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF /
 16-bit PNG). 16-bit samples decode to exact uint16 — the operator
 contract is ``array<int>``, never narrowed. PNG covers EVERY
 spec-valid (color, depth) combination — sub-byte bit-packed 1/2/4
-gray and palette, plus gray+alpha, included. Only lossy codecs that
-genuinely need an imaging library (JPEG DCT, MP3/AAC, H.26x) still
-raise a clearly-marked ``NotImplementedError``.
+gray and palette, plus gray+alpha, included — and baseline JPEG
+decodes natively too (pure-NumPy Huffman + IDCT,
+:mod:`dstlr_spark.operators.jpeg`). Only progressive/arithmetic JPEG
+and lossy audio/video codecs (MP3/AAC, H.26x) still raise a
+clearly-marked ``NotImplementedError``.
 Everything Spark-side is real and tested either way: the binary
 schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
 reads), the batch shapes, and the partitioning.
@@ -347,9 +349,14 @@ def decode_rgb_bytes(b: bytes):
     - GIF first frame, sequential or 4-pass interlaced (pure-Python
       variable-width LZW + palette mapping — :func:`decode_gif`).
 
-    JPEG (DCT) raises NotImplementedError — the only remaining stub
-    surface, and an honest one: lossy codecs need a codec library this
-    container doesn't ship.
+    - baseline JPEG (SOF0/SOF1, gray or YCbCr, integer-ratio
+      subsampling, restart markers) via the pure-NumPy Huffman + IDCT
+      codec in :mod:`dstlr_spark.operators.jpeg`; being lossy it is
+      gated by the DC-exact analytic tests there, not the format-blind
+      planted-value oracle.
+
+    Progressive/arithmetic/hierarchical JPEG raise NotImplementedError
+    — the only remaining image stub surface.
     """
     import numpy as np
 
@@ -415,10 +422,14 @@ def decode_rgb_bytes(b: bytes):
         return decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
+    if b[:2] == b"\xff\xd8":  # baseline JPEG — pure-NumPy DCT path
+        from dstlr_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "STUB: compressed codec (JPEG/...) — DCT decode needs an imaging "
-        "library this container doesn't ship; BMP/PPM/PNG/GIF decode "
-        "natively via decode_rgb_bytes"
+        "STUB: unrecognized image container — BMP/PPM/PNG/GIF/baseline "
+        "JPEG decode natively via decode_rgb_bytes; other codecs need an "
+        "imaging library this container doesn't ship"
     )
 
 

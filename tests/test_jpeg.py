@@ -1,0 +1,208 @@
+"""Baseline JPEG codec gate (dstlr_spark/operators/jpeg.py).
+
+JPEG is lossy, so it cannot join the format-blind mm_media_decode
+planted-value oracle (BASELINE.json's exact-value contract). The gate
+here is the next-strongest thing: ANALYTIC exactness wherever the
+math is exact (constant 8×8 blocks survive quantize→IDCT bit-for-bit;
+solid-color images reproduce the closed-form YCbCr round-trip), tight
+pinned tolerances where quantization genuinely rounds, decoder-only
+hand-built streams so the decoder is not graded by its own encoder
+alone, and the package-wide exception contract (malformed →
+ValueError, unimplemented modes → NotImplementedError)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from dstlr_spark.operators.jpeg import (
+    _ZIGZAG,
+    _dct_basis,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(_ZIGZAG) == list(range(64))
+    # spec spot-pins (T.81 Fig. A.6): first diagonal and the tail
+    assert _ZIGZAG[:6] == (0, 1, 8, 16, 9, 2)
+    assert _ZIGZAG[-3:] == (55, 62, 63)
+
+
+def test_dct_basis_orthonormal():
+    a = _dct_basis()
+    assert np.allclose(a @ a.T, np.eye(8), atol=1e-12)
+
+
+def test_gray_constant_blocks_exact():
+    """Constant 8×8 blocks round-trip EXACTLY with the all-ones quant
+    table: every AC is an exact float zero and the DC (8·(v−128))
+    rounds back to the planted integer — assert equality, not
+    tolerance, across frame sizes that exercise MCU edge padding."""
+    rng = np.random.default_rng(11)
+    for w, h in ((8, 8), (16, 8), (24, 16), (5, 7), (17, 9), (1, 1)):
+        blocks = rng.integers(0, 256, size=((h + 7) // 8, (w + 7) // 8),
+                              dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)[:h, :w]
+        out = decode_jpeg(encode_jpeg(img))
+        assert (out == np.repeat(img[..., None], 3, 2)).all(), (w, h)
+
+
+def test_gray_random_offby_one_bound():
+    """Arbitrary gray content at quant=1: the only loss is coefficient
+    rounding (≤0.5 per coefficient) — pinned max error ≤ 1 grey level."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))[:, :, 0].astype(int)
+    assert np.abs(out - img.astype(int)).max() <= 1
+
+
+def _ycc_roundtrip(rgb):
+    """Closed-form expected decode of a solid-color JPEG: forward JFIF
+    RGB→YCbCr rounding, then the decoder's inverse — computed here
+    independently of the codec module's code paths."""
+    r, g, b = (float(v) for v in rgb)
+    y = round(0.299 * r + 0.587 * g + 0.114 * b)
+    cb = min(255, max(0, round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)))
+    cr = min(255, max(0, round(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
+    return np.array(
+        [
+            np.clip(np.round(y + 1.402 * (cr - 128.0)), 0, 255),
+            np.clip(
+                np.round(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)),
+                0, 255,
+            ),
+            np.clip(np.round(y + 1.772 * (cb - 128.0)), 0, 255),
+        ],
+        np.uint8,
+    )
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+def test_rgb_solid_colors_match_analytic(subsample):
+    """Solid-color frames decode to the closed-form YCbCr round-trip
+    EXACTLY in both 4:4:4 and 4:2:0 — constant chroma makes the 2×2
+    averaging lossless, so this pins the subsampled MCU layout and the
+    repeat-upsample path with zero tolerance."""
+    for color in ((10, 200, 30), (255, 0, 128), (17, 17, 17),
+                  (0, 0, 0), (255, 255, 255), (1, 254, 3)):
+        img = np.zeros((16, 24, 3), np.uint8)
+        img[:] = color
+        out = decode_jpeg(encode_jpeg(img, subsample=subsample))
+        assert (out == _ycc_roundtrip(color)).all(), (color, subsample)
+
+
+def test_rgb_random_tolerance_and_420_shape():
+    """Arbitrary RGB content: YCbCr round-trip + coefficient rounding —
+    pinned max error ≤ 4 per channel at 4:4:4. For 4:2:0 the random
+    image is made 2×2-block-constant so the chroma averaging is
+    LOSSLESS — any residual is the same rounding budget, so a loose
+    result there means the subsampled MCU layout or the upsample
+    scatter is wrong, not that chroma noise was averaged away."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(32, 24, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img)).astype(int)
+    assert np.abs(out - img.astype(int)).max() <= 4
+    blocky = np.repeat(
+        np.repeat(rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8), 2, 0),
+        2, 1,
+    )
+    out420 = decode_jpeg(encode_jpeg(blocky, subsample="420")).astype(int)
+    assert np.abs(out420 - blocky.astype(int)).max() <= 4
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    for ri in (1, 2, 5):
+        assert (decode_jpeg(encode_jpeg(img, restart_interval=ri)) == base).all()
+    rgb = rng.integers(0, 256, size=(16, 32, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(rgb, subsample="420", restart_interval=1))
+        == decode_jpeg(encode_jpeg(rgb, subsample="420"))
+    ).all()
+
+
+def test_decoder_only_dc_stream():
+    """A DC-only grayscale JPEG built BYTE BY BYTE here (not via
+    encode_jpeg): quant[DC]=8, single 8×8 block, Huffman tables with
+    one 2-bit DC code and one 2-bit AC EOB code. Dequantized DC = 8q →
+    IDCT = q everywhere → pixel = q + 128. Pins marker parsing,
+    canonical Huffman build, EXTEND, dequant and IDCT against hand
+    math, independent of the fixture encoder."""
+    q = 25  # planted DC value → expected pixel 153
+    # DC table: two 2-bit codes → '00' = category 5, '01' = category 0
+    # AC table: two 2-bit codes → '00' = EOB, '01' = (0,1)
+    # bits: 00 (cat 5) + 11001 (+25) + 00 (EOB) → 00110010 0...pad 1s
+    # → entropy bytes 0x32 0x7F
+    dqt = bytes([0x00]) + bytes([8] + [1] * 63)
+    dht_dc = bytes([0x00]) + bytes([0, 2, 0, 0, 0, 0, 0, 0,
+                                    0, 0, 0, 0, 0, 0, 0, 0]) + bytes([5, 0])
+    dht_ac = bytes([0x10]) + bytes([0, 2, 0, 0, 0, 0, 0, 0,
+                                    0, 0, 0, 0, 0, 0, 0, 0]) + bytes([0x00, 0x01])
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    stream = (
+        b"\xff\xd8"
+        + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        + b"\x32\x7f"
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)
+    assert out.shape == (8, 8, 3)
+    assert (out == q + 128).all()
+
+
+def test_malformed_and_stub_contract():
+    """Package-wide exception contract: malformed → ValueError,
+    unimplemented JPEG modes → NotImplementedError — never
+    struct.error/KeyError/IndexError escaping into an Arrow batch."""
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff" + b"\0" * 32)  # garbage marker
+    with pytest.raises(ValueError):
+        decode_jpeg(b"PK\x03\x04")  # not a JPEG at all
+    bad = bytearray(good)
+    sof_at = bad.find(b"\xff\xc0")
+    bad[sof_at + 1] = 0xC2  # flip SOF0 → SOF2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sof_at + 4] = 12  # precision 12-bit
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    # scan referencing a Huffman table that was never defined
+    stream_missing_dht = good.replace(b"\xff\xc4", b"\xff\xfe", 2)
+    with pytest.raises(ValueError):
+        decode_jpeg(stream_missing_dht)
+
+
+def test_dispatch_and_operator_isolation(spark):
+    """decode_rgb_bytes routes FFD8 payloads to the JPEG path, and the
+    decode_image_np operator isolates one corrupt JPEG per batch
+    (null-dimension row) without killing its neighbors."""
+    from dstlr_spark.operators.multimodal import decode_image_np, decode_rgb_bytes
+
+    img = np.repeat(np.repeat(
+        np.array([[40, 200], [90, 130]], np.uint8), 8, 0), 8, 1)
+    payload = encode_jpeg(img)
+    assert (decode_rgb_bytes(payload) == np.repeat(img[..., None], 3, 2)).all()
+
+    media = spark.createDataFrame(
+        [("a", bytearray(payload)), ("b", bytearray(b"\xff\xd8\xff" + b"\0" * 8))],
+        "doc_id string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image_np(media).collect()}
+    assert rows["a"]["width"] == 16 and rows["a"]["height"] == 16
+    assert sum(rows["a"]["pixels"]) == int(img.astype(np.int64).sum()) * 3
+    assert rows["b"]["width"] is None and rows["b"]["pixels"] is None
