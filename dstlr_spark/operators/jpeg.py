@@ -66,89 +66,125 @@ def _dct_basis():
     return a
 
 
+def _entropy_segments(b: bytes, pos: int):
+    """Pre-scan the entropy-coded data from SOS: unstuff 0xFF00 and
+    split at RSTn markers — one pass, so the bit reader below never
+    has to test for stuffing per byte. Returns [(data, closing_rst)]
+    where closing_rst is the 0–7 index of the RSTn that ENDED the
+    segment (None for the final segment, which ends at a real
+    marker / stream end)."""
+    segs = []
+    cur = bytearray()
+    i, n = pos, len(b)
+    while i < n:
+        c = b[i]
+        if c != 0xFF:
+            cur.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = b[i + 1]
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            i += 2
+            continue
+        if 0xD0 <= m <= 0xD7:
+            segs.append((bytes(cur), m - 0xD0))
+            cur = bytearray()
+            i += 2
+            continue
+        break  # real marker ends the scan
+    segs.append((bytes(cur), None))
+    return segs
+
+
 class _BitReader:
-    """MSB-first bit reader over a JPEG entropy-coded segment:
-    unstuffs 0xFF00, stops at any real marker, and resyncs across RSTn
-    on request. Bounded payloads → plain-Python speed is fine (the
-    same call the PNG Average/Paeth loops make)."""
+    """MSB-first bit reader over one pre-unstuffed entropy segment:
+    an integer accumulator refilled a byte at a time, 1s-padding past
+    the segment end (T.81 F.2.2.5) bounded at 7 CONSUMED pad bits —
+    more means the stream is truncated, not padded."""
 
-    def __init__(self, data: bytes, pos: int):
+    __slots__ = ("d", "pos", "acc", "n", "fake")
+
+    def __init__(self, data: bytes):
         self.d = data
-        self.pos = pos
-        self.cur = 0
-        self.nbits = 0
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+        self.fake = 0  # pad bits appended past the data end
 
-    def _next_byte(self) -> int:
-        d, p = self.d, self.pos
-        if p >= len(d):
+    def _fill(self, need: int) -> None:
+        while self.n < need:
+            if self.pos < len(self.d):
+                self.acc = (self.acc << 8) | self.d[self.pos]
+                self.pos += 1
+            else:
+                self.acc = (self.acc << 8) | 0xFF
+                self.fake += 8
+            self.n += 8
+
+    def _check(self) -> None:
+        # consumed = bits ever loaded − bits still buffered; > 7 pad
+        # bits consumed can never happen in a well-formed stream
+        if self.pos * 8 + self.fake - self.n > len(self.d) * 8 + 7:
             raise ValueError("JPEG entropy stream truncated")
-        b = d[p]
-        if b != 0xFF:
-            self.pos = p + 1
-            return b
-        if p + 1 >= len(d):
-            raise ValueError("JPEG entropy stream truncated at 0xFF")
-        nxt = d[p + 1]
-        if nxt == 0x00:  # stuffed data byte
-            self.pos = p + 2
-            return 0xFF
-        # a real marker mid-block: the scan ended early (or an encoder
-        # relied on implicit padding) — T.81 F.2.2.5 says pad with 1s
-        self.pos = p  # leave the marker for the caller
-        return -1
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            b = self._next_byte()
-            if b < 0:
-                return 1  # marker hit: pad bits are 1s per spec
-            self.cur = b
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
-
-    def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+    def receive(self, nb: int) -> int:
+        if not nb:
+            return 0
+        self._fill(nb)
+        self.n -= nb
+        v = (self.acc >> self.n) & ((1 << nb) - 1)
+        self.acc &= (1 << self.n) - 1
+        self._check()
         return v
 
-    def restart(self, expect_idx: int) -> None:
-        """Byte-align, consume the expected RSTn marker, reset state."""
-        self.nbits = 0
-        d, p = self.d, self.pos
-        if p + 1 >= len(d) or d[p] != 0xFF:
-            raise ValueError("JPEG restart marker missing")
-        m = d[p + 1]
-        if not (0xD0 <= m <= 0xD7) or (m - 0xD0) != expect_idx % 8:
-            raise ValueError(f"JPEG restart marker out of sequence: {m:#x}")
-        self.pos = p + 2
 
-
-def _build_huffman(counts: bytes, symbols: bytes) -> dict:
-    """(BITS, HUFFVAL) → {(length, code): symbol} canonical table
-    (T.81 Annex C). Rejects over-subscribed length counts."""
+def _build_huffman(counts: bytes, symbols: bytes):
+    """(BITS, HUFFVAL) → canonical decode tables (T.81 Annex C): a
+    256-entry fast path resolving every code of ≤8 bits in one index,
+    plus the {(length, code): symbol} map for longer codes. Rejects
+    over-subscribed length counts."""
     table: dict[tuple[int, int], int] = {}
+    fast: list = [None] * 256
     code = 0
     k = 0
     for length in range(1, 17):
-        n = counts[length - 1]
-        if code + n > (1 << length):
+        cnt = counts[length - 1]
+        if code + cnt > (1 << length):
             raise ValueError("JPEG Huffman table over-subscribed")
-        for _ in range(n):
-            table[(length, code)] = symbols[k]
+        for _ in range(cnt):
+            sym = symbols[k]
+            table[(length, code)] = sym
+            if length <= 8:
+                lo = code << (8 - length)
+                for f in range(lo, lo + (1 << (8 - length))):
+                    fast[f] = (sym, length)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return fast, table
 
 
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
+def _huff_decode(br: _BitReader, tbl) -> int:
+    fast, table = tbl
+    br._fill(8)
+    hit = fast[(br.acc >> (br.n - 8)) & 0xFF]
+    if hit is not None:
+        sym, ln = hit
+        br.n -= ln
+        br.acc &= (1 << br.n) - 1
+        br._check()
+        return sym
+    br._fill(16)
+    window = (br.acc >> (br.n - 16)) & 0xFFFF
+    for length in range(9, 17):
+        sym = table.get((length, window >> (16 - length)))
         if sym is not None:
+            br.n -= length
+            br.acc &= (1 << br.n) - 1
+            br._check()
             return sym
     raise ValueError("JPEG invalid Huffman code")
 
@@ -307,24 +343,37 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
             raise ValueError(f"JPEG missing quant table {tq}")
         if (0, td) not in htables or (1, ta) not in htables:
             raise ValueError("JPEG missing Huffman table for scan")
+        # coefficient store: one row of 64 per block — the dequant,
+        # IDCT and block→plane scatter all batch over it afterwards
         planes.append(
-            np.zeros((mcus_y * cv * 8, mcus_x * ch_ * 8), np.float64)
+            np.zeros((mcus_y * cv, mcus_x * ch_, 64), np.float64)
         )
         tables.append((htables[(0, td)], htables[(1, ta)], qtables[tq]))
-    br = _BitReader(b, pos)
+    segs = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    seg_i = 0
+    br = _BitReader(segs[0][0])
     preds = [0] * len(comps)
-    coef = np.zeros(64, np.float64)
     nmcu = mcus_x * mcus_y
     for m in range(nmcu):
         if restart_interval and m and m % restart_interval == 0:
-            br.restart(m // restart_interval - 1)
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            br = _BitReader(segs[seg_i][0])
             preds = [0] * len(comps)
         my, mx = divmod(m, mcus_x)
         for ci, (cid, ch_, cv, tq) in enumerate(comps):
             dc_t, ac_t, q = tables[ci]
             for by in range(cv):
                 for bx in range(ch_):
-                    coef[:] = 0.0
+                    coef = [0.0] * 64  # plain list: scalar stores beat
+                    # per-element ndarray indexing (same finding as the
+                    # PNG Paeth loop in multimodal._unfilter)
                     t = _huff_decode(br, dc_t)
                     if t > 11:
                         raise ValueError("JPEG DC category > 11")
@@ -344,14 +393,20 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                             raise ValueError("JPEG AC run past block end")
                         coef[_ZIGZAG[k]] = _extend(br.receive(s), s)
                         k += 1
-                    block = coef.reshape(8, 8) * q
-                    px = basis.T @ block @ basis + 128.0
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch_ + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+                    planes[ci][my * cv + by, mx * ch_ + bx] = coef
     out = []
     for ci, (cid, ch_, cv, tq) in enumerate(comps):
-        p = planes[ci]
+        nbr, nbc = planes[ci].shape[:2]
+        q = tables[ci][2]
+        # batched dequant + IDCT: ONE broadcast GEMM pair over every
+        # block, then a transpose-reshape scatters blocks into the plane
+        blk = planes[ci].reshape(-1, 8, 8) * q
+        px = basis.T @ blk @ basis + 128.0
+        p = (
+            px.reshape(nbr, nbc, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nbr * 8, nbc * 8)
+        )
         if ch_ != hmax or cv != vmax:
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
         out.append(p[:h, :w])
