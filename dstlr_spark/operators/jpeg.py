@@ -1,30 +1,35 @@
-"""Baseline JPEG (ITU-T T.81) codec — pure NumPy + stdlib, no imaging
-library.
+"""JPEG (ITU-T T.81) codec — pure NumPy + stdlib, no imaging library.
 
 Closes the last image-codec stub in :mod:`dstlr_spark.operators.
 multimodal.decode_rgb_bytes` (reference parity anchor: the reference
 pipeline treats media bytes as opaque payloads — SURVEY §2.12 makes
-decode a first-class curation operator). Decoder scope is baseline
-sequential DCT, the format ~90 % of web JPEGs use:
+decode a first-class curation operator). Decoder scope is the Huffman
+DCT family — effectively every JPEG on the web:
 
-- SOF0 (baseline) and SOF1 (extended sequential — identical decode
-  path at 8-bit precision), grayscale or YCbCr, integer-ratio chroma
+- SOF0 (baseline) / SOF1 (extended sequential — identical decode path
+  at 8-bit precision), grayscale or YCbCr, integer-ratio chroma
   subsampling (4:4:4, 4:2:2, 4:2:0, 4:1:1 …);
+- SOF2 PROGRESSIVE: spectral selection (DC scans, per-component AC
+  band scans with EOBn end-of-band runs spanning blocks) AND
+  successive approximation (Ah=0 scans at precision Al, then one-bit
+  refinement scans — newly-nonzero ±1«Al coefficients over
+  zero-HISTORY runs, correction bits for already-nonzero coefficients
+  consumed mid-walk, T.81 G.1.2.3);
 - multi-segment DQT (8- and 16-bit precision) / DHT, DRI + RSTn
-  restart-marker resync with DC-predictor reset, 0xFF00 byte
-  unstuffing;
-- dequant → de-zigzag → exact float IDCT (the 8×8 DCT-II basis as one
-  matrix product — NumPy's GEMM, no per-pixel Python) → level shift →
-  JFIF YCbCr→RGB.
+  restart-marker resync (DC predictors AND EOB runs reset), 0xFF00
+  byte unstuffing;
+- dequant → de-zigzag → exact float IDCT batched as ONE broadcast
+  GEMM pair per component (no per-pixel, no per-block Python math) →
+  level shift → JFIF YCbCr→RGB.
 
-Progressive (SOF2), arithmetic coding (SOF9+), hierarchical, 12-bit
+Arithmetic coding (SOF9+), hierarchical and lossless modes, 12-bit
 precision, and CMYK raise ``NotImplementedError`` — genuinely
-different entropy/scan machinery. A MALFORMED stream (truncated
-entropy data, bad marker, invalid Huffman code, inconsistent
-dimensions) raises ``ValueError`` so the per-doc isolation wrapper in
-``decode_image_np`` can skip it — the same exception contract every
-other decoder in this package pins (tests/test_multimodal.py,
-"exception contract").
+different entropy machinery. A MALFORMED stream (truncated entropy
+data, bad marker, invalid Huffman code, band-mixing scan headers,
+inconsistent dimensions) raises ``ValueError`` so the per-doc
+isolation wrapper in ``decode_image_np`` can skip it — the same
+exception contract every other decoder in this package pins
+(tests/test_multimodal.py, "exception contract").
 
 JPEG is lossy, so unlike BMP/PNG/GIF/PPM it cannot join the
 format-blind ``mm_media_decode`` gate corpus (the analytic oracle
@@ -69,10 +74,11 @@ def _dct_basis():
 def _entropy_segments(b: bytes, pos: int):
     """Pre-scan the entropy-coded data from SOS: unstuff 0xFF00 and
     split at RSTn markers — one pass, so the bit reader below never
-    has to test for stuffing per byte. Returns [(data, closing_rst)]
-    where closing_rst is the 0–7 index of the RSTn that ENDED the
-    segment (None for the final segment, which ends at a real
-    marker / stream end)."""
+    has to test for stuffing per byte. Returns ([(data, closing_rst)],
+    end) where closing_rst is the 0–7 index of the RSTn that ENDED the
+    segment (None for the final segment, which ends at a real marker /
+    stream end) and ``end`` is the offset of that terminating marker
+    (so a progressive caller can keep walking the marker stream)."""
     segs = []
     cur = bytearray()
     i, n = pos, len(b)
@@ -96,7 +102,7 @@ def _entropy_segments(b: bytes, pos: int):
             continue
         break  # real marker ends the scan
     segs.append((bytes(cur), None))
-    return segs
+    return segs, i
 
 
 class _BitReader:
@@ -212,12 +218,15 @@ def decode_jpeg(b: bytes):
     qtables: dict[int, object] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, H, V, tq), ...])
+    progressive = False
+    coefs = None  # progressive: per-comp raw coefficient stores
+    scans_done = 0
     restart_interval = 0
     pos = 2
     n = len(b)
     while True:
-        if pos + 4 > n:
-            raise ValueError("JPEG truncated before SOS")
+        if pos + 2 > n:
+            raise ValueError("JPEG truncated before EOI")
         if b[pos] != 0xFF:
             raise ValueError(f"JPEG expected marker at {pos}, got {b[pos]:#x}")
         marker = b[pos + 1]
@@ -225,7 +234,11 @@ def decode_jpeg(b: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / stray RST
             continue
         if marker == 0xD9:
+            if progressive and scans_done:
+                return _reconstruct(frame, coefs, qtables)
             raise ValueError("JPEG EOI before any scan")
+        if pos + 2 > n:
+            raise ValueError("JPEG truncated before SOS")
         if pos + 2 > n:
             raise ValueError("JPEG truncated segment length")
         seglen = struct.unpack(">H", b[pos : pos + 2])[0]
@@ -266,7 +279,7 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _build_huffman(counts, seg[s : s + total])
                 s += total
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1: identical decode
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -285,10 +298,7 @@ def decode_jpeg(b: bytes):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "STUB: progressive JPEG (SOF2) — spectral-selection scans"
-            )
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
@@ -304,16 +314,27 @@ def decode_jpeg(b: bytes):
                 raise ValueError("JPEG SOS before SOF")
             scan = []
             ns = seg[0]
-            if ns != len(frame[2]):
-                raise NotImplementedError(
-                    "STUB: JPEG multi-scan (non-interleaved) files"
-                )
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("JPEG SOS header truncated")
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(
-                b, pos, frame, scan, qtables, htables, restart_interval
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "STUB: baseline multi-scan (non-interleaved) files"
+                    )
+                return _decode_scan(
+                    b, pos, frame, scan, qtables, htables, restart_interval
+                )
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_progressive_scan(
+                b, pos, frame, scan, ss, se, ahal >> 4, ahal & 15,
+                htables, coefs, restart_interval,
             )
+            scans_done += 1
         # APPn / COM / anything else: skip
 
 
@@ -321,19 +342,10 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
     import numpy as np
 
     h, w, comps = frame
-    hs = [c[1] for c in comps]
-    vs = [c[2] for c in comps]
-    hmax, vmax = max(hs), max(vs)
-    if min(hs) < 1 or min(vs) < 1 or hmax > 4 or vmax > 4:
-        raise ValueError("JPEG sampling factors out of range")
-    if any(hmax % f for f in hs) or any(vmax % f for f in vs):
-        raise NotImplementedError(
-            "STUB: non-integer chroma upsampling ratios"
-        )
+    hmax, vmax = _sampling(comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
-    basis = _dct_basis()
     planes = []
     tables = []
     for (cid, ch_, cv, tq), (scid, td, ta) in zip(comps, scan):
@@ -349,7 +361,7 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
             np.zeros((mcus_y * cv, mcus_x * ch_, 64), np.float64)
         )
         tables.append((htables[(0, td)], htables[(1, ta)], qtables[tq]))
-    segs = _entropy_segments(b, pos)
+    segs, _end = _entropy_segments(b, pos)
     if len(segs) > 1 and not restart_interval:
         raise ValueError("JPEG RST marker without a DRI segment")
     seg_i = 0
@@ -394,13 +406,55 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                         coef[_ZIGZAG[k]] = _extend(br.receive(s), s)
                         k += 1
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
+    return _reconstruct(frame, planes, qtables)
+
+
+def _sampling(comps):
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    if min(hs) < 1 or min(vs) < 1 or hmax > 4 or vmax > 4:
+        raise ValueError("JPEG sampling factors out of range")
+    if any(hmax % f for f in hs) or any(vmax % f for f in vs):
+        raise NotImplementedError(
+            "STUB: non-integer chroma upsampling ratios"
+        )
+    return hmax, vmax
+
+
+def _alloc_coefs(frame):
+    """Per-component raw coefficient stores at MCU-padded block
+    granularity — (block_rows, block_cols, 64) float64, accumulated
+    across progressive scans (the baseline path fills the same shape
+    in its single scan)."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcus_y * cv, mcus_x * ch_, 64), np.float64)
+        for (cid, ch_, cv, tq) in comps
+    ]
+
+
+def _reconstruct(frame, coefs, qtables):
+    """Shared finish: batched dequant + IDCT (one broadcast GEMM pair
+    per component — never per block), block→plane transpose-reshape
+    scatter, integer-ratio chroma upsample, crop, level shift, JFIF
+    YCbCr→RGB."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    basis = _dct_basis()
     out = []
     for ci, (cid, ch_, cv, tq) in enumerate(comps):
-        nbr, nbc = planes[ci].shape[:2]
-        q = tables[ci][2]
-        # batched dequant + IDCT: ONE broadcast GEMM pair over every
-        # block, then a transpose-reshape scatters blocks into the plane
-        blk = planes[ci].reshape(-1, 8, 8) * q
+        if tq not in qtables:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        nbr, nbc = coefs[ci].shape[:2]
+        blk = coefs[ci].reshape(-1, 8, 8) * qtables[tq]
         px = basis.T @ blk @ basis + 128.0
         p = (
             px.reshape(nbr, nbc, 8, 8)
@@ -419,6 +473,183 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
     bl = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, bl], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
+                             htables, coefs, restart_interval):
+    """Decode ONE progressive scan (T.81 G.2) into the shared raw
+    coefficient stores, returning the offset of the marker that ended
+    it. Spectral selection: a scan carries either the DC coefficient
+    (Ss=Se=0, optionally interleaved over several components) or one
+    AC band [Ss, Se] of a SINGLE component. Successive approximation:
+    Ah=0 scans deliver coefficients at precision Al (values << Al);
+    Ah>0 scans refine exactly bit Al — newly-nonzero ±1<<Al
+    coefficients ride (run, 1) symbols whose runs count ZERO-HISTORY
+    positions only, while already-nonzero coefficients consume one
+    correction bit each as the decoder walks past them (G.1.2.3).
+    EOBn symbols start end-of-band runs spanning whole blocks; during
+    a refinement EOB run the rest of the band still pays correction
+    bits. Restart markers reset DC predictors AND the EOB run."""
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    idxs = []
+    for cs, td, ta in scan:
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not match:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        idxs.append((match[0], td, ta))
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC bands")
+    if not dc_scan and (len(idxs) != 1 or not 1 <= ss <= se <= 63):
+        raise ValueError("JPEG progressive AC scan header invalid")
+    if al > 13 or ah > 13 or (ah and ah != al + 1):
+        raise ValueError("JPEG successive-approximation bits invalid")
+
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    state = {"seg": 0, "br": _BitReader(segs[0][0]),
+             "preds": [0] * len(idxs), "eobrun": 0}
+
+    def _restart(unit: int) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            closing = segs[state["seg"]][1]
+            if closing is None or closing != (unit // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            state["seg"] += 1
+            if state["seg"] >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            state["br"] = _BitReader(segs[state["seg"]][0])
+            state["preds"] = [0] * len(idxs)
+            state["eobrun"] = 0
+
+    def _comp_blocks(ci: int) -> tuple[int, int]:
+        """REAL block grid of one component (non-interleaved scans
+        traverse this, not the MCU-padded store)."""
+        _, ch_, cv, _ = comps[ci]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    if dc_scan:
+        tbls = []
+        for ci, td, ta in idxs:
+            if ah == 0 and (0, td) not in htables:
+                raise ValueError("JPEG missing DC Huffman table for scan")
+            tbls.append(htables.get((0, td)))
+
+        def _dc_one(block, si: int) -> None:
+            br = state["br"]
+            if ah == 0:
+                t = _huff_decode(br, tbls[si])
+                if t > 11:
+                    raise ValueError("JPEG DC category > 11")
+                state["preds"][si] += _extend(br.receive(t), t)
+                block[0] = state["preds"][si] << al
+            elif br.receive(1):
+                block[0] = int(block[0]) | (1 << al)
+
+        if len(idxs) > 1:  # interleaved: MCU traversal, pads included
+            for m in range(mcus_x * mcus_y):
+                _restart(m)
+                my, mx = divmod(m, mcus_x)
+                for si, (ci, td, ta) in enumerate(idxs):
+                    _, ch_, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            _dc_one(
+                                coefs[ci][my * cv + by, mx * ch_ + bx], si
+                            )
+        else:
+            ci = idxs[0][0]
+            bh_, bw_ = _comp_blocks(ci)
+            for m in range(bh_ * bw_):
+                _restart(m)
+                row, col = divmod(m, bw_)
+                _dc_one(coefs[ci][row, col], 0)
+        return end
+
+    ci, td, ta = idxs[0]
+    if (1, ta) not in htables:
+        raise ValueError("JPEG missing AC Huffman table for scan")
+    act = htables[(1, ta)]
+    bh_, bw_ = _comp_blocks(ci)
+    arr = coefs[ci]
+    zz = _ZIGZAG
+    p1, m1 = 1 << al, -(1 << al)
+    for m in range(bh_ * bw_):
+        _restart(m)
+        br = state["br"]
+        row, col = divmod(m, bw_)
+        blk = arr[row, col]
+        if ah == 0:  # first pass for this band
+            if state["eobrun"]:
+                state["eobrun"] -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(br, act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1 + (
+                        br.receive(r) if r else 0
+                    )
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run past band end")
+                blk[zz[k]] = _extend(br.receive(s), s) << al
+                k += 1
+            continue
+        # refinement pass (G.1.2.3 / the libjpeg AC_refine walk)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _huff_decode(br, act)
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = (1 << r) + (
+                            br.receive(r) if r else 0
+                        )
+                        break  # rest of band pays corrections below
+                    # r == 15: advance over 16 zero-HISTORY positions
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    newval = p1 if br.receive(1) else m1
+                while k <= se:
+                    z = zz[k]
+                    v = int(blk[z])
+                    if v:
+                        if br.receive(1) and (v & p1) == 0:
+                            blk[z] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("JPEG refinement past band end")
+                    blk[zz[k]] = newval
+                k += 1
+        if state["eobrun"]:
+            while k <= se:
+                z = zz[k]
+                v = int(blk[z])
+                if v and br.receive(1) and (v & p1) == 0:
+                    blk[z] = v + (p1 if v >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+    return end
 
 
 # --------------------------------------------------------------------------
@@ -504,23 +735,16 @@ def _encode_block(bw, coef_zz, pred, dc_enc, ac_enc) -> int:
     return dc
 
 
-def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
-    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    REAL baseline JPEG (SOF0) — the fixture-side twin of
-    :func:`decode_jpeg`, pure NumPy forward DCT + the fixed-length-8
-    canonical Huffman tables above. ``quant`` is an (8, 8) natural-
-    order table (default all ones — maximum fidelity, which makes
-    constant-block images round-trip EXACTLY); ``subsample`` is
-    ``"444"`` or ``"420"`` (RGB only; 4:2:0 averages each 2×2 chroma
-    neighborhood); ``restart_interval`` > 0 emits DRI + RSTn markers.
-    """
+def _quantize_blocks(img, quant, subsample):
+    """Shared encoder front half: color transform + subsample + MCU
+    edge-pad + batched forward DCT + quantize. Returns (h, w, comps,
+    [per-comp (block_rows, block_cols, 64) int64 arrays, ZIGZAG
+    order]) — both the baseline and the progressive emitters walk
+    these."""
     import numpy as np
 
     arr = np.asarray(img, np.float64)
     gray = arr.ndim == 2
-    if quant is None:
-        quant = np.ones((8, 8), np.int32)
-    quant = np.asarray(quant, np.int32)
     if gray:
         comps = [(1, 1, 1, 0)]
         planes = [arr - 128.0]
@@ -561,8 +785,7 @@ def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     basis = _dct_basis()
     zz = list(_ZIGZAG)
-    # pad each plane to its MCU grid by edge replication
-    padded = []
+    blocks = []
     for (cid, ch_, cv, tq), p in zip(comps, planes):
         ph, pw = mcus_y * cv * 8, mcus_x * ch_ * 8
         q = np.zeros((ph, pw), np.float64)
@@ -571,52 +794,249 @@ def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
             q[p.shape[0] :, : p.shape[1]] = p[-1:, :]
         if p.shape[1] < pw:
             q[:, p.shape[1] :] = q[:, p.shape[1] - 1 : p.shape[1]]
-        padded.append(q)
+        nbr, nbc = ph // 8, pw // 8
+        blk = (
+            q.reshape(nbr, 8, nbc, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        f = basis @ blk @ basis.T  # batched forward DCT
+        qz = np.round(f / quant).astype(np.int64).reshape(nbr, nbc, 64)
+        blocks.append(qz[..., zz])
+    return h, w, comps, blocks
 
-    dc_counts, dc_syms, dc_enc = _fixed_table(_DC_SYMBOLS)
-    ac_counts, ac_syms, ac_enc = _fixed_table(_AC_SYMBOLS)
 
+def _emit_headers(h, w, comps, quant, sof_marker, restart_interval):
+    """SOI + DQT + SOF + the two fixed Huffman tables (+ DRI)."""
+    import numpy as np
+
+    dc_counts, dc_syms, _ = _fixed_table(_DC_SYMBOLS)
+    ac_counts, ac_syms, _ = _fixed_table(_AC_SYMBOLS)
     out = bytearray(b"\xff\xd8")
-    qzz = quant.reshape(-1)[zz].astype(np.uint8)
+    qzz = np.asarray(quant).reshape(-1)[list(_ZIGZAG)].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
-    ncomp = len(comps)
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, ch_, cv, tq in comps:
         sof += bytes([cid, (ch_ << 4) | cv, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
     for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
         body = bytes([tc << 4]) + counts + syms
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    sos = bytes([ncomp])
-    for cid, *_ in comps:
-        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
-    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return out
 
+
+def _emit_sos(comps_sel, ss, se, ah, al) -> bytes:
+    sos = bytes([len(comps_sel)])
+    for cid in comps_sel:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    REAL baseline JPEG (SOF0) — the fixture-side twin of
+    :func:`decode_jpeg`, pure NumPy forward DCT + the fixed-length-8
+    canonical Huffman tables above. ``quant`` is an (8, 8) natural-
+    order table (default all ones — maximum fidelity, which makes
+    constant-block images round-trip EXACTLY); ``subsample`` is
+    ``"444"`` or ``"420"`` (RGB only; 4:2:0 averages each 2×2 chroma
+    neighborhood); ``restart_interval`` > 0 emits DRI + RSTn markers.
+    """
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
+    _, _, dc_enc = _fixed_table(_DC_SYMBOLS)
+    _, _, ac_enc = _fixed_table(_AC_SYMBOLS)
+    out = _emit_headers(h, w, comps, quant, 0xC0, restart_interval)
+    out += _emit_sos([c[0] for c in comps], 0, 63, 0, 0)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     bw = _BitWriter()
-    preds = [0] * ncomp
-    nmcu = mcus_x * mcus_y
-    for m in range(nmcu):
+    preds = [0] * len(comps)
+    for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:
             bw.flush()
             out += bw.out
             bw = _BitWriter()
-            idx = (m // restart_interval - 1) % 8
-            out += bytes([0xFF, 0xD0 + idx])
-            preds = [0] * ncomp
+            out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            preds = [0] * len(comps)
         my, mx = divmod(m, mcus_x)
         for ci, (cid, ch_, cv, tq) in enumerate(comps):
             for by in range(cv):
                 for bx in range(ch_):
-                    y0 = (my * cv + by) * 8
-                    x0 = (mx * ch_ + bx) * 8
-                    blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
-                    f = basis @ blk @ basis.T
-                    qz = np.round(f / quant).astype(np.int64).reshape(-1)[zz]
+                    qz = blocks[ci][my * cv + by, mx * ch_ + bx]
                     preds[ci] = _encode_block(bw, qz, preds[ci], dc_enc, ac_enc)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    img,
+    quant=None,
+    subsample="444",
+    dc_al=1,
+    ac_al=1,
+    bands=((1, 5), (6, 63)),
+    restart_interval=0,
+) -> bytes:
+    """Encode a REAL progressive JPEG (SOF2) of the SAME quantized
+    coefficients :func:`encode_jpeg` would emit — so
+    ``decode(progressive) == decode(baseline)`` exactly, which is what
+    the round-trip tests assert. Scan script: interleaved DC first at
+    precision ``dc_al`` then raw-bit DC refinements down to 0; per
+    component and spectral band in ``bands``, an AC-first scan at
+    precision ``ac_al`` then AC refinement scans (newly-nonzero
+    coefficients as (run, 1) symbols over zero-HISTORY runs,
+    correction bits for already-nonzero coefficients buffered and
+    flushed after the next emitted symbol — T.81 G.1.2.3).
+    ``restart_interval`` > 0 emits DRI + RSTn in every scan."""
+    import numpy as np
+
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
+    _, _, dc_enc = _fixed_table(_DC_SYMBOLS)
+    _, _, ac_enc = _fixed_table(_AC_SYMBOLS)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    out = _emit_headers(h, w, comps, quant, 0xC2, restart_interval)
+
+    def comp_grid(ci):
+        _, ch_, cv, _ = comps[ci]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    def run_scan(units, emit_unit, reset):
+        """Emit one scan's entropy data with restart handling."""
+        nonlocal out
+        bw = _BitWriter()
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                reset()
+            emit_unit(bw, m)
+        bw.flush()
+        out += bw.out
+
+    # ---- DC scans (interleaved over all components) ----
+    preds = [0] * len(comps)
+
+    def dc_first(bw, m):
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, ch_, cv, tq) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch_):
+                    d = int(blocks[ci][my * cv + by, mx * ch_ + bx, 0]) >> dc_al
+                    diff = d - preds[ci]
+                    preds[ci] = d
+                    t = _category(diff)
+                    bw.write(dc_enc[t][1], dc_enc[t][0])
+                    if t:
+                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    def dc_reset():
+        nonlocal preds
+        preds = [0] * len(comps)
+
+    out += _emit_sos([c[0] for c in comps], 0, 0, 0, dc_al)
+    run_scan(mcus_x * mcus_y, dc_first, dc_reset)
+
+    for al in range(dc_al - 1, -1, -1):
+
+        def dc_refine(bw, m, al=al):
+            my, mx = divmod(m, mcus_x)
+            for ci, (cid, ch_, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch_):
+                        d = int(blocks[ci][my * cv + by, mx * ch_ + bx, 0])
+                        bw.write((d >> al) & 1, 1)
+
+        out += _emit_sos([c[0] for c in comps], 0, 0, al + 1, al)
+        run_scan(mcus_x * mcus_y, dc_refine, lambda: None)
+
+    # ---- AC scans (single component, one spectral band each) ----
+    for ci, (cid, ch_, cv, tq) in enumerate(comps):
+        bh_, bw_ = comp_grid(ci)
+        for ss, se in bands:
+            if not 1 <= ss <= se <= 63:
+                raise ValueError(f"invalid spectral band ({ss}, {se})")
+
+            def ac_first(bw, m, ci=ci, bw_=bw_, ss=ss, se=se):
+                row, col = divmod(m, bw_)
+                blk = blocks[ci][row, col]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> ac_al  # point transform: magnitude
+                    # shift, truncation toward zero (T.81 G.1.2.2)
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        bw.write(ac_enc[0xF0][1], ac_enc[0xF0][0])
+                        r -= 16
+                    s = t.bit_length()
+                    bw.write(ac_enc[16 * r + s][1], ac_enc[16 * r + s][0])
+                    bw.write(t if v > 0 else t + (1 << s) - 1 - 2 * t, s)
+                    r = 0
+                if r:
+                    bw.write(ac_enc[0x00][1], ac_enc[0x00][0])  # EOB
+
+            out += _emit_sos([cid], ss, se, 0, ac_al)
+            run_scan(bh_ * bw_, ac_first, lambda: None)
+
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+
+                def ac_refine(bw, m, ci=ci, bw_=bw_, ss=ss, se=se, al=al):
+                    row, col = divmod(m, bw_)
+                    blk = blocks[ci][row, col]
+                    r = 0
+                    pending: list[int] = []
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        t = abs(v) >> al
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15:  # flush ZRL + buffered corrections
+                            bw.write(ac_enc[0xF0][1], ac_enc[0xF0][0])
+                            r -= 16
+                            for bit in pending:
+                                bw.write(bit, 1)
+                            pending = []
+                        if t > 1:  # already nonzero: one correction bit
+                            pending.append(t & 1)
+                            continue
+                        bw.write(ac_enc[16 * r + 1][1], ac_enc[16 * r + 1][0])
+                        bw.write(1 if v > 0 else 0, 1)  # sign of the new coef
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        r = 0
+                    if r or pending:
+                        bw.write(ac_enc[0x00][1], ac_enc[0x00][0])  # EOB run 1
+                        for bit in pending:
+                            bw.write(bit, 1)
+
+                out += _emit_sos([cid], ss, se, al + 1, al)
+                run_scan(bh_ * bw_, ac_refine, lambda: None)
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -17,10 +17,10 @@ corpus (BMP / PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF /
 16-bit PNG). 16-bit samples decode to exact uint16 — the operator
 contract is ``array<int>``, never narrowed. PNG covers EVERY
 spec-valid (color, depth) combination — sub-byte bit-packed 1/2/4
-gray and palette, plus gray+alpha, included — and baseline JPEG
-decodes natively too (pure-NumPy Huffman + IDCT,
-:mod:`dstlr_spark.operators.jpeg`). Only progressive/arithmetic JPEG
-and lossy audio/video codecs (MP3/AAC, H.26x) still raise a
+gray and palette, plus gray+alpha, included — and JPEG decodes
+natively too, baseline AND progressive (pure-NumPy Huffman + IDCT,
+:mod:`dstlr_spark.operators.jpeg`). Only arithmetic-coded JPEG and
+lossy audio/video codecs (MP3/AAC, H.26x) still raise a
 clearly-marked ``NotImplementedError``.
 Everything Spark-side is real and tested either way: the binary
 schema, the header PARSERS (PNG IHDR / WAV fmt are pure byte-struct
@@ -349,14 +349,15 @@ def decode_rgb_bytes(b: bytes):
     - GIF first frame, sequential or 4-pass interlaced (pure-Python
       variable-width LZW + palette mapping — :func:`decode_gif`).
 
-    - baseline JPEG (SOF0/SOF1, gray or YCbCr, integer-ratio
-      subsampling, restart markers) via the pure-NumPy Huffman + IDCT
+    - JPEG, baseline AND progressive (SOF0/SOF1/SOF2, gray or YCbCr,
+      integer-ratio subsampling, restart markers, spectral selection +
+      successive approximation) via the pure-NumPy Huffman + IDCT
       codec in :mod:`dstlr_spark.operators.jpeg`; being lossy it is
       gated by the DC-exact analytic tests there, not the format-blind
       planted-value oracle.
 
-    Progressive/arithmetic/hierarchical JPEG raise NotImplementedError
-    — the only remaining image stub surface.
+    Arithmetic-coded / hierarchical / lossless JPEG raise
+    NotImplementedError — the only remaining image stub surface.
     """
     import numpy as np
 
@@ -422,13 +423,13 @@ def decode_rgb_bytes(b: bytes):
         return decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(b)
-    if b[:2] == b"\xff\xd8":  # baseline JPEG — pure-NumPy DCT path
+    if b[:2] == b"\xff\xd8":  # JPEG (baseline + progressive) — NumPy DCT
         from dstlr_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
     raise NotImplementedError(
-        "STUB: unrecognized image container — BMP/PPM/PNG/GIF/baseline "
-        "JPEG decode natively via decode_rgb_bytes; other codecs need an "
+        "STUB: unrecognized image container — BMP/PPM/PNG/GIF/JPEG "
+        "decode natively via decode_rgb_bytes; other codecs need an "
         "imaging library this container doesn't ship"
     )
 

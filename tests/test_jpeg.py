@@ -159,6 +159,104 @@ def test_decoder_only_dc_stream():
     assert (out == q + 128).all()
 
 
+def test_progressive_equals_baseline_exactly():
+    """decode(progressive) == decode(baseline) BIT-FOR-BIT: both
+    encoders emit the same quantized coefficients, so any divergence
+    is a defect in the progressive scan machinery (spectral-selection
+    block traversal, EOBRUN bookkeeping, DC/AC successive-approximation
+    shifts, or the refinement correction-bit walk). Sweeps gray + RGB
+    at 4:4:4 and 4:2:0 across frame sizes that exercise MCU padding
+    and the non-interleaved component grids."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    for w, h in ((8, 8), (24, 16), (5, 7), (17, 9), (1, 1)):
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img))
+            == decode_jpeg(encode_jpeg(img))
+        ).all(), (w, h)
+    for ss in ("444", "420"):
+        for w, h in ((16, 16), (7, 5), (33, 17)):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (
+                decode_jpeg(encode_jpeg_progressive(img, subsample=ss))
+                == decode_jpeg(encode_jpeg(img, subsample=ss))
+            ).all(), (ss, w, h)
+
+
+def test_progressive_scan_scripts_and_restarts():
+    """Every scan-script knob lands the identical image: deeper
+    successive approximation (more refinement scans → more
+    correction-bit traffic), single-band vs narrow-band spectral
+    splits (EOBRUN vs ZRL pressure), Al=0 (no approximation at all),
+    and restart intervals inside progressive scans (per-scan RSTn
+    resync with DC-predictor and EOBRUN reset)."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample="420"))
+    for dc_al, ac_al, bands, ri in (
+        (2, 2, ((1, 2), (3, 9), (10, 63)), 0),
+        (0, 0, ((1, 63),), 0),
+        (1, 3, ((1, 5), (6, 63)), 0),
+        (1, 1, ((1, 5), (6, 63)), 2),
+        (3, 2, ((1, 1), (2, 63)), 1),
+    ):
+        out = decode_jpeg(
+            encode_jpeg_progressive(
+                img, subsample="420", dc_al=dc_al, ac_al=ac_al,
+                bands=bands, restart_interval=ri,
+            )
+        )
+        assert (out == base).all(), (dc_al, ac_al, bands, ri)
+
+
+def test_progressive_partial_and_invalid_scans():
+    """A DC-only progressive stream (no AC scans ever) still decodes —
+    to the blockwise-DC image, which for constant blocks is EXACT; a
+    progressive scan mixing DC and AC bands (Ss=0, Se>0) is malformed
+    (ValueError); an AC scan naming two components is malformed."""
+    import struct as _struct
+
+    from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(23)
+    blocks = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    full = encode_jpeg_progressive(img, dc_al=0)
+    # truncate after the first (DC) scan: find the second SOS and cut,
+    # then close with EOI — constant blocks carry no AC energy, so the
+    # DC-only decode is already exact
+    second_sos = full.find(b"\xff\xda", full.find(b"\xff\xda") + 2)
+    assert second_sos > 0
+    partial = full[:second_sos] + b"\xff\xd9"
+    assert (decode_jpeg(partial) == np.repeat(img[..., None], 3, 2)).all()
+
+    bad = bytearray(full)
+    first_sos = bad.find(b"\xff\xda")
+    # SOS payload: len(2) ns(1) [cs td/ta]*ns Ss Se AhAl — corrupt Se
+    ns = bad[first_sos + 4]
+    bad[first_sos + 5 + 2 * ns + 1] = 63  # DC scan with Se=63
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+    hdr = encode_jpeg_progressive(
+        np.zeros((8, 8, 3), np.uint8), dc_al=0, ac_al=0, bands=((1, 63),)
+    )
+    bad = bytearray(hdr)
+    # find the first AC SOS (single component) and claim 2 components
+    pos = bad.find(b"\xff\xda")
+    pos = bad.find(b"\xff\xda", pos + 2)  # skip DC scan
+    assert bad[pos + 4] == 1
+    with pytest.raises(ValueError):
+        # widen ns without widening the header: now structurally wrong
+        bad2 = bytearray(bad)
+        bad2[pos + 4] = 2
+        decode_jpeg(bytes(bad2))
+
+
 def test_malformed_and_stub_contract():
     """Package-wide exception contract: malformed → ValueError,
     unimplemented JPEG modes → NotImplementedError — never
@@ -174,7 +272,12 @@ def test_malformed_and_stub_contract():
         decode_jpeg(b"PK\x03\x04")  # not a JPEG at all
     bad = bytearray(good)
     sof_at = bad.find(b"\xff\xc0")
-    bad[sof_at + 1] = 0xC2  # flip SOF0 → SOF2
+    bad[sof_at + 1] = 0xC2  # flip SOF0 → SOF2: the full-band baseline
+    # scan is INVALID as a progressive scan (mixes DC and AC bands)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xC9  # SOF9: arithmetic coding — honest stub
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
