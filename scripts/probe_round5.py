@@ -268,12 +268,30 @@ def probe_codecs(spark, n_docs: int) -> None:
             ]
             yield pd.DataFrame(rows)
 
+    def synth_jpeg_prog(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+        from dstlr_spark.operators.multimodal import _planted_rgb
+
+        for pdf in batches:
+            rows = [
+                dict(doc_id=str(i),
+                     payload=encode_jpeg_progressive(
+                         _planted_rgb(96 + int(i) % 7,
+                                      96 + (int(i) * 3) % 7),
+                         subsample="420"))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
     ddl = "doc_id string, payload binary"
     run("png decode→feats ", synth_png, ddl, decode_features_np)
     run("png adam7 → feats", synth_png_adam7, ddl, decode_features_np)
     run("gif decode→feats ", synth_gif, ddl, decode_features_np)
     run("gif ilace → feats", synth_gif_il, ddl, decode_features_np)
     run("jpeg 420 → feats ", synth_jpeg, ddl, decode_features_np)
+    run("jpeg prog → feats", synth_jpeg_prog, ddl, decode_features_np)
     run("wav decode→feats ", synth_wav, ddl, audio_features_np)
     run("y4m decode→frames", synth_y4m, ddl, video_frame_features_np)
 

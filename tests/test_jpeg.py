@@ -309,3 +309,44 @@ def test_dispatch_and_operator_isolation(spark):
     assert rows["a"]["width"] == 16 and rows["a"]["height"] == 16
     assert sum(rows["a"]["pixels"]) == int(img.astype(np.int64).sum()) * 3
     assert rows["b"]["width"] is None and rows["b"]["pixels"] is None
+
+
+# --------------------------------------------------------------------------
+# property fuzz — progressive ≡ baseline holds for ARBITRARY content,
+# scan scripts, and frame shapes (pure codec layer, no Spark)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    subsample=st.sampled_from(["444", "420"]),
+    dc_al=st.integers(0, 3),
+    ac_al=st.integers(0, 3),
+    split=st.integers(1, 62),
+    ri=st.integers(0, 3),
+)
+def test_fuzz_progressive_equals_baseline(
+    w, h, seed, color, subsample, dc_al, ac_al, split, ri
+):
+    from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    sub = subsample if color else "444"
+    base = decode_jpeg(encode_jpeg(img, subsample=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, subsample=sub, dc_al=dc_al, ac_al=ac_al,
+            bands=((1, split), (split + 1, 63)) if split < 63 else ((1, 63),),
+            restart_interval=ri,
+        )
+    )
+    assert (prog == base).all()
