@@ -15,6 +15,11 @@ DCT family — effectively every JPEG on the web:
   refinement scans — newly-nonzero ±1«Al coefficients over
   zero-HISTORY runs, correction bits for already-nonzero coefficients
   consumed mid-walk, T.81 G.1.2.3);
+- SOF3 LOSSLESS (T.81 Annex H): Huffman-coded sample differences
+  (SSSS categories 0-16), all seven predictors, 2-16 bit precision
+  (8-bit → uint8, deeper → exact uint16), point transform, restart
+  resync — EXACT decode, so unlike the lossy modes it joins
+  planted-pixel equality oracles directly;
 - multi-segment DQT (8- and 16-bit precision) / DHT, DRI + RSTn
   restart-marker resync (DC predictors AND EOB runs reset), 0xFF00
   byte unstuffing;
@@ -22,8 +27,8 @@ DCT family — effectively every JPEG on the web:
   GEMM pair per component (no per-pixel, no per-block Python math) →
   level shift → JFIF YCbCr→RGB.
 
-Arithmetic coding (SOF9+), hierarchical and lossless modes, 12-bit
-precision, and CMYK raise ``NotImplementedError`` — genuinely
+Arithmetic coding (SOF9+), hierarchical/differential modes, 12-bit
+DCT precision, and CMYK raise ``NotImplementedError`` — genuinely
 different entropy machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -219,6 +224,8 @@ def decode_jpeg(b: bytes):
     htables: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, H, V, tq), ...])
     progressive = False
+    lossless = False
+    precision = 8
     coefs = None  # progressive: per-comp raw coefficient stores
     scans_done = 0
     restart_interval = 0
@@ -279,9 +286,16 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _build_huffman(counts, seg[s : s + total])
                 s += total
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 baseline,
+            # SOF2 progressive, SOF3 lossless (predictive, Huffman)
             prec = seg[0]
-            if prec != 8:
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"JPEG lossless precision {prec} out of range (2-16)"
+                    )
+            elif prec != 8:
                 raise NotImplementedError(
                     f"STUB: JPEG {prec}-bit precision — baseline is 8-bit"
                 )
@@ -298,12 +312,13 @@ def decode_jpeg(b: bytes):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
+            precision = prec
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (lossless/arithmetic/"
-                "hierarchical modes)"
+                f"STUB: JPEG SOF {marker:#x} (arithmetic/hierarchical/"
+                "differential modes)"
             )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
@@ -320,6 +335,21 @@ def decode_jpeg(b: bytes):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append((cs, tdta >> 4, tdta & 15))
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            if lossless:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "STUB: lossless multi-scan (non-interleaved) files"
+                    )
+                if not 1 <= ss <= 7:
+                    raise ValueError(f"JPEG lossless predictor {ss} invalid")
+                if se != 0 or (ahal >> 4) != 0:
+                    raise ValueError("JPEG lossless scan header invalid")
+                if (ahal & 15) >= precision:
+                    raise ValueError("JPEG lossless point transform >= P")
+                return _decode_lossless_scan(
+                    b, pos, frame, scan, precision, ss, ahal & 15,
+                    htables, restart_interval,
+                )
             if not progressive:
                 if ns != len(frame[2]):
                     raise NotImplementedError(
@@ -407,6 +437,95 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                         k += 1
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
     return _reconstruct(frame, planes, qtables)
+
+
+def _decode_lossless_scan(
+    b, pos, frame, scan, prec, predictor, pt, htables, restart_interval
+):
+    """SOF3 lossless scan (T.81 Annex H): one Huffman-coded difference
+    category (SSSS 0-16, DC-class table; SSSS=16 means +32768 with no
+    magnitude bits) per sample per component, interleaved one sample
+    per component per MCU, reconstructed through the selected
+    predictor (H.1.2.1) with modulo-2^16 arithmetic. Boundary rules:
+    the first sample of the scan and of each restart interval predicts
+    2^(P-Pt-1); the rest of the first line predicts Ra; the first
+    column predicts Rb. The decoder output is shifted left by the
+    point transform Pt (H.2.3). Exact by construction — this is the
+    one JPEG mode that CAN join planted-pixel equality oracles."""
+    import numpy as np
+
+    h, w, comps = frame
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError(
+            "STUB: lossless JPEG with sampling factors != 1x1"
+        )
+    tables = []
+    for (cid, ch_, cv, tq), (scid, td, ta) in zip(comps, scan):
+        if cid != scid:
+            raise ValueError("JPEG scan component order differs from frame")
+        if (0, td) not in htables:
+            raise ValueError("JPEG missing Huffman table for scan")
+        tables.append(htables[(0, td)])
+    segs, _end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    default = 1 << (prec - pt - 1)
+    nc = len(comps)
+    # plain nested lists: scalar loads/stores beat per-element ndarray
+    # indexing (same finding as the baseline coefficient loop)
+    planes = [[[0] * w for _ in range(h)] for _ in range(nc)]
+    seg_i = 0
+    br = _BitReader(segs[0][0])
+    reset = True  # prediction reset pending (scan start / after RSTn)
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            br = _BitReader(segs[seg_i][0])
+            reset = True
+        r, c = divmod(m, w)
+        for ci in range(nc):
+            t = _huff_decode(br, tables[ci])
+            if t > 16:
+                raise ValueError("JPEG lossless SSSS > 16")
+            d = 32768 if t == 16 else _extend(br.receive(t), t)
+            p = planes[ci]
+            if reset:
+                px = default
+            elif r == 0:
+                px = p[0][c - 1]  # first line: Ra
+            elif c == 0:
+                px = p[r - 1][0]  # line start: Rb
+            else:
+                row, above = p[r], p[r - 1]
+                ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc_
+                elif predictor == 4:
+                    px = ra + rb - rc_
+                elif predictor == 5:
+                    px = ra + ((rb - rc_) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc_) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            p[r][c] = (px + d) & 0xFFFF
+        reset = False
+    mask = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = np.array(planes, np.int64)
+    out = ((out << pt) & mask).astype(dtype)
+    if nc == 1:
+        return np.repeat(out[0][..., None], 3, axis=2)
+    return np.stack([out[0], out[1], out[2]], axis=2)
 
 
 def _sampling(comps):
@@ -1038,5 +1157,103 @@ def encode_jpeg_progressive(
                 out += _emit_sos([cid], ss, se, al + 1, al)
                 run_scan(bh_ * bw_, ac_refine, lambda: None)
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: SSSS difference-category alphabet for lossless scans (T.81 H.1.2.2):
+#: 0-15 like DC categories, plus 16 = "+32768, no magnitude bits"
+_LL_SYMBOLS = bytes(range(17))
+
+
+def encode_jpeg_lossless(
+    img, predictor=4, point_transform=0, restart_interval=0
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB array as a REAL
+    lossless JPEG (SOF3, T.81 Annex H) — the fixture-side twin of
+    :func:`_decode_lossless_scan`. uint8 input encodes at 8-bit
+    precision, uint16 at 16-bit. ``predictor`` selects H.1.2.1 rule
+    1-7; ``point_transform`` (Pt) shifts samples right by Pt before
+    prediction, so the round-trip identity is
+    ``decode(encode(img, Pt)) == (img >> Pt) << Pt`` — exact equality,
+    bit-for-bit, when Pt is 0. ``restart_interval`` > 0 emits DRI +
+    RSTn every that-many samples with full prediction reset."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    prec = 16 if arr.dtype == np.uint16 else 8
+    if not 0 <= point_transform < prec:
+        raise ValueError(f"point transform {point_transform} out of range")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} out of range")
+    gray = arr.ndim == 2
+    shifted = (arr.astype(np.int64) >> point_transform)
+    planes = (
+        [shifted.tolist()]
+        if gray
+        else [shifted[..., i].tolist() for i in range(3)]
+    )
+    h, w = arr.shape[:2]
+    comp_ids = [1] if gray else [1, 2, 3]
+    ll_counts, ll_syms, ll_enc = _fixed_table(_LL_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, len(comp_ids))
+    for cid in comp_ids:
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling; Tq unused in SOF3
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + ll_counts + ll_syms  # DC-class table 0
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _emit_sos(comp_ids, predictor, 0, 0, point_transform)
+    default = 1 << (prec - point_transform - 1)
+    bw = _BitWriter()
+    reset = True
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            reset = True
+        r, c = divmod(m, w)
+        for p in planes:
+            # prediction over the previously-coded samples; lossless ⇒
+            # reconstructed == source, so the source plane IS the
+            # prediction context (the decoder mirrors this exactly)
+            if reset:
+                px = default
+            elif r == 0:
+                px = p[0][c - 1]
+            elif c == 0:
+                px = p[r - 1][0]
+            else:
+                row, above = p[r], p[r - 1]
+                ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc_
+                elif predictor == 4:
+                    px = ra + rb - rc_
+                elif predictor == 5:
+                    px = ra + ((rb - rc_) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc_) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            d = ((p[r][c] - px + 32768) & 0xFFFF) - 32768
+            if d == -32768:  # ≡ +32768 mod 2^16: SSSS=16, no bits
+                bw.write(ll_enc[16][1], ll_enc[16][0])
+            else:
+                t = _category(d)
+                bw.write(ll_enc[t][1], ll_enc[t][0])
+                if t:
+                    bw.write(d if d > 0 else d + (1 << t) - 1, t)
+        reset = False
+    bw.flush()
+    out += bw.out
     out += b"\xff\xd9"
     return bytes(out)

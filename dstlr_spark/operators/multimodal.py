@@ -12,9 +12,9 @@ Adam7-interlaced — :func:`decode_png`), and GIF89a (pure-Python
 variable-width LZW, sequential and 4-pass interlaced —
 :func:`decode_gif`), with nearest-neighbor resize
 (:func:`resize_nearest`) on top; all value-gated end-to-end by the
-``mm_media_decode`` driver query over a SEVEN-VARIANT planted-pixel
+``mm_media_decode`` driver query over an EIGHT-VARIANT planted-pixel
 corpus (BMP / PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF /
-16-bit PNG). 16-bit samples decode to exact uint16 — the operator
+16-bit PNG / lossless JPEG). 16-bit samples decode to exact uint16 — the operator
 contract is ``array<int>``, never narrowed. PNG covers EVERY
 spec-valid (color, depth) combination — sub-byte bit-packed 1/2/4
 gray and palette, plus gray+alpha, included — and JPEG decodes
@@ -354,10 +354,13 @@ def decode_rgb_bytes(b: bytes):
       successive approximation) via the pure-NumPy Huffman + IDCT
       codec in :mod:`dstlr_spark.operators.jpeg`; being lossy it is
       gated by the DC-exact analytic tests there, not the format-blind
-      planted-value oracle.
+      planted-value oracle;
+    - LOSSLESS JPEG (SOF3, all seven predictors, 2-16 bit precision,
+      point transform, restarts) via the same module — exact, so it
+      DOES join the planted-pixel equality tests; 16-bit → uint16.
 
-    Arithmetic-coded / hierarchical / lossless JPEG raise
-    NotImplementedError — the only remaining image stub surface.
+    Arithmetic-coded / hierarchical JPEG raise NotImplementedError —
+    the only remaining image stub surface.
     """
     import numpy as np
 
@@ -1733,25 +1736,29 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Seven-variant twin of :func:`synth_media_bmp`: the SAME planted
+    """Eight-variant twin of :func:`synth_media_bmp`: the SAME planted
     image per document (dims and pixels are functions of n_chars
-    alone), serialized per (n_chars DIV 7) MOD 7 — DIV 7 first so the
+    alone), serialized per (n_chars DIV 7) MOD 8 — DIV 7 first so the
     codec choice is independent of the (n_chars MOD 7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
     truecolor PNG (rotating per-row filters 0..4, every unfilter
     path); palettized GIF89a (real LZW, variable-width code growth +
     sub-block reassembly); Adam7-interlaced truecolor PNG (7
     independently-filtered passes); paletted PNG (color type 3, PLTE);
-    4-pass-interlaced GIF; and 16-BIT truecolor PNG carrying the same
+    4-pass-interlaced GIF; 16-BIT truecolor PNG carrying the same
     sample values (<256, so the decoded uint16 array is value-equal to
     the uint8 planted array — the depth-16 byte layout and bpp-6
-    filter lookback get gated without breaking format blindness). A
+    filter lookback get gated without breaking format blindness); and
+    LOSSLESS JPEG (SOF3 predictor 4 — exact by construction, the one
+    JPEG mode whose decode can join a value-equality oracle). A
     decoder is correct iff EVERY variant reproduces the identical
     planted values — which is exactly what lets one format-agnostic
     analytic oracle gate all of them."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        from dstlr_spark.operators.jpeg import encode_jpeg_lossless
 
         encoders = (
             encode_bmp,
@@ -1761,6 +1768,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_png_pal(*palettize_rgb(a)),
             lambda a: _encode_gif_rgb(a, interlace=True),
             lambda a: encode_png(a.astype(np.uint16)),
+            lambda a: encode_jpeg_lossless(a, predictor=4),
         )
         for pdf in batches:
             rows = []
@@ -1768,7 +1776,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 7](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 8](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

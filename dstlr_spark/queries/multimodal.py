@@ -114,7 +114,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual (aHash) near-dup groups over the mixed-codec corpus —
     the dedup exact byte hashing cannot do: `synth_media_mixed` keys
-    the CODEC on (n_chars DIV 7) MOD 7 and the IMAGE on n_chars MOD 7,
+    the CODEC on (n_chars DIV 7) MOD 8 and the IMAGE on n_chars MOD 7,
     so the same planted picture ships as BMP in one doc and PNG/GIF in
     another — different payload md5, same decoded pixels, same aHash.
     Groups therefore span codec variants (n_variants > 1 rows are the
@@ -124,8 +124,9 @@ def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-derives every hash analytically from n_chars (planted
     pixel formula + the fixed-side nearest-neighbor index math + the
     gray/mean/bit spec in :func:`dstlr_spark.operators.multimodal.
-    phash_np`) without touching a byte — format-blind, so all seven
-    codec paths must land the identical 16-bit key.
+    phash_np`) without touching a byte — format-blind, so all eight
+    codec paths (lossless JPEG included — exact decode) must land the
+    identical 16-bit key.
 
     Scale shape: map-only decode+hash (only (doc_id, key) leaves the
     stage) then ONE hash aggregate on the key — the `dedup_exact`
@@ -138,7 +139,7 @@ def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & F.col("n_chars").isNotNull()
     ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.expr("CAST((n_chars DIV 7) % 7 AS INT)").alias("variant"),
+        F.expr("CAST((n_chars DIV 7) % 8 AS INT)").alias("variant"),
     )
     return (
         ph.where(F.col("phash").isNotNull())
@@ -211,14 +212,16 @@ def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resize under the value gate (retires the
     round-4 stub finding): synth the planted position/channel-dependent
-    image per document as a SEVEN-VARIANT corpus keyed on
-    (n_chars DIV 7) MOD 7 (DIV 7 first so the codec choice is
+    image per document as an EIGHT-VARIANT corpus keyed on
+    (n_chars DIV 7) MOD 8 (DIV 7 first so the codec choice is
     independent of the MOD-7-derived dims — see synth_media_mixed) —
     24-bit BMP; truecolor PNG with rotating scanline filters 0..4 (zlib
     inflate + all five unfilter paths exercised at gate time);
     palettized GIF89a (real variable-width LZW + sub-block reassembly);
-    Adam7-interlaced PNG; paletted PNG (PLTE); interlaced GIF; and
-    16-bit truecolor PNG carrying the same sample values — decode
+    Adam7-interlaced PNG; paletted PNG (PLTE); interlaced GIF;
+    16-bit truecolor PNG carrying the same sample values; and lossless
+    JPEG (SOF3 — exact Annex-H predictive decode, the one JPEG mode
+    that can sit under a value-equality oracle) — decode
     with the pure-NumPy decoders, nearest-neighbor-resize to max_side=4,
     emit per-doc dimensions, the full-pixel checksum, orientation
     probes (first-R / last-B pixel — catches a missing bottom-up flip
@@ -228,7 +231,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte, and is format-BLIND: every codec variant must reproduce the
     identical planted array for the hash to match — independent
     derivations of the BMP, PNG (sequential + Adam7, truecolor +
-    paletted), and GIF (sequential + interlaced) specs in one gate.
+    paletted), GIF (sequential + interlaced), and lossless-JPEG
+    (T.81 Annex H) specs in one gate.
 
     Scale shape: two map-only Arrow-batched decode passes + one
     doc-keyed equi-join — no corpus shuffle beyond the join; payloads
@@ -366,7 +370,7 @@ JOIN tpx ON tpx.doc_id = d.doc_id""",
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars,
          n_chars % 7 + 2 AS w, (n_chars * 3) % 7 + 2 AS h,
-         CAST((n_chars // 7) % 7 AS INT) AS variant
+         CAST((n_chars // 7) % 8 AS INT) AS variant
   FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
 txs AS (SELECT doc_id, w, h, unnest(range(4)) AS tx FROM m),
 tys AS (SELECT doc_id, w, h, tx, unnest(range(4)) AS ty FROM txs),

@@ -350,3 +350,122 @@ def test_fuzz_progressive_equals_baseline(
         )
     )
     assert (prog == base).all()
+
+
+# --------------------------------------------------------------------------
+# SOF3 lossless (T.81 Annex H) — the one JPEG mode with EXACT decode,
+# so round-trip equality is the oracle (no tolerance bands)
+# --------------------------------------------------------------------------
+
+
+def test_lossless_roundtrip_all_predictors():
+    """decode(encode_lossless(img, pred)) == img exactly for every
+    H.1.2.1 predictor, gray and RGB, on dimensions that exercise the
+    first-row/first-column boundary rules."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(7)
+    for pred in range(1, 8):
+        img = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=pred))
+        assert out.shape == (13, 17, 3)
+        assert (out == np.repeat(img[..., None], 3, 2)).all(), pred
+    rgb = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_lossless(rgb, predictor=4)) == rgb).all()
+    # 1-pixel and 1-row/1-column degenerate shapes
+    for shape in [(1, 1), (1, 9), (9, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_lossless(img, predictor=4))[..., 0] == img
+        ).all()
+
+
+def test_lossless_16bit_point_transform_and_restarts():
+    """16-bit precision decodes to exact uint16; point transform Pt
+    realises decode == (img >> Pt) << Pt; restart intervals reset the
+    predictor without changing pixels; modulo-2^16 difference wrap
+    (the d == -32768 ≡ +32768 SSSS=16 case) survives extremes."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, size=(7, 5), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(img16, predictor=7))
+    assert out.dtype == np.uint16
+    assert (out[..., 0] == img16).all()
+    # extreme alternation forces ±32768-class differences
+    ext = np.zeros((4, 4), dtype=np.uint16)
+    ext[::2, ::2] = 65535
+    ext[1::2, 1::2] = 65535
+    assert (
+        decode_jpeg(encode_jpeg_lossless(ext, predictor=1))[..., 0] == ext
+    ).all()
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(img, predictor=1, point_transform=3))
+    assert (out[..., 0] == (img >> 3) << 3).all()
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(img, predictor=4, restart_interval=37))
+    assert (out[..., 0] == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    pred=st.integers(1, 7),
+    pt=st.integers(0, 4),
+    ri=st.integers(0, 3),
+    deep=st.booleans(),
+)
+def test_fuzz_lossless_exact(w, h, seed, color, pred, pt, ri, deep):
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    if deep:
+        img = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+    else:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_lossless(
+            img, predictor=pred, point_transform=pt,
+            restart_interval=ri * 29,
+        )
+    )
+    want = (img.astype(np.int64) >> pt) << pt
+    got = out if color else out[..., 0]
+    assert (got.astype(np.int64) == want).all()
+
+
+def test_lossless_malformed_contract():
+    """Lossless scan-header violations are ValueError (malformed), the
+    remaining SOF modes stay NotImplementedError, and decode_rgb_bytes
+    dispatches SOF3 payloads through the exact path."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+    good = encode_jpeg_lossless(img, predictor=5)
+    assert (decode_rgb_bytes(good)[..., 0] == img).all()
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 7] = 0  # Ss (predictor) = 0: invalid for lossless
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sos_at + 8] = 5  # Se must be 0 in a lossless scan
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sos_at + 9] = 8  # Pt >= precision
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) - 8])  # truncated entropy data
+    sof_at = good.find(b"\xff\xc3")
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xC7  # SOF7 differential lossless: honest stub
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))

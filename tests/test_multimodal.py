@@ -592,13 +592,13 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The seven-variant gate corpus: every doc decodes to the planted
-    array regardless of codec ((n_chars DIV 7) MOD 7 → BMP / PNG /
-    GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit PNG),
-    through the same Spark operator the driver gate runs. n_chars =
-    8·v hits exactly variant v with v-dependent dims, so the 7-doc
-    corpus covers every encoder, and all three container magics
-    appear."""
+    """The eight-variant gate corpus: every doc decodes to the planted
+    array regardless of codec ((n_chars DIV 7) MOD 8 → BMP / PNG /
+    GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit PNG /
+    lossless JPEG), through the same Spark operator the driver gate
+    runs. n_chars = 7·v + (v MOD 7) hits exactly variant v with
+    v-dependent dims, so the 8-doc corpus covers every encoder, and
+    all four container magics appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -606,8 +606,9 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         synth_media_mixed,
     )
 
+    chars = {v: 7 * v + v % 7 for v in range(8)}
     docs = spark.createDataFrame(
-        [(str(v), "t" * (8 * v), 8 * v) for v in range(7)],
+        [(str(v), "t" * n, n) for v, n in chars.items()],
         "doc_id string, text string, n_chars int",
     )
     media = synth_media_mixed(docs).localCheckpoint()
@@ -615,10 +616,11 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert b"BM" in {m[:2] for m in magics}
     assert bytes.fromhex(PNG_MAGIC)[:6] in magics
     assert b"GIF89a" in magics
+    assert b"\xff\xd8" in {m[:2] for m in magics}  # JPEG SOI
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 7
-    for v in range(7):
-        n = 8 * v
+    assert len(rows) == 8
+    for v, n in chars.items():
+        assert (n // 7) % 8 == v  # the corpus really covers variant v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
         r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]
@@ -1114,6 +1116,8 @@ def test_phash_invariant_across_codecs_and_matches_spec(spark):
         phash_np,
     )
 
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
     rgb = _planted_rgb(7, 5)
     idx, pal = palettize_rgb(rgb)
     payloads = [
@@ -1121,9 +1125,10 @@ def test_phash_invariant_across_codecs_and_matches_spec(spark):
         ("png", bytes(encode_png(rgb))),
         ("png_a7", bytes(encode_png(rgb, interlace=True))),
         ("gif", bytes(encode_gif(idx, pal))),
+        ("jls", bytes(encode_jpeg_lossless(rgb, predictor=7))),
         ("junk", b"\x00\x01\x02"),
     ]
-    assert len({p for _, p in payloads}) == 5  # genuinely different bytes
+    assert len({p for _, p in payloads}) == 6  # genuinely different bytes
     media = spark.createDataFrame(payloads, "doc_id string, payload binary")
     got = {r.doc_id: r.phash for r in phash_np(media).collect()}
 
@@ -1142,7 +1147,10 @@ def test_phash_invariant_across_codecs_and_matches_spec(spark):
         for tx in range(side)
         if gray[ty][tx] > mu
     )
-    assert got["bmp"] == got["png"] == got["png_a7"] == got["gif"] == expect
+    assert (
+        got["bmp"] == got["png"] == got["png_a7"] == got["gif"]
+        == got["jls"] == expect
+    )
     assert got["junk"] is None
 
 
