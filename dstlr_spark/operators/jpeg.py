@@ -27,9 +27,14 @@ DCT family — effectively every JPEG on the web:
   GEMM pair per component (no per-pixel, no per-block Python math) →
   level shift → JFIF YCbCr→RGB.
 
-Arithmetic coding (SOF9+), hierarchical/differential modes, 12-bit
-DCT precision, and CMYK raise ``NotImplementedError`` — genuinely
-different entropy machinery. A MALFORMED stream (truncated entropy
+- SOF9 SEQUENTIAL ARITHMETIC (QM coder, T.81 Annex D + F.1.4
+  conditioning, DAC parsing) via :mod:`dstlr_spark.operators.
+  jpeg_arith` — gated by exact pixel equality with the Huffman twin
+  (same quantized coefficients under both entropy layers).
+
+Progressive/lossless arithmetic (SOF10/11), hierarchical/differential
+modes, 12-bit DCT precision, and CMYK raise ``NotImplementedError`` —
+genuinely different coefficient machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -225,6 +230,9 @@ def decode_jpeg(b: bytes):
     frame = None  # (h, w, [(comp_id, H, V, tq), ...])
     progressive = False
     lossless = False
+    arith = False
+    dac_dc: dict[int, tuple[int, int]] = {}  # table id → (L, U)
+    dac_ac: dict[int, int] = {}  # table id → Kx
     precision = 8
     coefs = None  # progressive: per-comp raw coefficient stores
     scans_done = 0
@@ -286,10 +294,12 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _build_huffman(counts, seg[s : s + total])
                 s += total
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 baseline,
-            # SOF2 progressive, SOF3 lossless (predictive, Huffman)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1 baseline,
+            # SOF2 progressive, SOF3 lossless (predictive, Huffman),
+            # SOF9 sequential arithmetic (QM coder, jpeg_arith)
             prec = seg[0]
             lossless = marker == 0xC3
+            arith = marker == 0xC9
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(
@@ -314,12 +324,29 @@ def decode_jpeg(b: bytes):
             frame = (h, w, comps)
             precision = prec
             progressive = marker == 0xC2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (arithmetic/hierarchical/"
-                "differential modes)"
+                f"STUB: JPEG SOF {marker:#x} (progressive-arithmetic/"
+                "hierarchical/differential modes)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            s = 0
+            while s + 2 <= len(seg):
+                tc, tb = seg[s] >> 4, seg[s] & 15
+                cs = seg[s + 1]
+                s += 2
+                if tc == 0:
+                    ll, uu = cs & 15, cs >> 4
+                    if ll > uu or uu > 15:
+                        raise ValueError("JPEG DAC DC conditioning invalid")
+                    dac_dc[tb] = (ll, uu)
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG DAC AC Kx out of range")
+                    dac_ac[tb] = cs
+                else:
+                    raise ValueError("JPEG DAC class invalid")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("JPEG DRI truncated")
@@ -349,6 +376,19 @@ def decode_jpeg(b: bytes):
                 return _decode_lossless_scan(
                     b, pos, frame, scan, precision, ss, ahal & 15,
                     htables, restart_interval,
+                )
+            if arith:
+                from dstlr_spark.operators.jpeg_arith import decode_scan_arith
+
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "STUB: arithmetic multi-scan (non-interleaved) files"
+                    )
+                if ss != 0 or se != 63 or ahal != 0:
+                    raise ValueError("JPEG sequential scan header invalid")
+                return decode_scan_arith(
+                    b, pos, frame, scan, qtables, dac_dc, dac_ac,
+                    restart_interval,
                 )
             if not progressive:
                 if ns != len(frame[2]):

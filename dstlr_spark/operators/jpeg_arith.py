@@ -1,0 +1,602 @@
+"""Arithmetic-coded JPEG (SOF9): the QM coder + T.81 F.1.4 statistics.
+
+Sequential DCT with arithmetic entropy coding — the JPEG mode the
+round-4/5 codec work left stubbed. Both directions live here:
+
+- :class:`_ArithDecoder` / :class:`_ArithEncoder` — the QM binary
+  arithmetic coder (T.81 Annex D): 16-bit probability interval with
+  conditional MPS/LPS exchange, renormalization-driven probability
+  estimation over the 113-state table, byte output with carry
+  propagation over stacked 0xFF bytes (3 spacer bits, D.1.6) and the
+  most-trailing-zeros flush (D.1.8), 0xFF00 byte stuffing.
+- DC/AC statistical models (T.81 F.1.4.4.1/F.1.4.4.2): DC difference
+  conditioning on the previous diff's (sign, magnitude) class with
+  L/U bounds; AC coefficients keyed 3 bins per zigzag index (EOB
+  decision, zero-run, first magnitude) with the low/high-spectrum
+  split at Kx; sign of AC via the fixed ~0.5 bin (state 113);
+  magnitude categories and bit patterns over the X/M context runs.
+  Default conditioning (L=0, U=1, Kx=5) when no DAC marker appears;
+  DAC (0xFFCC) is parsed and honored.
+
+The state-transition table is T.81 Table D.3 as reproduced in public
+QM-coder implementations. CONFORMANCE CAVEAT (honest): this sandbox
+has no external JPEG codec, so cross-implementation interop cannot be
+executed here; what IS machine-checked is (a) coder round-trip over
+arbitrary decision sequences and adversarial context schedules, and
+(b) end-to-end pixel EQUALITY between an SOF9 encode and the SOF0
+Huffman encode of the same image — both entropy layers sit above the
+identical quantized coefficients, so their decodes must agree bit for
+bit (tests/test_jpeg.py). Reference anchor for the operator surface:
+the multimodal decode family in operators/multimodal.py; the
+reference engine itself (src/main/scala/io/dstlr) has no media path —
+this is §2.12 mandate surface.
+
+Scale shape: pure codec layer — runs inside the Arrow-batched
+``decode_image_np`` / ``decode_features_np`` stages, map-only,
+per-document; nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: T.81 Table D.3 — Qe value, Next_Index_MPS, Next_Index_LPS,
+#: Switch_MPS — plus the non-adaptive "fixed 0.5" bin at index 113
+#: (self-transitions, no switch) used for AC sign decisions.
+_QE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+#: default conditioning when the stream carries no DAC segment
+#: (T.81 F.1.4.4.1.4 / F.1.4.4.2.1)
+DEFAULT_DC_L = 0
+DEFAULT_DC_U = 1
+DEFAULT_AC_KX = 5
+
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+_FIXED = 113  # the non-adaptive AC-sign bin
+
+
+class _ArithDecoder:
+    """QM decoder over one pre-unstuffed entropy segment. Bytes past
+    the segment end feed as zeros (T.81's marker-stuffing convention:
+    the flush may drop trailing 0x00 bytes, so running off the end is
+    normal, and decoding structure — not byte exhaustion — bounds the
+    walk). ``stats`` entries pack (MPS << 7) | state_index, exactly
+    one byte per context bin."""
+
+    __slots__ = ("d", "pos", "acc", "nbits", "c", "a")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.c = self._bits(16)
+        self.a = 0x10000
+
+    def _bits(self, k: int) -> int:
+        while self.nbits < k:
+            byte = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+        self.nbits -= k
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, stats: bytearray, i: int) -> int:
+        sv = stats[i]
+        qe, nmps, nlps, sw = _QE[sv & 0x7F]
+        mps = sv >> 7
+        a = self.a - qe
+        if self.c < a:
+            if a >= 0x8000:  # MPS without renormalization
+                self.a = a
+                return mps
+            # bottom interval + renorm: conditional exchange decides
+            if a < qe:
+                bit = 1 - mps
+                if sw:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            else:
+                bit = mps
+                stats[i] = (mps << 7) | nmps
+        else:
+            # top interval (width qe)
+            self.c -= a
+            if a < qe:
+                bit = mps
+                stats[i] = (mps << 7) | nmps
+            else:
+                bit = 1 - mps
+                if sw:
+                    mps ^= 1
+                stats[i] = (mps << 7) | nlps
+            a = qe
+        c = self.c
+        while a < 0x8000:
+            a <<= 1
+            c = (c << 1) | self._bits(1)
+        self.a = a
+        self.c = c
+        return bit
+
+
+class _ArithEncoder:
+    """QM encoder: mirror of :class:`_ArithDecoder`. Byte output with
+    carry propagation (buffer + stacked-0xFF + deferred-zero
+    bookkeeping, T.81 D.1.6 — the 3 spacer bits in C guarantee a
+    post-carry byte is never 0xFF) and 0xFF00 stuffing at emit time."""
+
+    __slots__ = ("a", "c", "ct", "buffer", "sc", "zc", "out")
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # no byte pending yet
+        self.sc = 0  # stacked 0xFF bytes awaiting carry resolution
+        self.zc = 0  # deferred 0x00 bytes (dropped if the stream ends)
+        self.out = bytearray()
+
+    def _emit(self, v: int) -> None:
+        self.out.append(v)
+        if v == 0xFF:
+            self.out.append(0x00)  # byte stuffing
+
+    def _emit_zeros(self) -> None:
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def _byte_out(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry: bump the pending byte, stacked FFs become zeros
+            if self.buffer >= 0:
+                self._emit_zeros()
+                self._emit(self.buffer + 1)
+            self.zc += self.sc
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # may still be carried over
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._emit_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._emit_zeros()
+                for _ in range(self.sc):
+                    self._emit(0xFF)
+                self.sc = 0
+            self.buffer = temp
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def encode(self, stats: bytearray, i: int, bit: int) -> None:
+        sv = stats[i]
+        qe, nmps, nlps, sw = _QE[sv & 0x7F]
+        mps = sv >> 7
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return  # no renormalization, no state change
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self.c += self.a
+                self.a = qe
+            stats[i] = (mps << 7) | nmps
+        else:
+            if self.a >= qe:  # normal LPS: top interval
+                self.c += self.a
+                self.a = qe
+            # else conditional exchange: LPS keeps the bottom interval
+            if sw:
+                mps ^= 1
+            stats[i] = (mps << 7) | nlps
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byte_out()
+            if self.a >= 0x8000:
+                break
+
+    def finish(self) -> bytes:
+        """T.81 D.1.8: point C at the value in the final interval with
+        the most trailing zeros, flush, drop disposable trailing
+        zeros."""
+        temp = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = temp + 0x8000 if temp < self.c else temp
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # final carry over the pending byte + stacked FFs
+            if self.buffer >= 0:
+                self._emit_zeros()
+                self._emit(self.buffer + 1)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._emit_zeros()
+                self._emit(self.buffer)
+            if self.sc:
+                self._emit_zeros()
+                for _ in range(self.sc):
+                    self._emit(0xFF)
+                self.sc = 0
+        # final two bytes only when non-zero (trailing zeros and the
+        # deferred-zero run are disposable — the decoder zero-fills)
+        if self.c & 0x7FFF800:
+            self._emit_zeros()
+            self._emit((self.c >> 19) & 0xFF)
+            if self.c & 0x7F800:
+                self._emit((self.c >> 11) & 0xFF)
+        return bytes(self.out)
+
+
+# --------------------------------------------------------------------------
+# statistical models (T.81 F.1.4.4.1 DC / F.1.4.4.2 AC)
+# --------------------------------------------------------------------------
+
+
+def _decode_dc_diff(dec, stats, ctx, lo_half, hi_half):
+    """One DC difference off the decoder. ``ctx`` is the conditioning
+    offset (0/4/8/12/16) from the PREVIOUS diff; returns (diff,
+    next_ctx)."""
+    s0 = ctx
+    if dec.decode(stats, s0) == 0:
+        return 0, 0
+    sign = dec.decode(stats, s0 + 1)
+    st = s0 + 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = 20  # X1
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic DC magnitude overflow")
+            st += 1
+    if m < lo_half:
+        nxt = 0
+    elif m > hi_half:
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _encode_dc_diff(enc, stats, ctx, diff, lo_half, hi_half):
+    s0 = ctx
+    if diff == 0:
+        enc.encode(stats, s0, 0)
+        return 0
+    enc.encode(stats, s0, 1)
+    sign = 1 if diff < 0 else 0
+    v = -diff if sign else diff
+    enc.encode(stats, s0 + 1, sign)
+    st = s0 + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        st = 20
+        while v2 > 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    if m < lo_half:
+        nxt = 0
+    elif m > hi_half:
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+    return nxt
+
+
+def _decode_ac_block(dec, stats, fixed, kx, coef, zigzag):
+    """AC coefficients k=1..63 into ``coef`` (natural order)."""
+    k = 1
+    while k <= 63:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > 63:
+                raise ValueError("JPEG arithmetic AC run past block end")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(stats, st)
+        if m and dec.decode(stats, st):
+            m = 2
+            st = 189 if k <= kx else 217
+            while dec.decode(stats, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError(
+                        "JPEG arithmetic AC magnitude overflow"
+                    )
+                st += 1
+        v = m
+        st += 14
+        while m > 1:
+            m >>= 1
+            if dec.decode(stats, st):
+                v |= m
+        v += 1
+        coef[zigzag[k]] = -v if sign else v
+        k += 1
+
+
+def _encode_ac_block(enc, stats, fixed, kx, vals_zz):
+    """``vals_zz``: the 63 AC values in ZIGZAG order (index 1..63)."""
+    ke = 63
+    while ke > 0 and vals_zz[ke] == 0:
+        ke -= 1
+    k = 1
+    while k <= ke:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)  # not EOB yet
+        while vals_zz[k] == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(stats, st + 1, 1)
+        v = vals_zz[k]
+        sign = 1 if v < 0 else 0
+        if sign:
+            v = -v
+        enc.encode(fixed, 0, sign)
+        st += 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(stats, st, 1)
+            m = 1
+            v2 = v
+            if v2 > 1:
+                enc.encode(stats, st, 1)
+                m = 2
+                st = 189 if k <= kx else 217
+                while v2 > 3:
+                    v2 >>= 1
+                    enc.encode(stats, st, 1)
+                    m <<= 1
+                    st += 1
+        enc.encode(stats, st, 0)
+        st += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            enc.encode(stats, st, 1 if (mm & v) else 0)
+        k += 1
+    if k <= 63:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+# --------------------------------------------------------------------------
+# scan-level walkers (the SOF9 twins of jpeg._decode_scan / encode_jpeg)
+# --------------------------------------------------------------------------
+
+
+def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
+                      restart_interval):
+    """Sequential arithmetic scan → decoded RGB via jpeg._reconstruct.
+    Same MCU walk as the Huffman twin; entropy layer swapped for the
+    QM coder with per-restart state reset (coder, statistics areas,
+    DC predictors AND conditioning contexts)."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import (
+        _ZIGZAG,
+        _entropy_segments,
+        _reconstruct,
+        _sampling,
+    )
+
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    conds = []
+    for (cid, ch_, cv, tq), (scid, td, ta) in zip(comps, scan):
+        if cid != scid:
+            raise ValueError("JPEG scan component order differs from frame")
+        if tq not in qtables:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        planes.append(np.zeros((mcus_y * cv, mcus_x * ch_, 64), np.float64))
+        ll, uu = dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+        conds.append((td, ta, (1 << ll) >> 1, (1 << uu) >> 1,
+                      ac_cond.get(ta, DEFAULT_AC_KX)))
+    segs, _end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    zz = list(_ZIGZAG)
+
+    def fresh_state():
+        return (
+            {td: bytearray(_DC_STAT_BINS) for td, *_ in conds},
+            {ta: bytearray(_AC_STAT_BINS) for _, ta, *_ in conds},
+            bytearray([_FIXED]),
+            [0] * len(comps),  # dc conditioning contexts
+            [0] * len(comps),  # dc predictors
+        )
+
+    seg_i = 0
+    dec = _ArithDecoder(segs[0][0])
+    dc_stats, ac_stats, fixed, dc_ctx, preds = fresh_state()
+    nmcu = mcus_x * mcus_y
+    for m in range(nmcu):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            dec = _ArithDecoder(segs[seg_i][0])
+            dc_stats, ac_stats, fixed, dc_ctx, preds = fresh_state()
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, ch_, cv, tq) in enumerate(comps):
+            td, ta, lo, hi, kx = conds[ci]
+            dstat, astat = dc_stats[td], ac_stats[ta]
+            for by in range(cv):
+                for bx in range(ch_):
+                    coef = [0.0] * 64
+                    diff, dc_ctx[ci] = _decode_dc_diff(
+                        dec, dstat, dc_ctx[ci], lo, hi
+                    )
+                    preds[ci] += diff
+                    coef[0] = preds[ci]
+                    _decode_ac_block(dec, astat, fixed, kx, coef, zz)
+                    planes[ci][my * cv + by, mx * ch_ + bx] = coef
+    return _reconstruct(frame, planes, qtables)
+
+
+def encode_jpeg_arith(img, quant=None, subsample="444",
+                      restart_interval=0, dc_cond=None,
+                      ac_kx=None) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    REAL arithmetic-coded JPEG (SOF9) — identical front half to
+    jpeg.encode_jpeg (:func:`jpeg._quantize_blocks`: color transform,
+    subsample, forward DCT, quantize), entropy layer swapped for the
+    QM coder above. Because both entropy layers carry the IDENTICAL
+    quantized coefficients, ``decode(encode_jpeg_arith(x)) ==
+    decode(encode_jpeg(x))`` holds bit for bit — the equality gate in
+    tests/test_jpeg.py. With default conditioning (L=0, U=1, Kx=5) no
+    DAC segment is emitted; passing ``dc_cond=(L, U)`` or ``ac_kx``
+    emits the DAC marker and conditions both statistical models on it
+    — which is what lets the decoder's DAC parse be value-gated."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import (
+        _ZIGZAG,
+        _emit_sos,
+        _quantize_blocks,
+    )
+
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
+    out = bytearray(b"\xff\xd8")
+    qzz = np.asarray(quant).reshape(-1)[list(_ZIGZAG)].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch_, cv, tq in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, tq])
+    out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
+    ll, uu = dc_cond if dc_cond is not None else (DEFAULT_DC_L, DEFAULT_DC_U)
+    kx = ac_kx if ac_kx is not None else DEFAULT_AC_KX
+    if not 0 <= ll <= uu <= 15:
+        raise ValueError(f"DC conditioning ({ll}, {uu}) invalid")
+    if not 1 <= kx <= 63:
+        raise ValueError(f"AC Kx {kx} out of range")
+    if dc_cond is not None or ac_kx is not None:
+        body = bytes([0x00, (uu << 4) | ll, 0x10, kx])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _emit_sos([c[0] for c in comps], 0, 63, 0, 0)
+
+    lo, hi = (1 << ll) >> 1, (1 << uu) >> 1
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def fresh():
+        return (
+            _ArithEncoder(),
+            bytearray(_DC_STAT_BINS),
+            bytearray(_AC_STAT_BINS),
+            bytearray([_FIXED]),
+            [0] * len(comps),
+            [0] * len(comps),
+        )
+
+    enc, dstat, astat, fixed, dc_ctx, preds = fresh()
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.finish()
+            out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            enc, dstat, astat, fixed, dc_ctx, preds = fresh()
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, ch_, cv, tq) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch_):
+                    qz = blocks[ci][my * cv + by, mx * ch_ + bx].tolist()
+                    diff = qz[0] - preds[ci]
+                    preds[ci] = qz[0]
+                    dc_ctx[ci] = _encode_dc_diff(
+                        enc, dstat, dc_ctx[ci], diff, lo, hi
+                    )
+                    _encode_ac_block(enc, astat, fixed, kx, qz)
+    out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -357,10 +357,13 @@ def decode_rgb_bytes(b: bytes):
       planted-value oracle;
     - LOSSLESS JPEG (SOF3, all seven predictors, 2-16 bit precision,
       point transform, restarts) via the same module — exact, so it
-      DOES join the planted-pixel equality tests; 16-bit → uint16.
+      DOES join the planted-pixel equality tests; 16-bit → uint16;
+    - SEQUENTIAL ARITHMETIC JPEG (SOF9: QM coder + DAC conditioning,
+      :mod:`dstlr_spark.operators.jpeg_arith`) — gated by exact
+      equality with the Huffman twin's decode.
 
-    Arithmetic-coded / hierarchical JPEG raise NotImplementedError —
-    the only remaining image stub surface.
+    Progressive/lossless-arithmetic (SOF10/11) and hierarchical JPEG
+    raise NotImplementedError — the only remaining image stub surface.
     """
     import numpy as np
 

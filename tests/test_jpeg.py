@@ -277,7 +277,7 @@ def test_malformed_and_stub_contract():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xC9  # SOF9: arithmetic coding — honest stub
+    bad[sof_at + 1] = 0xCD  # SOF13: differential sequential — honest stub
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
@@ -469,3 +469,162 @@ def test_lossless_malformed_contract():
     bad[sof_at + 1] = 0xC7  # SOF7 differential lossless: honest stub
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
+
+
+# --------------------------------------------------------------------------
+# SOF9 sequential arithmetic (QM coder) — gated by exact pixel equality
+# with the Huffman twin: both entropy layers carry the IDENTICAL
+# quantized coefficients, so their decodes must agree bit for bit
+# --------------------------------------------------------------------------
+
+
+def test_qm_coder_roundtrip_fuzz():
+    """The raw QM coder round-trips arbitrary decision sequences over
+    adversarial context schedules — including all-same-bit runs (deep
+    MPS chains), alternating bits (switch churn), and many contexts
+    interleaved (carry/stacked-0xFF paths)."""
+    import random
+
+    from dstlr_spark.operators.jpeg_arith import (
+        _ArithDecoder,
+        _ArithEncoder,
+    )
+
+    rng = random.Random(17)
+    schedules = []
+    for n, nctx, p1 in [(1, 1, 0.5), (50, 1, 0.0), (50, 1, 1.0),
+                        (500, 4, 0.5), (2000, 16, 0.9),
+                        (2000, 16, 0.02), (5000, 64, 0.3)]:
+        schedules.append(
+            [(rng.randrange(nctx), 1 if rng.random() < p1 else 0)
+             for _ in range(n)]
+        )
+    # worst-case alternation on one context
+    schedules.append([(0, i & 1) for i in range(3000)])
+    for sched in schedules:
+        nctx = max(c for c, _ in sched) + 1
+        enc = _ArithEncoder()
+        stats = bytearray(nctx)
+        for c, bit in sched:
+            enc.encode(stats, c, bit)
+        data = enc.finish()
+        # decoder reads the UNSTUFFED byte stream
+        dec = _ArithDecoder(data.replace(b"\xff\x00", b"\xff"))
+        stats = bytearray(nctx)
+        got = [dec.decode(stats, c) for c, _ in sched]
+        assert got == [b for _, b in sched]
+
+
+def test_arith_equals_baseline_suite():
+    """decode(encode_arith(x)) == decode(encode_huffman(x)) exactly,
+    across shapes, subsampling, a real quant table, restart intervals,
+    and pathological content (flat / extremes / checkerboard)."""
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(21)
+    q = np.clip(np.arange(64).reshape(8, 8) * 3 + 8, 1, 255).astype(np.int32)
+    for shape, sub, ri in [
+        ((8, 8), "444", 0), ((5, 7), "444", 0), ((1, 1), "444", 0),
+        ((16, 16, 3), "444", 0), ((16, 16, 3), "420", 0),
+        ((23, 17, 3), "420", 2), ((32, 32, 3), "420", 1),
+        ((24, 24), "444", 5),
+    ]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(img, quant=q, subsample=sub, restart_interval=ri)
+        )
+        ar = decode_jpeg(
+            encode_jpeg_arith(img, quant=q, subsample=sub, restart_interval=ri)
+        )
+        assert (base == ar).all(), (shape, sub, ri)
+    for img in [
+        np.zeros((16, 16), np.uint8),
+        np.full((16, 16), 255, np.uint8),
+        np.tile(np.array([[0, 255]], np.uint8), (16, 8)),
+    ]:
+        assert (
+            decode_jpeg(encode_jpeg_arith(img)) == decode_jpeg(encode_jpeg(img))
+        ).all()
+    # arithmetic coding should beat the fixed Huffman tables on size
+    img = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    assert len(encode_jpeg_arith(img)) < len(encode_jpeg(img))
+
+
+def test_arith_dac_conditioning():
+    """Non-default conditioning emits a DAC segment and the decoder's
+    DAC parse must recover the same L/U/Kx for the pixels to match —
+    a wrong parse desynchronizes the context schedule immediately."""
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    for dc_cond, kx in [((0, 2), 1), ((1, 3), 63), ((2, 2), 20),
+                        (None, 30), ((0, 4), None)]:
+        payload = encode_jpeg_arith(img, dc_cond=dc_cond, ac_kx=kx)
+        assert b"\xff\xcc" in payload
+        assert (decode_jpeg(payload) == base).all(), (dc_cond, kx)
+    # default conditioning omits DAC entirely
+    assert b"\xff\xcc" not in encode_jpeg_arith(img)
+
+
+def test_arith_malformed_and_stub_contract():
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_jpeg_arith(img)
+    sof_at = good.find(b"\xff\xc9")
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xCA  # SOF10 progressive arithmetic: honest stub
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+    # DAC with invalid conditioning values
+    dac_bad = (
+        good[:sof_at] + b"\xff\xcc\x00\x04\x11\x00" + good[sof_at:]
+    )  # Tc=1 (AC) with Kx=0
+    with pytest.raises(ValueError):
+        decode_jpeg(dac_bad)
+    # scan header must be full-band for sequential arithmetic
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 8] = 31  # Se
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # restart marker without DRI
+    ri = encode_jpeg_arith(
+        rng.integers(0, 256, size=(32, 32), dtype=np.uint8),
+        restart_interval=1,
+    )
+    dri_at = ri.find(b"\xff\xdd")
+    with pytest.raises(ValueError):
+        decode_jpeg(ri[:dri_at] + ri[dri_at + 6 :])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    subsample=st.sampled_from(["444", "420"]),
+    ri=st.integers(0, 2),
+    qscale=st.integers(1, 40),
+)
+def test_fuzz_arith_equals_baseline(w, h, seed, color, subsample, ri, qscale):
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    sub = subsample if color else "444"
+    q = np.clip(np.arange(64).reshape(8, 8) * qscale // 8 + 1, 1, 255).astype(
+        np.int32
+    )
+    base = decode_jpeg(
+        encode_jpeg(img, quant=q, subsample=sub, restart_interval=ri)
+    )
+    ar = decode_jpeg(
+        encode_jpeg_arith(img, quant=q, subsample=sub, restart_interval=ri)
+    )
+    assert (ar == base).all()

@@ -137,19 +137,20 @@ def test_unsupported_codecs_raise_not_implemented():
 
     from dstlr_spark.operators.multimodal import decode_rgb_bytes
 
-    # JPEG now routes to the real decoder (baseline AND progressive):
-    # garbage after SOI is CORRUPT (ValueError); arithmetic coding
-    # (SOF9) is the honest stub
+    # JPEG now routes to the real decoder (baseline, progressive,
+    # lossless AND sequential-arithmetic): garbage after SOI is
+    # CORRUPT (ValueError); progressive arithmetic (SOF10) is the
+    # honest stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(b"\xff\xd8\xff" + b"\0" * 32)
-    sof9 = (
-        b"\xff\xd8\xff\xc9"
+    sof10 = (
+        b"\xff\xd8\xff\xca"
         + struct.pack(">H", 2 + 6 + 3)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
     with pytest.raises(NotImplementedError):
-        decode_rgb_bytes(sof9)
+        decode_rgb_bytes(sof10)
     # 8-bit paletted BMP: real header, unsupported bpp
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
