@@ -285,6 +285,35 @@ def probe_codecs(spark, n_docs: int) -> None:
             ]
             yield pd.DataFrame(rows)
 
+    def synth_jpeg_ls(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+        from dstlr_spark.operators.multimodal import _planted_rgb
+
+        for pdf in batches:
+            rows = [
+                dict(doc_id=str(i),
+                     payload=encode_jpeg_lossless(
+                         _planted_rgb(96 + int(i) % 7,
+                                      96 + (int(i) * 3) % 7)))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    def synth_jpeg_qm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+        from dstlr_spark.operators.multimodal import _planted_rgb
+
+        for pdf in batches:
+            rows = [
+                dict(doc_id=str(i),
+                     payload=encode_jpeg_arith(
+                         _planted_rgb(96 + int(i) % 7,
+                                      96 + (int(i) * 3) % 7),
+                         subsample="420"))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
     ddl = "doc_id string, payload binary"
     run("png decode→feats ", synth_png, ddl, decode_features_np)
     run("png adam7 → feats", synth_png_adam7, ddl, decode_features_np)
@@ -292,6 +321,8 @@ def probe_codecs(spark, n_docs: int) -> None:
     run("gif ilace → feats", synth_gif_il, ddl, decode_features_np)
     run("jpeg 420 → feats ", synth_jpeg, ddl, decode_features_np)
     run("jpeg prog → feats", synth_jpeg_prog, ddl, decode_features_np)
+    run("jpeg ls   → feats", synth_jpeg_ls, ddl, decode_features_np)
+    run("jpeg arith→ feats", synth_jpeg_qm, ddl, decode_features_np)
     run("wav decode→feats ", synth_wav, ddl, audio_features_np)
     run("y4m decode→frames", synth_y4m, ddl, video_frame_features_np)
 
