@@ -28,11 +28,13 @@ DCT family — effectively every JPEG on the web:
   level shift → JFIF YCbCr→RGB.
 
 - SOF9 SEQUENTIAL ARITHMETIC (QM coder, T.81 Annex D + F.1.4
-  conditioning, DAC parsing) via :mod:`dstlr_spark.operators.
-  jpeg_arith` — gated by exact pixel equality with the Huffman twin
-  (same quantized coefficients under both entropy layers).
+  conditioning, DAC parsing) and SOF10 PROGRESSIVE ARITHMETIC (the
+  SOF2 scan structure over the QM coder, T.81 G.2) via
+  :mod:`dstlr_spark.operators.jpeg_arith` — gated by exact pixel
+  equality with the Huffman twins (same quantized coefficients under
+  both entropy layers).
 
-Progressive/lossless arithmetic (SOF10/11), hierarchical/differential
+Lossless arithmetic (SOF11), hierarchical/differential
 modes, 12-bit DCT precision, and CMYK raise ``NotImplementedError`` —
 genuinely different coefficient machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
@@ -294,12 +296,13 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _build_huffman(counts, seg[s : s + total])
                 s += total
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1 baseline,
-            # SOF2 progressive, SOF3 lossless (predictive, Huffman),
-            # SOF9 sequential arithmetic (QM coder, jpeg_arith)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1
+            # baseline, SOF2 progressive, SOF3 lossless (predictive,
+            # Huffman), SOF9 sequential arithmetic (QM coder,
+            # jpeg_arith), SOF10 progressive arithmetic
             prec = seg[0]
             lossless = marker == 0xC3
-            arith = marker == 0xC9
+            arith = marker in (0xC9, 0xCA)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(
@@ -323,11 +326,11 @@ def decode_jpeg(b: bytes):
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
             precision = prec
-            progressive = marker == 0xC2
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD,
+            progressive = marker in (0xC2, 0xCA)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD,
                         0xCE, 0xCF):
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (progressive-arithmetic/"
+                f"STUB: JPEG SOF {marker:#x} (lossless-arithmetic/"
                 "hierarchical/differential modes)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
@@ -377,6 +380,19 @@ def decode_jpeg(b: bytes):
                     b, pos, frame, scan, precision, ss, ahal & 15,
                     htables, restart_interval,
                 )
+            if arith and progressive:
+                from dstlr_spark.operators.jpeg_arith import (
+                    decode_progressive_scan_arith,
+                )
+
+                if coefs is None:
+                    coefs = _alloc_coefs(frame)
+                pos = decode_progressive_scan_arith(
+                    b, pos, frame, scan, ss, se, ahal >> 4, ahal & 15,
+                    dac_dc, dac_ac, coefs, restart_interval,
+                )
+                scans_done += 1
+                continue
             if arith:
                 from dstlr_spark.operators.jpeg_arith import decode_scan_arith
 

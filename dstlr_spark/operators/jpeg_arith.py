@@ -1,7 +1,10 @@
-"""Arithmetic-coded JPEG (SOF9): the QM coder + T.81 F.1.4 statistics.
+"""Arithmetic-coded JPEG (SOF9 + SOF10): QM coder + T.81 statistics.
 
-Sequential DCT with arithmetic entropy coding — the JPEG mode the
-round-4/5 codec work left stubbed. Both directions live here:
+Sequential DCT with arithmetic entropy coding (SOF9), plus
+PROGRESSIVE arithmetic (SOF10: the SOF2 spectral-selection /
+successive-approximation scan structure over the same QM coder and
+statistical models — see :func:`decode_progressive_scan_arith`).
+Both directions live here:
 
 - :class:`_ArithDecoder` / :class:`_ArithEncoder` — the QM binary
   arithmetic coder (T.81 Annex D): 16-bit probability interval with
@@ -356,17 +359,24 @@ def _encode_dc_diff(enc, stats, ctx, diff, lo_half, hi_half):
     return nxt
 
 
-def _decode_ac_block(dec, stats, fixed, kx, coef, zigzag):
-    """AC coefficients k=1..63 into ``coef`` (natural order)."""
-    k = 1
-    while k <= 63:
+def _decode_ac_block(dec, stats, fixed, kx, coef, zigzag,
+                     band_lo=1, band_hi=63, al=0):
+    """AC coefficients of one spectral band into ``coef`` (natural
+    order). Sequential scans use the full band (1, 63) at shift 0;
+    progressive AC-first scans (T.81 G.2 / the jdarith decode walk)
+    pass their (Ss, Se) band and deliver values at precision
+    ``al`` — decoded magnitudes land ``<< al``. The statistics-bin
+    key stays 3·(k−1) on the ABSOLUTE zigzag index, so band splits
+    share no adaptive state across k."""
+    k = band_lo
+    while k <= band_hi:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             return  # EOB
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > band_hi:
                 raise ValueError("JPEG arithmetic AC run past block end")
         sign = dec.decode(fixed, 0)
         st += 2
@@ -388,28 +398,30 @@ def _decode_ac_block(dec, stats, fixed, kx, coef, zigzag):
             if dec.decode(stats, st):
                 v |= m
         v += 1
-        coef[zigzag[k]] = -v if sign else v
+        coef[zigzag[k]] = (-v if sign else v) << al
         k += 1
 
 
-def _encode_ac_block(enc, stats, fixed, kx, vals_zz):
-    """``vals_zz``: the 63 AC values in ZIGZAG order (index 1..63)."""
-    ke = 63
-    while ke > 0 and vals_zz[ke] == 0:
+def _encode_ac_block(enc, stats, fixed, kx, vals_zz,
+                     band_lo=1, band_hi=63, al=0):
+    """``vals_zz``: the block in ZIGZAG order; codes the (band_lo,
+    band_hi) band at point transform ``al`` (magnitude shift,
+    truncation toward zero — T.81 G.1.2.2)."""
+    ke = band_hi
+    while ke >= band_lo and (abs(int(vals_zz[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = band_lo
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)  # not EOB yet
-        while vals_zz[k] == 0:
+        while (abs(int(vals_zz[k])) >> al) == 0:
             enc.encode(stats, st + 1, 0)
             st += 3
             k += 1
         enc.encode(stats, st + 1, 1)
-        v = vals_zz[k]
-        sign = 1 if v < 0 else 0
-        if sign:
-            v = -v
+        raw = int(vals_zz[k])
+        v = abs(raw) >> al
+        sign = 1 if raw < 0 else 0
         enc.encode(fixed, 0, sign)
         st += 2
         m = 0
@@ -434,7 +446,77 @@ def _encode_ac_block(enc, stats, fixed, kx, vals_zz):
             mm >>= 1
             enc.encode(stats, st, 1 if (mm & v) else 0)
         k += 1
-    if k <= 63:
+    if k <= band_hi:
+        enc.encode(stats, 3 * (k - 1), 1)  # EOB
+
+
+def _decode_ac_refine(dec, stats, fixed, coef, zigzag, band_lo, band_hi, al):
+    """AC successive-approximation refinement of one block's band
+    (T.81 G.2 / the jdarith AC_refine walk): already-nonzero
+    coefficients pay one adaptive correction decision each (bin
+    st+2); zero-HISTORY positions walk st+1 decisions until a newly
+    nonzero ±1<<al coefficient whose sign rides the fixed bin; the
+    EOB decision (bin st) is consulted only past kex, the last
+    position nonzero BEFORE this scan."""
+    p1 = 1 << al
+    kex = band_hi
+    while kex > 0 and int(coef[zigzag[kex]]) == 0:
+        kex -= 1
+    k = band_lo
+    while k <= band_hi:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats, st):
+            return  # EOB
+        while True:
+            z = zigzag[k]
+            v = int(coef[z])
+            if v:  # previously nonzero: one correction decision
+                if dec.decode(stats, st + 2):
+                    coef[z] = v + (p1 if v > 0 else -p1)
+                break
+            if dec.decode(stats, st + 1):  # newly nonzero
+                coef[z] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > band_hi:
+                raise ValueError(
+                    "JPEG arithmetic AC refinement past band end"
+                )
+        k += 1
+
+
+def _encode_ac_refine(enc, stats, fixed, vals_zz, band_lo, band_hi, al):
+    """Refinement twin of :func:`_decode_ac_refine`; ``vals_zz`` is
+    the FULL-precision block in zigzag order (history = values at
+    precision al+1, this scan delivers bit ``al``)."""
+    ah = al + 1
+    ke = band_hi
+    while ke >= band_lo and (abs(int(vals_zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex > 0 and (abs(int(vals_zz[kex])) >> ah) == 0:
+        kex -= 1
+    k = band_lo
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(stats, st, 0)  # band continues past history EOB
+        while True:
+            raw = int(vals_zz[k])
+            t = abs(raw) >> al
+            if t:
+                if t >> 1:  # previously nonzero: correction bit
+                    enc.encode(stats, st + 2, t & 1)
+                else:  # newly nonzero at this precision
+                    enc.encode(stats, st + 1, 1)
+                    enc.encode(fixed, 0, 1 if raw < 0 else 0)
+                break
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= band_hi:
         enc.encode(stats, 3 * (k - 1), 1)  # EOB
 
 
@@ -598,5 +680,295 @@ def encode_jpeg_arith(img, quant=None, subsample="444",
                     )
                     _encode_ac_block(enc, astat, fixed, kx, qz)
     out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Progressive arithmetic (SOF10): the SOF2 scan structure over the QM coder
+# --------------------------------------------------------------------------
+
+
+def decode_progressive_scan_arith(b, pos, frame, scan, ss, se, ah, al,
+                                  dc_cond, ac_cond, coefs,
+                                  restart_interval):
+    """Decode ONE progressive-arithmetic scan (T.81 G.2, marker
+    SOF10 = 0xCA) into the shared raw coefficient stores, returning
+    the offset of the marker that ended it — the arithmetic twin of
+    ``jpeg._decode_progressive_scan``. Scan grammar is identical to
+    SOF2 (spectral selection + successive approximation); the entropy
+    layer differs: every scan is an independent QM stream with FRESH
+    statistics areas (per jdarith start_pass semantics), DC scans use
+    the F.1.4.4.1 difference model on the point-transformed domain,
+    DC refinement is one fixed-bin raw decision per block, AC-first
+    is the sequential AC model restricted to the (Ss, Se) band, and
+    AC refinement is the st/st+1/st+2 walk of
+    :func:`_decode_ac_refine`. There are no EOBn run symbols in
+    arithmetic coding — the per-block EOB decision replaces them.
+    Restart markers reset the coder, all statistics, DC predictors
+    AND conditioning contexts."""
+    from dstlr_spark.operators.jpeg import (
+        _ZIGZAG,
+        _entropy_segments,
+        _sampling,
+    )
+
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    idxs = []
+    for cs, td, ta in scan:
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not match:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        idxs.append((match[0], td, ta))
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("JPEG progressive scan mixes DC and AC bands")
+    if not dc_scan and (len(idxs) != 1 or not 1 <= ss <= se <= 63):
+        raise ValueError("JPEG progressive AC scan header invalid")
+    if al > 13 or ah > 13 or (ah and ah != al + 1):
+        raise ValueError("JPEG successive-approximation bits invalid")
+
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    zz = list(_ZIGZAG)
+
+    def _comp_blocks(ci):
+        _, ch_, cv, _ = comps[ci]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    state = {"seg": 0}
+
+    def _fresh():
+        dec = _ArithDecoder(segs[state["seg"]][0])
+        dstats = {td: bytearray(_DC_STAT_BINS) for _, td, _ in idxs}
+        astats = {ta: bytearray(_AC_STAT_BINS) for _, _, ta in idxs}
+        fixed = bytearray([_FIXED])
+        return dec, dstats, astats, fixed, [0] * len(idxs), [0] * len(idxs)
+
+    def _restart(unit, cur):
+        if restart_interval and unit and unit % restart_interval == 0:
+            closing = segs[state["seg"]][1]
+            if closing is None or closing != (
+                unit // restart_interval - 1
+            ) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            state["seg"] += 1
+            if state["seg"] >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            return _fresh()
+        return cur
+
+    cur = _fresh()
+
+    if dc_scan:
+        conds = []
+        for _, td, _ in idxs:
+            ll, uu = dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+            conds.append(((1 << ll) >> 1, (1 << uu) >> 1))
+
+        def _dc_one(block, si, cur):
+            dec, dstats, _, fixed, ctxs, preds = cur
+            if ah == 0:
+                lo, hi = conds[si]
+                diff, ctxs[si] = _decode_dc_diff(
+                    dec, dstats[idxs[si][1]], ctxs[si], lo, hi
+                )
+                preds[si] += diff
+                block[0] = preds[si] << al
+            elif dec.decode(fixed, 0):
+                block[0] = int(block[0]) | (1 << al)
+
+        if len(idxs) > 1:  # interleaved MCU traversal, pads included
+            for m in range(mcus_x * mcus_y):
+                cur = _restart(m, cur)
+                my, mx = divmod(m, mcus_x)
+                for si, (ci, td, ta) in enumerate(idxs):
+                    _, ch_, cv, _ = comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            _dc_one(
+                                coefs[ci][my * cv + by, mx * ch_ + bx],
+                                si, cur,
+                            )
+        else:
+            ci = idxs[0][0]
+            bh_, bw_ = _comp_blocks(ci)
+            for m in range(bh_ * bw_):
+                cur = _restart(m, cur)
+                row, col = divmod(m, bw_)
+                _dc_one(coefs[ci][row, col], 0, cur)
+        return end
+
+    ci, td, ta = idxs[0]
+    kx = ac_cond.get(ta, DEFAULT_AC_KX)
+    bh_, bw_ = _comp_blocks(ci)
+    arr = coefs[ci]
+    for m in range(bh_ * bw_):
+        cur = _restart(m, cur)
+        dec, _, astats, fixed, _, _ = cur
+        row, col = divmod(m, bw_)
+        blk = arr[row, col]
+        if ah == 0:
+            _decode_ac_block(dec, astats[ta], fixed, kx, blk, zz, ss, se, al)
+        else:
+            _decode_ac_refine(dec, astats[ta], fixed, blk, zz, ss, se, al)
+    return end
+
+
+def encode_jpeg_progressive_arith(
+    img,
+    quant=None,
+    subsample="444",
+    dc_al=1,
+    ac_al=1,
+    bands=((1, 5), (6, 63)),
+    restart_interval=0,
+    dc_cond=None,
+    ac_kx=None,
+) -> bytes:
+    """Encode a REAL progressive-arithmetic JPEG (SOF10) carrying the
+    SAME quantized coefficients ``jpeg.encode_jpeg`` emits, with the
+    SAME scan script as ``jpeg.encode_jpeg_progressive`` — so
+    ``decode(SOF10) == decode(SOF0) == decode(SOF2)`` bit for bit
+    (the equality gate in tests/test_jpeg.py). Scan script:
+    interleaved DC first at precision ``dc_al`` then fixed-bin DC
+    refinements down to 0; per component and spectral band in
+    ``bands``, an AC-first scan at precision ``ac_al`` then AC
+    refinement scans. Every scan is an independent QM stream with
+    fresh statistics; ``restart_interval`` > 0 emits DRI + RSTn in
+    every scan with full state reset."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import (
+        _ZIGZAG,
+        _emit_sos,
+        _quantize_blocks,
+    )
+
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
+    out = bytearray(b"\xff\xd8")
+    qzz = np.asarray(quant).reshape(-1)[list(_ZIGZAG)].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch_, cv, tq in comps:
+        sof += bytes([cid, (ch_ << 4) | cv, tq])
+    out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof
+    ll, uu = dc_cond if dc_cond is not None else (DEFAULT_DC_L, DEFAULT_DC_U)
+    kx = ac_kx if ac_kx is not None else DEFAULT_AC_KX
+    if not 0 <= ll <= uu <= 15:
+        raise ValueError(f"DC conditioning ({ll}, {uu}) invalid")
+    if not 1 <= kx <= 63:
+        raise ValueError(f"AC Kx {kx} out of range")
+    if dc_cond is not None or ac_kx is not None:
+        body = bytes([0x00, (uu << 4) | ll, 0x10, kx])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    lo, hi = (1 << ll) >> 1, (1 << uu) >> 1
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def comp_grid(ci):
+        _, ch_, cv, _ = comps[ci]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    def run_scan(units, emit_unit, fresh):
+        nonlocal out
+        cur = fresh()
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                out += cur[0].finish()
+                out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                cur = fresh()
+            emit_unit(cur, m)
+        out += cur[0].finish()
+
+    # ---- DC scans (interleaved over all components) ----
+    def dc_fresh():
+        return (_ArithEncoder(), bytearray(_DC_STAT_BINS),
+                [0] * len(comps), [0] * len(comps))
+
+    def dc_first(cur, m):
+        enc, dstat, ctxs, preds = cur
+        my, mx = divmod(m, mcus_x)
+        for ci, (cid, ch_, cv, tq) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch_):
+                    d = int(blocks[ci][my * cv + by, mx * ch_ + bx, 0]) >> dc_al
+                    diff = d - preds[ci]
+                    preds[ci] = d
+                    ctxs[ci] = _encode_dc_diff(
+                        enc, dstat, ctxs[ci], diff, lo, hi
+                    )
+
+    out += _emit_sos([c[0] for c in comps], 0, 0, 0, dc_al)
+    run_scan(mcus_x * mcus_y, dc_first, dc_fresh)
+
+    def fixed_fresh():
+        return (_ArithEncoder(), bytearray([_FIXED]))
+
+    for al in range(dc_al - 1, -1, -1):
+
+        def dc_refine(cur, m, al=al):
+            enc, fixed = cur
+            my, mx = divmod(m, mcus_x)
+            for ci, (cid, ch_, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch_):
+                        d = int(blocks[ci][my * cv + by, mx * ch_ + bx, 0])
+                        enc.encode(fixed, 0, (d >> al) & 1)
+
+        out += _emit_sos([c[0] for c in comps], 0, 0, al + 1, al)
+        run_scan(mcus_x * mcus_y, dc_refine, fixed_fresh)
+
+    # ---- AC scans (single component, one spectral band each) ----
+    def ac_fresh():
+        return (_ArithEncoder(), bytearray(_AC_STAT_BINS),
+                bytearray([_FIXED]))
+
+    for ci, (cid, ch_, cv, tq) in enumerate(comps):
+        bh_, bw_ = comp_grid(ci)
+        for ss, se in bands:
+            if not 1 <= ss <= se <= 63:
+                raise ValueError(f"invalid spectral band ({ss}, {se})")
+
+            def ac_first(cur, m, ci=ci, bw_=bw_, ss=ss, se=se):
+                enc, astat, fixed = cur
+                row, col = divmod(m, bw_)
+                _encode_ac_block(
+                    enc, astat, fixed, kx,
+                    blocks[ci][row, col].tolist(), ss, se, ac_al,
+                )
+
+            out += _emit_sos([cid], ss, se, 0, ac_al)
+            run_scan(bh_ * bw_, ac_first, ac_fresh)
+
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+
+                def ac_refine(cur, m, ci=ci, bw_=bw_, ss=ss, se=se, al=al):
+                    enc, astat, fixed = cur
+                    row, col = divmod(m, bw_)
+                    _encode_ac_refine(
+                        enc, astat, fixed,
+                        blocks[ci][row, col].tolist(), ss, se, al,
+                    )
+
+                out += _emit_sos([cid], ss, se, al + 1, al)
+                run_scan(bh_ * bw_, ac_refine, ac_fresh)
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -358,12 +358,13 @@ def decode_rgb_bytes(b: bytes):
     - LOSSLESS JPEG (SOF3, all seven predictors, 2-16 bit precision,
       point transform, restarts) via the same module — exact, so it
       DOES join the planted-pixel equality tests; 16-bit → uint16;
-    - SEQUENTIAL ARITHMETIC JPEG (SOF9: QM coder + DAC conditioning,
-      :mod:`dstlr_spark.operators.jpeg_arith`) — gated by exact
-      equality with the Huffman twin's decode.
+    - ARITHMETIC JPEG, sequential AND progressive (SOF9/SOF10: QM
+      coder + DAC conditioning, :mod:`dstlr_spark.operators.
+      jpeg_arith`) — gated by exact equality with the Huffman twins'
+      decode.
 
-    Progressive/lossless-arithmetic (SOF10/11) and hierarchical JPEG
-    raise NotImplementedError — the only remaining image stub surface.
+    Lossless-arithmetic (SOF11) and hierarchical JPEG raise
+    NotImplementedError — the only remaining image stub surface.
     """
     import numpy as np
 

@@ -576,7 +576,7 @@ def test_arith_malformed_and_stub_contract():
     good = encode_jpeg_arith(img)
     sof_at = good.find(b"\xff\xc9")
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xCA  # SOF10 progressive arithmetic: honest stub
+    bad[sof_at + 1] = 0xCB  # SOF11 lossless arithmetic: honest stub
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     # DAC with invalid conditioning values
@@ -628,3 +628,125 @@ def test_fuzz_arith_equals_baseline(w, h, seed, color, subsample, ri, qscale):
         encode_jpeg_arith(img, quant=q, subsample=sub, restart_interval=ri)
     )
     assert (ar == base).all()
+
+
+# --------------------------------------------------------------------------
+# SOF10 progressive arithmetic — the SOF2 scan structure over the QM
+# coder; gate: exact pixel equality vs BOTH Huffman twins (baseline and
+# progressive), since all three emit identical quantized coefficients
+# --------------------------------------------------------------------------
+
+
+def test_progressive_arith_equals_baseline_suite():
+    """decode(SOF10) == decode(SOF0) == decode(SOF2) bit for bit
+    across gray/RGB, 4:4:4/4:2:0, MCU-padding frame sizes, scan-script
+    knobs (approximation depths incl. Al=0, narrow spectral bands),
+    restart intervals (per-scan QM + statistics + predictor reset),
+    and DAC conditioning."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+    from dstlr_spark.operators.jpeg_arith import (
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(31)
+    for w, h in ((8, 8), (24, 16), (5, 7), (1, 1)):
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive_arith(img))
+            == decode_jpeg(encode_jpeg(img))
+        ).all(), (w, h)
+    img = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample="420"))
+    for dc_al, ac_al, bands, ri, cond in (
+        (1, 1, ((1, 5), (6, 63)), 0, {}),
+        (2, 2, ((1, 2), (3, 9), (10, 63)), 0, {}),
+        (0, 0, ((1, 63),), 0, {}),
+        (1, 3, ((1, 5), (6, 63)), 2, {}),
+        (3, 2, ((1, 1), (2, 63)), 1, {}),
+        (1, 1, ((1, 5), (6, 63)), 0, dict(dc_cond=(1, 3), ac_kx=20)),
+    ):
+        payload = encode_jpeg_progressive_arith(
+            img, subsample="420", dc_al=dc_al, ac_al=ac_al,
+            bands=bands, restart_interval=ri, **cond,
+        )
+        assert (decode_jpeg(payload) == base).all(), (
+            dc_al, ac_al, bands, ri, cond,
+        )
+        if cond:
+            assert b"\xff\xcc" in payload  # DAC emitted and honored
+    # and vs the progressive HUFFMAN twin on the same scan script
+    assert (
+        decode_jpeg(encode_jpeg_progressive_arith(img, subsample="420"))
+        == decode_jpeg(encode_jpeg_progressive(img, subsample="420"))
+    ).all()
+
+
+def test_progressive_arith_malformed_contract():
+    """Malformed SOF10 streams raise ValueError (package decoder
+    exception contract): DC/AC band mixing, band bounds, bad
+    successive-approximation pairs, restart without DRI."""
+    from dstlr_spark.operators.jpeg_arith import (
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    good = encode_jpeg_progressive_arith(img)
+    # first SOS is the DC scan of the single gray component:
+    # FFDA len2 ns(=1) (cid,tables) Ss Se AhAl → Se at +8, AhAl at +9
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 8] = 7  # Se != 0 on a DC scan
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sos_at + 9] = 0x75  # Ah=7 with Al=5: not a refinement chain
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    ri = encode_jpeg_progressive_arith(img, restart_interval=1)
+    dri_at = ri.find(b"\xff\xdd")
+    with pytest.raises(ValueError):
+        decode_jpeg(ri[:dri_at] + ri[dri_at + 6 :])
+    # truncation before any scan completes the frame
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:sos_at] + b"\xff\xd9")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    subsample=st.sampled_from(["444", "420"]),
+    dc_al=st.integers(0, 3),
+    ac_al=st.integers(0, 3),
+    split=st.integers(1, 62),
+    ri=st.integers(0, 3),
+    qscale=st.integers(1, 40),
+)
+def test_fuzz_progressive_arith_equals_baseline(
+    w, h, seed, color, subsample, dc_al, ac_al, split, ri, qscale
+):
+    from dstlr_spark.operators.jpeg_arith import (
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    sub = subsample if color else "444"
+    q = np.clip(np.arange(64).reshape(8, 8) * qscale // 8 + 1, 1, 255).astype(
+        np.int32
+    )
+    base = decode_jpeg(
+        encode_jpeg(img, quant=q, subsample=sub, restart_interval=ri)
+    )
+    pa = decode_jpeg(
+        encode_jpeg_progressive_arith(
+            img, quant=q, subsample=sub, dc_al=dc_al, ac_al=ac_al,
+            bands=((1, split), (split + 1, 63)) if split < 63 else ((1, 63),),
+            restart_interval=ri,
+        )
+    )
+    assert (pa == base).all()

@@ -138,19 +138,19 @@ def test_unsupported_codecs_raise_not_implemented():
     from dstlr_spark.operators.multimodal import decode_rgb_bytes
 
     # JPEG now routes to the real decoder (baseline, progressive,
-    # lossless AND sequential-arithmetic): garbage after SOI is
-    # CORRUPT (ValueError); progressive arithmetic (SOF10) is the
-    # honest stub
+    # lossless AND arithmetic incl. progressive-arithmetic SOF10):
+    # garbage after SOI is CORRUPT (ValueError); lossless-arithmetic
+    # (SOF11) is the honest stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(b"\xff\xd8\xff" + b"\0" * 32)
-    sof10 = (
-        b"\xff\xd8\xff\xca"
+    sof11 = (
+        b"\xff\xd8\xff\xcb"
         + struct.pack(">H", 2 + 6 + 3)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
     with pytest.raises(NotImplementedError):
-        decode_rgb_bytes(sof10)
+        decode_rgb_bytes(sof11)
     # 8-bit paletted BMP: real header, unsupported bpp
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
