@@ -296,13 +296,14 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _build_huffman(counts, seg[s : s + total])
                 s += total
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1
-            # baseline, SOF2 progressive, SOF3 lossless (predictive,
-            # Huffman), SOF9 sequential arithmetic (QM coder,
-            # jpeg_arith), SOF10 progressive arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # SOF0/1 baseline, SOF2 progressive, SOF3 lossless
+            # (predictive, Huffman), SOF9 sequential arithmetic (QM
+            # coder, jpeg_arith), SOF10 progressive arithmetic,
+            # SOF11 lossless arithmetic
             prec = seg[0]
-            lossless = marker == 0xC3
-            arith = marker in (0xC9, 0xCA)
+            lossless = marker in (0xC3, 0xCB)
+            arith = marker in (0xC9, 0xCA, 0xCB)
             if lossless:
                 if not 2 <= prec <= 16:
                     raise ValueError(
@@ -327,11 +328,10 @@ def decode_jpeg(b: bytes):
             frame = (h, w, comps)
             precision = prec
             progressive = marker in (0xC2, 0xCA)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD,
-                        0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (lossless-arithmetic/"
-                "hierarchical/differential modes)"
+                f"STUB: JPEG SOF {marker:#x} (hierarchical/"
+                "differential modes)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             s = 0
@@ -376,6 +376,15 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG lossless scan header invalid")
                 if (ahal & 15) >= precision:
                     raise ValueError("JPEG lossless point transform >= P")
+                if arith:
+                    from dstlr_spark.operators.jpeg_arith import (
+                        decode_lossless_scan_arith,
+                    )
+
+                    return decode_lossless_scan_arith(
+                        b, pos, frame, scan, precision, ss, ahal & 15,
+                        dac_dc, restart_interval,
+                    )
                 return _decode_lossless_scan(
                     b, pos, frame, scan, precision, ss, ahal & 15,
                     htables, restart_interval,

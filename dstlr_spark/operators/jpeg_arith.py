@@ -972,3 +972,297 @@ def encode_jpeg_progressive_arith(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Lossless arithmetic (SOF11): Annex-H prediction over the QM coder
+# --------------------------------------------------------------------------
+
+#: lossless statistics area (T.81 H.1.2): 25 gradient-conditioned
+#: context groups × 4 decision bins (S0/SS/SP/SN) = bins 0-99, then
+#: TWO magnitude runs of 29 bins each (X1-X15 + the per-category
+#: shared-M bins at +14), selected by whether the vertical gradient
+#: Db classifies as large — 158 bins total.
+_LL_STAT_BINS = 158
+_LL_X_BASE = (100, 129)
+
+
+def _ll_category(d: int, lo: int, hi: int) -> int:
+    """Classify one coded difference for conditioning (the DC model's
+    F.1.4.4.1.4 rule applied to a gradient): 0 = zero/near-zero
+    (magnitude base m < lo), 1/2 = small +/−, 3/4 = large +/−."""
+    if d == 0:
+        return 0
+    sz = (d if d > 0 else -d) - 1
+    m = 0 if sz == 0 else 1 << (sz.bit_length() - 1)
+    if m < lo:
+        return 0
+    if m <= hi:
+        return 1 if d > 0 else 2
+    return 3 if d > 0 else 4
+
+
+def _decode_ll_diff(dec, stats, cat_a, cat_b, lo, hi):
+    """One lossless difference off the decoder, conditioned on the
+    (left, above) gradient categories; returns (diff, category)."""
+    s0 = 4 * (cat_b * 5 + cat_a)
+    if dec.decode(stats, s0) == 0:
+        return 0, 0
+    sign = dec.decode(stats, s0 + 1)
+    st = s0 + 2 + sign
+    m = dec.decode(stats, st)
+    if m:
+        st = _LL_X_BASE[1 if cat_b >= 3 else 0]
+        while dec.decode(stats, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("JPEG arithmetic lossless magnitude overflow")
+            st += 1
+    if m < lo:
+        cat = 0
+    elif m <= hi:
+        cat = 1 + sign
+    else:
+        cat = 3 + sign
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), cat
+
+
+def _encode_ll_diff(enc, stats, cat_a, cat_b, diff, lo, hi):
+    """Twin of :func:`_decode_ll_diff`; returns the coded diff's
+    category for the caller's gradient bookkeeping."""
+    s0 = 4 * (cat_b * 5 + cat_a)
+    if diff == 0:
+        enc.encode(stats, s0, 0)
+        return 0
+    enc.encode(stats, s0, 1)
+    sign = 1 if diff < 0 else 0
+    v = -diff if sign else diff
+    enc.encode(stats, s0 + 1, sign)
+    st = s0 + 2 + sign
+    m = 0
+    v -= 1
+    if v:
+        enc.encode(stats, st, 1)
+        m = 1
+        v2 = v
+        st = _LL_X_BASE[1 if cat_b >= 3 else 0]
+        while v2 > 1:
+            v2 >>= 1
+            enc.encode(stats, st, 1)
+            m <<= 1
+            st += 1
+    enc.encode(stats, st, 0)
+    if m < lo:
+        cat = 0
+    elif m <= hi:
+        cat = 1 + sign
+    else:
+        cat = 3 + sign
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(stats, st, 1 if (mm & v) else 0)
+    return cat
+
+
+def _ll_predict(p, r, c, predictor, default, reset):
+    """Shared Annex-H prediction (H.1.2.1 + the H.2.3 boundary rules
+    the SOF3 path pins): scan/restart start predicts 2^(P−Pt−1), the
+    rest of the first line predicts Ra, the first column Rb."""
+    if reset:
+        return default
+    if r == 0:
+        return p[0][c - 1]
+    if c == 0:
+        return p[r - 1][0]
+    row, above = p[r], p[r - 1]
+    ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc_
+    if predictor == 4:
+        return ra + rb - rc_
+    if predictor == 5:
+        return ra + ((rb - rc_) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc_) >> 1)
+    return (ra + rb) >> 1
+
+
+def decode_lossless_scan_arith(
+    b, pos, frame, scan, prec, predictor, pt, dc_cond, restart_interval
+):
+    """SOF11 lossless-arithmetic scan: the SOF3 prediction walk
+    (identical predictors, modulo-2^16 arithmetic, boundary and
+    restart rules — see ``jpeg._decode_lossless_scan``) with the
+    entropy layer swapped for the QM coder under the T.81 H.1.2
+    statistical model: each difference rides the F.1.4.4.1 decision
+    tree conditioned on the 5×5 classification of the two neighbor
+    gradients Da (left) and Db (above), with the magnitude-run bins
+    split on Db-large. Conditioning thresholds come from the DC
+    (Tc=0) DAC table, as in sequential mode. Gradients outside the
+    scan or before the last restart classify as zero. Exact by
+    construction, so round-trip equality — not tolerance — is the
+    gate."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import _entropy_segments
+
+    h, w, comps = frame
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError(
+            "STUB: lossless JPEG with sampling factors != 1x1"
+        )
+    conds = []
+    for (cid, ch_, cv, tq), (scid, td, ta) in zip(comps, scan):
+        if cid != scid:
+            raise ValueError("JPEG scan component order differs from frame")
+        ll, uu = dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+        conds.append((td, (1 << ll) >> 1, (1 << uu) >> 1))
+    segs, _end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    default = 1 << (prec - pt - 1)
+    nc = len(comps)
+    planes = [[[0] * w for _ in range(h)] for _ in range(nc)]
+
+    def fresh(seg_i):
+        return (
+            _ArithDecoder(segs[seg_i][0]),
+            {td: bytearray(_LL_STAT_BINS) for td, _, _ in conds},
+            [[0] * w for _ in range(nc)],  # per-column Db categories
+            [0] * nc,  # Da category (left neighbor, current row)
+        )
+
+    seg_i = 0
+    dec, stats, cat_above, cat_left = fresh(0)
+    reset = True
+    last_reset_m = 0
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            dec, stats, cat_above, cat_left = fresh(seg_i)
+            reset = True
+            last_reset_m = m
+        r, c = divmod(m, w)
+        if c == 0:
+            cat_left = [0] * nc
+        for ci in range(nc):
+            td, lo, hi = conds[ci]
+            # Db from the sample above only if it was coded AFTER the
+            # last restart (gradients do not cross restart boundaries)
+            cb = cat_above[ci][c] if m - last_reset_m >= w else 0
+            d, cat = _decode_ll_diff(
+                dec, stats[td], cat_left[ci], cb, lo, hi
+            )
+            p = planes[ci]
+            px = _ll_predict(p, r, c, predictor, default, reset)
+            p[r][c] = (px + d) & 0xFFFF
+            cat_above[ci][c] = cat
+            cat_left[ci] = cat
+        reset = False
+    mask = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = np.array(planes, np.int64)
+    out = ((out << pt) & mask).astype(dtype)
+    if nc == 1:
+        return np.repeat(out[0][..., None], 3, axis=2)
+    return np.stack([out[0], out[1], out[2]], axis=2)
+
+
+def encode_jpeg_lossless_arith(
+    img, predictor=4, point_transform=0, restart_interval=0, dc_cond=None
+) -> bytes:
+    """Encode a REAL lossless-arithmetic JPEG (SOF11) — the
+    fixture-side twin of :func:`decode_lossless_scan_arith`, sharing
+    ``jpeg.encode_jpeg_lossless``'s prediction semantics exactly, so
+    ``decode(encode_jpeg_lossless_arith(x, Pt)) == (x >> Pt) << Pt``
+    bit for bit (and equals the SOF3 decode of the same image).
+    uint8 input encodes at 8-bit precision, uint16 at 16-bit."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import _emit_sos
+
+    arr = np.asarray(img)
+    prec = 16 if arr.dtype == np.uint16 else 8
+    if not 0 <= point_transform < prec:
+        raise ValueError(f"point transform {point_transform} out of range")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} out of range")
+    gray = arr.ndim == 2
+    shifted = arr.astype(np.int64) >> point_transform
+    planes = (
+        [shifted.tolist()]
+        if gray
+        else [shifted[..., i].tolist() for i in range(3)]
+    )
+    h, w = arr.shape[:2]
+    comp_ids = [1] if gray else [1, 2, 3]
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, len(comp_ids))
+    for cid in comp_ids:
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling; Tq unused in SOF11
+    out += b"\xff\xcb" + struct.pack(">H", 2 + len(sof)) + sof
+    ll, uu = dc_cond if dc_cond is not None else (DEFAULT_DC_L, DEFAULT_DC_U)
+    if not 0 <= ll <= uu <= 15:
+        raise ValueError(f"DC conditioning ({ll}, {uu}) invalid")
+    if dc_cond is not None:
+        body = bytes([0x00, (uu << 4) | ll])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += _emit_sos(comp_ids, predictor, 0, 0, point_transform)
+    lo, hi = (1 << ll) >> 1, (1 << uu) >> 1
+    default = 1 << (prec - point_transform - 1)
+    nc = len(planes)
+
+    def fresh():
+        return (
+            _ArithEncoder(),
+            bytearray(_LL_STAT_BINS),
+            [[0] * w for _ in range(nc)],
+            [0] * nc,
+        )
+
+    enc, stats, cat_above, cat_left = fresh()
+    reset = True
+    last_reset_m = 0
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.finish()
+            out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            enc, stats, cat_above, cat_left = fresh()
+            reset = True
+            last_reset_m = m
+        r, c = divmod(m, w)
+        if c == 0:
+            cat_left = [0] * nc
+        for ci, p in enumerate(planes):
+            px = _ll_predict(p, r, c, predictor, default, reset)
+            d = ((p[r][c] - px + 32768) & 0xFFFF) - 32768
+            if d == -32768:
+                d = 32768  # ≡ +32768 mod 2^16 (the SOF3 SSSS=16 case)
+            cb = cat_above[ci][c] if m - last_reset_m >= w else 0
+            cat = _encode_ll_diff(enc, stats, cat_left[ci], cb, d, lo, hi)
+            cat_above[ci][c] = cat
+            cat_left[ci] = cat
+        reset = False
+    out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -12,9 +12,9 @@ Adam7-interlaced — :func:`decode_png`), and GIF89a (pure-Python
 variable-width LZW, sequential and 4-pass interlaced —
 :func:`decode_gif`), with nearest-neighbor resize
 (:func:`resize_nearest`) on top; all value-gated end-to-end by the
-``mm_media_decode`` driver query over an EIGHT-VARIANT planted-pixel
+``mm_media_decode`` driver query over a NINE-VARIANT planted-pixel
 corpus (BMP / PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF /
-16-bit PNG / lossless JPEG). 16-bit samples decode to exact uint16 — the operator
+16-bit PNG / lossless JPEG / lossless-arithmetic JPEG). 16-bit samples decode to exact uint16 — the operator
 contract is ``array<int>``, never narrowed. PNG covers EVERY
 spec-valid (color, depth) combination — sub-byte bit-packed 1/2/4
 gray and palette, plus gray+alpha, included — and JPEG decodes
@@ -1740,9 +1740,9 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Eight-variant twin of :func:`synth_media_bmp`: the SAME planted
+    """Nine-variant twin of :func:`synth_media_bmp`: the SAME planted
     image per document (dims and pixels are functions of n_chars
-    alone), serialized per (n_chars DIV 7) MOD 8 — DIV 7 first so the
+    alone), serialized per (n_chars DIV 7) MOD 9 — DIV 7 first so the
     codec choice is independent of the (n_chars MOD 7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
     truecolor PNG (rotating per-row filters 0..4, every unfilter
@@ -1752,17 +1752,22 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     4-pass-interlaced GIF; 16-BIT truecolor PNG carrying the same
     sample values (<256, so the decoded uint16 array is value-equal to
     the uint8 planted array — the depth-16 byte layout and bpp-6
-    filter lookback get gated without breaking format blindness); and
+    filter lookback get gated without breaking format blindness);
     LOSSLESS JPEG (SOF3 predictor 4 — exact by construction, the one
-    JPEG mode whose decode can join a value-equality oracle). A
-    decoder is correct iff EVERY variant reproduces the identical
-    planted values — which is exactly what lets one format-agnostic
-    analytic oracle gate all of them."""
+    JPEG family whose decode can join a value-equality oracle); and
+    LOSSLESS-ARITHMETIC JPEG (SOF11 predictor 4 — the same exact
+    prediction walk under the QM coder). A decoder is correct iff
+    EVERY variant reproduces the identical planted values — which is
+    exactly what lets one format-agnostic analytic oracle gate all of
+    them."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+        from dstlr_spark.operators.jpeg_arith import (
+            encode_jpeg_lossless_arith,
+        )
 
         encoders = (
             encode_bmp,
@@ -1773,6 +1778,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: _encode_gif_rgb(a, interlace=True),
             lambda a: encode_png(a.astype(np.uint16)),
             lambda a: encode_jpeg_lossless(a, predictor=4),
+            lambda a: encode_jpeg_lossless_arith(a, predictor=4),
         )
         for pdf in batches:
             rows = []
@@ -1780,7 +1786,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 8](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 9](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

@@ -576,7 +576,7 @@ def test_arith_malformed_and_stub_contract():
     good = encode_jpeg_arith(img)
     sof_at = good.find(b"\xff\xc9")
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xCB  # SOF11 lossless arithmetic: honest stub
+    bad[sof_at + 1] = 0xC5  # SOF5 hierarchical: honest stub
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     # DAC with invalid conditioning values
@@ -750,3 +750,131 @@ def test_fuzz_progressive_arith_equals_baseline(
         )
     )
     assert (pa == base).all()
+
+
+# --------------------------------------------------------------------------
+# SOF11 lossless arithmetic — exact decode (round-trip equality is the
+# oracle) and twin-equality with the SOF3 Huffman decode
+# --------------------------------------------------------------------------
+
+
+def test_lossless_arith_roundtrip_all_predictors():
+    """decode(encode_lossless_arith(img, pred)) == img EXACTLY for
+    every H.1.2.1 predictor, gray and RGB, degenerate shapes included
+    — and equals the SOF3 Huffman twin's decode (same prediction
+    semantics, different entropy layer)."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(41)
+    for pred in range(1, 8):
+        img = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless_arith(img, predictor=pred))
+        assert out.shape == (13, 17, 3)
+        assert (out == np.repeat(img[..., None], 3, 2)).all(), pred
+    rgb = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_lossless_arith(rgb, predictor=4)) == rgb
+    ).all()
+    assert (
+        decode_jpeg(encode_jpeg_lossless_arith(rgb, predictor=4))
+        == decode_jpeg(encode_jpeg_lossless(rgb, predictor=4))
+    ).all()
+    for shape in [(1, 1), (1, 9), (9, 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_lossless_arith(img))[..., 0] == img
+        ).all()
+    # arithmetic coding beats the fixed Huffman table on random content
+    big = rng.integers(0, 256, size=(48, 48, 3), dtype=np.uint8)
+    assert len(encode_jpeg_lossless_arith(big)) < len(
+        encode_jpeg_lossless(big)
+    )
+
+
+def test_lossless_arith_16bit_pt_restarts_dac():
+    """16-bit precision (incl. the ±32768-class mod-2^16 differences
+    extreme alternation forces), point transform (round-trip identity
+    (x >> Pt) << Pt), restart intervals (QM + statistics + gradient +
+    prediction reset), and DAC conditioning — all exact."""
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(43)
+    img16 = rng.integers(0, 65536, size=(6, 9), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless_arith(img16))
+    assert out.dtype == np.uint16
+    assert (out[..., 0] == img16).all()
+    # extreme alternation: ±32768-class differences every sample
+    alt = np.zeros((4, 8), np.uint16)
+    alt[:, 1::2] = 65535
+    assert (
+        decode_jpeg(encode_jpeg_lossless_arith(alt, predictor=1))[..., 0]
+        == alt
+    ).all()
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    for pt in (1, 3):
+        got = decode_jpeg(encode_jpeg_lossless_arith(img, point_transform=pt))
+        assert (got == (img >> pt) << pt).all(), pt
+    base = decode_jpeg(encode_jpeg_lossless_arith(img))
+    for ri in (1, 2, 5):
+        assert (
+            decode_jpeg(encode_jpeg_lossless_arith(img, restart_interval=ri))
+            == base
+        ).all(), ri
+    payload = encode_jpeg_lossless_arith(img, dc_cond=(2, 5))
+    assert b"\xff\xcc" in payload
+    assert (decode_jpeg(payload) == base).all()
+
+
+def test_lossless_arith_malformed_contract():
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    good = encode_jpeg_lossless_arith(img)
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 7] = 0  # predictor 0 invalid
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sos_at + 9] = 8  # point transform >= precision
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    ri = encode_jpeg_lossless_arith(img, restart_interval=1)
+    dri_at = ri.find(b"\xff\xdd")
+    with pytest.raises(ValueError):
+        decode_jpeg(ri[:dri_at] + ri[dri_at + 6 :])
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless_arith(img, predictor=9)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless_arith(img, point_transform=8)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    pred=st.integers(1, 7),
+    pt=st.integers(0, 3),
+    ri=st.integers(0, 3),
+    deep=st.booleans(),
+)
+def test_fuzz_lossless_arith_exact(w, h, seed, color, pred, pt, ri, deep):
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    dt = np.uint16 if deep else np.uint8
+    img = rng.integers(0, 65536 if deep else 256, size=shape, dtype=dt)
+    out = decode_jpeg(
+        encode_jpeg_lossless_arith(
+            img, predictor=pred, point_transform=pt, restart_interval=ri
+        )
+    )
+    exp = (img >> pt) << pt
+    got = out if color else out[..., 0]
+    assert got.dtype == dt
+    assert (got == exp).all()

@@ -138,19 +138,19 @@ def test_unsupported_codecs_raise_not_implemented():
     from dstlr_spark.operators.multimodal import decode_rgb_bytes
 
     # JPEG now routes to the real decoder (baseline, progressive,
-    # lossless AND arithmetic incl. progressive-arithmetic SOF10):
-    # garbage after SOI is CORRUPT (ValueError); lossless-arithmetic
-    # (SOF11) is the honest stub
+    # lossless, and all three arithmetic modes SOF9/10/11): garbage
+    # after SOI is CORRUPT (ValueError); hierarchical (SOF5) is the
+    # honest stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(b"\xff\xd8\xff" + b"\0" * 32)
-    sof11 = (
-        b"\xff\xd8\xff\xcb"
+    sof5 = (
+        b"\xff\xd8\xff\xc5"
         + struct.pack(">H", 2 + 6 + 3)
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
     with pytest.raises(NotImplementedError):
-        decode_rgb_bytes(sof11)
+        decode_rgb_bytes(sof5)
     # 8-bit paletted BMP: real header, unsupported bpp
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
@@ -593,13 +593,13 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The eight-variant gate corpus: every doc decodes to the planted
-    array regardless of codec ((n_chars DIV 7) MOD 8 → BMP / PNG /
+    """The nine-variant gate corpus: every doc decodes to the planted
+    array regardless of codec ((n_chars DIV 7) MOD 9 → BMP / PNG /
     GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit PNG /
-    lossless JPEG), through the same Spark operator the driver gate
-    runs. n_chars = 7·v + (v MOD 7) hits exactly variant v with
-    v-dependent dims, so the 8-doc corpus covers every encoder, and
-    all four container magics appear."""
+    lossless JPEG / lossless-arithmetic JPEG), through the same Spark
+    operator the driver gate runs. n_chars = 7·v + (v MOD 7) hits
+    exactly variant v with v-dependent dims, so the 9-doc corpus
+    covers every encoder, and all four container magics appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -607,7 +607,7 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         synth_media_mixed,
     )
 
-    chars = {v: 7 * v + v % 7 for v in range(8)}
+    chars = {v: 7 * v + v % 7 for v in range(9)}
     docs = spark.createDataFrame(
         [(str(v), "t" * n, n) for v, n in chars.items()],
         "doc_id string, text string, n_chars int",
@@ -619,9 +619,9 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert b"GIF89a" in magics
     assert b"\xff\xd8" in {m[:2] for m in magics}  # JPEG SOI
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 8
+    assert len(rows) == 9
     for v, n in chars.items():
-        assert (n // 7) % 8 == v  # the corpus really covers variant v
+        assert (n // 7) % 9 == v  # the corpus really covers variant v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
         r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]
