@@ -34,9 +34,17 @@ DCT family — effectively every JPEG on the web:
   equality with the Huffman twins (same quantized coefficients under
   both entropy layers).
 
-Lossless arithmetic (SOF11), hierarchical/differential
-modes, 12-bit DCT precision, and CMYK raise ``NotImplementedError`` —
-genuinely different coefficient machinery. A MALFORMED stream (truncated entropy
+- SOF11 LOSSLESS ARITHMETIC (the Annex-H prediction walk under the
+  QM coder) via :mod:`dstlr_spark.operators.jpeg_arith`, and
+  HIERARCHICAL (Annex J) lossless pyramids — DHP/EXP markers, SOF3
+  first frame, SOF7 differential frames — via
+  :mod:`dstlr_spark.operators.jpeg_hier` (dispatched on DHP below);
+  both exact, so both join the planted-pixel gate corpus.
+
+Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15),
+12-bit DCT precision, CMYK, and non-interleaved multi-scan files
+raise ``NotImplementedError`` — genuinely different coefficient
+machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -328,11 +336,22 @@ def decode_jpeg(b: bytes):
             frame = (h, w, comps)
             precision = prec
             progressive = marker in (0xC2, 0xCA)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xDE:  # DHP: a hierarchical (Annex J) stream
+            from dstlr_spark.operators.jpeg_hier import decode_jpeg_hier
+
+            return decode_jpeg_hier(b)
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE, 0xCF):
+            # differential DCT / arithmetic modes are unimplemented
+            # even inside a hierarchy (jpeg_hier decodes the lossless
+            # SOF3+SOF7 pyramid only), so a bare one is an honest stub
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (hierarchical/"
-                "differential modes)"
+                f"STUB: JPEG SOF {marker:#x} (differential DCT/arithmetic "
+                "hierarchical modes)"
             )
+        elif marker == 0xC7:
+            # SOF7's mode IS implemented (jpeg_hier); without a leading
+            # DHP the stream is malformed, not unsupported
+            raise ValueError("JPEG differential SOF7 without a leading DHP")
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             s = 0
             while s + 2 <= len(seg):

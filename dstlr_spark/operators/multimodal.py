@@ -363,8 +363,13 @@ def decode_rgb_bytes(b: bytes):
       jpeg_arith`) — gated by exact equality with the Huffman twins'
       decode.
 
-    Lossless-arithmetic (SOF11) and hierarchical JPEG raise
-    NotImplementedError — the only remaining image stub surface.
+    LOSSLESS-ARITHMETIC JPEG (SOF11 — the Annex-H walk under the QM
+    coder) and HIERARCHICAL JPEG (Annex J lossless pyramids: DHP/EXP +
+    SOF3/SOF7, :mod:`dstlr_spark.operators.jpeg_hier`) also decode
+    exactly and join the planted-pixel gate. The remaining image stub
+    surface is differential DCT/arithmetic hierarchical frames
+    (SOF5/6/13/14/15), 12-bit DCT precision, CMYK, and non-interleaved
+    multi-scan files — all NotImplementedError.
     """
     import numpy as np
 
@@ -1740,9 +1745,9 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Nine-variant twin of :func:`synth_media_bmp`: the SAME planted
+    """Ten-variant twin of :func:`synth_media_bmp`: the SAME planted
     image per document (dims and pixels are functions of n_chars
-    alone), serialized per (n_chars DIV 7) MOD 9 — DIV 7 first so the
+    alone), serialized per (n_chars DIV 7) MOD 10 — DIV 7 first so the
     codec choice is independent of the (n_chars MOD 7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
     truecolor PNG (rotating per-row filters 0..4, every unfilter
@@ -1754,9 +1759,12 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     the uint8 planted array — the depth-16 byte layout and bpp-6
     filter lookback get gated without breaking format blindness);
     LOSSLESS JPEG (SOF3 predictor 4 — exact by construction, the one
-    JPEG family whose decode can join a value-equality oracle); and
+    JPEG family whose decode can join a value-equality oracle);
     LOSSLESS-ARITHMETIC JPEG (SOF11 predictor 4 — the same exact
-    prediction walk under the QM coder). A decoder is correct iff
+    prediction walk under the QM coder); and HIERARCHICAL JPEG (Annex
+    J: DHP + a two-level SOF3/SOF7 lossless pyramid through the
+    normative EXP bilinear expansion — also exact). A decoder is
+    correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -1768,6 +1776,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
         from dstlr_spark.operators.jpeg_arith import (
             encode_jpeg_lossless_arith,
         )
+        from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
 
         encoders = (
             encode_bmp,
@@ -1779,6 +1788,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_png(a.astype(np.uint16)),
             lambda a: encode_jpeg_lossless(a, predictor=4),
             lambda a: encode_jpeg_lossless_arith(a, predictor=4),
+            lambda a: encode_jpeg_hier(a, levels=2),
         )
         for pdf in batches:
             rows = []
@@ -1786,7 +1796,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 9](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 10](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

@@ -466,8 +466,10 @@ def test_lossless_malformed_contract():
         decode_jpeg(good[: len(good) - 8])  # truncated entropy data
     sof_at = good.find(b"\xff\xc3")
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xC7  # SOF7 differential lossless: honest stub
-    with pytest.raises(NotImplementedError):
+    # SOF7's mode is now implemented (jpeg_hier), so a differential
+    # frame with no leading DHP is MALFORMED, not unsupported
+    bad[sof_at + 1] = 0xC7
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
 
 
@@ -878,3 +880,124 @@ def test_fuzz_lossless_arith_exact(w, h, seed, color, pred, pt, ri, deep):
     got = out if color else out[..., 0]
     assert got.dtype == dt
     assert (got == exp).all()
+
+
+def test_hierarchical_lossless_exact_roundtrip():
+    """Annex-J pyramid: DHP + SOF3 first frame + EXP/SOF7 differential
+    frames reconstruct the planted array bit-for-bit at every level
+    count, gray and RGB, even and odd dims, 8- and 16-bit."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    rng = np.random.default_rng(41)
+    for shape in [(8, 8), (9, 13), (1, 7), (16, 16, 3), (11, 5, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for levels in (1, 2, 3):
+            if (1 << (levels - 1)) > max(img.shape[:2]):
+                continue
+            out = decode_jpeg(encode_jpeg_hier(img, levels=levels))
+            exp = img if img.ndim == 3 else np.repeat(img[..., None], 3, 2)
+            assert out.dtype == np.uint8
+            assert (out == exp).all(), (shape, levels)
+    img16 = rng.integers(0, 65536, size=(10, 14), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_hier(img16, levels=3))
+    assert out.dtype == np.uint16
+    assert (out[..., 0] == img16).all()
+
+
+def test_hierarchical_predictors_and_restarts():
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_hier(img, levels=2, restart_interval=7))
+    assert (out == img).all()
+    g = rng.integers(0, 256, size=(9, 9), dtype=np.uint8)
+    for pred in range(1, 8):
+        out = decode_jpeg(encode_jpeg_hier(g, levels=2, predictor=pred))
+        assert (out[..., 0] == g).all(), pred
+
+
+def test_hierarchical_exception_contract():
+    """Malformed hierarchy → ValueError; unimplemented hierarchical
+    modes → NotImplementedError (the pinned package contract)."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    good = encode_jpeg_hier(img, levels=2)
+
+    # bare SOF7 without DHP: the mode exists, the stream is malformed
+    # (stripping DHP from `good` would NOT reach SOF7 — decode_jpeg
+    # correctly returns at the end of the first SOF3 scan)
+    bare_sof7 = (
+        b"\xff\xd8\xff\xc7"
+        + struct.pack(">H", 2 + 6 + 3)
+        + struct.pack(">BHHB", 8, 8, 8, 1)
+        + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(bare_sof7)
+
+    # truncated EXP payload
+    bad = good.replace(b"\xff\xdf\x00\x03\x11", b"\xff\xdf\x00\x02")
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+    # differential frame whose dims do not match the expanded reference
+    sof7_at = good.find(b"\xff\xc7")
+    bad = bytearray(good)
+    bad[sof7_at + 6] += 1  # bump frame height low byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+    # DCT-mode frame inside a hierarchy: honest stub
+    bad = bytearray(good)
+    bad[sof7_at + 1] = 0xC5
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+    # arithmetic lossless differential frame: honest stub
+    bad = bytearray(good)
+    bad[sof7_at + 1] = 0xCF
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+    # second non-differential frame where the differential should be
+    bad = bytearray(good)
+    bad[sof7_at + 1] = 0xC3
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+    # truncated entropy data in the differential scan
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-8] + b"\xff\xd9")
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    pred=st.integers(1, 7),
+    ri=st.integers(0, 3),
+    deep=st.booleans(),
+    levels=st.integers(1, 4),
+)
+def test_fuzz_hierarchical_exact(w, h, seed, color, pred, ri, deep, levels):
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    if (1 << (levels - 1)) > max(h, w):
+        levels = 1
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    dt = np.uint16 if deep else np.uint8
+    img = rng.integers(0, 65536 if deep else 256, size=shape, dtype=dt)
+    out = decode_jpeg(
+        encode_jpeg_hier(
+            img, levels=levels, predictor=pred, restart_interval=ri
+        )
+    )
+    got = out if color else out[..., 0]
+    assert got.dtype == dt
+    assert (got == img).all()
