@@ -6,9 +6,11 @@ pipeline treats media bytes as opaque payloads — SURVEY §2.12 makes
 decode a first-class curation operator). Decoder scope is the Huffman
 DCT family — effectively every JPEG on the web:
 
-- SOF0 (baseline) / SOF1 (extended sequential — identical decode path
-  at 8-bit precision), grayscale or YCbCr, integer-ratio chroma
-  subsampling (4:4:4, 4:2:2, 4:2:0, 4:1:1 …);
+- SOF0 (baseline) / SOF1 (extended sequential — identical decode
+  path) at 8- AND 12-BIT precision (12-bit: DC categories to 15, AC
+  to 14, level shift/clamp at 2^(P-1)/2^P, uint16 out), grayscale or
+  YCbCr, integer-ratio chroma subsampling (4:4:4, 4:2:2, 4:2:0,
+  4:1:1 …);
 - SOF2 PROGRESSIVE: spectral selection (DC scans, per-component AC
   band scans with EOBn end-of-band runs spanning blocks) AND
   successive approximation (Ah=0 scans at precision Al, then one-bit
@@ -42,7 +44,7 @@ DCT family — effectively every JPEG on the web:
   both exact, so both join the planted-pixel gate corpus.
 
 Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15),
-12-bit DCT precision, CMYK, and non-interleaved multi-scan files
+12-bit ARITHMETIC DCT, CMYK, and non-interleaved multi-scan files
 raise ``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
@@ -260,7 +262,7 @@ def decode_jpeg(b: bytes):
             continue
         if marker == 0xD9:
             if progressive and scans_done:
-                return _reconstruct(frame, coefs, qtables)
+                return _reconstruct(frame, coefs, qtables, precision)
             raise ValueError("JPEG EOI before any scan")
         if pos + 2 > n:
             raise ValueError("JPEG truncated before SOS")
@@ -317,9 +319,14 @@ def decode_jpeg(b: bytes):
                     raise ValueError(
                         f"JPEG lossless precision {prec} out of range (2-16)"
                     )
-            elif prec != 8:
+            elif prec not in (8, 12):
                 raise NotImplementedError(
-                    f"STUB: JPEG {prec}-bit precision — baseline is 8-bit"
+                    f"STUB: JPEG {prec}-bit DCT precision — 8- and 12-bit "
+                    "decode"
+                )
+            elif prec == 12 and arith:
+                raise NotImplementedError(
+                    "STUB: 12-bit arithmetic-coded DCT modes"
                 )
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
@@ -440,19 +447,21 @@ def decode_jpeg(b: bytes):
                         "STUB: baseline multi-scan (non-interleaved) files"
                     )
                 return _decode_scan(
-                    b, pos, frame, scan, qtables, htables, restart_interval
+                    b, pos, frame, scan, qtables, htables, restart_interval,
+                    precision,
                 )
             if coefs is None:
                 coefs = _alloc_coefs(frame)
             pos = _decode_progressive_scan(
                 b, pos, frame, scan, ss, se, ahal >> 4, ahal & 15,
-                htables, coefs, restart_interval,
+                htables, coefs, restart_interval, precision,
             )
             scans_done += 1
         # APPn / COM / anything else: skip
 
 
-def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
+def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval,
+                 prec=8):
     import numpy as np
 
     h, w, comps = frame
@@ -501,8 +510,8 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                     # per-element ndarray indexing (same finding as the
                     # PNG Paeth loop in multimodal._unfilter)
                     t = _huff_decode(br, dc_t)
-                    if t > 11:
-                        raise ValueError("JPEG DC category > 11")
+                    if t > (15 if prec == 12 else 11):
+                        raise ValueError("JPEG DC category out of range")
                     preds[ci] += _extend(br.receive(t), t)
                     coef[0] = preds[ci]
                     k = 1
@@ -520,7 +529,7 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
                         coef[_ZIGZAG[k]] = _extend(br.receive(s), s)
                         k += 1
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
-    return _reconstruct(frame, planes, qtables)
+    return _reconstruct(frame, planes, qtables, prec)
 
 
 def _decode_lossless_scan(
@@ -642,23 +651,28 @@ def _alloc_coefs(frame):
     ]
 
 
-def _reconstruct(frame, coefs, qtables):
+def _reconstruct(frame, coefs, qtables, prec=8):
     """Shared finish: batched dequant + IDCT (one broadcast GEMM pair
     per component — never per block), block→plane transpose-reshape
     scatter, integer-ratio chroma upsample, crop, level shift, JFIF
-    YCbCr→RGB."""
+    YCbCr→RGB. ``prec`` generalizes the level shift / chroma center
+    to 2^(P-1) and the clamp to [0, 2^P), per T.81 A.3.1 — 12-bit
+    frames return uint16."""
     import numpy as np
 
     h, w, comps = frame
     hmax, vmax = _sampling(comps)
     basis = _dct_basis()
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
     out = []
     for ci, (cid, ch_, cv, tq) in enumerate(comps):
         if tq not in qtables:
             raise ValueError(f"JPEG missing quant table {tq}")
         nbr, nbc = coefs[ci].shape[:2]
         blk = coefs[ci].reshape(-1, 8, 8) * qtables[tq]
-        px = basis.T @ blk @ basis + 128.0
+        px = basis.T @ blk @ basis + center
         p = (
             px.reshape(nbr, nbc, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -668,18 +682,18 @@ def _reconstruct(frame, coefs, qtables):
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
-        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
         return np.repeat(g[..., None], 3, axis=2)
     y, cb, cr = out
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bl = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, bl], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
-                             htables, coefs, restart_interval):
+                             htables, coefs, restart_interval, prec=8):
     """Decode ONE progressive scan (T.81 G.2) into the shared raw
     coefficient stores, returning the offset of the marker that ended
     it. Spectral selection: a scan carries either the DC coefficient
@@ -748,8 +762,8 @@ def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
             br = state["br"]
             if ah == 0:
                 t = _huff_decode(br, tbls[si])
-                if t > 11:
-                    raise ValueError("JPEG DC category > 11")
+                if t > (15 if prec == 12 else 11):
+                    raise ValueError("JPEG DC category out of range")
                 state["preds"][si] += _extend(br.receive(t), t)
                 block[0] = state["preds"][si] << al
             elif br.receive(1):
@@ -866,6 +880,13 @@ _DC_SYMBOLS = bytes(range(12))
 _AC_SYMBOLS = bytes(
     [16 * r + s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
 )
+# 12-bit DCT (T.81 Table F.1/F.2 limits): DC difference categories
+# reach 15, AC magnitude categories 14 — 226 symbols still fit a
+# single all-8-bit-codes canonical table (226 < 256)
+_DC12_SYMBOLS = bytes(range(16))
+_AC12_SYMBOLS = bytes(
+    [16 * r + s for r in range(16) for s in range(1, 15)] + [0x00, 0xF0]
+)
 
 
 def _fixed_table(symbols: bytes):
@@ -938,29 +959,32 @@ def _encode_block(bw, coef_zz, pred, dc_enc, ac_enc) -> int:
     return dc
 
 
-def _quantize_blocks(img, quant, subsample):
+def _quantize_blocks(img, quant, subsample, prec=8):
     """Shared encoder front half: color transform + subsample + MCU
     edge-pad + batched forward DCT + quantize. Returns (h, w, comps,
     [per-comp (block_rows, block_cols, 64) int64 arrays, ZIGZAG
     order]) — both the baseline and the progressive emitters walk
-    these."""
+    these. ``prec`` moves the level shift / chroma center to 2^(P-1)
+    and the chroma clamp to 2^P - 1 (12-bit extended sequential)."""
     import numpy as np
 
+    center = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
     arr = np.asarray(img, np.float64)
     gray = arr.ndim == 2
     if gray:
         comps = [(1, 1, 1, 0)]
-        planes = [arr - 128.0]
+        planes = [arr - center]
     else:
         r, g, bch = arr[..., 0], arr[..., 1], arr[..., 2]
         y = np.round(0.299 * r + 0.587 * g + 0.114 * bch)
-        cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0)
-        cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0)
-        cb = np.clip(cb, 0, 255)
-        cr = np.clip(cr, 0, 255)
+        cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * bch + center)
+        cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * bch + center)
+        cb = np.clip(cb, 0, maxv)
+        cr = np.clip(cr, 0, maxv)
         if subsample == "444":
             comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
-            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            planes = [y - center, cb - center, cr - center]
         elif subsample == "420":
             comps = [(1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)]
 
@@ -978,7 +1002,7 @@ def _quantize_blocks(img, quant, subsample):
                      + q[1::2, 1::2]) / 4.0
                 )
 
-            planes = [y - 128.0, _avg2(cb) - 128.0, _avg2(cr) - 128.0]
+            planes = [y - center, _avg2(cb) - center, _avg2(cr) - center]
         else:
             raise ValueError(f"unsupported subsample {subsample!r}")
     h, w = arr.shape[:2]
@@ -1007,16 +1031,20 @@ def _quantize_blocks(img, quant, subsample):
     return h, w, comps, blocks
 
 
-def _emit_headers(h, w, comps, quant, sof_marker, restart_interval):
+def _emit_headers(h, w, comps, quant, sof_marker, restart_interval, prec=8):
     """SOI + DQT + SOF + the two fixed Huffman tables (+ DRI)."""
     import numpy as np
 
-    dc_counts, dc_syms, _ = _fixed_table(_DC_SYMBOLS)
-    ac_counts, ac_syms, _ = _fixed_table(_AC_SYMBOLS)
+    dc_counts, dc_syms, _ = _fixed_table(
+        _DC12_SYMBOLS if prec == 12 else _DC_SYMBOLS
+    )
+    ac_counts, ac_syms, _ = _fixed_table(
+        _AC12_SYMBOLS if prec == 12 else _AC_SYMBOLS
+    )
     out = bytearray(b"\xff\xd8")
     qzz = np.asarray(quant).reshape(-1)[list(_ZIGZAG)].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", prec, h, w, len(comps))
     for cid, ch_, cv, tq in comps:
         sof += bytes([cid, (ch_ << 4) | cv, tq])
     out += bytes([0xFF, sof_marker]) + struct.pack(">H", 2 + len(sof)) + sof
@@ -1040,7 +1068,9 @@ def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     REAL baseline JPEG (SOF0) — the fixture-side twin of
     :func:`decode_jpeg`, pure NumPy forward DCT + the fixed-length-8
-    canonical Huffman tables above. ``quant`` is an (8, 8) natural-
+    canonical Huffman tables above. A uint16 input (values < 4096)
+    encodes as 12-BIT EXTENDED SEQUENTIAL (SOF1) with the widened
+    DC/AC category tables. ``quant`` is an (8, 8) natural-
     order table (default all ones — maximum fidelity, which makes
     constant-block images round-trip EXACTLY); ``subsample`` is
     ``"444"`` or ``"420"`` (RGB only; 4:2:0 averages each 2×2 chroma
@@ -1048,13 +1078,20 @@ def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
     """
     import numpy as np
 
+    arr = np.asarray(img)
+    prec = 12 if arr.dtype == np.uint16 else 8
+    if prec == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
     if quant is None:
         quant = np.ones((8, 8), np.int32)
     quant = np.asarray(quant, np.int32)
-    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
-    _, _, dc_enc = _fixed_table(_DC_SYMBOLS)
-    _, _, ac_enc = _fixed_table(_AC_SYMBOLS)
-    out = _emit_headers(h, w, comps, quant, 0xC0, restart_interval)
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample, prec)
+    _, _, dc_enc = _fixed_table(_DC12_SYMBOLS if prec == 12 else _DC_SYMBOLS)
+    _, _, ac_enc = _fixed_table(_AC12_SYMBOLS if prec == 12 else _AC_SYMBOLS)
+    out = _emit_headers(
+        h, w, comps, quant, 0xC1 if prec == 12 else 0xC0, restart_interval,
+        prec,
+    )
     out += _emit_sos([c[0] for c in comps], 0, 63, 0, 0)
 
     hmax = max(c[1] for c in comps)
@@ -1107,14 +1144,18 @@ def encode_jpeg_progressive(
     if quant is None:
         quant = np.ones((8, 8), np.int32)
     quant = np.asarray(quant, np.int32)
-    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
-    _, _, dc_enc = _fixed_table(_DC_SYMBOLS)
-    _, _, ac_enc = _fixed_table(_AC_SYMBOLS)
+    arr = np.asarray(img)
+    prec = 12 if arr.dtype == np.uint16 else 8
+    if prec == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample, prec)
+    _, _, dc_enc = _fixed_table(_DC12_SYMBOLS if prec == 12 else _DC_SYMBOLS)
+    _, _, ac_enc = _fixed_table(_AC12_SYMBOLS if prec == 12 else _AC_SYMBOLS)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    out = _emit_headers(h, w, comps, quant, 0xC2, restart_interval)
+    out = _emit_headers(h, w, comps, quant, 0xC2, restart_interval, prec)
 
     def comp_grid(ci):
         _, ch_, cv, _ = comps[ci]

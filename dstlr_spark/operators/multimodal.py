@@ -368,8 +368,9 @@ def decode_rgb_bytes(b: bytes):
     SOF3/SOF7, :mod:`dstlr_spark.operators.jpeg_hier`) also decode
     exactly and join the planted-pixel gate. The remaining image stub
     surface is differential DCT/arithmetic hierarchical frames
-    (SOF5/6/13/14/15), 12-bit DCT precision, CMYK, and non-interleaved
-    multi-scan files — all NotImplementedError.
+    (SOF5/6/13/14/15), 12-bit ARITHMETIC DCT, CMYK, and
+    non-interleaved multi-scan files — all NotImplementedError
+    (Huffman DCT decodes at 8 AND 12 bits).
     """
     import numpy as np
 

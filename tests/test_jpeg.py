@@ -281,7 +281,7 @@ def test_malformed_and_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
-    bad[sof_at + 4] = 12  # precision 12-bit
+    bad[sof_at + 4] = 10  # precision 10-bit: DCT decode is 8/12 only
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     # scan referencing a Huffman table that was never defined
@@ -1001,3 +1001,45 @@ def test_fuzz_hierarchical_exact(w, h, seed, color, pred, ri, deep, levels):
     got = out if color else out[..., 0]
     assert got.dtype == dt
     assert (got == img).all()
+
+
+def test_12bit_dct_decode():
+    """12-bit extended sequential (SOF1) and progressive (SOF2):
+    constant-block grays are DC-exact, RGB is within YCbCr rounding,
+    progressive decodes bit-identical to baseline on the same
+    coefficients, and uint16 comes back out."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(53)
+    blocks = rng.integers(0, 4096, (3, 4), dtype=np.uint16)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.dtype == np.uint16
+    assert (out[..., 0] == img).all()
+
+    rgbb = rng.integers(0, 4096, (2, 3, 3), dtype=np.uint16)
+    rgb = np.repeat(np.repeat(rgbb, 8, 0), 8, 1)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert abs(out.astype(np.int64) - rgb.astype(np.int64)).max() <= 1
+
+    arb = rng.integers(0, 4096, (20, 28), dtype=np.uint16)
+    base = decode_jpeg(encode_jpeg(arb))
+    prog = decode_jpeg(encode_jpeg_progressive(arb))
+    assert base.dtype == prog.dtype == np.uint16
+    assert (base == prog).all()
+    c = rng.integers(0, 4096, (17, 9, 3), dtype=np.uint16)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(c, subsample="420",
+                                            restart_interval=3))
+        == decode_jpeg(encode_jpeg(c, subsample="420", restart_interval=3))
+    ).all()
+
+    # out-of-range samples and 12-bit arithmetic stay rejected
+    with pytest.raises(ValueError):
+        encode_jpeg(np.full((8, 8), 4096, np.uint16))
+    good = encode_jpeg(img)
+    sof_at = good.find(b"\xff\xc1")
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xC9  # flip to sequential arithmetic at 12-bit
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
