@@ -43,10 +43,13 @@ DCT family — effectively every JPEG on the web:
   :mod:`dstlr_spark.operators.jpeg_hier` (dispatched on DHP below);
   both exact, so both join the planted-pixel gate corpus.
 
-Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15),
-12-bit ARITHMETIC DCT, CMYK, and non-interleaved multi-scan files
-raise ``NotImplementedError`` — genuinely different coefficient
-machinery. A MALFORMED stream (truncated entropy
+Sequential MULTI-SCAN files (any partition of the components
+across scans — fully non-interleaved real-block-grid scans or partial
+interleaves, T.81 A.2) decode through the shared coefficient stores
+and reconstruct once at EOI. Differential DCT/arithmetic hierarchical
+frames (SOF5/6/13/14/15), 12-bit ARITHMETIC DCT, CMYK, and
+arithmetic/lossless multi-scan files raise ``NotImplementedError`` —
+genuinely different coefficient machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -246,8 +249,10 @@ def decode_jpeg(b: bytes):
     dac_dc: dict[int, tuple[int, int]] = {}  # table id → (L, U)
     dac_ac: dict[int, int] = {}  # table id → Kx
     precision = 8
-    coefs = None  # progressive: per-comp raw coefficient stores
+    coefs = None  # progressive/multi-scan: per-comp coefficient stores
     scans_done = 0
+    seq_multiscan = False  # sequential frame split across scans
+    coded_comps: set[int] = set()
     restart_interval = 0
     pos = 2
     n = len(b)
@@ -262,6 +267,12 @@ def decode_jpeg(b: bytes):
             continue
         if marker == 0xD9:
             if progressive and scans_done:
+                return _reconstruct(frame, coefs, qtables, precision)
+            if seq_multiscan and scans_done:
+                if coded_comps != {c[0] for c in frame[2]}:
+                    raise ValueError(
+                        "JPEG multi-scan file is missing component scans"
+                    )
                 return _reconstruct(frame, coefs, qtables, precision)
             raise ValueError("JPEG EOI before any scan")
         if pos + 2 > n:
@@ -442,10 +453,22 @@ def decode_jpeg(b: bytes):
                     restart_interval,
                 )
             if not progressive:
+                if ss != 0 or se != 63 or ahal != 0:
+                    raise ValueError("JPEG sequential scan header invalid")
                 if ns != len(frame[2]):
-                    raise NotImplementedError(
-                        "STUB: baseline multi-scan (non-interleaved) files"
+                    # multi-scan sequential file (T.81 non-interleaved /
+                    # partially interleaved): decode into the shared
+                    # coefficient stores, reconstruct at EOI
+                    if coefs is None:
+                        coefs = _alloc_coefs(frame)
+                    pos = _decode_seq_scan_into(
+                        b, pos, frame, scan, htables, coefs,
+                        restart_interval, precision,
                     )
+                    coded_comps.update(cs for cs, _, _ in scan)
+                    scans_done += 1
+                    seq_multiscan = True
+                    continue
                 return _decode_scan(
                     b, pos, frame, scan, qtables, htables, restart_interval,
                     precision,
@@ -530,6 +553,91 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval,
                         k += 1
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
     return _reconstruct(frame, planes, qtables, prec)
+
+
+def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
+                          restart_interval, prec=8):
+    """One SEQUENTIAL Huffman scan over a SUBSET of the frame's
+    components (T.81 multi-scan files): the same per-block DC+AC code
+    as :func:`_decode_scan`, but written into the shared coefficient
+    stores with the PROGRESSIVE machinery's traversal — frame-global
+    MCU order with H×V blocks per scan component when the scan
+    interleaves several components, the component's REAL block grid
+    (no MCU pads) when ns == 1. Returns the offset of the terminating
+    marker; reconstruction happens once at EOI, so any partition of
+    components across scans decodes."""
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    idxs = []
+    for cs, td, ta in scan:
+        match = [i for i, c in enumerate(comps) if c[0] == cs]
+        if not match:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError("JPEG missing Huffman table for scan")
+        idxs.append((match[0], htables[(0, td)], htables[(1, ta)]))
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    state = {"seg": 0, "br": _BitReader(segs[0][0]), "preds": [0] * len(idxs)}
+    dcmax = 15 if prec == 12 else 11
+
+    def _restart(unit: int) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            closing = segs[state["seg"]][1]
+            if closing is None or closing != (unit // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            state["seg"] += 1
+            if state["seg"] >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            state["br"] = _BitReader(segs[state["seg"]][0])
+            state["preds"] = [0] * len(idxs)
+
+    def _block(si: int, dc_t, ac_t, block) -> None:
+        br = state["br"]
+        t = _huff_decode(br, dc_t)
+        if t > dcmax:
+            raise ValueError("JPEG DC category out of range")
+        state["preds"][si] += _extend(br.receive(t), t)
+        block[0] = state["preds"][si]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(br, ac_t)
+            r, sz = rs >> 4, rs & 15
+            if sz == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            block[_ZIGZAG[k]] = _extend(br.receive(sz), sz)
+            k += 1
+
+    if len(idxs) > 1:  # partial interleave: MCU traversal, pads included
+        for m in range(mcus_x * mcus_y):
+            _restart(m)
+            my, mx = divmod(m, mcus_x)
+            for si, (ci, dc_t, ac_t) in enumerate(idxs):
+                _, ch_, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        _block(si, dc_t, ac_t,
+                               coefs[ci][my * cv + by, mx * ch_ + bx])
+    else:  # non-interleaved: the component's real block grid
+        ci, dc_t, ac_t = idxs[0]
+        _, ch_, cv, _ = comps[ci]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        bh_, bw_ = -(-chh // 8), -(-cw // 8)
+        for m in range(bh_ * bw_):
+            _restart(m)
+            row, col = divmod(m, bw_)
+            _block(0, dc_t, ac_t, coefs[ci][row, col])
+    return end
 
 
 def _decode_lossless_scan(
@@ -1115,6 +1223,95 @@ def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
                     preds[ci] = _encode_block(bw, qz, preds[ci], dc_enc, ac_enc)
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(
+    img, quant=None, subsample="444", restart_interval=0, groups=None
+) -> bytes:
+    """Encode a sequential MULTI-SCAN JPEG of the SAME quantized
+    coefficients :func:`encode_jpeg` would emit, so
+    ``decode(multiscan) == decode(interleaved)`` exactly — the
+    fixture-side twin of :func:`_decode_seq_scan_into`. ``groups``
+    partitions component ids across scans (default: one scan per
+    component, fully non-interleaved). A singleton scan codes the
+    component's REAL block grid in raster order (no MCU pads); a
+    multi-component scan codes the frame-global MCU traversal
+    restricted to its components (pads included), per T.81 A.2.
+    uint16 input (< 4096) emits 12-bit SOF1, like encode_jpeg."""
+    import numpy as np
+
+    arr = np.asarray(img)
+    prec = 12 if arr.dtype == np.uint16 else 8
+    if prec == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample, prec)
+    _, _, dc_enc = _fixed_table(_DC12_SYMBOLS if prec == 12 else _DC_SYMBOLS)
+    _, _, ac_enc = _fixed_table(_AC12_SYMBOLS if prec == 12 else _AC_SYMBOLS)
+    out = _emit_headers(
+        h, w, comps, quant, 0xC1 if prec == 12 else 0xC0, restart_interval,
+        prec,
+    )
+    if groups is None:
+        groups = [(c[0],) for c in comps]
+    seen = [cid for g in groups for cid in g]
+    if sorted(seen) != sorted(c[0] for c in comps):
+        raise ValueError("groups must partition the frame's component ids")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    for g in groups:
+        out += _emit_sos(list(g), 0, 63, 0, 0)
+        bw = _BitWriter()
+        preds = [0] * len(g)
+        chunks = bytearray()
+
+        def _rst(m):
+            nonlocal bw, preds
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                chunks.extend(bw.out)
+                bw = _BitWriter()
+                chunks.extend(
+                    bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                )
+                preds = [0] * len(g)
+
+        if len(g) > 1:  # partial interleave: MCU traversal, pads included
+            for m in range(mcus_x * mcus_y):
+                _rst(m)
+                my, mx = divmod(m, mcus_x)
+                for si, cid in enumerate(g):
+                    ci = by_id[cid]
+                    _, ch_, cv, _ = comps[ci]
+                    for byy in range(cv):
+                        for bxx in range(ch_):
+                            preds[si] = _encode_block(
+                                bw,
+                                blocks[ci][my * cv + byy, mx * ch_ + bxx],
+                                preds[si], dc_enc, ac_enc,
+                            )
+        else:  # non-interleaved: the real block grid only
+            ci = by_id[g[0]]
+            _, ch_, cv, _ = comps[ci]
+            cw = -(-w * ch_ // hmax)
+            chh = -(-h * cv // vmax)
+            bh_, bw_grid = -(-chh // 8), -(-cw // 8)
+            for m in range(bh_ * bw_grid):
+                _rst(m)
+                row, col = divmod(m, bw_grid)
+                preds[0] = _encode_block(
+                    bw, blocks[ci][row, col], preds[0], dc_enc, ac_enc
+                )
+        bw.flush()
+        chunks.extend(bw.out)
+        out += bytes(chunks)
     out += b"\xff\xd9"
     return bytes(out)
 

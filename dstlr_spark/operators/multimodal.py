@@ -369,8 +369,9 @@ def decode_rgb_bytes(b: bytes):
     exactly and join the planted-pixel gate. The remaining image stub
     surface is differential DCT/arithmetic hierarchical frames
     (SOF5/6/13/14/15), 12-bit ARITHMETIC DCT, CMYK, and
-    non-interleaved multi-scan files — all NotImplementedError
-    (Huffman DCT decodes at 8 AND 12 bits).
+    arithmetic/lossless multi-scan files — all NotImplementedError
+    (Huffman DCT decodes at 8 AND 12 bits, interleaved or
+    multi-scan).
     """
     import numpy as np
 

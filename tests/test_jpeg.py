@@ -1043,3 +1043,49 @@ def test_12bit_dct_decode():
     bad[sof_at + 1] = 0xC9  # flip to sequential arithmetic at 12-bit
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
+
+
+def test_multiscan_sequential_equals_interleaved():
+    """T.81 multi-scan sequential files: one scan per component (real
+    block grid, no MCU pads), partial interleaves, restarts, and
+    12-bit all decode bit-identical to the single-scan interleaved
+    encoding of the same coefficients."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_multiscan
+
+    rng = np.random.default_rng(59)
+    for shape, sub in [((24, 40), "444"), ((17, 9, 3), "444"),
+                       ((21, 35, 3), "420")]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        assert (decode_jpeg(encode_jpeg_multiscan(img, subsample=sub))
+                == base).all(), (shape, sub)
+    img = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample="420"))
+    assert (decode_jpeg(encode_jpeg_multiscan(
+        img, subsample="420", groups=[(1, 2), (3,)])) == base).all()
+    assert (decode_jpeg(encode_jpeg_multiscan(
+        img, subsample="420", restart_interval=3)) == base).all()
+    img12 = rng.integers(0, 4096, size=(20, 28, 3), dtype=np.uint16)
+    assert (decode_jpeg(encode_jpeg_multiscan(img12))
+            == decode_jpeg(encode_jpeg(img12))).all()
+
+
+def test_multiscan_malformed_contract():
+    from dstlr_spark.operators.jpeg import encode_jpeg_multiscan
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg_multiscan(img)
+    # drop the final scan (find its SOS) → EOI with a missing component
+    last_sos = good.rfind(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:last_sos] + b"\xff\xd9")
+    # scan referencing a component id the frame does not declare
+    sos_at = good.find(b"\xff\xda")
+    bad = bytearray(good)
+    bad[sos_at + 5] = 9  # first scan's component selector
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # invalid groups on the encoder side
+    with pytest.raises(ValueError):
+        encode_jpeg_multiscan(img, groups=[(1, 2)])
