@@ -46,10 +46,15 @@ DCT family — effectively every JPEG on the web:
 Sequential MULTI-SCAN files (any partition of the components
 across scans — fully non-interleaved real-block-grid scans or partial
 interleaves, T.81 A.2) decode through the shared coefficient stores
-and reconstruct once at EOI. Differential DCT/arithmetic hierarchical
-frames (SOF5/6/13/14/15), 12-bit ARITHMETIC DCT, CMYK, and
-arithmetic/lossless multi-scan files raise ``NotImplementedError`` —
-genuinely different coefficient machinery. A MALFORMED stream (truncated entropy
+and reconstruct once at EOI. 4-COMPONENT Adobe files decode through
+the APP14 transform byte: direct CMYK (transform 0 / unmarked) and
+YCCK (transform 2), both in the Adobe inverted-storage convention
+(RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
+planes ARE RGB. Differential DCT/arithmetic hierarchical frames
+(SOF5/6/13/14/15), 12-bit ARITHMETIC DCT, 4-component
+arithmetic/lossless modes, and arithmetic/lossless multi-scan files
+raise ``NotImplementedError`` — genuinely different coefficient
+machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -249,6 +254,7 @@ def decode_jpeg(b: bytes):
     dac_dc: dict[int, tuple[int, int]] = {}  # table id → (L, U)
     dac_ac: dict[int, int] = {}  # table id → Kx
     precision = 8
+    adobe_transform = None  # APP14 color-transform byte, if present
     coefs = None  # progressive/multi-scan: per-comp coefficient stores
     scans_done = 0
     seq_multiscan = False  # sequential frame split across scans
@@ -266,14 +272,17 @@ def decode_jpeg(b: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / stray RST
             continue
         if marker == 0xD9:
-            if progressive and scans_done:
-                return _reconstruct(frame, coefs, qtables, precision)
-            if seq_multiscan and scans_done:
-                if coded_comps != {c[0] for c in frame[2]}:
+            if (progressive or seq_multiscan) and scans_done:
+                if seq_multiscan and coded_comps != {
+                    c[0] for c in frame[2]
+                }:
                     raise ValueError(
                         "JPEG multi-scan file is missing component scans"
                     )
-                return _reconstruct(frame, coefs, qtables, precision)
+                return _reconstruct(
+                    frame, coefs, qtables, precision,
+                    _color_transform(adobe_transform, len(frame[2])),
+                )
             raise ValueError("JPEG EOI before any scan")
         if pos + 2 > n:
             raise ValueError("JPEG truncated before SOS")
@@ -343,9 +352,13 @@ def decode_jpeg(b: bytes):
             ncomp = seg[5]
             if not h or not w:
                 raise ValueError(f"JPEG dimensions {w}x{h} invalid")
-            if ncomp not in (1, 3):
+            if ncomp == 4 and (arith or lossless):
                 raise NotImplementedError(
-                    f"STUB: JPEG {ncomp}-component (CMYK?) color"
+                    "STUB: 4-component (CMYK) arithmetic/lossless modes"
+                )
+            if ncomp not in (1, 3, 4):
+                raise NotImplementedError(
+                    f"STUB: JPEG {ncomp}-component color"
                 )
             comps = []
             for c in range(ncomp):
@@ -391,6 +404,10 @@ def decode_jpeg(b: bytes):
             if len(seg) < 2:
                 raise ValueError("JPEG DRI truncated")
             restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: transform 0 = no transform (CMYK, or RGB when
+            # 3-component), 1 = YCbCr (the default anyway), 2 = YCCK
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -472,6 +489,7 @@ def decode_jpeg(b: bytes):
                 return _decode_scan(
                     b, pos, frame, scan, qtables, htables, restart_interval,
                     precision,
+                    _color_transform(adobe_transform, len(frame[2])),
                 )
             if coefs is None:
                 coefs = _alloc_coefs(frame)
@@ -483,8 +501,21 @@ def decode_jpeg(b: bytes):
         # APPn / COM / anything else: skip
 
 
+def _color_transform(adobe_transform, ncomp):
+    """Resolve the APP14 Adobe transform byte to the reconstruction
+    color path: 4-component frames are YCCK when the marker says 2
+    and direct CMYK otherwise (libjpeg's default for unmarked
+    4-component files); 3-component frames with an explicit
+    transform 0 are RGB stored directly (no YCbCr inverse)."""
+    if ncomp == 4:
+        return "ycck" if adobe_transform == 2 else "cmyk"
+    if ncomp == 3 and adobe_transform == 0:
+        return "rgb"
+    return None
+
+
 def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval,
-                 prec=8):
+                 prec=8, transform=None):
     import numpy as np
 
     h, w, comps = frame
@@ -552,7 +583,7 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval,
                         coef[_ZIGZAG[k]] = _extend(br.receive(s), s)
                         k += 1
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
-    return _reconstruct(frame, planes, qtables, prec)
+    return _reconstruct(frame, planes, qtables, prec, transform)
 
 
 def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
@@ -759,13 +790,19 @@ def _alloc_coefs(frame):
     ]
 
 
-def _reconstruct(frame, coefs, qtables, prec=8):
+def _reconstruct(frame, coefs, qtables, prec=8, transform=None):
     """Shared finish: batched dequant + IDCT (one broadcast GEMM pair
     per component — never per block), block→plane transpose-reshape
-    scatter, integer-ratio chroma upsample, crop, level shift, JFIF
-    YCbCr→RGB. ``prec`` generalizes the level shift / chroma center
+    scatter, integer-ratio chroma upsample, crop, level shift, color
+    transform. ``prec`` generalizes the level shift / chroma center
     to 2^(P-1) and the clamp to [0, 2^P), per T.81 A.3.1 — 12-bit
-    frames return uint16."""
+    frames return uint16. ``transform`` (from
+    :func:`_color_transform`) selects the color path: None = JFIF
+    YCbCr→RGB (3-comp default), "rgb" = components stored as RGB
+    directly (Adobe transform 0), "cmyk"/"ycck" = 4-component Adobe
+    conventions — values are stored INVERTED (x̃ = maxv − ink), so
+    RGB = round(c̃·k̃/maxv) channel-wise, with YCCK first undoing the
+    YCbCr transform on the CMY channels."""
     import numpy as np
 
     h, w, comps = frame
@@ -792,6 +829,26 @@ def _reconstruct(frame, coefs, qtables, prec=8):
     if len(out) == 1:
         g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
         return np.repeat(g[..., None], 3, axis=2)
+    if len(out) == 4:
+        c, m, y2, k = out
+        if transform == "ycck":
+            yy, cb, cr = c, m, y2
+            c = yy + 1.402 * (cr - center)
+            m = yy - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+            y2 = yy + 1.772 * (cb - center)
+        c = np.clip(np.round(c), 0, maxv)
+        m = np.clip(np.round(m), 0, maxv)
+        y2 = np.clip(np.round(y2), 0, maxv)
+        k = np.clip(np.round(k), 0, maxv)
+        rgb = np.stack(
+            [np.round(c * k / maxv), np.round(m * k / maxv),
+             np.round(y2 * k / maxv)],
+            axis=2,
+        )
+        return np.clip(rgb, 0, maxv).astype(dtype)
+    if transform == "rgb":
+        rgb = np.stack(out, axis=2)
+        return np.clip(np.round(rgb), 0, maxv).astype(dtype)
     y, cb, cr = out
     r = y + 1.402 * (cr - center)
     g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
@@ -1083,6 +1140,14 @@ def _quantize_blocks(img, quant, subsample, prec=8):
     if gray:
         comps = [(1, 1, 1, 0)]
         planes = [arr - center]
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        # CMYK/YCCK: four full-resolution components in the STORED
+        # domain (the caller pre-applies the YCCK transform) — no
+        # subsampling, no color math here
+        if subsample != "444":
+            raise ValueError("4-component JPEG supports 4:4:4 only")
+        comps = [(i + 1, 1, 1, 0) for i in range(4)]
+        planes = [arr[..., i] - center for i in range(4)]
     else:
         r, g, bch = arr[..., 0], arr[..., 1], arr[..., 2]
         y = np.round(0.299 * r + 0.587 * g + 0.114 * bch)
@@ -1221,6 +1286,76 @@ def encode_jpeg(img, quant=None, subsample="444", restart_interval=0) -> bytes:
                 for bx in range(ch_):
                     qz = blocks[ci][my * cv + by, mx * ch_ + bx]
                     preds[ci] = _encode_block(bw, qz, preds[ci], dc_enc, ac_enc)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    cmyk, quant=None, restart_interval=0, ycck=False
+) -> bytes:
+    """Encode an (h, w, 4) STORED-domain CMYK array (Adobe inverted
+    convention: x̃ = maxv − ink) as a 4-component sequential JPEG with
+    the APP14 Adobe marker — transform 0 (direct CMYK) or, with
+    ``ycck=True``, transform 2 (the forward YCbCr transform applied
+    to the C̃M̃Ỹ channels, K̃ untouched). The fixture-side twin of the
+    4-component branch in :func:`_reconstruct`: decode returns
+    RGB = round(c̃·k̃/maxv) channel-wise. uint16 input (< 4096)
+    encodes at 12-bit precision."""
+    import numpy as np
+
+    arr = np.asarray(cmyk)
+    if arr.ndim != 3 or arr.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk needs an (h, w, 4) array")
+    prec = 12 if arr.dtype == np.uint16 else 8
+    if prec == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
+    center = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
+    stored = arr.astype(np.float64)
+    if ycck:
+        c, m, y2, k = (stored[..., i] for i in range(4))
+        yy = np.round(0.299 * c + 0.587 * m + 0.114 * y2)
+        cb = np.clip(np.round(-0.168736 * c - 0.331264 * m + 0.5 * y2
+                              + center), 0, maxv)
+        cr = np.clip(np.round(0.5 * c - 0.418688 * m - 0.081312 * y2
+                              + center), 0, maxv)
+        stored = np.stack([yy, cb, cr, k], axis=2)
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    h, w, comps, blocks = _quantize_blocks(stored, quant, "444", prec)
+    _, _, dc_enc = _fixed_table(_DC12_SYMBOLS if prec == 12 else _DC_SYMBOLS)
+    _, _, ac_enc = _fixed_table(_AC12_SYMBOLS if prec == 12 else _AC_SYMBOLS)
+    headers = _emit_headers(
+        h, w, comps, quant, 0xC1 if prec == 12 else 0xC0, restart_interval,
+        prec,
+    )
+    app14 = (
+        b"Adobe" + struct.pack(">H", 0x65)
+        + struct.pack(">HH", 0, 0) + bytes([2 if ycck else 0])
+    )
+    out = bytearray(headers[:2])
+    out += b"\xff\xee" + struct.pack(">H", 2 + len(app14)) + app14
+    out += headers[2:]
+    out += _emit_sos([c[0] for c in comps], 0, 63, 0, 0)
+    mcus_x = (w + 7) // 8
+    mcus_y = (h + 7) // 8
+    bw = _BitWriter()
+    preds = [0] * 4
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            preds = [0] * 4
+        my, mx = divmod(m, mcus_x)
+        for ci in range(4):
+            preds[ci] = _encode_block(
+                bw, blocks[ci][my, mx], preds[ci], dc_enc, ac_enc
+            )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -1089,3 +1089,57 @@ def test_multiscan_malformed_contract():
     # invalid groups on the encoder side
     with pytest.raises(ValueError):
         encode_jpeg_multiscan(img, groups=[(1, 2)])
+
+
+def test_cmyk_and_ycck_decode():
+    """4-component Adobe JPEGs: solid stored-CMYK frames decode to the
+    closed-form RGB = round(c̃·k̃/255) exactly (DC-exact channels at
+    quant=1), YCCK agrees with direct CMYK within YCbCr rounding,
+    arbitrary content stays within the pinned tolerance, 12-bit
+    returns uint16, and an APP14 transform byte of 0 on a 3-component
+    frame means components-are-RGB (no YCbCr inverse)."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(67)
+    for color in ((255, 255, 255, 255), (200, 10, 30, 128),
+                  (0, 0, 0, 0), (13, 250, 99, 201)):
+        img = np.zeros((16, 24, 4), np.uint8)
+        img[:] = color
+        out = decode_jpeg(encode_jpeg_cmyk(img))
+        exp = [round(color[i] * color[3] / 255) for i in range(3)]
+        assert (out == np.array(exp, np.uint8)).all(), color
+        o2 = decode_jpeg(encode_jpeg_cmyk(img, ycck=True)).astype(int)
+        assert abs(out.astype(int) - o2).max() <= 2, color
+    img = rng.integers(0, 256, size=(21, 35, 4), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_cmyk(img, restart_interval=5)).astype(int)
+    exp = np.round(img[..., :3].astype(float) * img[..., 3:4].astype(float)
+                   / 255)
+    assert abs(out - exp).max() <= 2
+    img12 = rng.integers(0, 4096, size=(16, 16, 4), dtype=np.uint16)
+    assert decode_jpeg(encode_jpeg_cmyk(img12)).dtype == np.uint16
+
+    # 3-component APP14 transform 0: stored components ARE RGB
+    solid = np.zeros((8, 16, 3), np.uint8)
+    solid[:] = (10, 200, 30)
+    plain = encode_jpeg(solid)
+    app14_rgb = (
+        b"\xff\xee" + struct.pack(">H", 2 + 12)
+        + b"Adobe" + struct.pack(">H", 0x65)
+        + struct.pack(">HH", 0, 0) + bytes([0])
+    )
+    tagged = plain[:2] + app14_rgb + plain[2:]
+    out = decode_jpeg(tagged)
+    # the stored planes are the JFIF forward transform of the color
+    r, g, bch = 10.0, 200.0, 30.0
+    y = round(0.299 * r + 0.587 * g + 0.114 * bch)
+    cb = round(-0.168736 * r - 0.331264 * g + 0.5 * bch + 128)
+    cr = round(0.5 * r - 0.418688 * g - 0.081312 * bch + 128)
+    assert (out == np.array([y, cb, cr], np.uint8)).all()
+
+    # 4-component lossless/arithmetic stay honest stubs
+    good = encode_jpeg_cmyk(np.zeros((8, 8, 4), np.uint8))
+    sof_at = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xC3
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
