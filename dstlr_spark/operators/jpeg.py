@@ -51,9 +51,8 @@ the APP14 transform byte: direct CMYK (transform 0 / unmarked) and
 YCCK (transform 2), both in the Adobe inverted-storage convention
 (RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
 planes ARE RGB. Differential DCT/arithmetic hierarchical frames
-(SOF5/6/13/14/15), 12-bit ARITHMETIC DCT, 4-component
-arithmetic/lossless modes, and arithmetic/lossless multi-scan files
-raise ``NotImplementedError`` — genuinely different coefficient
+(SOF5/6/13/14/15), 4-component arithmetic/lossless modes, and
+arithmetic/lossless multi-scan files raise ``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -344,10 +343,6 @@ def decode_jpeg(b: bytes):
                     f"STUB: JPEG {prec}-bit DCT precision — 8- and 12-bit "
                     "decode"
                 )
-            elif prec == 12 and arith:
-                raise NotImplementedError(
-                    "STUB: 12-bit arithmetic-coded DCT modes"
-                )
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             if not h or not w:
@@ -467,7 +462,7 @@ def decode_jpeg(b: bytes):
                     raise ValueError("JPEG sequential scan header invalid")
                 return decode_scan_arith(
                     b, pos, frame, scan, qtables, dac_dc, dac_ac,
-                    restart_interval,
+                    restart_interval, precision,
                 )
             if not progressive:
                 if ss != 0 or se != 63 or ahal != 0:

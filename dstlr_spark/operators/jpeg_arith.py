@@ -526,7 +526,7 @@ def _encode_ac_refine(enc, stats, fixed, vals_zz, band_lo, band_hi, al):
 
 
 def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
-                      restart_interval):
+                      restart_interval, prec=8):
     """Sequential arithmetic scan → decoded RGB via jpeg._reconstruct.
     Same MCU walk as the Huffman twin; entropy layer swapped for the
     QM coder with per-restart state reset (coder, statistics areas,
@@ -597,7 +597,7 @@ def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
                     coef[0] = preds[ci]
                     _decode_ac_block(dec, astat, fixed, kx, coef, zz)
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
-    return _reconstruct(frame, planes, qtables)
+    return _reconstruct(frame, planes, qtables, prec)
 
 
 def encode_jpeg_arith(img, quant=None, subsample="444",
@@ -625,11 +625,15 @@ def encode_jpeg_arith(img, quant=None, subsample="444",
     if quant is None:
         quant = np.ones((8, 8), np.int32)
     quant = np.asarray(quant, np.int32)
-    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
+    arr = np.asarray(img)
+    prec = 12 if arr.dtype == np.uint16 else 8
+    if prec == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample, prec)
     out = bytearray(b"\xff\xd8")
     qzz = np.asarray(quant).reshape(-1)[list(_ZIGZAG)].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", prec, h, w, len(comps))
     for cid, ch_, cv, tq in comps:
         sof += bytes([cid, (ch_ << 4) | cv, tq])
     out += b"\xff\xc9" + struct.pack(">H", 2 + len(sof)) + sof
@@ -854,11 +858,15 @@ def encode_jpeg_progressive_arith(
     if quant is None:
         quant = np.ones((8, 8), np.int32)
     quant = np.asarray(quant, np.int32)
-    h, w, comps, blocks = _quantize_blocks(img, quant, subsample)
+    arr = np.asarray(img)
+    prec = 12 if arr.dtype == np.uint16 else 8
+    if prec == 12 and arr.max(initial=0) > 4095:
+        raise ValueError("12-bit JPEG samples must be < 4096")
+    h, w, comps, blocks = _quantize_blocks(img, quant, subsample, prec)
     out = bytearray(b"\xff\xd8")
     qzz = np.asarray(quant).reshape(-1)[list(_ZIGZAG)].astype(np.uint8)
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    sof = struct.pack(">BHHB", prec, h, w, len(comps))
     for cid, ch_, cv, tq in comps:
         sof += bytes([cid, (ch_ << 4) | cv, tq])
     out += b"\xff\xca" + struct.pack(">H", 2 + len(sof)) + sof

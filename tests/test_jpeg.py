@@ -1034,15 +1034,35 @@ def test_12bit_dct_decode():
         == decode_jpeg(encode_jpeg(c, subsample="420", restart_interval=3))
     ).all()
 
-    # out-of-range samples and 12-bit arithmetic stay rejected
+    # out-of-range samples stay rejected
     with pytest.raises(ValueError):
         encode_jpeg(np.full((8, 8), 4096, np.uint16))
-    good = encode_jpeg(img)
-    sof_at = good.find(b"\xff\xc1")
-    bad = bytearray(good)
-    bad[sof_at + 1] = 0xC9  # flip to sequential arithmetic at 12-bit
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(bad))
+
+
+def test_12bit_arithmetic_equals_huffman():
+    """12-bit SOF9/SOF10: the QM coder's magnitude chains are
+    category-unbounded, so 12-bit needs no new models — decode must
+    equal the 12-bit Huffman twins bit-for-bit on the same quantized
+    coefficients."""
+    from dstlr_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 4096, size=(20, 28), dtype=np.uint16)
+    base = decode_jpeg(encode_jpeg(img))
+    a = decode_jpeg(encode_jpeg_arith(img))
+    assert a.dtype == np.uint16 and (a == base).all()
+    assert (decode_jpeg(encode_jpeg_progressive_arith(img)) == base).all()
+    rgb = rng.integers(0, 4096, size=(17, 9, 3), dtype=np.uint16)
+    assert (
+        decode_jpeg(encode_jpeg_arith(rgb, subsample="420",
+                                      restart_interval=3,
+                                      dc_cond=(1, 3), ac_kx=9))
+        == decode_jpeg(encode_jpeg(rgb, subsample="420",
+                                   restart_interval=3))
+    ).all()
 
 
 def test_multiscan_sequential_equals_interleaved():
