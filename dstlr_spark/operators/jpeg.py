@@ -50,9 +50,11 @@ and reconstruct once at EOI. 4-COMPONENT Adobe files decode through
 the APP14 transform byte: direct CMYK (transform 0 / unmarked) and
 YCCK (transform 2), both in the Adobe inverted-storage convention
 (RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
-planes ARE RGB. Differential DCT/arithmetic hierarchical frames
-(SOF5/6/13/14/15), 4-component arithmetic/lossless modes, and
-arithmetic/lossless multi-scan files raise ``NotImplementedError`` — genuinely different coefficient
+planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
+scans, per-scan predictors and point transforms) assemble at EOI.
+Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15),
+4-component arithmetic/lossless modes, and ARITHMETIC multi-scan
+files raise ``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -257,6 +259,8 @@ def decode_jpeg(b: bytes):
     coefs = None  # progressive/multi-scan: per-comp coefficient stores
     scans_done = 0
     seq_multiscan = False  # sequential frame split across scans
+    ll_planes = None  # lossless multi-scan: per-comp plane store
+    ll_pts = None  # per-comp point transforms (applied at EOI)
     coded_comps: set[int] = set()
     restart_interval = 0
     pos = 2
@@ -271,6 +275,22 @@ def decode_jpeg(b: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / stray RST
             continue
         if marker == 0xD9:
+            if ll_planes is not None and scans_done:
+                import numpy as np
+
+                if coded_comps != {c[0] for c in frame[2]}:
+                    raise ValueError(
+                        "JPEG multi-scan file is missing component scans"
+                    )
+                mask = (1 << precision) - 1
+                dtype = np.uint8 if precision <= 8 else np.uint16
+                planes = [
+                    ((np.array(p, np.int64) << pt) & mask).astype(dtype)
+                    for p, pt in zip(ll_planes, ll_pts)
+                ]
+                if len(planes) == 1:
+                    return np.repeat(planes[0][..., None], 3, axis=2)
+                return np.stack(planes, axis=2)
             if (progressive or seq_multiscan) and scans_done:
                 if seq_multiscan and coded_comps != {
                     c[0] for c in frame[2]
@@ -416,9 +436,30 @@ def decode_jpeg(b: bytes):
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             if lossless:
                 if ns != len(frame[2]):
-                    raise NotImplementedError(
-                        "STUB: lossless multi-scan (non-interleaved) files"
+                    # multi-scan lossless file: decode each scan into
+                    # the shared plane store, assemble at EOI
+                    if arith:
+                        raise NotImplementedError(
+                            "STUB: arithmetic lossless multi-scan files"
+                        )
+                    if not 1 <= ss <= 7:
+                        raise ValueError(
+                            f"JPEG lossless predictor {ss} invalid"
+                        )
+                    if se != 0 or (ahal >> 4) != 0:
+                        raise ValueError("JPEG lossless scan header invalid")
+                    if (ahal & 15) >= precision:
+                        raise ValueError("JPEG lossless point transform >= P")
+                    if ll_planes is None:
+                        ll_planes = [None] * len(frame[2])
+                        ll_pts = [0] * len(frame[2])
+                    pos = _decode_lossless_scan_into(
+                        b, pos, frame, scan, precision, ss, ahal & 15,
+                        htables, restart_interval, ll_planes, ll_pts,
                     )
+                    coded_comps.update(cs for cs, _, _ in scan)
+                    scans_done += 1
+                    continue
                 if not 1 <= ss <= 7:
                     raise ValueError(f"JPEG lossless predictor {ss} invalid")
                 if se != 0 or (ahal >> 4) != 0:
@@ -663,6 +704,89 @@ def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
             _restart(m)
             row, col = divmod(m, bw_)
             _block(0, dc_t, ac_t, coefs[ci][row, col])
+    return end
+
+
+def _decode_lossless_scan_into(
+    b, pos, frame, scan, prec, predictor, pt, htables, restart_interval,
+    planes_out, pts_out
+):
+    """One lossless scan over a SUBSET of the frame's components
+    (multi-scan lossless files): the Annex-H difference walk of
+    :func:`_decode_lossless_scan` restricted to the scan's components
+    — interleaved one sample per scan component when ns > 1, a plain
+    raster walk when ns == 1 — writing raw (pre-point-transform)
+    planes into ``planes_out`` and recording each component's Pt in
+    ``pts_out`` (T.81 allows per-scan point transforms). Returns the
+    offset of the terminating marker; output assembly happens at EOI.
+    Only 1x1 sampling is supported (the same restriction as the
+    single-scan path)."""
+    h, w, comps = frame
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError(
+            "STUB: lossless JPEG with sampling factors != 1x1"
+        )
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        if (0, td) not in htables:
+            raise ValueError("JPEG missing Huffman table for scan")
+        sel.append((by_id[cs], htables[(0, td)]))
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    default = 1 << (prec - pt - 1)
+    planes = [[[0] * w for _ in range(h)] for _ in sel]
+    seg_i = 0
+    br = _BitReader(segs[0][0])
+    reset = True
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            br = _BitReader(segs[seg_i][0])
+            reset = True
+        r, c = divmod(m, w)
+        for si, (ci, tbl) in enumerate(sel):
+            t = _huff_decode(br, tbl)
+            if t > 16:
+                raise ValueError("JPEG lossless SSSS > 16")
+            d = 32768 if t == 16 else _extend(br.receive(t), t)
+            p = planes[si]
+            if reset:
+                px = default
+            elif r == 0:
+                px = p[0][c - 1]
+            elif c == 0:
+                px = p[r - 1][0]
+            else:
+                row, above = p[r], p[r - 1]
+                ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc_
+                elif predictor == 4:
+                    px = ra + rb - rc_
+                elif predictor == 5:
+                    px = ra + ((rb - rc_) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc_) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            p[r][c] = (px + d) & 0xFFFF
+        reset = False
+    for si, (ci, _) in enumerate(sel):
+        planes_out[ci] = planes[si]
+        pts_out[ci] = pt
     return end
 
 
@@ -1619,7 +1743,7 @@ _LL_SYMBOLS = bytes(range(17))
 
 
 def encode_jpeg_lossless(
-    img, predictor=4, point_transform=0, restart_interval=0
+    img, predictor=4, point_transform=0, restart_interval=0, groups=None
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB array as a REAL
     lossless JPEG (SOF3, T.81 Annex H) — the fixture-side twin of
@@ -1657,6 +1781,64 @@ def encode_jpeg_lossless(
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if groups is not None:
+        # multi-scan lossless: one scan per component group, each a
+        # fresh Annex-H difference walk over its own planes
+        if sorted(cid for g in groups for cid in g) != sorted(comp_ids):
+            raise ValueError("groups must partition the component ids")
+        default = 1 << (prec - point_transform - 1)
+        for g in groups:
+            out += _emit_sos(list(g), predictor, 0, 0, point_transform)
+            gplanes = [planes[comp_ids.index(cid)] for cid in g]
+            bw = _BitWriter()
+            reset = True
+            for m in range(h * w):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw.flush()
+                    out += bw.out
+                    bw = _BitWriter()
+                    out += bytes(
+                        [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                    )
+                    reset = True
+                r, c = divmod(m, w)
+                for p in gplanes:
+                    if reset:
+                        px = default
+                    elif r == 0:
+                        px = p[0][c - 1]
+                    elif c == 0:
+                        px = p[r - 1][0]
+                    else:
+                        row, above = p[r], p[r - 1]
+                        ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                        if predictor == 1:
+                            px = ra
+                        elif predictor == 2:
+                            px = rb
+                        elif predictor == 3:
+                            px = rc_
+                        elif predictor == 4:
+                            px = ra + rb - rc_
+                        elif predictor == 5:
+                            px = ra + ((rb - rc_) >> 1)
+                        elif predictor == 6:
+                            px = rb + ((ra - rc_) >> 1)
+                        else:
+                            px = (ra + rb) >> 1
+                    d = ((p[r][c] - px + 32768) & 0xFFFF) - 32768
+                    if d == -32768:
+                        bw.write(ll_enc[16][1], ll_enc[16][0])
+                    else:
+                        t = _category(d)
+                        bw.write(ll_enc[t][1], ll_enc[t][0])
+                        if t:
+                            bw.write(d if d > 0 else d + (1 << t) - 1, t)
+                reset = False
+            bw.flush()
+            out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
     out += _emit_sos(comp_ids, predictor, 0, 0, point_transform)
     default = 1 << (prec - point_transform - 1)
     bw = _BitWriter()

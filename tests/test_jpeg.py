@@ -1163,3 +1163,33 @@ def test_cmyk_and_ycck_decode():
     bad[sof_at + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
+
+
+def test_lossless_multiscan_exact():
+    """Multi-scan lossless files (each component group its own
+    Annex-H scan) reconstruct exactly — component orders, partial
+    interleaves, restarts, 16-bit, and point transforms — and a file
+    missing a component scan raises ValueError at EOI."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(73)
+    rgb = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for groups in ([(1,), (2,), (3,)], [(1, 2), (3,)], [(3,), (1, 2)]):
+        out = decode_jpeg(encode_jpeg_lossless(rgb, predictor=5,
+                                               groups=groups))
+        assert (out == rgb).all(), groups
+    g16 = rng.integers(0, 65536, size=(9, 17), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless(g16, predictor=1, groups=[(1,)]))
+    assert out.dtype == np.uint16 and (out[..., 0] == g16).all()
+    assert (decode_jpeg(encode_jpeg_lossless(
+        rgb, predictor=7, restart_interval=4, groups=[(1,), (2,), (3,)]))
+        == rgb).all()
+    assert (decode_jpeg(encode_jpeg_lossless(
+        rgb, predictor=4, point_transform=2, groups=[(1,), (2,), (3,)]))
+        == (rgb >> 2) << 2).all()
+    enc = encode_jpeg_lossless(rgb, groups=[(1,), (2,), (3,)])
+    last = enc.rfind(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:last] + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(rgb, groups=[(1, 2)])
