@@ -53,8 +53,8 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
 Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15),
-4-component arithmetic/lossless modes, and ARITHMETIC multi-scan
-files raise ``NotImplementedError`` — genuinely different coefficient
+4-component arithmetic/lossless modes, and arithmetic-LOSSLESS
+multi-scan files raise ``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -493,14 +493,26 @@ def decode_jpeg(b: bytes):
                 scans_done += 1
                 continue
             if arith:
-                from dstlr_spark.operators.jpeg_arith import decode_scan_arith
+                from dstlr_spark.operators.jpeg_arith import (
+                    decode_scan_arith,
+                    decode_seq_scan_arith_into,
+                )
 
-                if ns != len(frame[2]):
-                    raise NotImplementedError(
-                        "STUB: arithmetic multi-scan (non-interleaved) files"
-                    )
                 if ss != 0 or se != 63 or ahal != 0:
                     raise ValueError("JPEG sequential scan header invalid")
+                if ns != len(frame[2]):
+                    # multi-scan sequential arithmetic: same EOI
+                    # assembly as the Huffman twin, QM entropy layer
+                    if coefs is None:
+                        coefs = _alloc_coefs(frame)
+                    pos = decode_seq_scan_arith_into(
+                        b, pos, frame, scan, dac_dc, dac_ac, coefs,
+                        restart_interval,
+                    )
+                    coded_comps.update(cs for cs, _, _ in scan)
+                    scans_done += 1
+                    seq_multiscan = True
+                    continue
                 return decode_scan_arith(
                     b, pos, frame, scan, qtables, dac_dc, dac_ac,
                     restart_interval, precision,

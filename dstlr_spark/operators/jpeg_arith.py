@@ -600,9 +600,101 @@ def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
     return _reconstruct(frame, planes, qtables, prec)
 
 
+def decode_seq_scan_arith_into(b, pos, frame, scan, dc_cond, ac_cond,
+                               coefs, restart_interval):
+    """Sequential-arithmetic scan over a SUBSET of the frame's
+    components (multi-scan SOF9 files): the per-block DC/AC QM models
+    of :func:`decode_scan_arith` with the progressive machinery's
+    traversal — frame-global MCU order restricted to the scan's
+    components when ns > 1, the component's REAL block grid when
+    ns == 1 — written into the shared coefficient stores. Every scan
+    is an independent QM stream with fresh statistics. Returns the
+    offset of the terminating marker; dequant + IDCT happen once at
+    EOI in jpeg.decode_jpeg."""
+    from dstlr_spark.operators.jpeg import (
+        _ZIGZAG,
+        _entropy_segments,
+        _sampling,
+    )
+
+    h, w, comps = frame
+    hmax, vmax = _sampling(comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        ll, uu = dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+        sel.append((by_id[cs], td, ta, (1 << ll) >> 1, (1 << uu) >> 1,
+                    ac_cond.get(ta, DEFAULT_AC_KX)))
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    zz = list(_ZIGZAG)
+
+    def fresh_state():
+        return (
+            {td: bytearray(_DC_STAT_BINS) for _, td, *_ in sel},
+            {ta: bytearray(_AC_STAT_BINS) for _, _, ta, *_ in sel},
+            bytearray([_FIXED]),
+            [0] * len(sel),
+            [0] * len(sel),
+        )
+
+    seg_i = 0
+    dec = _ArithDecoder(segs[0][0])
+    dc_stats, ac_stats, fixed, dc_ctx, preds = fresh_state()
+
+    def _restart(unit):
+        nonlocal seg_i, dec, dc_stats, ac_stats, fixed, dc_ctx, preds
+        if restart_interval and unit and unit % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (unit // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            dec = _ArithDecoder(segs[seg_i][0])
+            dc_stats, ac_stats, fixed, dc_ctx, preds = fresh_state()
+
+    def _block(si, row, col):
+        ci, td, ta, lo, hi, kx = sel[si]
+        coef = [0.0] * 64
+        diff, dc_ctx[si] = _decode_dc_diff(
+            dec, dc_stats[td], dc_ctx[si], lo, hi
+        )
+        preds[si] += diff
+        coef[0] = preds[si]
+        _decode_ac_block(dec, ac_stats[ta], fixed, kx, coef, zz)
+        coefs[ci][row, col] = coef
+
+    if len(sel) > 1:  # partial interleave: MCU traversal, pads included
+        for m in range(mcus_x * mcus_y):
+            _restart(m)
+            my, mx = divmod(m, mcus_x)
+            for si, (ci, *_rest) in enumerate(sel):
+                _, ch_, cv, _ = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        _block(si, my * cv + by, mx * ch_ + bx)
+    else:  # non-interleaved: the component's real block grid
+        ci = sel[0][0]
+        _, ch_, cv, _ = comps[ci]
+        cw = -(-w * ch_ // hmax)
+        chh = -(-h * cv // vmax)
+        bh_, bw_ = -(-chh // 8), -(-cw // 8)
+        for m in range(bh_ * bw_):
+            _restart(m)
+            row, col = divmod(m, bw_)
+            _block(0, row, col)
+    return end
+
+
 def encode_jpeg_arith(img, quant=None, subsample="444",
                       restart_interval=0, dc_cond=None,
-                      ac_kx=None) -> bytes:
+                      ac_kx=None, groups=None) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     REAL arithmetic-coded JPEG (SOF9) — identical front half to
     jpeg.encode_jpeg (:func:`jpeg._quantize_blocks`: color transform,
@@ -666,6 +758,69 @@ def encode_jpeg_arith(img, quant=None, subsample="444",
             [0] * len(comps),
         )
 
+    if groups is not None:
+        # multi-scan arithmetic: one scan (fresh QM stream + fresh
+        # statistics) per component group — the fixture twin of
+        # decode_seq_scan_arith_into
+        if sorted(cid for g in groups for cid in g) != sorted(
+            c[0] for c in comps
+        ):
+            raise ValueError("groups must partition the component ids")
+        by_id = {c[0]: i for i, c in enumerate(comps)}
+        # the interleaved SOS emitted above belongs to the single-scan
+        # path; rebuild the tail from the group scans instead
+        out = out[: len(out) - len(_emit_sos([c[0] for c in comps],
+                                             0, 63, 0, 0))]
+        for g in groups:
+            out += _emit_sos(list(g), 0, 63, 0, 0)
+            enc, dstat, astat, fixed, dc_ctx, preds = fresh()
+            dc_ctx, preds = [0] * len(g), [0] * len(g)
+
+            def emit_block(si, ci, row, col):
+                qz = blocks[ci][row, col].tolist()
+                diff = qz[0] - preds[si]
+                preds[si] = qz[0]
+                dc_ctx[si] = _encode_dc_diff(
+                    enc, dstat, dc_ctx[si], diff, lo, hi
+                )
+                _encode_ac_block(enc, astat, fixed, kx, qz)
+
+            if len(g) > 1:
+                for m in range(mcus_x * mcus_y):
+                    if restart_interval and m and m % restart_interval == 0:
+                        out += enc.finish()
+                        out += bytes(
+                            [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                        )
+                        enc, dstat, astat, fixed, _, _ = fresh()
+                        dc_ctx, preds = [0] * len(g), [0] * len(g)
+                    my, mx = divmod(m, mcus_x)
+                    for si, cid in enumerate(g):
+                        ci = by_id[cid]
+                        _, ch_, cv, _ = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch_):
+                                emit_block(si, ci, my * cv + by,
+                                           mx * ch_ + bx)
+            else:
+                ci = by_id[g[0]]
+                _, ch_, cv, _ = comps[ci]
+                cw = -(-w * ch_ // hmax)
+                chh = -(-h * cv // vmax)
+                bh_, bw_grid = -(-chh // 8), -(-cw // 8)
+                for m in range(bh_ * bw_grid):
+                    if restart_interval and m and m % restart_interval == 0:
+                        out += enc.finish()
+                        out += bytes(
+                            [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                        )
+                        enc, dstat, astat, fixed, _, _ = fresh()
+                        dc_ctx, preds = [0], [0]
+                    row, col = divmod(m, bw_grid)
+                    emit_block(0, ci, row, col)
+            out += enc.finish()
+        out += b"\xff\xd9"
+        return bytes(out)
     enc, dstat, astat, fixed, dc_ctx, preds = fresh()
     for m in range(mcus_x * mcus_y):
         if restart_interval and m and m % restart_interval == 0:

@@ -369,10 +369,10 @@ def decode_rgb_bytes(b: bytes):
     exactly and join the planted-pixel gate. The remaining image stub
     surface is differential DCT/arithmetic hierarchical frames
     (SOF5/6/13/14/15), 4-component arithmetic/lossless modes, and
-    ARITHMETIC multi-scan files — all NotImplementedError (DCT
-    decodes at 8 AND 12 bits under BOTH entropy layers, interleaved
-    or multi-scan, gray/YCbCr/RGB/CMYK/YCCK; lossless Huffman decodes
-    interleaved or multi-scan).
+    arithmetic-LOSSLESS multi-scan files — all NotImplementedError
+    (DCT decodes at 8 AND 12 bits under BOTH entropy layers,
+    interleaved or multi-scan, gray/YCbCr/RGB/CMYK/YCCK; lossless
+    Huffman decodes interleaved or multi-scan).
     """
     import numpy as np
 

@@ -1193,3 +1193,41 @@ def test_lossless_multiscan_exact():
         decode_jpeg(enc[:last] + b"\xff\xd9")
     with pytest.raises(ValueError):
         encode_jpeg_lossless(rgb, groups=[(1, 2)])
+
+
+def test_arith_multiscan_equals_huffman():
+    """Multi-scan sequential ARITHMETIC files (each scan a fresh QM
+    stream over its component group) decode bit-identical to the
+    Huffman interleaved twin — groupings, partial interleaves,
+    restarts, DAC conditioning, 12-bit — and a missing component scan
+    raises ValueError at EOI."""
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(79)
+    for shape, sub in [((24, 40), "444"), ((17, 9, 3), "444"),
+                       ((21, 35, 3), "420")]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, subsample=sub))
+        groups = [(1,)] if img.ndim == 2 else [(1,), (2,), (3,)]
+        assert (decode_jpeg(encode_jpeg_arith(img, subsample=sub,
+                                              groups=groups))
+                == base).all(), (shape, sub)
+    img = rng.integers(0, 256, size=(21, 35, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, subsample="420"))
+    assert (decode_jpeg(encode_jpeg_arith(
+        img, subsample="420", groups=[(1, 2), (3,)])) == base).all()
+    assert (decode_jpeg(encode_jpeg_arith(
+        img, subsample="420", restart_interval=3,
+        groups=[(1,), (2,), (3,)])) == base).all()
+    assert (decode_jpeg(encode_jpeg_arith(
+        img, subsample="420", dc_cond=(1, 3), ac_kx=9,
+        groups=[(1,), (2,), (3,)])) == base).all()
+    img12 = rng.integers(0, 4096, size=(20, 28, 3), dtype=np.uint16)
+    assert (decode_jpeg(encode_jpeg_arith(img12, groups=[(1,), (2,), (3,)]))
+            == decode_jpeg(encode_jpeg(img12))).all()
+    enc = encode_jpeg_arith(img, groups=[(1,), (2,), (3,)])
+    last = enc.rfind(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:last] + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        encode_jpeg_arith(img, groups=[(1, 2)])
