@@ -52,9 +52,9 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 (RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
-Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15),
-4-component arithmetic/lossless modes, and arithmetic-LOSSLESS
-multi-scan files raise ``NotImplementedError`` — genuinely different coefficient
+Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15)
+and 4-component arithmetic/lossless modes raise
+``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -438,10 +438,6 @@ def decode_jpeg(b: bytes):
                 if ns != len(frame[2]):
                     # multi-scan lossless file: decode each scan into
                     # the shared plane store, assemble at EOI
-                    if arith:
-                        raise NotImplementedError(
-                            "STUB: arithmetic lossless multi-scan files"
-                        )
                     if not 1 <= ss <= 7:
                         raise ValueError(
                             f"JPEG lossless predictor {ss} invalid"
@@ -453,10 +449,20 @@ def decode_jpeg(b: bytes):
                     if ll_planes is None:
                         ll_planes = [None] * len(frame[2])
                         ll_pts = [0] * len(frame[2])
-                    pos = _decode_lossless_scan_into(
-                        b, pos, frame, scan, precision, ss, ahal & 15,
-                        htables, restart_interval, ll_planes, ll_pts,
-                    )
+                    if arith:
+                        from dstlr_spark.operators.jpeg_arith import (
+                            decode_lossless_scan_arith_into,
+                        )
+
+                        pos = decode_lossless_scan_arith_into(
+                            b, pos, frame, scan, precision, ss, ahal & 15,
+                            dac_dc, restart_interval, ll_planes, ll_pts,
+                        )
+                    else:
+                        pos = _decode_lossless_scan_into(
+                            b, pos, frame, scan, precision, ss, ahal & 15,
+                            htables, restart_interval, ll_planes, ll_pts,
+                        )
                     coded_comps.update(cs for cs, _, _ in scan)
                     scans_done += 1
                     continue

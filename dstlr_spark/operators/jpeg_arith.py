@@ -1349,8 +1349,85 @@ def decode_lossless_scan_arith(
     return np.stack([out[0], out[1], out[2]], axis=2)
 
 
+def decode_lossless_scan_arith_into(
+    b, pos, frame, scan, prec, predictor, pt, dc_cond, restart_interval,
+    planes_out, pts_out
+):
+    """SOF11 lossless-arithmetic scan over a SUBSET of the frame's
+    components (multi-scan files): the walk of
+    :func:`decode_lossless_scan_arith` restricted to the scan's
+    components, writing raw planes into ``planes_out`` and the scan's
+    Pt into ``pts_out`` — the arithmetic twin of
+    ``jpeg._decode_lossless_scan_into``, with per-scan fresh QM
+    statistics. Returns the offset of the terminating marker; output
+    assembly happens at EOI in jpeg.decode_jpeg."""
+    from dstlr_spark.operators.jpeg import _entropy_segments
+
+    h, w, comps = frame
+    if any(c[1] != 1 or c[2] != 1 for c in comps):
+        raise NotImplementedError(
+            "STUB: lossless JPEG with sampling factors != 1x1"
+        )
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        ll, uu = dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+        sel.append((by_id[cs], td, (1 << ll) >> 1, (1 << uu) >> 1))
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    default = 1 << (prec - pt - 1)
+    nsel = len(sel)
+    planes = [[[0] * w for _ in range(h)] for _ in range(nsel)]
+
+    def fresh(seg_i):
+        return (
+            _ArithDecoder(segs[seg_i][0]),
+            {td: bytearray(_LL_STAT_BINS) for _, td, _, _ in sel},
+            [[0] * w for _ in range(nsel)],
+            [0] * nsel,
+        )
+
+    seg_i = 0
+    dec, stats, cat_above, cat_left = fresh(0)
+    reset = True
+    last_reset_m = 0
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            dec, stats, cat_above, cat_left = fresh(seg_i)
+            reset = True
+            last_reset_m = m
+        r, c = divmod(m, w)
+        if c == 0:
+            cat_left = [0] * nsel
+        for si, (ci, td, lo, hi) in enumerate(sel):
+            cb = cat_above[si][c] if m - last_reset_m >= w else 0
+            d, cat = _decode_ll_diff(
+                dec, stats[td], cat_left[si], cb, lo, hi
+            )
+            p = planes[si]
+            px = _ll_predict(p, r, c, predictor, default, reset)
+            p[r][c] = (px + d) & 0xFFFF
+            cat_above[si][c] = cat
+            cat_left[si] = cat
+        reset = False
+    for si, (ci, *_rest) in enumerate(sel):
+        planes_out[ci] = planes[si]
+        pts_out[ci] = pt
+    return end
+
+
 def encode_jpeg_lossless_arith(
-    img, predictor=4, point_transform=0, restart_interval=0, dc_cond=None
+    img, predictor=4, point_transform=0, restart_interval=0, dc_cond=None,
+    groups=None
 ) -> bytes:
     """Encode a REAL lossless-arithmetic JPEG (SOF11) — the
     fixture-side twin of :func:`decode_lossless_scan_arith`, sharing
@@ -1390,9 +1467,53 @@ def encode_jpeg_lossless_arith(
         out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += _emit_sos(comp_ids, predictor, 0, 0, point_transform)
     lo, hi = (1 << ll) >> 1, (1 << uu) >> 1
     default = 1 << (prec - point_transform - 1)
+    if groups is not None:
+        # multi-scan lossless arithmetic: one scan (fresh QM stream +
+        # fresh statistics) per component group
+        if sorted(cid for g in groups for cid in g) != sorted(comp_ids):
+            raise ValueError("groups must partition the component ids")
+        for g in groups:
+            out += _emit_sos(list(g), predictor, 0, 0, point_transform)
+            gplanes = [planes[comp_ids.index(cid)] for cid in g]
+            ng = len(g)
+            enc = _ArithEncoder()
+            stats = bytearray(_LL_STAT_BINS)
+            cat_above = [[0] * w for _ in range(ng)]
+            cat_left = [0] * ng
+            reset = True
+            last_reset_m = 0
+            for m in range(h * w):
+                if restart_interval and m and m % restart_interval == 0:
+                    out += enc.finish()
+                    out += bytes(
+                        [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                    )
+                    enc = _ArithEncoder()
+                    stats = bytearray(_LL_STAT_BINS)
+                    cat_above = [[0] * w for _ in range(ng)]
+                    cat_left = [0] * ng
+                    reset = True
+                    last_reset_m = m
+                r, c = divmod(m, w)
+                if c == 0:
+                    cat_left = [0] * ng
+                for si, p in enumerate(gplanes):
+                    px = _ll_predict(p, r, c, predictor, default, reset)
+                    d = ((p[r][c] - px + 32768) & 0xFFFF) - 32768
+                    if d == -32768:
+                        d = 32768
+                    cb = cat_above[si][c] if m - last_reset_m >= w else 0
+                    cat = _encode_ll_diff(enc, stats, cat_left[si], cb, d,
+                                          lo, hi)
+                    cat_above[si][c] = cat
+                    cat_left[si] = cat
+                reset = False
+            out += enc.finish()
+        out += b"\xff\xd9"
+        return bytes(out)
+    out += _emit_sos(comp_ids, predictor, 0, 0, point_transform)
     nc = len(planes)
 
     def fresh():

@@ -368,11 +368,10 @@ def decode_rgb_bytes(b: bytes):
     SOF3/SOF7, :mod:`dstlr_spark.operators.jpeg_hier`) also decode
     exactly and join the planted-pixel gate. The remaining image stub
     surface is differential DCT/arithmetic hierarchical frames
-    (SOF5/6/13/14/15), 4-component arithmetic/lossless modes, and
-    arithmetic-LOSSLESS multi-scan files — all NotImplementedError
-    (DCT decodes at 8 AND 12 bits under BOTH entropy layers,
-    interleaved or multi-scan, gray/YCbCr/RGB/CMYK/YCCK; lossless
-    Huffman decodes interleaved or multi-scan).
+    (SOF5/6/13/14/15) and 4-component arithmetic/lossless modes —
+    all NotImplementedError (DCT and lossless decode at every
+    supported precision under BOTH entropy layers, interleaved or
+    multi-scan, gray/YCbCr/RGB/CMYK/YCCK).
     """
     import numpy as np
 

@@ -1231,3 +1231,32 @@ def test_arith_multiscan_equals_huffman():
         decode_jpeg(enc[:last] + b"\xff\xd9")
     with pytest.raises(ValueError):
         encode_jpeg_arith(img, groups=[(1, 2)])
+
+
+def test_arith_lossless_multiscan_exact():
+    """Multi-scan lossless-ARITHMETIC files (per-group fresh QM
+    streams under the H.1.2 gradient-conditioned model) reconstruct
+    exactly across groupings, restarts, 16-bit, point transforms and
+    DAC conditioning, and share the Huffman twin's
+    missing-component-scan ValueError."""
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(83)
+    rgb = rng.integers(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    for groups in ([(1,), (2,), (3,)], [(1, 2), (3,)], [(3,), (1, 2)]):
+        assert (decode_jpeg(encode_jpeg_lossless_arith(
+            rgb, predictor=5, groups=groups)) == rgb).all(), groups
+    g16 = rng.integers(0, 65536, size=(9, 17), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_lossless_arith(g16, predictor=1,
+                                                 groups=[(1,)]))
+    assert out.dtype == np.uint16 and (out[..., 0] == g16).all()
+    assert (decode_jpeg(encode_jpeg_lossless_arith(
+        rgb, predictor=7, restart_interval=4, groups=[(1,), (2,), (3,)]))
+        == rgb).all()
+    assert (decode_jpeg(encode_jpeg_lossless_arith(
+        rgb, predictor=4, point_transform=2, dc_cond=(1, 2),
+        groups=[(1,), (2,), (3,)])) == (rgb >> 2) << 2).all()
+    enc = encode_jpeg_lossless_arith(rgb, groups=[(1,), (2,), (3,)])
+    last = enc.rfind(b"\xff\xda")
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[:last] + b"\xff\xd9")
