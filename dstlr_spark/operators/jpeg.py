@@ -52,9 +52,9 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 (RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
-Differential DCT/arithmetic hierarchical frames (SOF5/6/13/14/15)
-and 4-component arithmetic/lossless modes raise
-``NotImplementedError`` — genuinely different coefficient
+Differential/hierarchical frames beyond the lossless gray/RGB
+pyramids (SOF5/6/13/14/15, and DHP hierarchies with CMYK or DCT
+frames) raise ``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -290,6 +290,8 @@ def decode_jpeg(b: bytes):
                 ]
                 if len(planes) == 1:
                     return np.repeat(planes[0][..., None], 3, axis=2)
+                if len(planes) == 4:
+                    return _cmyk_to_rgb(planes, mask)
                 return np.stack(planes, axis=2)
             if (progressive or seq_multiscan) and scans_done:
                 if seq_multiscan and coded_comps != {
@@ -367,10 +369,6 @@ def decode_jpeg(b: bytes):
             ncomp = seg[5]
             if not h or not w:
                 raise ValueError(f"JPEG dimensions {w}x{h} invalid")
-            if ncomp == 4 and (arith or lossless):
-                raise NotImplementedError(
-                    "STUB: 4-component (CMYK) arithmetic/lossless modes"
-                )
             if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
                     f"STUB: JPEG {ncomp}-component color"
@@ -522,6 +520,7 @@ def decode_jpeg(b: bytes):
                 return decode_scan_arith(
                     b, pos, frame, scan, qtables, dac_dc, dac_ac,
                     restart_interval, precision,
+                    _color_transform(adobe_transform, len(frame[2])),
                 )
             if not progressive:
                 if ss != 0 or se != 63 or ahal != 0:
@@ -553,6 +552,21 @@ def decode_jpeg(b: bytes):
             )
             scans_done += 1
         # APPn / COM / anything else: skip
+
+
+def _cmyk_to_rgb(planes, maxv):
+    """Exact-plane CMYK (Adobe inverted storage) → RGB for the
+    lossless 4-component paths: RGB = round(c̃·k̃/maxv) channel-wise
+    on the reconstructed planes."""
+    import numpy as np
+
+    c, m, y2, k = (p.astype(np.float64) for p in planes)
+    rgb = np.stack(
+        [np.round(c * k / maxv), np.round(m * k / maxv),
+         np.round(y2 * k / maxv)],
+        axis=2,
+    )
+    return np.clip(rgb, 0, maxv).astype(planes[0].dtype)
 
 
 def _color_transform(adobe_transform, ncomp):
@@ -894,6 +908,8 @@ def _decode_lossless_scan(
     out = ((out << pt) & mask).astype(dtype)
     if nc == 1:
         return np.repeat(out[0][..., None], 3, axis=2)
+    if nc == 4:
+        return _cmyk_to_rgb(list(out), mask)
     return np.stack([out[0], out[1], out[2]], axis=2)
 
 
@@ -1781,14 +1797,15 @@ def encode_jpeg_lossless(
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor {predictor} out of range")
     gray = arr.ndim == 2
+    nchan = 1 if gray else arr.shape[2]
     shifted = (arr.astype(np.int64) >> point_transform)
     planes = (
         [shifted.tolist()]
         if gray
-        else [shifted[..., i].tolist() for i in range(3)]
+        else [shifted[..., i].tolist() for i in range(nchan)]
     )
     h, w = arr.shape[:2]
-    comp_ids = [1] if gray else [1, 2, 3]
+    comp_ids = list(range(1, nchan + 1))
     ll_counts, ll_syms, ll_enc = _fixed_table(_LL_SYMBOLS)
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", prec, h, w, len(comp_ids))

@@ -526,7 +526,7 @@ def _encode_ac_refine(enc, stats, fixed, vals_zz, band_lo, band_hi, al):
 
 
 def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
-                      restart_interval, prec=8):
+                      restart_interval, prec=8, transform=None):
     """Sequential arithmetic scan → decoded RGB via jpeg._reconstruct.
     Same MCU walk as the Huffman twin; entropy layer swapped for the
     QM coder with per-restart state reset (coder, statistics areas,
@@ -597,7 +597,7 @@ def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
                     coef[0] = preds[ci]
                     _decode_ac_block(dec, astat, fixed, kx, coef, zz)
                     planes[ci][my * cv + by, mx * ch_ + bx] = coef
-    return _reconstruct(frame, planes, qtables, prec)
+    return _reconstruct(frame, planes, qtables, prec, transform)
 
 
 def decode_seq_scan_arith_into(b, pos, frame, scan, dc_cond, ac_cond,
@@ -1346,6 +1346,10 @@ def decode_lossless_scan_arith(
     out = ((out << pt) & mask).astype(dtype)
     if nc == 1:
         return np.repeat(out[0][..., None], 3, axis=2)
+    if nc == 4:
+        from dstlr_spark.operators.jpeg import _cmyk_to_rgb
+
+        return _cmyk_to_rgb(list(out), mask)
     return np.stack([out[0], out[1], out[2]], axis=2)
 
 
@@ -1446,14 +1450,15 @@ def encode_jpeg_lossless_arith(
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor {predictor} out of range")
     gray = arr.ndim == 2
+    nchan = 1 if gray else arr.shape[2]
     shifted = arr.astype(np.int64) >> point_transform
     planes = (
         [shifted.tolist()]
         if gray
-        else [shifted[..., i].tolist() for i in range(3)]
+        else [shifted[..., i].tolist() for i in range(nchan)]
     )
     h, w = arr.shape[:2]
-    comp_ids = [1] if gray else [1, 2, 3]
+    comp_ids = list(range(1, nchan + 1))
     out = bytearray(b"\xff\xd8")
     sof = struct.pack(">BHHB", prec, h, w, len(comp_ids))
     for cid in comp_ids:

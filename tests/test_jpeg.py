@@ -1156,13 +1156,61 @@ def test_cmyk_and_ycck_decode():
     cr = round(0.5 * r - 0.418688 * g - 0.081312 * bch + 128)
     assert (out == np.array([y, cb, cr], np.uint8)).all()
 
-    # 4-component lossless/arithmetic stay honest stubs
+    # 4-component hierarchical frames stay honest stubs (jpeg_hier
+    # gates DHP component counts to 1/3)
     good = encode_jpeg_cmyk(np.zeros((8, 8, 4), np.uint8))
     sof_at = good.find(b"\xff\xc0")
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xC3
+    bad[sof_at + 1] = 0xDE  # pretend the SOF is a DHP
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
+
+
+def test_4comp_all_modes_agree():
+    """4-component CMYK decodes under EVERY implemented mode pair:
+    sequential/progressive × Huffman/arithmetic and multi-scan forms
+    are bit-identical (same quantized coefficients), and the lossless
+    family — Huffman, arithmetic, and both multi-scan forms — lands
+    the exact closed-form RGB = round(c̃·k̃/255) of the planted
+    planes."""
+    from dstlr_spark.operators.jpeg import (
+        encode_jpeg_cmyk,
+        encode_jpeg_lossless,
+        encode_jpeg_multiscan,
+        encode_jpeg_progressive,
+    )
+    from dstlr_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_lossless_arith,
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(89)
+    cmyk = rng.integers(0, 256, size=(21, 35, 4), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_cmyk(cmyk))
+    for enc in (
+        lambda a: encode_jpeg(a),
+        lambda a: encode_jpeg_arith(a),
+        lambda a: encode_jpeg_progressive(a),
+        lambda a: encode_jpeg_progressive_arith(a),
+        lambda a: encode_jpeg_multiscan(a),
+        lambda a: encode_jpeg_arith(a, groups=[(1, 3), (2,), (4,)]),
+    ):
+        assert (decode_jpeg(enc(cmyk)) == base).all()
+    exp = np.clip(
+        np.round(cmyk[..., :3].astype(float) * cmyk[..., 3:4].astype(float)
+                 / 255), 0, 255
+    ).astype(np.uint8)
+    for enc in (
+        lambda a: encode_jpeg_lossless(a, predictor=4),
+        lambda a: encode_jpeg_lossless_arith(a, predictor=4),
+        lambda a: encode_jpeg_lossless(a, groups=[(1,), (2,), (3,), (4,)]),
+        lambda a: encode_jpeg_lossless_arith(a, groups=[(2, 4), (1,), (3,)]),
+    ):
+        assert (decode_jpeg(enc(cmyk)) == exp).all()
+    cmyk12 = rng.integers(0, 4096, size=(16, 16, 4), dtype=np.uint16)
+    assert (decode_jpeg(encode_jpeg_arith(cmyk12))
+            == decode_jpeg(encode_jpeg(cmyk12))).all()
 
 
 def test_lossless_multiscan_exact():
