@@ -52,9 +52,9 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 (RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
-Differential/hierarchical frames beyond the lossless gray/RGB
-pyramids (SOF5/6/13/14/15, and DHP hierarchies with CMYK or DCT
-frames) raise ``NotImplementedError`` — genuinely different coefficient
+Differential/hierarchical frames beyond the lossless pyramids
+(SOF5/6/13/14/15, and DHP hierarchies with DCT or arithmetic frames)
+raise ``NotImplementedError`` — genuinely different coefficient
 machinery. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
@@ -352,6 +352,8 @@ def decode_jpeg(b: bytes):
             # (predictive, Huffman), SOF9 sequential arithmetic (QM
             # coder, jpeg_arith), SOF10 progressive arithmetic,
             # SOF11 lossless arithmetic
+            if len(seg) < 6:
+                raise ValueError("JPEG SOF header truncated")
             prec = seg[0]
             lossless = marker in (0xC3, 0xCB)
             arith = marker in (0xC9, 0xCA, 0xCB)
@@ -373,6 +375,8 @@ def decode_jpeg(b: bytes):
                 raise NotImplementedError(
                     f"STUB: JPEG {ncomp}-component color"
                 )
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF component list truncated")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -425,6 +429,8 @@ def decode_jpeg(b: bytes):
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             scan = []
+            if not seg:
+                raise ValueError("JPEG SOS header truncated")
             ns = seg[0]
             if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS header truncated")

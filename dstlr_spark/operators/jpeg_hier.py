@@ -15,7 +15,8 @@ the Annex-H SSSS machinery, but the prediction is ALWAYS the
 be 0 — and reconstruction is (ref + diff) mod 2^16 (J.2.2).
 
 Scope: lossless hierarchies (SOF3 first frame + SOF7 differentials),
-grayscale or RGB, 1x1 sampling, 2-16 bit precision, restart
+grayscale, RGB, or CMYK (Adobe inverted storage, converted at EOI by
+the shared closed-form), 1x1 sampling, 2-16 bit precision, restart
 intervals, any number of pyramid levels. DCT-mode hierarchical
 frames (SOF5/6, SOF13/14) and arithmetic-coded hierarchical frames
 (SOF11-in-hierarchy/SOF15) raise NotImplementedError — the lossless
@@ -64,8 +65,8 @@ def _parse_sofish(seg: bytes, what: str):
     if not h or not w:
         raise ValueError(f"JPEG {what} dimensions {w}x{h} invalid")
     ncomp = seg[5]
-    if ncomp not in (1, 3):
-        raise NotImplementedError(f"STUB: JPEG {ncomp}-component (CMYK?) color")
+    if ncomp not in (1, 3, 4):
+        raise NotImplementedError(f"STUB: JPEG {ncomp}-component color")
     if len(seg) < 6 + 3 * ncomp:
         raise ValueError(f"JPEG {what} component list truncated")
     comps = []
@@ -240,6 +241,10 @@ def decode_jpeg_hier(b: bytes):
             out = (np.array(ref, np.int64) & mask).astype(dtype)
             if len(ref) == 1:
                 return np.repeat(out[0][..., None], 3, axis=2)
+            if len(ref) == 4:
+                from dstlr_spark.operators.jpeg import _cmyk_to_rgb
+
+                return _cmyk_to_rgb(list(out), mask)
             return np.stack([out[0], out[1], out[2]], axis=2)
         if pos + 2 > n:
             raise ValueError("JPEG truncated segment length")
@@ -396,7 +401,7 @@ def encode_jpeg_hier(
     pyramid = [arr]
     for _ in range(levels - 1):
         pyramid.append(pyramid[-1][::2, ::2])
-    comp_ids = [1] if gray else [1, 2, 3]
+    comp_ids = [1] if gray else list(range(1, arr.shape[2] + 1))
     nc = len(comp_ids)
 
     def plane_lists(a):

@@ -367,12 +367,13 @@ def decode_rgb_bytes(b: bytes):
     coder) and HIERARCHICAL JPEG (Annex J lossless pyramids: DHP/EXP +
     SOF3/SOF7, :mod:`dstlr_spark.operators.jpeg_hier`) also decode
     exactly and join the planted-pixel gate. The remaining image stub
-    surface is the hierarchical modes beyond lossless gray/RGB
-    pyramids — differential DCT/arithmetic frames (SOF5/6/13/14/15)
-    and CMYK/DCT hierarchies — all NotImplementedError. Everything
-    else decodes: DCT and lossless at every supported precision under
-    BOTH entropy layers, interleaved or multi-scan, in
-    gray/YCbCr/RGB/CMYK/YCCK.
+    surface is the hierarchical modes beyond the lossless pyramids —
+    differential DCT/arithmetic frames (SOF5/6/13/14/15) and
+    arithmetic-coded hierarchies — all NotImplementedError.
+    Everything else decodes: DCT and lossless at every supported
+    precision under BOTH entropy layers, interleaved or multi-scan,
+    in gray/YCbCr/RGB/CMYK/YCCK (hierarchical lossless pyramids
+    included).
     """
     import numpy as np
 

@@ -1156,13 +1156,14 @@ def test_cmyk_and_ycck_decode():
     cr = round(0.5 * r - 0.418688 * g - 0.081312 * bch + 128)
     assert (out == np.array([y, cb, cr], np.uint8)).all()
 
-    # 4-component hierarchical frames stay honest stubs (jpeg_hier
-    # gates DHP component counts to 1/3)
+    # 4-component DHP now parses (lossless CMYK pyramids decode), so a
+    # SOF relabeled as DHP leaves the hierarchy with no frame before
+    # SOS — malformed, not a stub
     good = encode_jpeg_cmyk(np.zeros((8, 8, 4), np.uint8))
     sof_at = good.find(b"\xff\xc0")
     bad = bytearray(good)
     bad[sof_at + 1] = 0xDE  # pretend the SOF is a DHP
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
 
 
@@ -1308,3 +1309,19 @@ def test_arith_lossless_multiscan_exact():
     last = enc.rfind(b"\xff\xda")
     with pytest.raises(ValueError):
         decode_jpeg(enc[:last] + b"\xff\xd9")
+
+
+def test_hierarchical_cmyk_exact():
+    """A lossless CMYK pyramid reconstructs exact planes at full
+    resolution and converts by the shared closed-form
+    RGB = round(c̃·k̃/255)."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    rng = np.random.default_rng(97)
+    cmyk = rng.integers(0, 256, size=(11, 13, 4), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_hier(cmyk, levels=3))
+    exp = np.clip(
+        np.round(cmyk[..., :3].astype(float) * cmyk[..., 3:4].astype(float)
+                 / 255), 0, 255
+    ).astype(np.uint8)
+    assert (out == exp).all()

@@ -913,6 +913,34 @@ def test_decoder_exception_contract_under_corruption():
         "y4m": (decode_y4m,
                 encode_y4m(nprng.integers(0, 255, (2, 4, 4)).astype(np.uint8))),
     }
+    # the full JPEG family rides the same contract (QM coder, Huffman,
+    # hierarchical marker walk, multi-scan EOI assembly included)
+    from dstlr_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_cmyk,
+        encode_jpeg_lossless,
+        encode_jpeg_multiscan,
+        encode_jpeg_progressive,
+    )
+    from dstlr_spark.operators.jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_lossless_arith,
+    )
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    streams.update({
+        "jpg": (decode_rgb_bytes, encode_jpeg(rgb)),
+        "jpg_prog": (decode_rgb_bytes, encode_jpeg_progressive(rgb)),
+        "jpg_ms": (decode_rgb_bytes, encode_jpeg_multiscan(rgb)),
+        "jpg_ls": (decode_rgb_bytes, encode_jpeg_lossless(rgb)),
+        "jpg_lsm": (decode_rgb_bytes,
+                    encode_jpeg_lossless(rgb, groups=[(1,), (2,), (3,)])),
+        "jpg_ar": (decode_rgb_bytes, encode_jpeg_arith(rgb)),
+        "jpg_lsa": (decode_rgb_bytes, encode_jpeg_lossless_arith(rgb)),
+        "jpg_hier": (decode_rgb_bytes, encode_jpeg_hier(rgb, levels=2)),
+        "jpg_cmyk": (decode_rgb_bytes, encode_jpeg_cmyk(
+            nprng.integers(0, 255, (7, 9, 4)).astype(np.uint8))),
+    })
 
     def check(dec, payload, ctx):
         try:
