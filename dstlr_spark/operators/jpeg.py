@@ -53,9 +53,10 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
 Differential/hierarchical frames beyond the lossless pyramids
-(SOF5/6/13/14/15, and DHP hierarchies with DCT or arithmetic frames)
+(SOF5/6/13/14 — DCT-mode hierarchies under either entropy layer)
 raise ``NotImplementedError`` — genuinely different coefficient
-machinery. A MALFORMED stream (truncated entropy
+machinery; the lossless pyramids themselves decode under BOTH entropy
+layers (SOF3+SOF7 Huffman, SOF11+SOF15 QM-arithmetic). A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -388,18 +389,20 @@ def decode_jpeg(b: bytes):
             from dstlr_spark.operators.jpeg_hier import decode_jpeg_hier
 
             return decode_jpeg_hier(b)
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE, 0xCF):
-            # differential DCT / arithmetic modes are unimplemented
-            # even inside a hierarchy (jpeg_hier decodes the lossless
-            # SOF3+SOF7 pyramid only), so a bare one is an honest stub
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+            # differential DCT modes are unimplemented even inside a
+            # hierarchy (jpeg_hier decodes the lossless pyramids only),
+            # so a bare one is an honest stub
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (differential DCT/arithmetic "
+                f"STUB: JPEG SOF {marker:#x} (differential DCT "
                 "hierarchical modes)"
             )
-        elif marker == 0xC7:
-            # SOF7's mode IS implemented (jpeg_hier); without a leading
-            # DHP the stream is malformed, not unsupported
-            raise ValueError("JPEG differential SOF7 without a leading DHP")
+        elif marker in (0xC7, 0xCF):
+            # SOF7/SOF15's modes ARE implemented (jpeg_hier); without a
+            # leading DHP the stream is malformed, not unsupported
+            raise ValueError(
+                "JPEG differential lossless frame without a leading DHP"
+            )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             s = 0
             while s + 2 <= len(seg):

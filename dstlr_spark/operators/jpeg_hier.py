@@ -14,13 +14,15 @@ the Annex-H SSSS machinery, but the prediction is ALWAYS the
 (expanded) reference sample — the scan header's predictor field must
 be 0 — and reconstruction is (ref + diff) mod 2^16 (J.2.2).
 
-Scope: lossless hierarchies (SOF3 first frame + SOF7 differentials),
+Scope: lossless hierarchies under BOTH entropy layers — Huffman
+(SOF3 first frame + SOF7 differentials) and arithmetic (SOF11 first
+frame + SOF15 differentials, the QM coder and H.1.2 gradient-
+conditioned statistical model of :mod:`jpeg_arith`, DAC honored) —
 grayscale, RGB, or CMYK (Adobe inverted storage, converted at EOI by
 the shared closed-form), 1x1 sampling, 2-16 bit precision, restart
 intervals, any number of pyramid levels. DCT-mode hierarchical
-frames (SOF5/6, SOF13/14) and arithmetic-coded hierarchical frames
-(SOF11-in-hierarchy/SOF15) raise NotImplementedError — the lossless
-Huffman hierarchy is the one whose decode is exact, hence the one
+frames (SOF5/6, SOF13/14) raise NotImplementedError — the lossless
+hierarchies are the ones whose decode is exact, hence the ones
 the value-equality gate can hold. Malformed input always raises
 ValueError (the pinned decoder exception contract).
 
@@ -49,7 +51,6 @@ from dstlr_spark.operators.jpeg import (
 __all__ = ["decode_jpeg_hier", "encode_jpeg_hier"]
 
 _DCT_SOFS = (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE)
-_ARITH_LOSSLESS_SOFS = (0xCB, 0xCF)
 
 
 def _parse_sofish(seg: bytes, what: str):
@@ -201,6 +202,109 @@ def _decode_hier_scan(
     return planes, end
 
 
+def _decode_hier_scan_arith(
+    b, pos, h, w, tds, prec, predictor, restart_interval, ref, dac_dc
+):
+    """The arithmetic twin of :func:`_decode_hier_scan`: the same
+    interleaved sample walk with the entropy layer swapped for the QM
+    coder under the H.1.2 gradient-conditioned lossless model of
+    :mod:`jpeg_arith` (statistics shared per DC-conditioning table id,
+    Da/Db categories from the previously coded diffs, restart resets
+    coder + statistics + gradient history). Prediction switches on
+    frame kind exactly as in the Huffman walk: spatial H.1.2.1
+    predictors for the first frame, the co-located reference sample
+    for differential frames, reconstruction (ref + diff) mod 2^16."""
+    from dstlr_spark.operators.jpeg import _entropy_segments
+    from dstlr_spark.operators.jpeg_arith import (
+        DEFAULT_DC_L,
+        DEFAULT_DC_U,
+        _ArithDecoder,
+        _decode_ll_diff,
+        _LL_STAT_BINS,
+    )
+
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    nc = len(tds)
+    conds = []
+    for td in tds:
+        ll, uu = dac_dc.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+        conds.append((td, (1 << ll) >> 1, (1 << uu) >> 1))
+    default = 1 << (prec - 1)
+    planes = [[[0] * w for _ in range(h)] for _ in range(nc)]
+
+    def fresh(seg_i):
+        return (
+            _ArithDecoder(segs[seg_i][0]),
+            {td: bytearray(_LL_STAT_BINS) for td, _, _ in conds},
+            [[0] * w for _ in range(nc)],  # Db categories per column
+            [0] * nc,  # Da category (left neighbor, current row)
+        )
+
+    seg_i = 0
+    dec, stats, cat_above, cat_left = fresh(0)
+    reset = True
+    last_reset_m = 0
+    for m in range(h * w):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            dec, stats, cat_above, cat_left = fresh(seg_i)
+            reset = True
+            last_reset_m = m
+        r, c = divmod(m, w)
+        if c == 0:
+            cat_left = [0] * nc
+        for ci in range(nc):
+            td, lo, hi = conds[ci]
+            # Db only if the sample above was coded after the last
+            # restart (gradients do not cross restart boundaries)
+            cb = cat_above[ci][c] if m - last_reset_m >= w else 0
+            d, cat = _decode_ll_diff(dec, stats[td], cat_left[ci], cb, lo, hi)
+            p = planes[ci]
+            if ref is not None:
+                px = ref[ci][r][c]
+            elif reset:
+                px = default
+            elif r == 0:
+                px = p[0][c - 1]
+            elif c == 0:
+                px = p[r - 1][0]
+            else:
+                row, above = p[r], p[r - 1]
+                ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc_
+                elif predictor == 4:
+                    px = ra + rb - rc_
+                elif predictor == 5:
+                    px = ra + ((rb - rc_) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc_) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            p[r][c] = (px + d) & 0xFFFF
+            cat_above[ci][c] = cat
+            cat_left[ci] = cat
+        reset = False
+    mask = (1 << prec) - 1
+    if mask != 0xFFFF:
+        for p in planes:
+            for r in range(h):
+                row = p[r]
+                p[r] = [v & mask for v in row]
+    return planes, end
+
+
 def decode_jpeg_hier(b: bytes):
     """Decode a hierarchical (DHP-led) JPEG → (h, w, 3) uint8/uint16
     RGB at the full DHP resolution. Grayscale replicates to RGB (the
@@ -212,8 +316,9 @@ def decode_jpeg_hier(b: bytes):
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     htables: dict[tuple[int, int], object] = {}
+    dac_dc: dict[int, tuple[int, int]] = {}
     dhp = None  # (prec, full_h, full_w, comps)
-    frame = None  # (h, w, comps, differential)
+    frame = None  # (h, w, comps, differential, arith)
     ref = None  # reconstructed planes of the latest frame
     pending_exp = None  # (eh, ev) from an EXP marker awaiting a frame
     restart_interval = 0
@@ -280,45 +385,54 @@ def decode_jpeg_hier(b: bytes):
                     raise ValueError("JPEG DHT truncated")
                 htables[(tc, th)] = _build_huffman(counts, seg[s : s + total])
                 s += total
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (persists)
+            s = 0
+            while s + 2 <= len(seg):
+                tc, tb = seg[s] >> 4, seg[s] & 15
+                cs = seg[s + 1]
+                s += 2
+                if tc == 0:
+                    ll, uu = cs & 15, cs >> 4
+                    if ll > uu or uu > 15:
+                        raise ValueError("JPEG DAC DC conditioning invalid")
+                    dac_dc[tb] = (ll, uu)
+                elif tc != 1:  # AC conditioning is legal but unused here
+                    raise ValueError("JPEG DAC class invalid")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("JPEG DRI truncated")
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC3, 0xC7):  # lossless frame (non-diff / diff)
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):  # lossless frame
+            # non-differential (SOF3 Huffman / SOF11 arithmetic) or
+            # differential (SOF7 Huffman / SOF15 arithmetic)
             if dhp is None:
                 raise ValueError(
                     "JPEG hierarchical frame before DHP (a bare SOF3 stream "
                     "belongs to decode_jpeg, which dispatches here on DHP)"
                 )
-            prec, h, w, comps = _parse_sofish(
-                seg, "SOF7" if marker == 0xC7 else "SOF3"
-            )
+            names = {0xC3: "SOF3", 0xC7: "SOF7", 0xCB: "SOF11", 0xCF: "SOF15"}
+            prec, h, w, comps = _parse_sofish(seg, names[marker])
             if prec != dhp[0]:
                 raise ValueError("JPEG frame precision differs from DHP")
             if len(comps) != len(dhp[3]):
                 raise ValueError("JPEG frame component count differs from DHP")
             if h > dhp[1] or w > dhp[2]:
                 raise ValueError("JPEG frame exceeds DHP dimensions")
-            differential = marker == 0xC7
+            differential = marker in (0xC7, 0xCF)
             if differential and ref is None:
                 raise ValueError("JPEG differential frame before a reference")
             if not differential and ref is not None:
                 raise ValueError("JPEG second non-differential frame")
-            frame = (h, w, comps, differential)
+            frame = (h, w, comps, differential, marker in (0xCB, 0xCF))
         elif marker in _DCT_SOFS:
             raise NotImplementedError(
                 f"STUB: JPEG SOF {marker:#x} in a hierarchy — only the "
-                "lossless pyramid (SOF3 + SOF7) decodes exactly"
-            )
-        elif marker in _ARITH_LOSSLESS_SOFS:
-            raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} — arithmetic-coded hierarchical "
-                "frames"
+                "lossless pyramids (SOF3/SOF11 + SOF7/SOF15) decode exactly"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before a hierarchical frame")
-            h, w, comps, differential = frame
+            h, w, comps, differential, arith = frame
             ns = seg[0] if seg else 0
             if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS header truncated")
@@ -327,15 +441,18 @@ def decode_jpeg_hier(b: bytes):
                     "STUB: hierarchical lossless multi-scan (non-interleaved)"
                 )
             tables = []
+            tds = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 if cs != comps[c][0]:
                     raise ValueError(
                         "JPEG scan component order differs from frame"
                     )
-                if (0, tdta >> 4) not in htables:
-                    raise ValueError("JPEG missing Huffman table for scan")
-                tables.append(htables[(0, tdta >> 4)])
+                tds.append(tdta >> 4)
+                if not arith:
+                    if (0, tdta >> 4) not in htables:
+                        raise ValueError("JPEG missing Huffman table for scan")
+                    tables.append(htables[(0, tdta >> 4)])
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             if se != 0 or (ahal >> 4) != 0:
                 raise ValueError("JPEG lossless scan header invalid")
@@ -361,9 +478,15 @@ def decode_jpeg_hier(b: bytes):
                 if not 1 <= ss <= 7:
                     raise ValueError(f"JPEG lossless predictor {ss} invalid")
                 scan_ref = None
-            ref, pos = _decode_hier_scan(
-                b, pos, h, w, tables, prec, ss, restart_interval, scan_ref
-            )
+            if arith:
+                ref, pos = _decode_hier_scan_arith(
+                    b, pos, h, w, tds, prec, ss, restart_interval,
+                    scan_ref, dac_dc,
+                )
+            else:
+                ref, pos = _decode_hier_scan(
+                    b, pos, h, w, tables, prec, ss, restart_interval, scan_ref
+                )
             frame = None
         # APPn / COM / DQT / anything else: skip
 
@@ -372,7 +495,8 @@ _EXP_BOTH = b"\xff\xdf\x00\x03\x11"  # EXP segment: Eh=1, Ev=1
 
 
 def encode_jpeg_hier(
-    img, levels: int = 2, predictor: int = 4, restart_interval: int = 0
+    img, levels: int = 2, predictor: int = 4, restart_interval: int = 0,
+    arith: bool = False, dc_cond=None
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB array as a REAL
     hierarchical JPEG (T.81 Annex J): DHP, then a ``levels``-deep
@@ -385,7 +509,11 @@ def encode_jpeg_hier(
     filter to the encoder precisely because the differential frames
     correct it exactly. uint8 encodes at 8-bit precision, uint16 at
     16-bit; ``restart_interval`` > 0 emits DRI + RSTn every
-    that-many samples in every frame."""
+    that-many samples in every frame. ``arith=True`` swaps the entropy
+    layer for the QM coder (SOF11 first frame + SOF15 differentials,
+    the H.1.2 lossless statistical model of :mod:`jpeg_arith`) —
+    same pyramid, same diffs, still exact; ``dc_cond=(L, U)`` emits a
+    DAC segment and conditions the model on it."""
     import numpy as np
 
     arr = np.asarray(img)
@@ -477,26 +605,93 @@ def encode_jpeg_hier(
         chunks += bw.out
         return bytes(chunks)
 
+    def code_scan_arith(planes, ref, fh, fw):
+        # the same sample walk under the QM coder: shared statistics
+        # (every scan component selects DC-conditioning table 0),
+        # gradient categories tracked exactly as the decoder twin does
+        from dstlr_spark.operators.jpeg_arith import (
+            _LL_STAT_BINS,
+            _ArithEncoder,
+            _encode_ll_diff,
+            _ll_predict,
+        )
+
+        default = 1 << (prec - 1)
+        chunks = bytearray()
+
+        def fresh():
+            return (
+                _ArithEncoder(),
+                bytearray(_LL_STAT_BINS),
+                [[0] * fw for _ in range(nc)],
+                [0] * nc,
+            )
+
+        enc, stats, cat_above, cat_left = fresh()
+        reset = True
+        last_reset_m = 0
+        for m in range(fh * fw):
+            if restart_interval and m and m % restart_interval == 0:
+                chunks += enc.finish()
+                chunks += bytes(
+                    [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                )
+                enc, stats, cat_above, cat_left = fresh()
+                reset = True
+                last_reset_m = m
+            r, c = divmod(m, fw)
+            if c == 0:
+                cat_left = [0] * nc
+            for ci, p in enumerate(planes):
+                if ref is not None:
+                    px = ref[ci][r][c]
+                else:
+                    px = _ll_predict(p, r, c, predictor, default, reset)
+                d = ((p[r][c] - px + 32768) & 0xFFFF) - 32768
+                if d == -32768:  # ≡ +32768 mod 2^16
+                    d = 32768
+                cb = cat_above[ci][c] if m - last_reset_m >= fw else 0
+                cat = _encode_ll_diff(enc, stats, cat_left[ci], cb, d, lo, hi)
+                cat_above[ci][c] = cat
+                cat_left[ci] = cat
+            reset = False
+        chunks += enc.finish()
+        return bytes(chunks)
+
+    if dc_cond is not None and not arith:
+        raise ValueError("dc_cond is an arithmetic-coding parameter")
+    ll, uu = dc_cond if dc_cond is not None else (0, 1)
+    if not 0 <= ll <= uu <= 15:
+        raise ValueError(f"DC conditioning ({ll}, {uu}) invalid")
+    lo, hi = (1 << ll) >> 1, (1 << uu) >> 1
+    first_sof, diff_sof = (0xCB, 0xCF) if arith else (0xC3, 0xC7)
+    scan = code_scan_arith if arith else code_scan
     ll_counts, ll_syms, ll_enc = _fixed_table(_LL_SYMBOLS)
     out = bytearray(b"\xff\xd8")
     out += sofish(0xDE, arr)  # DHP at full resolution
-    body = bytes([0x00]) + ll_counts + ll_syms
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if arith:
+        if dc_cond is not None:
+            body = bytes([0x00, (uu << 4) | ll])
+            out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    else:
+        body = bytes([0x00]) + ll_counts + ll_syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # frame 1: non-differential SOF3 at the smallest level
+    # frame 1: non-differential (SOF3 / SOF11) at the smallest level
     top = pyramid[-1]
-    out += sofish(0xC3, top) + sos(predictor)
-    out += code_scan(plane_lists(top), None, top.shape[0], top.shape[1])
+    out += sofish(first_sof, top) + sos(predictor)
+    out += scan(plane_lists(top), None, top.shape[0], top.shape[1])
     ref_planes = plane_lists(top)
-    # remaining levels: EXP + differential SOF7 against the expansion
+    # remaining levels: EXP + differential (SOF7 / SOF15) against the
+    # expansion
     for level in range(levels - 2, -1, -1):
         target = pyramid[level]
         th, tw = target.shape[:2]
         out += _EXP_BOTH
         ref_planes = _expand_planes(ref_planes, th, tw, 1, 1)
-        out += sofish(0xC7, target) + sos(0)
-        out += code_scan(plane_lists(target), ref_planes, th, tw)
+        out += sofish(diff_sof, target) + sos(0)
+        out += scan(plane_lists(target), ref_planes, th, tw)
         ref_planes = plane_lists(target)
     out += b"\xff\xd9"
     return bytes(out)

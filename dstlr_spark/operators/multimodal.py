@@ -366,10 +366,10 @@ def decode_rgb_bytes(b: bytes):
     LOSSLESS-ARITHMETIC JPEG (SOF11 — the Annex-H walk under the QM
     coder) and HIERARCHICAL JPEG (Annex J lossless pyramids: DHP/EXP +
     SOF3/SOF7, :mod:`dstlr_spark.operators.jpeg_hier`) also decode
-    exactly and join the planted-pixel gate. The remaining image stub
-    surface is the hierarchical modes beyond the lossless pyramids —
-    differential DCT/arithmetic frames (SOF5/6/13/14/15) and
-    arithmetic-coded hierarchies — all NotImplementedError.
+    exactly and join the planted-pixel gate — under BOTH entropy
+    layers (SOF3+SOF7 Huffman and SOF11+SOF15 QM-arithmetic
+    pyramids). The remaining image stub surface is the DCT-mode
+    hierarchical frames (SOF5/6/13/14) — NotImplementedError.
     Everything else decodes: DCT and lossless at every supported
     precision under BOTH entropy layers, interleaved or multi-scan,
     in gray/YCbCr/RGB/CMYK/YCCK (hierarchical lossless pyramids

@@ -956,9 +956,9 @@ def test_hierarchical_exception_contract():
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
 
-    # arithmetic lossless differential frame: honest stub
+    # arithmetic differential DCT frame: honest stub
     bad = bytearray(good)
-    bad[sof7_at + 1] = 0xCF
+    bad[sof7_at + 1] = 0xCD
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
 
@@ -973,7 +973,7 @@ def test_hierarchical_exception_contract():
         decode_jpeg(good[:-8] + b"\xff\xd9")
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
     w=st.integers(1, 20),
     h=st.integers(1, 16),
@@ -983,8 +983,11 @@ def test_hierarchical_exception_contract():
     ri=st.integers(0, 3),
     deep=st.booleans(),
     levels=st.integers(1, 4),
+    arith=st.booleans(),
 )
-def test_fuzz_hierarchical_exact(w, h, seed, color, pred, ri, deep, levels):
+def test_fuzz_hierarchical_exact(
+    w, h, seed, color, pred, ri, deep, levels, arith
+):
     from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
 
     if (1 << (levels - 1)) > max(h, w):
@@ -995,12 +998,64 @@ def test_fuzz_hierarchical_exact(w, h, seed, color, pred, ri, deep, levels):
     img = rng.integers(0, 65536 if deep else 256, size=shape, dtype=dt)
     out = decode_jpeg(
         encode_jpeg_hier(
-            img, levels=levels, predictor=pred, restart_interval=ri
+            img, levels=levels, predictor=pred, restart_interval=ri,
+            arith=arith,
         )
     )
     got = out if color else out[..., 0]
     assert got.dtype == dt
     assert (got == img).all()
+
+
+def test_hierarchical_arith_exact():
+    """SOF11+SOF15 pyramids (the QM entropy layer under the same
+    Annex-J diff structure) reconstruct exactly: RGB, grayscale,
+    16-bit, CMYK (closed-form RGB), restart intervals, and DAC
+    conditioning all round-trip bit-for-bit; corruption stays inside
+    the pinned exception contract."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    rng = np.random.default_rng(181)
+    rgb = rng.integers(0, 256, size=(14, 19, 3), dtype=np.uint8)
+    enc = encode_jpeg_hier(rgb, levels=3, arith=True)
+    assert b"\xff\xcb" in enc and b"\xff\xcf" in enc  # SOF11 + SOF15
+    assert (decode_jpeg(enc) == rgb).all()
+
+    gray16 = rng.integers(0, 65536, size=(12, 9), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_hier(gray16, levels=2, arith=True))
+    assert out.dtype == np.uint16
+    assert (out[..., 0] == gray16).all()
+
+    cmyk = rng.integers(0, 256, size=(10, 11, 4), dtype=np.uint8)
+    exp = np.clip(
+        np.round(cmyk[..., :3].astype(float) * cmyk[..., 3:4].astype(float)
+                 / 255), 0, 255
+    ).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_hier(cmyk, levels=2, arith=True))
+            == exp).all()
+
+    # restart intervals + DAC conditioning, decoded through the DAC
+    # parse in the hierarchical marker walk
+    enc = encode_jpeg_hier(rgb, levels=2, arith=True, restart_interval=5,
+                           dc_cond=(1, 4))
+    assert b"\xff\xcc" in enc  # DAC emitted
+    assert (decode_jpeg(enc) == rgb).all()
+
+    # dc_cond without arith is a caller error
+    with pytest.raises(ValueError):
+        encode_jpeg_hier(rgb, arith=False, dc_cond=(0, 1))
+
+    # truncated differential entropy data → ValueError, never a hang
+    good = encode_jpeg_hier(rgb, levels=2, arith=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:60])
+    # a bare SOF15 without DHP is malformed, not a stub
+    bare = (
+        b"\xff\xd8\xff\xcf" + struct.pack(">H", 11)
+        + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(bare)
 
 
 def test_12bit_dct_decode():

@@ -938,6 +938,8 @@ def test_decoder_exception_contract_under_corruption():
         "jpg_ar": (decode_rgb_bytes, encode_jpeg_arith(rgb)),
         "jpg_lsa": (decode_rgb_bytes, encode_jpeg_lossless_arith(rgb)),
         "jpg_hier": (decode_rgb_bytes, encode_jpeg_hier(rgb, levels=2)),
+        "jpg_hiera": (decode_rgb_bytes,
+                      encode_jpeg_hier(rgb, levels=2, arith=True)),
         "jpg_cmyk": (decode_rgb_bytes, encode_jpeg_cmyk(
             nprng.integers(0, 255, (7, 9, 4)).astype(np.uint8))),
     })
