@@ -52,11 +52,11 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 (RGB = round(c̃·k̃/maxv)); a 3-component transform 0 means the stored
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
-Differential/hierarchical frames beyond the lossless pyramids
-(SOF5/6/13/14 — DCT-mode hierarchies under either entropy layer)
-raise ``NotImplementedError`` — genuinely different coefficient
-machinery; the lossless pyramids themselves decode under BOTH entropy
-layers (SOF3+SOF7 Huffman, SOF11+SOF15 QM-arithmetic). A MALFORMED stream (truncated entropy
+Hierarchical frames decode under BOTH entropy layers — lossless
+pyramids (SOF3+SOF7 Huffman, SOF11+SOF15 QM-arithmetic) exactly, and
+sequential-DCT hierarchies (SOF0/1/9 + SOF5/SOF13 differentials,
+including the J.5 closing lossless frame) — leaving only PROGRESSIVE
+frames inside a hierarchy (SOF2/6/10/14) as ``NotImplementedError``. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -389,19 +389,20 @@ def decode_jpeg(b: bytes):
             from dstlr_spark.operators.jpeg_hier import decode_jpeg_hier
 
             return decode_jpeg_hier(b)
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
-            # differential DCT modes are unimplemented even inside a
-            # hierarchy (jpeg_hier decodes the lossless pyramids only),
-            # so a bare one is an honest stub
+        elif marker in (0xC6, 0xCE):
+            # differential PROGRESSIVE frames are unimplemented even
+            # inside a hierarchy (jpeg_hier decodes sequential DCT and
+            # the lossless pyramids), so a bare one is an honest stub
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (differential DCT "
+                f"STUB: JPEG SOF {marker:#x} (differential progressive "
                 "hierarchical modes)"
             )
-        elif marker in (0xC7, 0xCF):
-            # SOF7/SOF15's modes ARE implemented (jpeg_hier); without a
-            # leading DHP the stream is malformed, not unsupported
+        elif marker in (0xC5, 0xC7, 0xCD, 0xCF):
+            # differential sequential-DCT and lossless modes ARE
+            # implemented (jpeg_hier); without a leading DHP the
+            # stream is malformed, not unsupported
             raise ValueError(
-                "JPEG differential lossless frame without a leading DHP"
+                "JPEG differential frame without a leading DHP"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             s = 0
@@ -664,7 +665,7 @@ def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval,
 
 
 def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
-                          restart_interval, prec=8):
+                          restart_interval, prec=8, differential=False):
     """One SEQUENTIAL Huffman scan over a SUBSET of the frame's
     components (T.81 multi-scan files): the same per-block DC+AC code
     as :func:`_decode_scan`, but written into the shared coefficient
@@ -673,7 +674,9 @@ def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
     interleaves several components, the component's REAL block grid
     (no MCU pads) when ns == 1. Returns the offset of the terminating
     marker; reconstruction happens once at EOI, so any partition of
-    components across scans decodes."""
+    components across scans decodes. ``differential`` switches the DC
+    prediction to zero for every block (T.81 F.1.1.5.1 — differential
+    hierarchical frames code each block's DC directly)."""
     h, w, comps = frame
     hmax, vmax = _sampling(comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -706,10 +709,13 @@ def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
     def _block(si: int, dc_t, ac_t, block) -> None:
         br = state["br"]
         t = _huff_decode(br, dc_t)
-        if t > dcmax:
+        if t > dcmax + (1 if differential else 0):
             raise ValueError("JPEG DC category out of range")
-        state["preds"][si] += _extend(br.receive(t), t)
-        block[0] = state["preds"][si]
+        if differential:  # PRED = 0 in differential frames
+            block[0] = _extend(br.receive(t), t)
+        else:
+            state["preds"][si] += _extend(br.receive(t), t)
+            block[0] = state["preds"][si]
         k = 1
         while k < 64:
             rs = _huff_decode(br, ac_t)

@@ -601,7 +601,7 @@ def decode_scan_arith(b, pos, frame, scan, qtables, dc_cond, ac_cond,
 
 
 def decode_seq_scan_arith_into(b, pos, frame, scan, dc_cond, ac_cond,
-                               coefs, restart_interval):
+                               coefs, restart_interval, differential=False):
     """Sequential-arithmetic scan over a SUBSET of the frame's
     components (multi-scan SOF9 files): the per-block DC/AC QM models
     of :func:`decode_scan_arith` with the progressive machinery's
@@ -610,7 +610,11 @@ def decode_seq_scan_arith_into(b, pos, frame, scan, dc_cond, ac_cond,
     ns == 1 — written into the shared coefficient stores. Every scan
     is an independent QM stream with fresh statistics. Returns the
     offset of the terminating marker; dequant + IDCT happen once at
-    EOI in jpeg.decode_jpeg."""
+    EOI in jpeg.decode_jpeg. ``differential`` zeroes the DC
+    prediction for every block (T.81 F.1.1.5.1 — differential
+    hierarchical frames code each block's DC directly; the
+    conditioning context still chains on the previous coded
+    value)."""
     from dstlr_spark.operators.jpeg import (
         _ZIGZAG,
         _entropy_segments,
@@ -665,8 +669,11 @@ def decode_seq_scan_arith_into(b, pos, frame, scan, dc_cond, ac_cond,
         diff, dc_ctx[si] = _decode_dc_diff(
             dec, dc_stats[td], dc_ctx[si], lo, hi
         )
-        preds[si] += diff
-        coef[0] = preds[si]
+        if differential:  # PRED = 0 in differential frames
+            coef[0] = diff
+        else:
+            preds[si] += diff
+            coef[0] = preds[si]
         _decode_ac_block(dec, ac_stats[ta], fixed, kx, coef, zz)
         coefs[ci][row, col] = coef
 

@@ -14,17 +14,28 @@ the Annex-H SSSS machinery, but the prediction is ALWAYS the
 (expanded) reference sample — the scan header's predictor field must
 be 0 — and reconstruction is (ref + diff) mod 2^16 (J.2.2).
 
-Scope: lossless hierarchies under BOTH entropy layers — Huffman
-(SOF3 first frame + SOF7 differentials) and arithmetic (SOF11 first
-frame + SOF15 differentials, the QM coder and H.1.2 gradient-
-conditioned statistical model of :mod:`jpeg_arith`, DAC honored) —
-grayscale, RGB, or CMYK (Adobe inverted storage, converted at EOI by
-the shared closed-form), 1x1 sampling, 2-16 bit precision, restart
-intervals, any number of pyramid levels. DCT-mode hierarchical
-frames (SOF5/6, SOF13/14) raise NotImplementedError — the lossless
-hierarchies are the ones whose decode is exact, hence the ones
-the value-equality gate can hold. Malformed input always raises
-ValueError (the pinned decoder exception contract).
+Scope, under BOTH entropy layers (Huffman and the QM coder of
+:mod:`jpeg_arith`, DAC honored):
+
+- LOSSLESS hierarchies — SOF3/SOF11 first frame + SOF7/SOF15
+  differentials — grayscale, RGB, or CMYK (Adobe inverted storage,
+  converted at EOI by the shared closed-form), 2-16 bit precision.
+  Exact by construction: these join the planted-pixel value gate.
+- SEQUENTIAL-DCT hierarchies — SOF0/SOF1/SOF9 first frame +
+  SOF5/SOF13 differentials (T.81 J.2: FDCT of the difference image,
+  NO level shift, per-block DC coded directly with PRED=0 per
+  F.1.1.5.1; reconstruction ref + IDCT, clipped) — including multi-
+  scan frames (scans land in per-frame coefficient stores, the frame
+  reconstructs at its closing marker) and T.81 J.5's closing lossless
+  differential frame, which makes the whole DCT hierarchy exact in
+  the stored domain (the family's value-equality gate). 3-component
+  DCT hierarchies are YCbCr, inverted at EOI.
+
+Both support 1x1 sampling, restart intervals, and any number of
+pyramid levels. PROGRESSIVE frames inside a hierarchy (SOF2/6/10/14)
+raise NotImplementedError — the remaining honest stub. Malformed
+input always raises ValueError (the pinned decoder exception
+contract).
 
 Reference parity anchor: the reference pipeline treats media as
 opaque bytes (SURVEY.md §2.12 mandate surface); this codec exists so
@@ -38,10 +49,12 @@ import struct
 
 from dstlr_spark.operators.jpeg import (
     _LL_SYMBOLS,
+    _ZIGZAG,
     _BitReader,
     _BitWriter,
     _build_huffman,
     _category,
+    _decode_seq_scan_into,
     _entropy_segments,
     _extend,
     _fixed_table,
@@ -50,7 +63,8 @@ from dstlr_spark.operators.jpeg import (
 
 __all__ = ["decode_jpeg_hier", "encode_jpeg_hier"]
 
-_DCT_SOFS = (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE)
+#: progressive frames inside a hierarchy — the remaining honest stub
+_DCT_SOFS = (0xC2, 0xC6, 0xCA, 0xCE)
 
 
 def _parse_sofish(seg: bytes, what: str):
@@ -305,25 +319,90 @@ def _decode_hier_scan_arith(
     return planes, end
 
 
+def _idct_planes(comps, h, w, coefs, qtables, center):
+    """Dequant + batched IDCT of per-component coefficient stores →
+    float64 sample planes cropped to (h, w). ``center`` is the level
+    shift: 2^(P-1) for non-differential DCT frames, 0.0 for
+    differential ones (T.81 J.2 — no shift on difference data). The
+    arithmetic is EXPRESSION-IDENTICAL to ``jpeg._reconstruct`` so the
+    encoder's decode simulation lands bit-equal floats."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import _dct_basis
+
+    basis = _dct_basis()
+    out = []
+    for (cid, _, _, tq), cf in zip(comps, coefs):
+        if tq not in qtables:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        nbr, nbc = cf.shape[:2]
+        blk = cf.reshape(-1, 8, 8) * qtables[tq]
+        px = basis.T @ blk @ basis + center
+        p = (
+            px.reshape(nbr, nbc, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nbr * 8, nbc * 8)
+        )
+        out.append(p[:h, :w])
+    return out
+
+
 def decode_jpeg_hier(b: bytes):
     """Decode a hierarchical (DHP-led) JPEG → (h, w, 3) uint8/uint16
     RGB at the full DHP resolution. Grayscale replicates to RGB (the
     shared ``decode_rgb_bytes`` contract). Entered from
     :func:`dstlr_spark.operators.jpeg.decode_jpeg` when the marker
-    walk meets DHP."""
+    walk meets DHP. Lossless frames (SOF3/7/11/15) reconstruct scan
+    by scan; DCT frames (SOF0/1/9 first, SOF5/13 differential) decode
+    their scans into per-frame coefficient stores and reconstruct
+    once at the frame's end (dequant + IDCT + level shift or
+    reference add + clip to [0, 2^P-1]), so sequential multi-scan DCT
+    frames inside a hierarchy assemble too. A 3-component hierarchy
+    is YCbCr once any DCT frame appears (inverted at EOI), RGB when
+    purely lossless — mirroring the non-hierarchical conventions."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     htables: dict[tuple[int, int], object] = {}
+    qtables: dict[int, object] = {}
     dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     dhp = None  # (prec, full_h, full_w, comps)
-    frame = None  # (h, w, comps, differential, arith)
+    frame = None  # (h, w, comps, differential, arith, dct)
     ref = None  # reconstructed planes of the latest frame
     pending_exp = None  # (eh, ev) from an EXP marker awaiting a frame
+    dct_cur = None  # pending DCT frame: {"coefs": [...], "scans": n}
+    color_dct = False  # any DCT frame → 3-comp planes are YCbCr
     restart_interval = 0
     pos = 2
     n = len(b)
+
+    def _finalize_dct():
+        """Reconstruct a pending DCT frame (its scans are all in):
+        dequant + IDCT, then level-shift (first frame) or reference
+        add (differential), clip to sample range — the result becomes
+        the new reference pyramid level."""
+        nonlocal ref, frame, dct_cur
+        if dct_cur is None:
+            return
+        if dct_cur["scans"] == 0:
+            raise ValueError("JPEG DCT hierarchical frame with no scan")
+        fh, fw, fcomps, differential, _arith, _dct = frame
+        prec = dhp[0]
+        center = 0.0 if differential else float(1 << (prec - 1))
+        vals = _idct_planes(fcomps, fh, fw, dct_cur["coefs"], qtables, center)
+        maxv = (1 << prec) - 1
+        if differential:
+            vals = [
+                np.array(base, np.float64) + v for base, v in zip(ref, vals)
+            ]
+        ref = [
+            np.clip(np.round(v), 0, maxv).astype(np.int64).tolist()
+            for v in vals
+        ]
+        dct_cur = None
+        frame = None
     while True:
         if pos + 2 > n:
             raise ValueError("JPEG truncated before EOI")
@@ -334,6 +413,7 @@ def decode_jpeg_hier(b: bytes):
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI: the pyramid must have reached DHP dims
+            _finalize_dct()
             if dhp is None or ref is None:
                 raise ValueError("JPEG hierarchical EOI before any frame")
             prec, fh, fw, _ = dhp
@@ -350,6 +430,15 @@ def decode_jpeg_hier(b: bytes):
                 from dstlr_spark.operators.jpeg import _cmyk_to_rgb
 
                 return _cmyk_to_rgb(list(out), mask)
+            if color_dct:
+                # DCT hierarchy: stored planes are YCbCr (JFIF inverse)
+                center = float(1 << (prec - 1))
+                y, cb, cr = (p.astype(np.float64) for p in out)
+                r = y + 1.402 * (cr - center)
+                g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+                bl = y + 1.772 * (cb - center)
+                rgb = np.stack([r, g, bl], axis=2)
+                return np.clip(np.round(rgb), 0, mask).astype(dtype)
             return np.stack([out[0], out[1], out[2]], axis=2)
         if pos + 2 > n:
             raise ValueError("JPEG truncated segment length")
@@ -363,6 +452,7 @@ def decode_jpeg_hier(b: bytes):
                 raise ValueError("JPEG duplicate DHP")
             dhp = _parse_sofish(seg, "DHP")
         elif marker == 0xDF:  # EXP: reference expansion request
+            _finalize_dct()
             if len(seg) < 1:
                 raise ValueError("JPEG EXP truncated")
             eh, ev = seg[0] >> 4, seg[0] & 15
@@ -371,6 +461,25 @@ def decode_jpeg_hier(b: bytes):
             if ref is None:
                 raise ValueError("JPEG EXP before any reference frame")
             pending_exp = (eh, ev)
+        elif marker == 0xDB:  # DQT (possibly several tables; persist)
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                s += 1
+                if pq not in (0, 1) or tq > 3:
+                    raise ValueError("JPEG DQT precision/id invalid")
+                width = 2 if pq else 1
+                if s + 64 * width > len(seg):
+                    raise ValueError("JPEG DQT truncated")
+                vals = (
+                    np.frombuffer(seg, ">u2", count=64, offset=s)
+                    if pq
+                    else np.frombuffer(seg, np.uint8, count=64, offset=s)
+                )
+                q = np.zeros(64, np.int32)
+                q[list(_ZIGZAG)] = vals  # de-zigzag to natural order
+                qtables[tq] = q.reshape(8, 8)
+                s += 64 * width
         elif marker == 0xC4:  # DHT — tables persist across frames
             s = 0
             while s < len(seg):
@@ -396,46 +505,111 @@ def decode_jpeg_hier(b: bytes):
                     if ll > uu or uu > 15:
                         raise ValueError("JPEG DAC DC conditioning invalid")
                     dac_dc[tb] = (ll, uu)
-                elif tc != 1:  # AC conditioning is legal but unused here
+                elif tc == 1:
+                    if not 1 <= cs <= 63:
+                        raise ValueError("JPEG DAC AC Kx out of range")
+                    dac_ac[tb] = cs
+                else:
                     raise ValueError("JPEG DAC class invalid")
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("JPEG DRI truncated")
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC3, 0xC7, 0xCB, 0xCF):  # lossless frame
-            # non-differential (SOF3 Huffman / SOF11 arithmetic) or
-            # differential (SOF7 Huffman / SOF15 arithmetic)
+        elif marker in (0xC3, 0xC7, 0xCB, 0xCF,  # lossless frames
+                        0xC0, 0xC1, 0xC9, 0xC5, 0xCD):  # sequential DCT
+            # non-differential (SOF3/SOF11 lossless, SOF0/SOF1/SOF9
+            # DCT) or differential (SOF7/SOF15 lossless, SOF5/SOF13
+            # DCT), each under its entropy layer
+            _finalize_dct()
             if dhp is None:
                 raise ValueError(
                     "JPEG hierarchical frame before DHP (a bare SOF3 stream "
                     "belongs to decode_jpeg, which dispatches here on DHP)"
                 )
-            names = {0xC3: "SOF3", 0xC7: "SOF7", 0xCB: "SOF11", 0xCF: "SOF15"}
-            prec, h, w, comps = _parse_sofish(seg, names[marker])
+            prec, h, w, comps = _parse_sofish(seg, f"SOF{marker - 0xC0}")
             if prec != dhp[0]:
                 raise ValueError("JPEG frame precision differs from DHP")
             if len(comps) != len(dhp[3]):
                 raise ValueError("JPEG frame component count differs from DHP")
             if h > dhp[1] or w > dhp[2]:
                 raise ValueError("JPEG frame exceeds DHP dimensions")
-            differential = marker in (0xC7, 0xCF)
+            differential = marker in (0xC7, 0xCF, 0xC5, 0xCD)
+            dct = marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD)
             if differential and ref is None:
                 raise ValueError("JPEG differential frame before a reference")
             if not differential and ref is not None:
                 raise ValueError("JPEG second non-differential frame")
-            frame = (h, w, comps, differential, marker in (0xCB, 0xCF))
+            arith = marker in (0xCB, 0xCF, 0xC9, 0xCD)
+            frame = (h, w, comps, differential, arith, dct)
+            if dct:
+                if prec not in (8, 12):
+                    raise ValueError(
+                        f"JPEG DCT frame precision {prec} invalid"
+                    )
+                color_dct = True
+                if differential:
+                    if pending_exp is not None:
+                        ref = _expand_planes(ref, h, w, *pending_exp)
+                        pending_exp = None
+                    if len(ref[0]) != h or len(ref[0][0]) != w:
+                        raise ValueError(
+                            "JPEG differential frame dims differ from "
+                            "reference"
+                        )
+                mx = (w + 7) // 8
+                my = (h + 7) // 8
+                dct_cur = {
+                    "coefs": [
+                        np.zeros((my * cv, mx * ch_, 64), np.float64)
+                        for (_cid, ch_, cv, _tq) in comps
+                    ],
+                    "scans": 0,
+                }
         elif marker in _DCT_SOFS:
             raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} in a hierarchy — only the "
-                "lossless pyramids (SOF3/SOF11 + SOF7/SOF15) decode exactly"
+                f"STUB: JPEG SOF {marker:#x} in a hierarchy — progressive "
+                "hierarchical frames do not decode (sequential DCT and the "
+                "lossless pyramids do)"
             )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before a hierarchical frame")
-            h, w, comps, differential, arith = frame
+            h, w, comps, differential, arith, dct = frame
             ns = seg[0] if seg else 0
             if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS header truncated")
+            if dct:
+                # sequential DCT scan into the pending frame's stores
+                # (any partition of components across scans); the
+                # frame reconstructs at the next frame-level marker
+                scan = []
+                for c in range(ns):
+                    cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                    scan.append((cs, tdta >> 4, tdta & 15))
+                ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                if ss != 0 or se != 63 or ahal != 0:
+                    raise ValueError(
+                        "JPEG sequential DCT scan header invalid"
+                    )
+                fr = (h, w, comps)
+                if arith:
+                    from dstlr_spark.operators.jpeg_arith import (
+                        decode_seq_scan_arith_into,
+                    )
+
+                    pos = decode_seq_scan_arith_into(
+                        b, pos, fr, scan, dac_dc, dac_ac,
+                        dct_cur["coefs"], restart_interval,
+                        differential=differential,
+                    )
+                else:
+                    pos = _decode_seq_scan_into(
+                        b, pos, fr, scan, htables, dct_cur["coefs"],
+                        restart_interval, prec=dhp[0],
+                        differential=differential,
+                    )
+                dct_cur["scans"] += 1
+                continue
             if ns != len(comps):
                 raise NotImplementedError(
                     "STUB: hierarchical lossless multi-scan (non-interleaved)"
@@ -693,5 +867,294 @@ def encode_jpeg_hier(
         out += sofish(diff_sof, target) + sos(0)
         out += scan(plane_lists(target), ref_planes, th, tw)
         ref_planes = plane_lists(target)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_hier_dct(
+    img, levels: int = 2, quant=None, arith: bool = False,
+    restart_interval: int = 0, final_lossless: bool = False
+) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    DCT-mode hierarchical JPEG (T.81 Annex J): DHP, then a
+    ``levels``-deep pyramid — the smallest level as a non-differential
+    sequential DCT frame (SOF0 Huffman / SOF9 arithmetic), each later
+    level as EXP + a DIFFERENTIAL sequential DCT frame (SOF5 / SOF13)
+    whose coefficients are the FDCT of (target − expanded reference)
+    with NO level shift and per-block DC coded directly (PRED = 0,
+    T.81 F.1.1.5.1). The encoder simulates the decoder after every
+    frame (same ``_idct_planes`` expression, same round/clip), so the
+    reference pyramid it diffs against is EXACTLY what the decoder
+    reconstructs. ``final_lossless=True`` appends T.81 J.5's closing
+    move: one lossless differential frame (SOF7 / SOF15) coding
+    (stored − reference) mod 2^16, which makes the WHOLE hierarchy
+    exact in the stored (YCbCr/gray) domain — the value-equality gate
+    for the DCT hierarchy. RGB inputs are forward-transformed to
+    rounded YCbCr once; the decoder inverts at EOI. 8-bit only, 1x1
+    sampling; ``restart_interval`` > 0 emits DRI + RSTn in every
+    frame (MCU units in DCT frames, sample units in the lossless
+    closer)."""
+    import numpy as np
+
+    from dstlr_spark.operators.jpeg import (
+        _AC12_SYMBOLS,
+        _DC12_SYMBOLS,
+        _emit_sos,
+        _encode_block,
+    )
+
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        raise ValueError("DCT hierarchical encode supports uint8 only")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    if quant is None:
+        quant = np.ones((8, 8), np.int32)
+    quant = np.asarray(quant, np.int32)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if levels > 1 and (1 << (levels - 1)) > max(h, w):
+        raise ValueError(f"{levels} levels exceed image dimensions {w}x{h}")
+    prec = 8
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    if gray:
+        stored = [arr.astype(np.int64)]
+    else:
+        r, g, bch = (arr[..., i].astype(np.float64) for i in range(3))
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * bch)
+        cb = np.round(-0.168736 * r - 0.331264 * g + 0.5 * bch + center)
+        cr = np.round(0.5 * r - 0.418688 * g - 0.081312 * bch + center)
+        stored = [
+            np.clip(p, 0, maxv).astype(np.int64) for p in (y, cb, cr)
+        ]
+    nc = len(stored)
+    comp_ids = list(range(1, nc + 1))
+    comps = [(cid, 1, 1, 0) for cid in comp_ids]
+    pyramid = [stored]
+    for _ in range(levels - 1):
+        pyramid.append([p[::2, ::2] for p in pyramid[-1]])
+    zz = list(_ZIGZAG)
+
+    def sofish(marker, fh, fw):
+        body = struct.pack(">BHHB", prec, fh, fw, nc)
+        for cid in comp_ids:
+            body += bytes([cid, 0x11, 0])
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def fdct_quant(plane):
+        """Pad to 8x8 blocks (edge replication), batched FDCT,
+        quantize → (nbr, nbc, 64) int64 blocks in ZIGZAG order."""
+        from dstlr_spark.operators.jpeg import _dct_basis
+
+        ph_, pw_ = plane.shape
+        nbr, nbc = -(-ph_ // 8), -(-pw_ // 8)
+        q = np.zeros((nbr * 8, nbc * 8), np.float64)
+        q[:ph_, :pw_] = plane
+        if ph_ < nbr * 8:
+            q[ph_:, :pw_] = plane[-1:, :]
+        if pw_ < nbc * 8:
+            q[:, pw_:] = q[:, pw_ - 1 : pw_]
+        basis = _dct_basis()
+        blk = q.reshape(nbr, 8, nbc, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        f = basis @ blk @ basis.T
+        qz = np.round(f / quant).astype(np.int64).reshape(nbr, nbc, 64)
+        return qz[..., zz]
+
+    def simulate(blocks_zz, fh, fw, cval, base=None):
+        """What the decoder reconstructs from these blocks: de-zigzag,
+        dequant + IDCT via the SHARED ``_idct_planes``, add the
+        reference for differential frames, round + clip."""
+        coefs = []
+        for bzz in blocks_zz:
+            nat = np.zeros(bzz.shape, np.float64)
+            nat[..., zz] = bzz
+            coefs.append(nat)
+        vals = _idct_planes(comps, fh, fw, coefs, {0: quant}, cval)
+        if base is not None:
+            vals = [np.asarray(p, np.float64) + v
+                    for p, v in zip(base, vals)]
+        return [
+            np.clip(np.round(v), 0, maxv).astype(np.int64) for v in vals
+        ]
+
+    def emit_dct_scan(blocks_zz, fh, fw, differential):
+        nonlocal out
+        out += _emit_sos(comp_ids, 0, 63, 0, 0)
+        nbr, nbc = -(-fh // 8), -(-fw // 8)
+        if arith:
+            from dstlr_spark.operators.jpeg_arith import (
+                _AC_STAT_BINS,
+                _DC_STAT_BINS,
+                _FIXED,
+                DEFAULT_AC_KX,
+                _ArithEncoder,
+                _encode_ac_block,
+                _encode_dc_diff,
+            )
+
+            def fresh():
+                return (_ArithEncoder(), bytearray(_DC_STAT_BINS),
+                        bytearray(_AC_STAT_BINS), bytearray([_FIXED]),
+                        [0] * nc, [0] * nc)
+
+            enc, dstat, astat, fixed, ctxs, preds = fresh()
+            for m in range(nbr * nbc):
+                if restart_interval and m and m % restart_interval == 0:
+                    out += enc.finish()
+                    out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                    enc, dstat, astat, fixed, ctxs, preds = fresh()
+                row, col = divmod(m, nbc)
+                for ci in range(nc):
+                    qb = blocks_zz[ci][row, col].tolist()
+                    if differential:  # PRED = 0
+                        diff = qb[0]
+                    else:
+                        diff = qb[0] - preds[ci]
+                        preds[ci] = qb[0]
+                    ctxs[ci] = _encode_dc_diff(
+                        enc, dstat, ctxs[ci], diff, 0, 1
+                    )
+                    _encode_ac_block(enc, astat, fixed, DEFAULT_AC_KX, qb)
+            out += enc.finish()
+        else:
+            _, _, dc_enc = _fixed_table(_DC12_SYMBOLS)
+            _, _, ac_enc = _fixed_table(_AC12_SYMBOLS)
+            bw = _BitWriter()
+            preds = [0] * nc
+            for m in range(nbr * nbc):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw.flush()
+                    out += bw.out
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                    preds = [0] * nc
+                row, col = divmod(m, nbc)
+                for ci in range(nc):
+                    qb = blocks_zz[ci][row, col].tolist()
+                    pred = 0 if differential else preds[ci]
+                    newdc = _encode_block(bw, qb, pred, dc_enc, ac_enc)
+                    if not differential:
+                        preds[ci] = newdc
+            bw.flush()
+            out += bw.out
+
+    def emit_lossless_diff_scan(targets, refs, fh, fw):
+        """The J.5 closing frame's scan: per-sample (target − ref)
+        mod 2^16 under the frame's entropy layer (SSSS via the
+        class-0/table-1 DHT for Huffman, the H.1.2 model for QM)."""
+        nonlocal out
+        sos = bytes([nc])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00 if arith else 0x10])
+        sos += bytes([0, 0, 0])  # predictor 0 (differential), Pt 0
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        if arith:
+            from dstlr_spark.operators.jpeg_arith import (
+                _LL_STAT_BINS,
+                _ArithEncoder,
+                _encode_ll_diff,
+            )
+
+            def fresh():
+                return (_ArithEncoder(), bytearray(_LL_STAT_BINS),
+                        [[0] * fw for _ in range(nc)], [0] * nc)
+
+            enc, stats, cat_above, cat_left = fresh()
+            last_reset_m = 0
+            for m in range(fh * fw):
+                if restart_interval and m and m % restart_interval == 0:
+                    out += enc.finish()
+                    out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                    enc, stats, cat_above, cat_left = fresh()
+                    last_reset_m = m
+                r, c = divmod(m, fw)
+                if c == 0:
+                    cat_left = [0] * nc
+                for ci in range(nc):
+                    d = ((int(targets[ci][r][c]) - int(refs[ci][r][c])
+                          + 32768) & 0xFFFF) - 32768
+                    if d == -32768:
+                        d = 32768
+                    cb = cat_above[ci][c] if m - last_reset_m >= fw else 0
+                    cat = _encode_ll_diff(
+                        enc, stats, cat_left[ci], cb, d, 0, 1
+                    )
+                    cat_above[ci][c] = cat
+                    cat_left[ci] = cat
+            out += enc.finish()
+        else:
+            _, _, ll_enc = _fixed_table(_LL_SYMBOLS)
+            bw = _BitWriter()
+            for m in range(fh * fw):
+                if restart_interval and m and m % restart_interval == 0:
+                    bw.flush()
+                    out += bw.out
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                r, c = divmod(m, fw)
+                for ci in range(nc):
+                    d = ((int(targets[ci][r][c]) - int(refs[ci][r][c])
+                          + 32768) & 0xFFFF) - 32768
+                    if d == -32768:  # ≡ +32768 mod 2^16: SSSS=16, no bits
+                        bw.write(ll_enc[16][1], ll_enc[16][0])
+                    else:
+                        t = _category(d)
+                        bw.write(ll_enc[t][1], ll_enc[t][0])
+                        if t:
+                            bw.write(d if d > 0 else d + (1 << t) - 1, t)
+            bw.flush()
+            out += bw.out
+
+    out = bytearray(b"\xff\xd8")
+    out += sofish(0xDE, h, w)  # DHP at full resolution
+    qzz = quant.reshape(-1)[zz].astype(np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qzz.tobytes()
+    if not arith:
+        dc_counts, dc_syms, _ = _fixed_table(_DC12_SYMBOLS)
+        ac_counts, ac_syms, _ = _fixed_table(_AC12_SYMBOLS)
+        body = bytes([0x00]) + dc_counts + dc_syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        body = bytes([0x10]) + ac_counts + ac_syms
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        if final_lossless:
+            ll_counts, ll_syms, _ = _fixed_table(_LL_SYMBOLS)
+            body = bytes([0x01]) + ll_counts + ll_syms
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    # frame 1: non-differential sequential DCT at the smallest level
+    top = pyramid[-1]
+    th, tw = top[0].shape
+    blocks = [fdct_quant(p.astype(np.float64) - center) for p in top]
+    out += sofish(0xC9 if arith else 0xC0, th, tw)
+    emit_dct_scan(blocks, th, tw, differential=False)
+    ref = simulate(blocks, th, tw, center)
+    # remaining levels: EXP + differential sequential DCT
+    for level in range(levels - 2, -1, -1):
+        target = pyramid[level]
+        th, tw = target[0].shape
+        out += _EXP_BOTH
+        ref = [
+            np.array(p, np.int64)
+            for p in _expand_planes([p.tolist() for p in ref], th, tw, 1, 1)
+        ]
+        diffs = [
+            t.astype(np.float64) - p.astype(np.float64)
+            for t, p in zip(target, ref)
+        ]
+        blocks = [fdct_quant(d) for d in diffs]
+        out += sofish(0xCD if arith else 0xC5, th, tw)
+        emit_dct_scan(blocks, th, tw, differential=True)
+        ref = simulate(blocks, th, tw, 0.0, base=ref)
+    if final_lossless:
+        # T.81 J.5: one lossless differential frame closes the gap to
+        # the stored planes exactly — same dims, no EXP
+        out += sofish(0xCF if arith else 0xC7, h, w)
+        emit_lossless_diff_scan(
+            [p.tolist() for p in pyramid[0]],
+            [p.tolist() for p in ref], h, w,
+        )
     out += b"\xff\xd9"
     return bytes(out)

@@ -277,7 +277,11 @@ def test_malformed_and_stub_contract():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xCD  # SOF13: differential sequential — honest stub
+    bad[sof_at + 1] = 0xCD  # SOF13 without a DHP: malformed, not a stub
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xCE  # SOF14: differential progressive — honest stub
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
@@ -578,8 +582,8 @@ def test_arith_malformed_and_stub_contract():
     good = encode_jpeg_arith(img)
     sof_at = good.find(b"\xff\xc9")
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xC5  # SOF5 hierarchical: honest stub
-    with pytest.raises(NotImplementedError):
+    bad[sof_at + 1] = 0xC5  # SOF5 without a DHP: malformed, not a stub
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
     # DAC with invalid conditioning values
     dac_bad = (
@@ -950,16 +954,23 @@ def test_hierarchical_exception_contract():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
 
-    # DCT-mode frame inside a hierarchy: honest stub
+    # progressive frame inside a hierarchy: honest stub
     bad = bytearray(good)
-    bad[sof7_at + 1] = 0xC5
+    bad[sof7_at + 1] = 0xC6
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(bad))
 
-    # arithmetic differential DCT frame: honest stub
+    # arithmetic progressive differential frame: honest stub
     bad = bytearray(good)
-    bad[sof7_at + 1] = 0xCD
+    bad[sof7_at + 1] = 0xCE
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+    # sequential-DCT differential relabel: now a VALID frame kind, but
+    # the lossless scan header (Se=0) is malformed for it
+    bad = bytearray(good)
+    bad[sof7_at + 1] = 0xC5
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
 
     # second non-differential frame where the differential should be
@@ -1380,3 +1391,146 @@ def test_hierarchical_cmyk_exact():
                  / 255), 0, 255
     ).astype(np.uint8)
     assert (out == exp).all()
+
+
+def _ycbcr_roundtrip_expected(rgb):
+    """The closed-form the DCT-hierarchy value gate pins: forward
+    rounded YCbCr (what encode_jpeg_hier_dct stores) then the decoder's
+    JFIF inverse — exact when the stored planes reconstruct exactly."""
+    r, g, bch = (rgb[..., i].astype(float) for i in range(3))
+    y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * bch), 0, 255)
+    cb = np.clip(
+        np.round(-0.168736 * r - 0.331264 * g + 0.5 * bch + 128), 0, 255
+    )
+    cr = np.clip(
+        np.round(0.5 * r - 0.418688 * g - 0.081312 * bch + 128), 0, 255
+    )
+    rr = y + 1.402 * (cr - 128)
+    gg = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    bb = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([rr, gg, bb], 2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def test_hierarchical_dct_exact_gates():
+    """DCT-mode hierarchies (SOF0/SOF9 first frame + SOF5/SOF13
+    differentials): solid color decodes exactly (all diffs zero, DC
+    exact at quant=1); arith ≡ Huffman bit-equality on the same
+    quantized coefficients; and T.81 J.5's closing lossless
+    differential frame (SOF7/SOF15) makes the whole hierarchy EXACT
+    against the closed-form stored-domain round trip — the value gate
+    for the family."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
+
+    rng = np.random.default_rng(240)
+
+    solid = np.zeros((24, 32, 3), np.uint8)
+    solid[:] = (37, 180, 92)
+    for arith in (False, True):
+        out = decode_jpeg(encode_jpeg_hier_dct(solid, levels=3, arith=arith))
+        assert (out == solid).all(), arith
+
+    img = rng.integers(0, 256, (21, 35, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_hier_dct(img, levels=2))
+    alt = decode_jpeg(encode_jpeg_hier_dct(img, levels=2, arith=True))
+    assert (base == alt).all()  # same coefficients, both entropy layers
+    assert abs(base.astype(int) - img.astype(int)).max() <= 3
+
+    # J.5 exactness: gray (stored == pixels) and RGB (closed form),
+    # both layers, with restart intervals in every frame
+    gray = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (18, 25, 3), dtype=np.uint8)
+    exp = _ycbcr_roundtrip_expected(rgb)
+    for arith in (False, True):
+        out = decode_jpeg(
+            encode_jpeg_hier_dct(gray, levels=3, arith=arith,
+                                 final_lossless=True)
+        )
+        assert (out[..., 0] == gray).all(), arith
+        out = decode_jpeg(
+            encode_jpeg_hier_dct(rgb, levels=2, arith=arith,
+                                 final_lossless=True, restart_interval=6)
+        )
+        assert (out == exp).all(), arith
+
+    # non-unit quant table still reconstructs within the pinned band
+    q2 = np.full((8, 8), 2, np.int32)
+    out = decode_jpeg(encode_jpeg_hier_dct(img, levels=2, quant=q2))
+    assert abs(out.astype(int) - img.astype(int)).max() <= 6
+    # ...and stays exact once the lossless closer corrects it
+    out = decode_jpeg(
+        encode_jpeg_hier_dct(rgb, levels=2, quant=q2, final_lossless=True)
+    )
+    assert (out == exp).all()
+
+
+def test_hierarchical_dct_contract():
+    """Exception contract around the DCT-hierarchy walk: progressive
+    frames inside a hierarchy stay honest stubs, truncation is
+    ValueError, uint16 input is rejected by the encoder, and a DCT
+    frame with no scan is malformed."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
+
+    rng = np.random.default_rng(241)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    good = encode_jpeg_hier_dct(img, levels=2)
+
+    # progressive frame in a hierarchy: honest stub
+    sof_at = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(bad))
+
+    # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:80])
+
+    # encoder is 8-bit only
+    with pytest.raises(ValueError):
+        encode_jpeg_hier_dct(
+            rng.integers(0, 4096, (8, 8), dtype=np.uint16)
+        )
+
+    # a differential DCT frame whose dims differ from the reference
+    sof5_at = good.find(b"\xff\xc5")
+    bad = bytearray(good)
+    bad[sof5_at + 6] += 1  # bump frame height low byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(2, 24),
+    h=st.integers(2, 20),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    ri=st.integers(0, 2),
+    levels=st.integers(1, 3),
+    arith=st.booleans(),
+)
+def test_fuzz_hierarchical_dct_lossless_close(
+    w, h, seed, color, ri, levels, arith
+):
+    """Any geometry/levels/restarts, both entropy layers: the DCT
+    pyramid with the J.5 lossless closer lands the exact closed-form
+    stored-domain round trip."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
+
+    if (1 << (levels - 1)) > max(h, w):
+        levels = 1
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_hier_dct(
+            img, levels=levels, arith=arith, restart_interval=ri,
+            final_lossless=True,
+        )
+    )
+    if color:
+        assert (out == _ycbcr_roundtrip_expected(img)).all()
+    else:
+        assert (out[..., 0] == img).all()

@@ -138,8 +138,10 @@ def test_unsupported_codecs_raise_not_implemented():
     from dstlr_spark.operators.multimodal import decode_rgb_bytes
 
     # JPEG now routes to the real decoder (baseline, progressive,
-    # lossless, and all three arithmetic modes SOF9/10/11): garbage
-    # after SOI is CORRUPT (ValueError); hierarchical (SOF5) is the
+    # lossless, all three arithmetic modes SOF9/10/11, and the
+    # hierarchical families): garbage after SOI is CORRUPT
+    # (ValueError); a bare differential sequential frame (SOF5, no
+    # DHP) is MALFORMED; progressive-in-hierarchy (SOF6) is the
     # honest stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(b"\xff\xd8\xff" + b"\0" * 32)
@@ -149,8 +151,10 @@ def test_unsupported_codecs_raise_not_implemented():
         + struct.pack(">BHHB", 8, 8, 8, 1)
         + bytes([1, 0x11, 0])
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_rgb_bytes(sof5)
+    with pytest.raises(NotImplementedError):
+        decode_rgb_bytes(sof5.replace(b"\xff\xc5", b"\xff\xc6"))
     # 8-bit paletted BMP: real header, unsupported bpp
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
