@@ -53,10 +53,12 @@ YCCK (transform 2), both in the Adobe inverted-storage convention
 planes ARE RGB. Lossless Huffman multi-scan files (per-component-group Annex-H
 scans, per-scan predictors and point transforms) assemble at EOI.
 Hierarchical frames decode under BOTH entropy layers — lossless
-pyramids (SOF3+SOF7 Huffman, SOF11+SOF15 QM-arithmetic) exactly, and
+pyramids (SOF3+SOF7 Huffman, SOF11+SOF15 QM-arithmetic) exactly,
 sequential-DCT hierarchies (SOF0/1/9 + SOF5/SOF13 differentials,
-including the J.5 closing lossless frame) — leaving only PROGRESSIVE
-frames inside a hierarchy (SOF2/6/10/14) as ``NotImplementedError``. A MALFORMED stream (truncated entropy
+including the J.5 closing lossless frame), and PROGRESSIVE
+hierarchies (SOF2/SOF10 first frame + SOF6/SOF14 differentials) —
+every T.81 SOF process (0-15) now decodes in its legal context,
+closing the frame-type matrix. A MALFORMED stream (truncated entropy
 data, bad marker, invalid Huffman code, band-mixing scan headers,
 inconsistent dimensions) raises ``ValueError`` so the per-doc
 isolation wrapper in ``decode_image_np`` can skip it — the same
@@ -389,17 +391,9 @@ def decode_jpeg(b: bytes):
             from dstlr_spark.operators.jpeg_hier import decode_jpeg_hier
 
             return decode_jpeg_hier(b)
-        elif marker in (0xC6, 0xCE):
-            # differential PROGRESSIVE frames are unimplemented even
-            # inside a hierarchy (jpeg_hier decodes sequential DCT and
-            # the lossless pyramids), so a bare one is an honest stub
-            raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} (differential progressive "
-                "hierarchical modes)"
-            )
-        elif marker in (0xC5, 0xC7, 0xCD, 0xCF):
-            # differential sequential-DCT and lossless modes ARE
-            # implemented (jpeg_hier); without a leading DHP the
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
+            # differential modes (sequential, progressive AND lossless)
+            # ARE implemented (jpeg_hier); without a leading DHP the
             # stream is malformed, not unsupported
             raise ValueError(
                 "JPEG differential frame without a leading DHP"
@@ -1026,7 +1020,8 @@ def _reconstruct(frame, coefs, qtables, prec=8, transform=None):
 
 
 def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
-                             htables, coefs, restart_interval, prec=8):
+                             htables, coefs, restart_interval, prec=8,
+                             differential=False):
     """Decode ONE progressive scan (T.81 G.2) into the shared raw
     coefficient stores, returning the offset of the marker that ended
     it. Spectral selection: a scan carries either the DC coefficient
@@ -1039,7 +1034,13 @@ def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
     correction bit each as the decoder walks past them (G.1.2.3).
     EOBn symbols start end-of-band runs spanning whole blocks; during
     a refinement EOB run the rest of the band still pays correction
-    bits. Restart markers reset DC predictors AND the EOB run."""
+    bits. Restart markers reset DC predictors AND the EOB run.
+    ``differential`` (progressive frames inside a T.81 Annex-J
+    hierarchy, SOF6) switches the DC-first pass to PRED = 0 per block
+    (F.1.1.5.1: each block's point-transformed DC is coded directly);
+    DC refinement and every AC pass are unchanged — OR-ing the
+    correction bit at position Al is exact for two's-complement
+    negatives, so differential DC values refine correctly."""
     h, w, comps = frame
     hmax, vmax = _sampling(comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
@@ -1091,14 +1092,19 @@ def _decode_progressive_scan(b, pos, frame, scan, ss, se, ah, al,
                 raise ValueError("JPEG missing DC Huffman table for scan")
             tbls.append(htables.get((0, td)))
 
+        dcmax = (15 if prec == 12 else 11) + (1 if differential else 0)
+
         def _dc_one(block, si: int) -> None:
             br = state["br"]
             if ah == 0:
                 t = _huff_decode(br, tbls[si])
-                if t > (15 if prec == 12 else 11):
+                if t > dcmax:
                     raise ValueError("JPEG DC category out of range")
-                state["preds"][si] += _extend(br.receive(t), t)
-                block[0] = state["preds"][si] << al
+                if differential:  # PRED = 0 in differential frames
+                    block[0] = _extend(br.receive(t), t) << al
+                else:
+                    state["preds"][si] += _extend(br.receive(t), t)
+                    block[0] = state["preds"][si] << al
             elif br.receive(1):
                 block[0] = int(block[0]) | (1 << al)
 

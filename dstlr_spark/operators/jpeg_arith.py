@@ -857,7 +857,7 @@ def encode_jpeg_arith(img, quant=None, subsample="444",
 
 def decode_progressive_scan_arith(b, pos, frame, scan, ss, se, ah, al,
                                   dc_cond, ac_cond, coefs,
-                                  restart_interval):
+                                  restart_interval, differential=False):
     """Decode ONE progressive-arithmetic scan (T.81 G.2, marker
     SOF10 = 0xCA) into the shared raw coefficient stores, returning
     the offset of the marker that ended it — the arithmetic twin of
@@ -872,7 +872,12 @@ def decode_progressive_scan_arith(b, pos, frame, scan, ss, se, ah, al,
     :func:`_decode_ac_refine`. There are no EOBn run symbols in
     arithmetic coding — the per-block EOB decision replaces them.
     Restart markers reset the coder, all statistics, DC predictors
-    AND conditioning contexts."""
+    AND conditioning contexts. ``differential`` (progressive frames
+    inside an Annex-J hierarchy, SOF14) switches the DC-first pass to
+    PRED = 0 per block — the F.1.4.4.1 "difference" IS the
+    point-transformed DC value, and its conditioning context chains
+    on the previous coded value exactly as the sequential
+    differential path does; refinement and AC passes are unchanged."""
     from dstlr_spark.operators.jpeg import (
         _ZIGZAG,
         _entropy_segments,
@@ -945,8 +950,11 @@ def decode_progressive_scan_arith(b, pos, frame, scan, ss, se, ah, al,
                 diff, ctxs[si] = _decode_dc_diff(
                     dec, dstats[idxs[si][1]], ctxs[si], lo, hi
                 )
-                preds[si] += diff
-                block[0] = preds[si] << al
+                if differential:  # PRED = 0 in differential frames
+                    block[0] = diff << al
+                else:
+                    preds[si] += diff
+                    block[0] = preds[si] << al
             elif dec.decode(fixed, 0):
                 block[0] = int(block[0]) | (1 << al)
 

@@ -31,11 +31,18 @@ Scope, under BOTH entropy layers (Huffman and the QM coder of
   the stored domain (the family's value-equality gate). 3-component
   DCT hierarchies are YCbCr, inverted at EOI.
 
-Both support 1x1 sampling, restart intervals, and any number of
-pyramid levels. PROGRESSIVE frames inside a hierarchy (SOF2/6/10/14)
-raise NotImplementedError — the remaining honest stub. Malformed
-input always raises ValueError (the pinned decoder exception
-contract).
+- PROGRESSIVE hierarchies — SOF2/SOF10 first frame + SOF6/SOF14
+  differentials: each frame's scans (spectral selection + successive
+  approximation, T.81 G.2) land in the same per-frame coefficient
+  stores via the shared progressive machinery of :mod:`jpeg` /
+  :mod:`jpeg_arith`, with PRED=0 DC in differential frames
+  (F.1.1.5.1); the frame reconstructs at its closing marker exactly
+  like the sequential-DCT case. This closes the T.81 frame-type
+  matrix: every SOF process (0-15) decodes in its legal context.
+
+All support 1x1 sampling, restart intervals, and any number of
+pyramid levels. Malformed input always raises ValueError (the pinned
+decoder exception contract).
 
 Reference parity anchor: the reference pipeline treats media as
 opaque bytes (SURVEY.md §2.12 mandate surface); this codec exists so
@@ -54,6 +61,7 @@ from dstlr_spark.operators.jpeg import (
     _BitWriter,
     _build_huffman,
     _category,
+    _decode_progressive_scan,
     _decode_seq_scan_into,
     _entropy_segments,
     _extend,
@@ -63,8 +71,10 @@ from dstlr_spark.operators.jpeg import (
 
 __all__ = ["decode_jpeg_hier", "encode_jpeg_hier"]
 
-#: progressive frames inside a hierarchy — the remaining honest stub
-_DCT_SOFS = (0xC2, 0xC6, 0xCA, 0xCE)
+#: progressive frames inside a hierarchy (SOF2/SOF10 non-differential,
+#: SOF6/SOF14 differential) — scans route through the shared
+#: progressive machinery of :mod:`jpeg` / :mod:`jpeg_arith`
+_PROG_SOFS = (0xC2, 0xC6, 0xCA, 0xCE)
 
 
 def _parse_sofish(seg: bytes, what: str):
@@ -369,7 +379,7 @@ def decode_jpeg_hier(b: bytes):
     dac_dc: dict[int, tuple[int, int]] = {}
     dac_ac: dict[int, int] = {}
     dhp = None  # (prec, full_h, full_w, comps)
-    frame = None  # (h, w, comps, differential, arith, dct)
+    frame = None  # (h, w, comps, differential, arith, dct, prog)
     ref = None  # reconstructed planes of the latest frame
     pending_exp = None  # (eh, ev) from an EXP marker awaiting a frame
     dct_cur = None  # pending DCT frame: {"coefs": [...], "scans": n}
@@ -388,7 +398,7 @@ def decode_jpeg_hier(b: bytes):
             return
         if dct_cur["scans"] == 0:
             raise ValueError("JPEG DCT hierarchical frame with no scan")
-        fh, fw, fcomps, differential, _arith, _dct = frame
+        fh, fw, fcomps, differential = frame[:4]
         prec = dhp[0]
         center = 0.0 if differential else float(1 << (prec - 1))
         vals = _idct_planes(fcomps, fh, fw, dct_cur["coefs"], qtables, center)
@@ -516,10 +526,12 @@ def decode_jpeg_hier(b: bytes):
                 raise ValueError("JPEG DRI truncated")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker in (0xC3, 0xC7, 0xCB, 0xCF,  # lossless frames
-                        0xC0, 0xC1, 0xC9, 0xC5, 0xCD):  # sequential DCT
+                        0xC0, 0xC1, 0xC9, 0xC5, 0xCD,  # sequential DCT
+                        0xC2, 0xC6, 0xCA, 0xCE):  # progressive DCT
             # non-differential (SOF3/SOF11 lossless, SOF0/SOF1/SOF9
-            # DCT) or differential (SOF7/SOF15 lossless, SOF5/SOF13
-            # DCT), each under its entropy layer
+            # sequential DCT, SOF2/SOF10 progressive DCT) or
+            # differential (SOF7/SOF15 lossless, SOF5/SOF13 sequential,
+            # SOF6/SOF14 progressive), each under its entropy layer
             _finalize_dct()
             if dhp is None:
                 raise ValueError(
@@ -533,14 +545,15 @@ def decode_jpeg_hier(b: bytes):
                 raise ValueError("JPEG frame component count differs from DHP")
             if h > dhp[1] or w > dhp[2]:
                 raise ValueError("JPEG frame exceeds DHP dimensions")
-            differential = marker in (0xC7, 0xCF, 0xC5, 0xCD)
-            dct = marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD)
+            differential = marker in (0xC7, 0xCF, 0xC5, 0xCD, 0xC6, 0xCE)
+            prog = marker in _PROG_SOFS
+            dct = prog or marker in (0xC0, 0xC1, 0xC9, 0xC5, 0xCD)
             if differential and ref is None:
                 raise ValueError("JPEG differential frame before a reference")
             if not differential and ref is not None:
                 raise ValueError("JPEG second non-differential frame")
-            arith = marker in (0xCB, 0xCF, 0xC9, 0xCD)
-            frame = (h, w, comps, differential, arith, dct)
+            arith = marker in (0xCB, 0xCF, 0xC9, 0xCD, 0xCA, 0xCE)
+            frame = (h, w, comps, differential, arith, dct, prog)
             if dct:
                 if prec not in (8, 12):
                     raise ValueError(
@@ -565,33 +578,49 @@ def decode_jpeg_hier(b: bytes):
                     ],
                     "scans": 0,
                 }
-        elif marker in _DCT_SOFS:
-            raise NotImplementedError(
-                f"STUB: JPEG SOF {marker:#x} in a hierarchy — progressive "
-                "hierarchical frames do not decode (sequential DCT and the "
-                "lossless pyramids do)"
-            )
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before a hierarchical frame")
-            h, w, comps, differential, arith, dct = frame
+            h, w, comps, differential, arith, dct, prog = frame
             ns = seg[0] if seg else 0
             if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("JPEG SOS header truncated")
             if dct:
-                # sequential DCT scan into the pending frame's stores
-                # (any partition of components across scans); the
-                # frame reconstructs at the next frame-level marker
+                # DCT scan into the pending frame's stores — sequential
+                # (any partition of components across scans) or
+                # progressive (spectral selection + successive
+                # approximation, T.81 G.2, with PRED=0 DC in
+                # differential frames); the frame reconstructs at the
+                # next frame-level marker
                 scan = []
                 for c in range(ns):
                     cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                     scan.append((cs, tdta >> 4, tdta & 15))
                 ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+                fr = (h, w, comps)
+                if prog:
+                    if arith:
+                        from dstlr_spark.operators.jpeg_arith import (
+                            decode_progressive_scan_arith,
+                        )
+
+                        pos = decode_progressive_scan_arith(
+                            b, pos, fr, scan, ss, se, ahal >> 4, ahal & 15,
+                            dac_dc, dac_ac, dct_cur["coefs"],
+                            restart_interval, differential=differential,
+                        )
+                    else:
+                        pos = _decode_progressive_scan(
+                            b, pos, fr, scan, ss, se, ahal >> 4, ahal & 15,
+                            htables, dct_cur["coefs"], restart_interval,
+                            prec=dhp[0], differential=differential,
+                        )
+                    dct_cur["scans"] += 1
+                    continue
                 if ss != 0 or se != 63 or ahal != 0:
                     raise ValueError(
                         "JPEG sequential DCT scan header invalid"
                     )
-                fr = (h, w, comps)
                 if arith:
                     from dstlr_spark.operators.jpeg_arith import (
                         decode_seq_scan_arith_into,
@@ -873,7 +902,9 @@ def encode_jpeg_hier(
 
 def encode_jpeg_hier_dct(
     img, levels: int = 2, quant=None, arith: bool = False,
-    restart_interval: int = 0, final_lossless: bool = False
+    restart_interval: int = 0, final_lossless: bool = False,
+    progressive: bool = False, dc_al: int = 1, ac_al: int = 1,
+    bands=((1, 5), (6, 63)),
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     DCT-mode hierarchical JPEG (T.81 Annex J): DHP, then a
@@ -893,7 +924,22 @@ def encode_jpeg_hier_dct(
     rounded YCbCr once; the decoder inverts at EOI. 8-bit only, 1x1
     sampling; ``restart_interval`` > 0 emits DRI + RSTn in every
     frame (MCU units in DCT frames, sample units in the lossless
-    closer)."""
+    closer).
+
+    ``progressive=True`` swaps the frame markers for their progressive
+    twins (SOF2/SOF10 first frame, SOF6/SOF14 differentials) and emits
+    each frame as a full progressive scan script — interleaved DC
+    first at precision ``dc_al`` then raw/fixed-bin DC refinements
+    down to 0; per component and spectral band in ``bands``, an
+    AC-first scan at precision ``ac_al`` then AC refinements — over
+    the SAME quantized coefficient blocks the sequential emitter
+    writes. In differential frames the DC-first pass codes each
+    block's point-transformed DC directly (PRED = 0, F.1.1.5.1).
+    Because the scan script delivers every coefficient bit, the
+    decoder's stores end bit-identical to the sequential case:
+    decode(progressive hierarchy) == decode(sequential hierarchy)
+    exactly, and the J.5 closer's exactness carries over unchanged —
+    the family's value gates."""
     import numpy as np
 
     from dstlr_spark.operators.jpeg import (
@@ -908,6 +954,8 @@ def encode_jpeg_hier_dct(
         raise ValueError("DCT hierarchical encode supports uint8 only")
     if levels < 1:
         raise ValueError("levels must be >= 1")
+    if progressive and not (0 <= dc_al <= 13 and 0 <= ac_al <= 13):
+        raise ValueError("successive-approximation precision out of range")
     if quant is None:
         quant = np.ones((8, 8), np.int32)
     quant = np.asarray(quant, np.int32)
@@ -1039,6 +1087,221 @@ def encode_jpeg_hier_dct(
             bw.flush()
             out += bw.out
 
+    def emit_prog_scans(blocks_zz, fh, fw, differential):
+        """The progressive twin of :func:`emit_dct_scan`: one DC-first
+        scan (interleaved, Al=dc_al), DC refinements down to bit 0,
+        then per component × spectral band an AC-first scan (Al=ac_al)
+        and AC refinements — every coefficient bit of the SAME blocks,
+        so the decoder's stores end bit-identical to the sequential
+        path. Each arithmetic scan is an independent QM stream with
+        fresh statistics; restarts reset everything (G.2)."""
+        nonlocal out
+        nbr, nbc = -(-fh // 8), -(-fw // 8)
+        for ss, se in bands:
+            if not 1 <= ss <= se <= 63:
+                raise ValueError(f"invalid spectral band ({ss}, {se})")
+
+        def run_scan(units, emit_unit, fresh):
+            """One scan's entropy data with restart handling, under
+            either entropy layer (``fresh`` rebuilds per-segment
+            state; Huffman state carries a _BitWriter first)."""
+            nonlocal out
+            cur = fresh()
+            for m in range(units):
+                if restart_interval and m and m % restart_interval == 0:
+                    if arith:
+                        out += cur[0].finish()
+                    else:
+                        cur[0].flush()
+                        out += cur[0].out
+                    out += bytes(
+                        [0xFF, 0xD0 + (m // restart_interval - 1) % 8]
+                    )
+                    cur = fresh()
+                emit_unit(cur, m)
+            if arith:
+                out += cur[0].finish()
+            else:
+                cur[0].flush()
+                out += cur[0].out
+
+        if arith:
+            from dstlr_spark.operators.jpeg_arith import (
+                _AC_STAT_BINS,
+                _DC_STAT_BINS,
+                _FIXED,
+                DEFAULT_AC_KX,
+                _ArithEncoder,
+                _encode_ac_block,
+                _encode_ac_refine,
+                _encode_dc_diff,
+            )
+
+            def dc_fresh():
+                return (_ArithEncoder(), bytearray(_DC_STAT_BINS),
+                        [0] * nc, [0] * nc)
+
+            def dc_first(cur, m):
+                enc, dstat, ctxs, preds = cur
+                row, col = divmod(m, nbc)
+                for ci in range(nc):
+                    d = int(blocks_zz[ci][row, col, 0]) >> dc_al
+                    if differential:  # PRED = 0
+                        diff = d
+                    else:
+                        diff = d - preds[ci]
+                        preds[ci] = d
+                    ctxs[ci] = _encode_dc_diff(
+                        enc, dstat, ctxs[ci], diff, 0, 1
+                    )
+
+            def fixed_fresh():
+                return (_ArithEncoder(), bytearray([_FIXED]))
+
+            def ac_fresh():
+                return (_ArithEncoder(), bytearray(_AC_STAT_BINS),
+                        bytearray([_FIXED]))
+
+            out += _emit_sos(comp_ids, 0, 0, 0, dc_al)
+            run_scan(nbr * nbc, dc_first, dc_fresh)
+            for al in range(dc_al - 1, -1, -1):
+
+                def dc_refine(cur, m, al=al):
+                    enc, fixed = cur
+                    row, col = divmod(m, nbc)
+                    for ci in range(nc):
+                        d = int(blocks_zz[ci][row, col, 0])
+                        enc.encode(fixed, 0, (d >> al) & 1)
+
+                out += _emit_sos(comp_ids, 0, 0, al + 1, al)
+                run_scan(nbr * nbc, dc_refine, fixed_fresh)
+            for ci in range(nc):
+                for ss, se in bands:
+
+                    def ac_first(cur, m, ci=ci, ss=ss, se=se):
+                        enc, astat, fixed = cur
+                        row, col = divmod(m, nbc)
+                        _encode_ac_block(
+                            enc, astat, fixed, DEFAULT_AC_KX,
+                            blocks_zz[ci][row, col].tolist(), ss, se, ac_al,
+                        )
+
+                    out += _emit_sos([comp_ids[ci]], ss, se, 0, ac_al)
+                    run_scan(nbr * nbc, ac_first, ac_fresh)
+                for al in range(ac_al - 1, -1, -1):
+                    for ss, se in bands:
+
+                        def ac_refine(cur, m, ci=ci, ss=ss, se=se, al=al):
+                            enc, astat, fixed = cur
+                            row, col = divmod(m, nbc)
+                            _encode_ac_refine(
+                                enc, astat, fixed,
+                                blocks_zz[ci][row, col].tolist(), ss, se, al,
+                            )
+
+                        out += _emit_sos([comp_ids[ci]], ss, se, al + 1, al)
+                        run_scan(nbr * nbc, ac_refine, ac_fresh)
+            return
+
+        _, _, dc_enc = _fixed_table(_DC12_SYMBOLS)
+        _, _, ac_enc = _fixed_table(_AC12_SYMBOLS)
+
+        def bw_fresh():
+            return (_BitWriter(), [0] * nc)
+
+        def dc_first_h(cur, m):
+            bw, preds = cur
+            row, col = divmod(m, nbc)
+            for ci in range(nc):
+                d = int(blocks_zz[ci][row, col, 0]) >> dc_al
+                if differential:  # PRED = 0
+                    diff = d
+                else:
+                    diff = d - preds[ci]
+                    preds[ci] = d
+                t = _category(diff)
+                bw.write(dc_enc[t][1], dc_enc[t][0])
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+        out += _emit_sos(comp_ids, 0, 0, 0, dc_al)
+        run_scan(nbr * nbc, dc_first_h, bw_fresh)
+        for al in range(dc_al - 1, -1, -1):
+
+            def dc_refine_h(cur, m, al=al):
+                bw = cur[0]
+                row, col = divmod(m, nbc)
+                for ci in range(nc):
+                    bw.write((int(blocks_zz[ci][row, col, 0]) >> al) & 1, 1)
+
+            out += _emit_sos(comp_ids, 0, 0, al + 1, al)
+            run_scan(nbr * nbc, dc_refine_h, bw_fresh)
+        for ci in range(nc):
+            for ss, se in bands:
+
+                def ac_first_h(cur, m, ci=ci, ss=ss, se=se):
+                    bw = cur[0]
+                    row, col = divmod(m, nbc)
+                    blk = blocks_zz[ci][row, col]
+                    r = 0
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        t = abs(v) >> ac_al  # G.1.2.2 magnitude shift
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            bw.write(ac_enc[0xF0][1], ac_enc[0xF0][0])
+                            r -= 16
+                        s = t.bit_length()
+                        bw.write(ac_enc[16 * r + s][1], ac_enc[16 * r + s][0])
+                        bw.write(t if v > 0 else t + (1 << s) - 1 - 2 * t, s)
+                        r = 0
+                    if r:
+                        bw.write(ac_enc[0x00][1], ac_enc[0x00][0])  # EOB
+
+                out += _emit_sos([comp_ids[ci]], ss, se, 0, ac_al)
+                run_scan(nbr * nbc, ac_first_h, bw_fresh)
+            for al in range(ac_al - 1, -1, -1):
+                for ss, se in bands:
+
+                    def ac_refine_h(cur, m, ci=ci, ss=ss, se=se, al=al):
+                        bw = cur[0]
+                        row, col = divmod(m, nbc)
+                        blk = blocks_zz[ci][row, col]
+                        r = 0
+                        pending: list[int] = []
+                        for k in range(ss, se + 1):
+                            v = int(blk[k])
+                            t = abs(v) >> al
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15:  # ZRL + buffered corrections
+                                bw.write(ac_enc[0xF0][1], ac_enc[0xF0][0])
+                                r -= 16
+                                for bit in pending:
+                                    bw.write(bit, 1)
+                                pending = []
+                            if t > 1:  # already nonzero: correction bit
+                                pending.append(t & 1)
+                                continue
+                            bw.write(
+                                ac_enc[16 * r + 1][1], ac_enc[16 * r + 1][0]
+                            )
+                            bw.write(1 if v > 0 else 0, 1)
+                            for bit in pending:
+                                bw.write(bit, 1)
+                            pending = []
+                            r = 0
+                        if r or pending:
+                            bw.write(ac_enc[0x00][1], ac_enc[0x00][0])
+                            for bit in pending:
+                                bw.write(bit, 1)
+
+                    out += _emit_sos([comp_ids[ci]], ss, se, al + 1, al)
+                    run_scan(nbr * nbc, ac_refine_h, bw_fresh)
+
     def emit_lossless_diff_scan(targets, refs, fh, fw):
         """The J.5 closing frame's scan: per-sample (target − ref)
         mod 2^16 under the frame's entropy layer (SSSS via the
@@ -1124,14 +1387,18 @@ def encode_jpeg_hier_dct(
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
-    # frame 1: non-differential sequential DCT at the smallest level
+    # frame 1: non-differential DCT at the smallest level
     top = pyramid[-1]
     th, tw = top[0].shape
     blocks = [fdct_quant(p.astype(np.float64) - center) for p in top]
-    out += sofish(0xC9 if arith else 0xC0, th, tw)
-    emit_dct_scan(blocks, th, tw, differential=False)
+    if progressive:
+        out += sofish(0xCA if arith else 0xC2, th, tw)
+        emit_prog_scans(blocks, th, tw, differential=False)
+    else:
+        out += sofish(0xC9 if arith else 0xC0, th, tw)
+        emit_dct_scan(blocks, th, tw, differential=False)
     ref = simulate(blocks, th, tw, center)
-    # remaining levels: EXP + differential sequential DCT
+    # remaining levels: EXP + differential DCT
     for level in range(levels - 2, -1, -1):
         target = pyramid[level]
         th, tw = target[0].shape
@@ -1145,8 +1412,12 @@ def encode_jpeg_hier_dct(
             for t, p in zip(target, ref)
         ]
         blocks = [fdct_quant(d) for d in diffs]
-        out += sofish(0xCD if arith else 0xC5, th, tw)
-        emit_dct_scan(blocks, th, tw, differential=True)
+        if progressive:
+            out += sofish(0xCE if arith else 0xC6, th, tw)
+            emit_prog_scans(blocks, th, tw, differential=True)
+        else:
+            out += sofish(0xCD if arith else 0xC5, th, tw)
+            emit_dct_scan(blocks, th, tw, differential=True)
         ref = simulate(blocks, th, tw, 0.0, base=ref)
     if final_lossless:
         # T.81 J.5: one lossless differential frame closes the gap to

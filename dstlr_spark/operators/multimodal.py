@@ -368,13 +368,14 @@ def decode_rgb_bytes(b: bytes):
     SOF3/SOF7, :mod:`dstlr_spark.operators.jpeg_hier`) also decode
     exactly and join the planted-pixel gate — under BOTH entropy
     layers (SOF3+SOF7 Huffman and SOF11+SOF15 QM-arithmetic
-    pyramids), and sequential-DCT hierarchies (SOF0/1/9 first frame +
-    SOF5/SOF13 differentials, J.5 lossless closer) decode too. The
-    remaining image stub surface is PROGRESSIVE frames inside a
-    hierarchy (SOF2/6/10/14) — NotImplementedError. Everything else
-    decodes: DCT and lossless at every supported precision under BOTH
-    entropy layers, interleaved or multi-scan, in
-    gray/YCbCr/RGB/CMYK/YCCK (hierarchical pyramids included).
+    pyramids), and DCT hierarchies decode too — sequential (SOF0/1/9
+    first frame + SOF5/SOF13 differentials) AND progressive
+    (SOF2/SOF10 + SOF6/SOF14), with the J.5 lossless closer. Every
+    T.81 SOF process (0-15) decodes in its legal context: DCT and
+    lossless at every supported precision under BOTH entropy layers,
+    interleaved or multi-scan, in gray/YCbCr/RGB/CMYK/YCCK
+    (hierarchical pyramids included) — no JPEG frame-type stubs
+    remain.
     """
     import numpy as np
 

@@ -281,8 +281,8 @@ def test_malformed_and_stub_contract():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
-    bad[sof_at + 1] = 0xCE  # SOF14: differential progressive — honest stub
-    with pytest.raises(NotImplementedError):
+    bad[sof_at + 1] = 0xCE  # SOF14 without a DHP: malformed, not a stub
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
     bad = bytearray(good)
     bad[sof_at + 4] = 10  # precision 10-bit: DCT decode is 8/12 only
@@ -922,8 +922,8 @@ def test_hierarchical_predictors_and_restarts():
 
 
 def test_hierarchical_exception_contract():
-    """Malformed hierarchy → ValueError; unimplemented hierarchical
-    modes → NotImplementedError (the pinned package contract)."""
+    """Malformed hierarchy → ValueError in every corner of the marker
+    walk (the pinned package contract)."""
     from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
 
     rng = np.random.default_rng(47)
@@ -954,17 +954,13 @@ def test_hierarchical_exception_contract():
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
 
-    # progressive frame inside a hierarchy: honest stub
-    bad = bytearray(good)
-    bad[sof7_at + 1] = 0xC6
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(bad))
-
-    # arithmetic progressive differential frame: honest stub
-    bad = bytearray(good)
-    bad[sof7_at + 1] = 0xCE
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(bad))
+    # progressive frames inside a hierarchy now DECODE (the former
+    # stub — value gates in test_hierarchical_progressive_exact_gates);
+    # here, only the exception contract: a differential progressive
+    # frame whose DHP-less twin is malformed stays ValueError
+    bare_sof6 = bare_sof7.replace(b"\xff\xc7", b"\xff\xc6")
+    with pytest.raises(ValueError):
+        decode_jpeg(bare_sof6)
 
     # sequential-DCT differential relabel: now a VALID frame kind, but
     # the lossless scan header (Se=0) is malformed for it
@@ -1466,8 +1462,9 @@ def test_hierarchical_dct_exact_gates():
 
 
 def test_hierarchical_dct_contract():
-    """Exception contract around the DCT-hierarchy walk: progressive
-    frames inside a hierarchy stay honest stubs, truncation is
+    """Exception contract around the DCT-hierarchy walk: a sequential
+    scan header relabeled into a progressive frame is malformed
+    (Ss=0, Se=63 mixes the DC and AC bands), truncation is
     ValueError, uint16 input is rejected by the encoder, and a DCT
     frame with no scan is malformed."""
     from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
@@ -1476,11 +1473,13 @@ def test_hierarchical_dct_contract():
     img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     good = encode_jpeg_hier_dct(img, levels=2)
 
-    # progressive frame in a hierarchy: honest stub
+    # SOF0 → SOF2 relabel: progressive frames DECODE in a hierarchy
+    # now, so the failure moves to the scan header — the full-band
+    # sequential scan is invalid progressive grammar (ValueError)
     sof_at = good.find(b"\xff\xc0")
     bad = bytearray(good)
     bad[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
 
     # truncated entropy data
@@ -1499,6 +1498,113 @@ def test_hierarchical_dct_contract():
     bad[sof5_at + 6] += 1  # bump frame height low byte
     with pytest.raises(ValueError):
         decode_jpeg(bytes(bad))
+
+
+def test_hierarchical_progressive_exact_gates():
+    """Progressive frames inside a hierarchy (SOF2/SOF10 first frame,
+    SOF6/SOF14 differentials) — the LAST JPEG frame-type family. The
+    emitter writes the SAME quantized blocks as the sequential
+    hierarchy through a full progressive scan script, so the gates
+    are exact: (1) solid color decodes exactly, both entropy layers;
+    (2) decode(progressive hierarchy) == decode(sequential hierarchy)
+    BIT-FOR-BIT — gray and RGB, Huffman and arithmetic, restarts,
+    deeper pyramids, non-default successive-approximation precisions
+    and band splits; (3) T.81 J.5's closing lossless differential
+    frame keeps the whole progressive pyramid exact against the
+    closed-form stored-domain round trip."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
+
+    rng = np.random.default_rng(242)
+
+    solid = np.zeros((24, 32, 3), np.uint8)
+    solid[:] = (37, 180, 92)
+    for arith in (False, True):
+        out = decode_jpeg(
+            encode_jpeg_hier_dct(solid, levels=3, arith=arith,
+                                 progressive=True)
+        )
+        assert (out == solid).all(), arith
+
+    gray = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (21, 35, 3), dtype=np.uint8)
+    for img in (gray, rgb):
+        for arith in (False, True):
+            seq = decode_jpeg(encode_jpeg_hier_dct(img, levels=2,
+                                                   arith=arith))
+            pro = decode_jpeg(
+                encode_jpeg_hier_dct(img, levels=2, arith=arith,
+                                     progressive=True)
+            )
+            assert (seq == pro).all(), (img.shape, arith)
+
+    # restarts in every scan + the J.5 closer: exact closed form
+    exp = _ycbcr_roundtrip_expected(rgb)
+    for arith in (False, True):
+        out = decode_jpeg(
+            encode_jpeg_hier_dct(rgb, levels=3, arith=arith,
+                                 progressive=True, final_lossless=True,
+                                 restart_interval=5)
+        )
+        assert (out == exp).all(), arith
+
+    # deeper successive approximation (negative differential DC rides
+    # the two's-complement refinement OR) and non-default band splits
+    seq = decode_jpeg(encode_jpeg_hier_dct(rgb, levels=2))
+    out = decode_jpeg(
+        encode_jpeg_hier_dct(rgb, levels=2, progressive=True,
+                             dc_al=2, ac_al=2,
+                             bands=((1, 2), (3, 20), (21, 63)))
+    )
+    assert (out == seq).all()
+    seqa = decode_jpeg(encode_jpeg_hier_dct(rgb, levels=2, arith=True))
+    out = decode_jpeg(
+        encode_jpeg_hier_dct(rgb, levels=2, arith=True, progressive=True,
+                             dc_al=3, ac_al=2, bands=((1, 63),),
+                             restart_interval=3)
+    )
+    assert (out == seqa).all()
+
+    # invalid band / precision are encoder-side ValueErrors
+    with pytest.raises(ValueError):
+        encode_jpeg_hier_dct(rgb, progressive=True, bands=((0, 63),))
+    with pytest.raises(ValueError):
+        encode_jpeg_hier_dct(rgb, progressive=True, dc_al=14)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(2, 24),
+    h=st.integers(2, 20),
+    seed=st.integers(0, 2**31),
+    color=st.booleans(),
+    ri=st.integers(0, 2),
+    levels=st.integers(1, 3),
+    arith=st.booleans(),
+)
+def test_fuzz_hierarchical_progressive_exact(
+    w, h, seed, color, ri, levels, arith
+):
+    """Any geometry/levels/restarts, both entropy layers: the
+    PROGRESSIVE pyramid with the J.5 lossless closer lands the exact
+    closed-form stored-domain round trip (the sequential fuzz gate's
+    twin over the SOF2/6/10/14 frame family)."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
+
+    if (1 << (levels - 1)) > max(h, w):
+        levels = 1
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_jpeg(
+        encode_jpeg_hier_dct(
+            img, levels=levels, arith=arith, restart_interval=ri,
+            progressive=True, final_lossless=True,
+        )
+    )
+    if color:
+        assert (out == _ycbcr_roundtrip_expected(img)).all()
+    else:
+        assert (out[..., 0] == img).all()
 
 
 @settings(max_examples=12, deadline=None)

@@ -137,12 +137,10 @@ def test_unsupported_codecs_raise_not_implemented():
 
     from dstlr_spark.operators.multimodal import decode_rgb_bytes
 
-    # JPEG now routes to the real decoder (baseline, progressive,
-    # lossless, all three arithmetic modes SOF9/10/11, and the
-    # hierarchical families): garbage after SOI is CORRUPT
-    # (ValueError); a bare differential sequential frame (SOF5, no
-    # DHP) is MALFORMED; progressive-in-hierarchy (SOF6) is the
-    # honest stub
+    # JPEG now routes to the real decoder (every SOF0-15 process in
+    # its legal context): garbage after SOI is CORRUPT (ValueError);
+    # a bare differential frame with no leading DHP — sequential
+    # (SOF5) or progressive (SOF6) — is MALFORMED, not a stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(b"\xff\xd8\xff" + b"\0" * 32)
     sof5 = (
@@ -153,7 +151,7 @@ def test_unsupported_codecs_raise_not_implemented():
     )
     with pytest.raises(ValueError):
         decode_rgb_bytes(sof5)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_rgb_bytes(sof5.replace(b"\xff\xc5", b"\xff\xc6"))
     # 8-bit paletted BMP: real header, unsupported bpp
     hdr = (
