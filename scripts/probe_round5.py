@@ -327,6 +327,71 @@ def probe_codecs(spark, n_docs: int) -> None:
     run("y4m decode→frames", synth_y4m, ddl, video_frame_features_np)
 
 
+def probe_hier_codecs(spark, n_docs: int) -> None:
+    """4. Hierarchical-JPEG decode throughput, sequential vs
+    PROGRESSIVE frames (the final T.81 frame family): baseline JPEG
+    as the within-window anchor, then 3-level DCT pyramids (quant=1
+    worst case, no lossless closer so the cost measured is the frame
+    machinery itself) under both scan disciplines. Same
+    synth-in-executor → decode_features_np in-stage-reduce shape as
+    the main codec window."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import decode_features_np
+
+    def run(label, synth_body, op):
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(synth_body, "doc_id string, payload binary")
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = op(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} clips/s  {total / dt / 1e6:.1f} MB/s"
+        )
+
+    def synth_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dstlr_spark.operators.jpeg import encode_jpeg
+        from dstlr_spark.operators.multimodal import _planted_rgb
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [dict(doc_id=str(i),
+                      payload=encode_jpeg(_planted_rgb(96 + int(i) % 7,
+                                                       96 + (int(i) * 3) % 7),
+                                          subsample="420"))
+                 for i in pdf["id"]]
+            )
+
+    def _synth_hier(progressive):
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier_dct
+            from dstlr_spark.operators.multimodal import _planted_rgb
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [dict(doc_id=str(i),
+                          payload=encode_jpeg_hier_dct(
+                              _planted_rgb(96 + int(i) % 7,
+                                           96 + (int(i) * 3) % 7),
+                              levels=3, progressive=progressive))
+                     for i in pdf["id"]]
+                )
+
+        return synth
+
+    run("jpeg 420 → feats  ", synth_jpeg, decode_features_np)
+    run("jpeg hier seq→fts ", _synth_hier(False), decode_features_np)
+    run("jpeg hier prog→fts", _synth_hier(True), decode_features_np)
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -342,6 +407,8 @@ def main() -> None:
         probe_bmp_decode(spark, n_docs, side)
     if only in ("all", "codecs"):
         probe_codecs(spark, n_docs)
+    if only in ("all", "hier"):
+        probe_hier_codecs(spark, n_docs)
     spark.stop()
 
 
