@@ -279,23 +279,11 @@ def decode_jpeg(b: bytes):
             continue
         if marker == 0xD9:
             if ll_planes is not None and scans_done:
-                import numpy as np
-
                 if coded_comps != {c[0] for c in frame[2]}:
                     raise ValueError(
                         "JPEG multi-scan file is missing component scans"
                     )
-                mask = (1 << precision) - 1
-                dtype = np.uint8 if precision <= 8 else np.uint16
-                planes = [
-                    ((np.array(p, np.int64) << pt) & mask).astype(dtype)
-                    for p, pt in zip(ll_planes, ll_pts)
-                ]
-                if len(planes) == 1:
-                    return np.repeat(planes[0][..., None], 3, axis=2)
-                if len(planes) == 4:
-                    return _cmyk_to_rgb(planes, mask)
-                return np.stack(planes, axis=2)
+                return _assemble_lossless(frame, ll_planes, ll_pts, precision)
             if (progressive or seq_multiscan) and scans_done:
                 if seq_multiscan and coded_comps != {
                     c[0] for c in frame[2]
@@ -748,6 +736,163 @@ def _decode_seq_scan_into(b, pos, frame, scan, htables, coefs,
     return end
 
 
+def _ll_scan_layout(frame, scan_comp_idx):
+    """Sample-walk geometry for one lossless scan (T.81 A.2.3 applied
+    to sample grids): each component's own dimensions are
+    ``xi = ceil(X·Hi/Hmax)``, ``yi = ceil(Y·Vi/Vmax)``. A scan with
+    Ns > 1 walks MCUs of Hi×Vi samples per component over an MCU grid
+    of ``ceil(xi/Hi) × ceil(yi/Vi)`` (equal across the scan's
+    components by construction — validated), each plane edge-padded to
+    MCU multiples; a scan with Ns == 1 is non-interleaved: MCU = one
+    sample, raster over the UNPADDED (yi, xi) grid. Returns
+    ``(mcux, mcuy, [(yi, xi, hi, vi, ph, pw) per scan component])``
+    where (ph, pw) are the padded coding dims."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    geo = []
+    for i in scan_comp_idx:
+        _, hi, vi, _ = comps[i]
+        xi = -(-w * hi // hmax)
+        yi = -(-h * vi // vmax)
+        geo.append((yi, xi, hi, vi))
+    if len(scan_comp_idx) == 1:
+        yi, xi, hi, vi = geo[0]
+        return xi, yi, [(yi, xi, 1, 1, yi, xi)]
+    yi0, xi0, hi0, vi0 = geo[0]
+    mcux = -(-xi0 // hi0)
+    mcuy = -(-yi0 // vi0)
+    out = []
+    for yi, xi, hi, vi in geo:
+        if -(-xi // hi) != mcux or -(-yi // vi) != mcuy:
+            raise ValueError("JPEG lossless scan MCU grids disagree")
+        out.append((yi, xi, hi, vi, mcuy * vi, mcux * hi))
+    return mcux, mcuy, out
+
+
+def _decode_lossless_scan_sampled(
+    b, pos, frame, scan, prec, predictor, pt, htables, restart_interval,
+    planes_out, pts_out
+):
+    """Annex-H lossless scan decode generalized to arbitrary sampling
+    factors: the same per-plane difference walk as
+    :func:`_decode_lossless_scan`, but ordered by MCUs of Hi×Vi
+    samples per component (:func:`_ll_scan_layout`) with restart
+    intervals counted in MCUs. Prediction context is plane-local and
+    spans MCU boundaries (every Ra/Rb/Rc neighbor is decoded before
+    use under the MCU raster); after a restart each component's NEXT
+    sample predicts the default, mirroring the 1x1 path's convention
+    (and the encoder twin). Planes are decoded on the padded MCU grid
+    and stored CROPPED to (yi, xi); upsampling to frame resolution
+    happens at assembly (:func:`_assemble_lossless`)."""
+    h, w, comps = frame
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        if (0, td) not in htables:
+            raise ValueError("JPEG missing Huffman table for scan")
+        sel.append((by_id[cs], htables[(0, td)]))
+    mcux, mcuy, geo = _ll_scan_layout(frame, [ci for ci, _ in sel])
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    default = 1 << (prec - pt - 1)
+    planes = [[[0] * pw for _ in range(ph)] for *_, ph, pw in geo]
+    pending = [True] * len(sel)  # per-comp: next sample predicts default
+    seg_i = 0
+    br = _BitReader(segs[0][0])
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            br = _BitReader(segs[seg_i][0])
+            pending = [True] * len(sel)
+        mr, mc = divmod(m, mcux)
+        for si, (ci, tbl) in enumerate(sel):
+            yi, xi, hi, vi, ph, pw = geo[si]
+            p = planes[si]
+            base_r, base_c = mr * vi, mc * hi
+            for dv in range(vi):
+                r = base_r + dv
+                row = p[r]
+                above = p[r - 1] if r else None
+                for dh in range(hi):
+                    c = base_c + dh
+                    t = _huff_decode(br, tbl)
+                    if t > 16:
+                        raise ValueError("JPEG lossless SSSS > 16")
+                    d = 32768 if t == 16 else _extend(br.receive(t), t)
+                    if pending[si]:
+                        px = default
+                        pending[si] = False
+                    elif r == 0:
+                        px = row[c - 1]
+                    elif c == 0:
+                        px = above[0]
+                    else:
+                        ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                        if predictor == 1:
+                            px = ra
+                        elif predictor == 2:
+                            px = rb
+                        elif predictor == 3:
+                            px = rc_
+                        elif predictor == 4:
+                            px = ra + rb - rc_
+                        elif predictor == 5:
+                            px = ra + ((rb - rc_) >> 1)
+                        elif predictor == 6:
+                            px = rb + ((ra - rc_) >> 1)
+                        else:
+                            px = (ra + rb) >> 1
+                    row[c] = (px + d) & 0xFFFF
+    for si, (ci, _) in enumerate(sel):
+        yi, xi, *_ = geo[si]
+        planes_out[ci] = [r[:xi] for r in planes[si][:yi]]
+        pts_out[ci] = pt
+    return end
+
+
+def _assemble_lossless(frame, planes, pts, prec):
+    """Lossless output assembly shared by the single-scan and
+    EOI-multi-scan paths: apply each component's point-transform shift
+    (H.2.3), upsample subsampled components to frame resolution by
+    integer sample replication, crop to (h, w), and stack — grayscale
+    replicates to RGB, 4 components go through the Adobe CMYK
+    convention, 3 stack directly (lossless JPEG carries no implicit
+    color transform)."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        raise NotImplementedError(
+            "STUB: non-integer chroma upsampling ratios"
+        )
+    mask = (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = []
+    for (cid, hi, vi, _), p, pt in zip(comps, planes, pts):
+        a = ((np.array(p, np.int64) << pt) & mask).astype(dtype)
+        if vi != vmax:
+            a = np.repeat(a, vmax // vi, axis=0)
+        if hi != hmax:
+            a = np.repeat(a, hmax // hi, axis=1)
+        out.append(a[:h, :w])
+    if len(out) == 1:
+        return np.repeat(out[0][..., None], 3, axis=2)
+    if len(out) == 4:
+        return _cmyk_to_rgb(out, mask)
+    return np.stack(out, axis=2)
+
+
 def _decode_lossless_scan_into(
     b, pos, frame, scan, prec, predictor, pt, htables, restart_interval,
     planes_out, pts_out
@@ -760,12 +905,13 @@ def _decode_lossless_scan_into(
     planes into ``planes_out`` and recording each component's Pt in
     ``pts_out`` (T.81 allows per-scan point transforms). Returns the
     offset of the terminating marker; output assembly happens at EOI.
-    Only 1x1 sampling is supported (the same restriction as the
-    single-scan path)."""
+    Frames with sampling factors != 1x1 route through the generalized
+    MCU walk (:func:`_decode_lossless_scan_sampled`)."""
     h, w, comps = frame
     if any(c[1] != 1 or c[2] != 1 for c in comps):
-        raise NotImplementedError(
-            "STUB: lossless JPEG with sampling factors != 1x1"
+        return _decode_lossless_scan_sampled(
+            b, pos, frame, scan, prec, predictor, pt, htables,
+            restart_interval, planes_out, pts_out,
         )
     by_id = {c[0]: i for i, c in enumerate(comps)}
     sel = []
@@ -848,9 +994,13 @@ def _decode_lossless_scan(
 
     h, w, comps = frame
     if any(c[1] != 1 or c[2] != 1 for c in comps):
-        raise NotImplementedError(
-            "STUB: lossless JPEG with sampling factors != 1x1"
+        planes_out = [None] * len(comps)
+        pts_out = [0] * len(comps)
+        _decode_lossless_scan_sampled(
+            b, pos, frame, scan, prec, predictor, pt, htables,
+            restart_interval, planes_out, pts_out,
         )
+        return _assemble_lossless(frame, planes_out, pts_out, prec)
     tables = []
     for (cid, ch_, cv, tq), (scid, td, ta) in zip(comps, scan):
         if cid != scid:
@@ -1797,8 +1947,159 @@ def encode_jpeg_progressive(
 _LL_SYMBOLS = bytes(range(17))
 
 
+def _ll_subsample_channels(arr, pt, sampling):
+    """Shared fixture-encoder front half for subsampled lossless
+    (Huffman SOF3 and the arithmetic SOF11 twin): validate the
+    per-channel (H, V) factors, shift by the point transform, and
+    box-mean-downsample (integer floor, edge-replicated pad) each
+    channel to its ``(yi, xi)`` grid. Returns ``(downs, comps)`` —
+    per-channel int64 arrays and the SOF component tuples."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    nchan = 1 if gray else arr.shape[2]
+    if len(sampling) != nchan:
+        raise ValueError("sampling must list one (H, V) pair per channel")
+    hs = [s[0] for s in sampling]
+    vs = [s[1] for s in sampling]
+    if min(hs) < 1 or min(vs) < 1 or max(hs) > 4 or max(vs) > 4:
+        raise ValueError("JPEG sampling factors out of range")
+    hmax, vmax = max(hs), max(vs)
+    if any(hmax % f for f in hs) or any(vmax % f for f in vs):
+        raise ValueError("only integer subsampling ratios supported")
+    shifted = np.asarray(arr).astype(np.int64) >> pt
+    chans = [shifted] if gray else [shifted[..., i] for i in range(nchan)]
+    downs = []
+    for ch, (hi, vi) in zip(chans, sampling):
+        fy, fx = vmax // vi, hmax // hi
+        yi, xi = -(-h * vi // vmax), -(-w * hi // hmax)
+        if fy == 1 and fx == 1:
+            downs.append(ch)
+            continue
+        q = np.empty((yi * fy, xi * fx), np.int64)
+        q[:h, :w] = ch
+        q[h:, :w] = ch[-1:, :]
+        q[:, w:] = q[:, w - 1 : w]
+        downs.append(q.reshape(yi, fy, xi, fx).sum(axis=(1, 3)) // (fy * fx))
+    comps = [
+        (i + 1, hi, vi, 0) for i, (hi, vi) in enumerate(sampling)
+    ]
+    return downs, comps
+
+
+def _ll_pad_plane(down, yi, xi, ph, pw):
+    """Edge-replicate one downsampled (yi, xi) plane to the padded MCU
+    coding grid (ph, pw); returns nested lists for the scalar walk."""
+    import numpy as np
+
+    q = np.empty((ph, pw), np.int64)
+    q[:yi, :xi] = down
+    q[yi:, :xi] = down[-1:, :]
+    q[:, xi:] = q[:, xi - 1 : xi]
+    return q.tolist()
+
+
+def _encode_lossless_sampled(
+    arr, prec, predictor, pt, restart_interval, groups, sampling
+) -> bytes:
+    """Fixture-side twin of :func:`_decode_lossless_scan_sampled`:
+    SOF3 encode with per-component sampling factors. Each subsampled
+    component is box-averaged (integer floor mean over the
+    ``(Vmax/Vi, Hmax/Hi)`` block, edge-replicated pad) down to its
+    ``(yi, xi)`` grid — a deterministic reduction, so the round-trip
+    identity is ``decode(encode(img, sampling)) ==
+    replicate(boxmean(img))`` exactly. Scans walk MCUs of Hi×Vi
+    samples per component (Ns == 1 scans walk the unpadded raster),
+    restart intervals count MCUs, and prediction mirrors the decoder's
+    convention (per-component default after scan start / restart)."""
+    downs, comps = _ll_subsample_channels(arr, pt, sampling)
+    h, w = arr.shape[:2]
+    comp_ids = [c[0] for c in comps]
+    nchan = len(comp_ids)
+    ll_counts, ll_syms, ll_enc = _fixed_table(_LL_SYMBOLS)
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, nchan)
+    for cid, hi, vi, _ in comps:
+        sof += bytes([cid, (hi << 4) | vi, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    body = bytes([0x00]) + ll_counts + ll_syms
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if groups is None:
+        groups = [tuple(comp_ids)]
+    elif sorted(cid for g in groups for cid in g) != sorted(comp_ids):
+        raise ValueError("groups must partition the component ids")
+    default = 1 << (prec - pt - 1)
+    frame = (h, w, comps)
+    for g in groups:
+        out += _emit_sos(list(g), predictor, 0, 0, pt)
+        idx = [comp_ids.index(cid) for cid in g]
+        mcux, mcuy, geo = _ll_scan_layout(frame, idx)
+        planes = [
+            _ll_pad_plane(downs[ci], yi, xi, ph, pw)
+            for ci, (yi, xi, hi, vi, ph, pw) in zip(idx, geo)
+        ]
+        pending = [True] * len(idx)
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()
+                out += bw.out
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                pending = [True] * len(idx)
+            mr, mc = divmod(m, mcux)
+            for si, p in enumerate(planes):
+                yi, xi, hi, vi, ph, pw = geo[si]
+                base_r, base_c = mr * vi, mc * hi
+                for dv in range(vi):
+                    r = base_r + dv
+                    row = p[r]
+                    above = p[r - 1] if r else None
+                    for dh in range(hi):
+                        c = base_c + dh
+                        if pending[si]:
+                            px = default
+                            pending[si] = False
+                        elif r == 0:
+                            px = row[c - 1]
+                        elif c == 0:
+                            px = above[0]
+                        else:
+                            ra, rb, rc_ = row[c - 1], above[c], above[c - 1]
+                            if predictor == 1:
+                                px = ra
+                            elif predictor == 2:
+                                px = rb
+                            elif predictor == 3:
+                                px = rc_
+                            elif predictor == 4:
+                                px = ra + rb - rc_
+                            elif predictor == 5:
+                                px = ra + ((rb - rc_) >> 1)
+                            elif predictor == 6:
+                                px = rb + ((ra - rc_) >> 1)
+                            else:
+                                px = (ra + rb) >> 1
+                        d = ((row[c] - px + 32768) & 0xFFFF) - 32768
+                        if d == -32768:
+                            bw.write(ll_enc[16][1], ll_enc[16][0])
+                        else:
+                            t = _category(d)
+                            bw.write(ll_enc[t][1], ll_enc[t][0])
+                            if t:
+                                bw.write(d if d > 0 else d + (1 << t) - 1, t)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_lossless(
-    img, predictor=4, point_transform=0, restart_interval=0, groups=None
+    img, predictor=4, point_transform=0, restart_interval=0, groups=None,
+    sampling=None
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB array as a REAL
     lossless JPEG (SOF3, T.81 Annex H) — the fixture-side twin of
@@ -1808,7 +2109,11 @@ def encode_jpeg_lossless(
     prediction, so the round-trip identity is
     ``decode(encode(img, Pt)) == (img >> Pt) << Pt`` — exact equality,
     bit-for-bit, when Pt is 0. ``restart_interval`` > 0 emits DRI +
-    RSTn every that-many samples with full prediction reset."""
+    RSTn every that-many samples with full prediction reset.
+    ``sampling`` (a list of per-channel (H, V) pairs) routes to the
+    subsampled encoder (:func:`_encode_lossless_sampled`), where the
+    identity becomes exact equality against the deterministic
+    box-mean downsample of each channel."""
     import numpy as np
 
     arr = np.asarray(img)
@@ -1817,6 +2122,11 @@ def encode_jpeg_lossless(
         raise ValueError(f"point transform {point_transform} out of range")
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor {predictor} out of range")
+    if sampling is not None and any(tuple(s) != (1, 1) for s in sampling):
+        return _encode_lossless_sampled(
+            arr, prec, predictor, point_transform, restart_interval,
+            groups, [tuple(s) for s in sampling],
+        )
     gray = arr.ndim == 2
     nchan = 1 if gray else arr.shape[2]
     shifted = (arr.astype(np.int64) >> point_transform)

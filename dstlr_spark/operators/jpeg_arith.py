@@ -1278,6 +1278,79 @@ def _ll_predict(p, r, c, predictor, default, reset):
     return (ra + rb) >> 1
 
 
+def decode_lossless_scan_arith_sampled(
+    b, pos, frame, scan, prec, predictor, pt, dc_cond, restart_interval,
+    planes_out, pts_out
+):
+    """SOF11 lossless-arithmetic scan generalized to sampling factors
+    != 1x1: the MCU sample walk of ``jpeg._decode_lossless_scan_sampled``
+    with the QM entropy layer and the H.1.2 gradient conditioning kept
+    PLANE-SPATIAL — Da/Db are the difference categories at (r, c−1) /
+    (r−1, c) of the component's own grid, held in per-plane category
+    stores that zero at each restart (the walk-order-independent form
+    of 'gradients do not cross restart boundaries'; for 1x1 frames it
+    degenerates to the rolling row buffers of the flat path). Planes
+    store CROPPED to (yi, xi); upsampling happens at assembly."""
+    from dstlr_spark.operators.jpeg import _entropy_segments, _ll_scan_layout
+
+    h, w, comps = frame
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        ll, uu = dc_cond.get(td, (DEFAULT_DC_L, DEFAULT_DC_U))
+        sel.append((by_id[cs], td, (1 << ll) >> 1, (1 << uu) >> 1))
+    mcux, mcuy, geo = _ll_scan_layout(frame, [ci for ci, *_ in sel])
+    segs, end = _entropy_segments(b, pos)
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST marker without a DRI segment")
+    default = 1 << (prec - pt - 1)
+    planes = [[[0] * pw for _ in range(ph)] for *_, ph, pw in geo]
+
+    def fresh(seg_i):
+        return (
+            _ArithDecoder(segs[seg_i][0]),
+            {td: bytearray(_LL_STAT_BINS) for _, td, _, _ in sel},
+            [[[0] * pw for _ in range(ph)] for *_, ph, pw in geo],
+            [True] * len(sel),
+        )
+
+    seg_i = 0
+    dec, stats, cats, pending = fresh(0)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            closing = segs[seg_i][1]
+            if closing is None or closing != (m // restart_interval - 1) % 8:
+                raise ValueError("JPEG restart marker missing/out of sequence")
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG truncated at restart boundary")
+            dec, stats, cats, pending = fresh(seg_i)
+        mr, mc = divmod(m, mcux)
+        for si, (ci, td, lo, hi) in enumerate(sel):
+            yi, xi, fh, fv, ph, pw = geo[si]
+            p, cat_p, st = planes[si], cats[si], stats[td]
+            base_r, base_c = mr * fv, mc * fh
+            for dv in range(fv):
+                r = base_r + dv
+                row, crow = p[r], cat_p[r]
+                for dh in range(fh):
+                    c = base_c + dh
+                    ca = crow[c - 1] if c else 0
+                    cb = cat_p[r - 1][c] if r else 0
+                    d, cat = _decode_ll_diff(dec, st, ca, cb, lo, hi)
+                    px = _ll_predict(p, r, c, predictor, default, pending[si])
+                    pending[si] = False
+                    row[c] = (px + d) & 0xFFFF
+                    crow[c] = cat
+    for si, (ci, *_rest) in enumerate(sel):
+        yi, xi, *_ = geo[si]
+        planes_out[ci] = [r[:xi] for r in planes[si][:yi]]
+        pts_out[ci] = pt
+    return end
+
+
 def decode_lossless_scan_arith(
     b, pos, frame, scan, prec, predictor, pt, dc_cond, restart_interval
 ):
@@ -1299,9 +1372,15 @@ def decode_lossless_scan_arith(
 
     h, w, comps = frame
     if any(c[1] != 1 or c[2] != 1 for c in comps):
-        raise NotImplementedError(
-            "STUB: lossless JPEG with sampling factors != 1x1"
+        from dstlr_spark.operators.jpeg import _assemble_lossless
+
+        planes_out = [None] * len(comps)
+        pts_out = [0] * len(comps)
+        decode_lossless_scan_arith_sampled(
+            b, pos, frame, scan, prec, predictor, pt, dc_cond,
+            restart_interval, planes_out, pts_out,
         )
+        return _assemble_lossless(frame, planes_out, pts_out, prec)
     conds = []
     for (cid, ch_, cv, tq), (scid, td, ta) in zip(comps, scan):
         if cid != scid:
@@ -1384,8 +1463,9 @@ def decode_lossless_scan_arith_into(
 
     h, w, comps = frame
     if any(c[1] != 1 or c[2] != 1 for c in comps):
-        raise NotImplementedError(
-            "STUB: lossless JPEG with sampling factors != 1x1"
+        return decode_lossless_scan_arith_sampled(
+            b, pos, frame, scan, prec, predictor, pt, dc_cond,
+            restart_interval, planes_out, pts_out,
         )
     by_id = {c[0]: i for i, c in enumerate(comps)}
     sel = []
@@ -1444,9 +1524,98 @@ def decode_lossless_scan_arith_into(
     return end
 
 
+def _encode_lossless_arith_sampled(
+    arr, prec, predictor, pt, restart_interval, dc_cond, groups, sampling
+) -> bytes:
+    """Fixture-side twin of :func:`decode_lossless_scan_arith_sampled`:
+    SOF11 encode with per-component sampling factors, sharing the
+    Huffman twin's deterministic box-mean downsample
+    (``jpeg._ll_subsample_channels``) so both entropy layers code
+    IDENTICAL sample planes — the cross-layer equality gate extends to
+    subsampled frames unchanged."""
+    from dstlr_spark.operators.jpeg import (
+        _emit_sos,
+        _ll_pad_plane,
+        _ll_scan_layout,
+        _ll_subsample_channels,
+    )
+
+    downs, comps = _ll_subsample_channels(arr, pt, sampling)
+    h, w = arr.shape[:2]
+    comp_ids = [c[0] for c in comps]
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, len(comp_ids))
+    for cid, fh, fv, _ in comps:
+        sof += bytes([cid, (fh << 4) | fv, 0])
+    out += b"\xff\xcb" + struct.pack(">H", 2 + len(sof)) + sof
+    ll, uu = dc_cond if dc_cond is not None else (DEFAULT_DC_L, DEFAULT_DC_U)
+    if not 0 <= ll <= uu <= 15:
+        raise ValueError(f"DC conditioning ({ll}, {uu}) invalid")
+    if dc_cond is not None:
+        body = bytes([0x00, (uu << 4) | ll])
+        out += b"\xff\xcc" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    lo, hi = (1 << ll) >> 1, (1 << uu) >> 1
+    default = 1 << (prec - pt - 1)
+    if groups is None:
+        groups = [tuple(comp_ids)]
+    elif sorted(cid for g in groups for cid in g) != sorted(comp_ids):
+        raise ValueError("groups must partition the component ids")
+    frame = (h, w, comps)
+    for g in groups:
+        out += _emit_sos(list(g), predictor, 0, 0, pt)
+        idx = [comp_ids.index(cid) for cid in g]
+        mcux, mcuy, geo = _ll_scan_layout(frame, idx)
+        planes = [
+            _ll_pad_plane(downs[ci], yi, xi, ph, pw)
+            for ci, (yi, xi, fh, fv, ph, pw) in zip(idx, geo)
+        ]
+
+        def fresh():
+            return (
+                _ArithEncoder(),
+                bytearray(_LL_STAT_BINS),
+                [[[0] * pw for _ in range(ph)] for *_, ph, pw in geo],
+                [True] * len(idx),
+            )
+
+        enc, stats, cats, pending = fresh()
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                out += enc.finish()
+                out += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+                enc, stats, cats, pending = fresh()
+            mr, mc = divmod(m, mcux)
+            for si, p in enumerate(planes):
+                yi, xi, fh, fv, ph, pw = geo[si]
+                cat_p = cats[si]
+                base_r, base_c = mr * fv, mc * fh
+                for dv in range(fv):
+                    r = base_r + dv
+                    row, crow = p[r], cat_p[r]
+                    for dh in range(fh):
+                        c = base_c + dh
+                        px = _ll_predict(
+                            p, r, c, predictor, default, pending[si]
+                        )
+                        pending[si] = False
+                        d = ((row[c] - px + 32768) & 0xFFFF) - 32768
+                        if d == -32768:
+                            d = 32768
+                        ca = crow[c - 1] if c else 0
+                        cb = cat_p[r - 1][c] if r else 0
+                        crow[c] = _encode_ll_diff(
+                            enc, stats, ca, cb, d, lo, hi
+                        )
+        out += enc.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_lossless_arith(
     img, predictor=4, point_transform=0, restart_interval=0, dc_cond=None,
-    groups=None
+    groups=None, sampling=None
 ) -> bytes:
     """Encode a REAL lossless-arithmetic JPEG (SOF11) — the
     fixture-side twin of :func:`decode_lossless_scan_arith`, sharing
@@ -1464,6 +1633,11 @@ def encode_jpeg_lossless_arith(
         raise ValueError(f"point transform {point_transform} out of range")
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor {predictor} out of range")
+    if sampling is not None and any(tuple(s) != (1, 1) for s in sampling):
+        return _encode_lossless_arith_sampled(
+            arr, prec, predictor, point_transform, restart_interval,
+            dc_cond, groups, [tuple(s) for s in sampling],
+        )
     gray = arr.ndim == 2
     nchan = 1 if gray else arr.shape[2]
     shifted = arr.astype(np.int64) >> point_transform

@@ -442,6 +442,157 @@ def test_fuzz_lossless_exact(w, h, seed, color, pred, pt, ri, deep):
     assert (got.astype(np.int64) == want).all()
 
 
+def _subsampled_lossless_expected(img, sampling, pt=0):
+    """The documented identity for subsampled lossless: each channel
+    box-mean-downsampled (floor, edge-replicated pad) to its (yi, xi)
+    grid, then replicated back up and cropped — what decode(encode)
+    must equal exactly."""
+    h, w = img.shape[:2]
+    arr = img.astype(np.int64) >> pt
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    out = []
+    for i, (hi, vi) in enumerate(sampling):
+        ch = arr[..., i]
+        fy, fx = vmax // vi, hmax // hi
+        yi, xi = -(-h * vi // vmax), -(-w * hi // hmax)
+        if fy == 1 and fx == 1:
+            d = ch
+        else:
+            q = np.empty((yi * fy, xi * fx), np.int64)
+            q[:h, :w] = ch
+            q[h:, :w] = ch[-1:, :]
+            q[:, w:] = q[:, w - 1 : w]
+            d = q.reshape(yi, fy, xi, fx).sum(axis=(1, 3)) // (fy * fx)
+        u = np.repeat(np.repeat(d << pt, fy, axis=0), fx, axis=1)[:h, :w]
+        out.append(u)
+    return np.stack(out, axis=2).astype(img.dtype)
+
+
+def test_lossless_subsampled_roundtrip():
+    """SOF3 with sampling factors != 1x1 (T.81 A.2.3 MCU sample
+    interleave): decode(encode(img, sampling)) equals the
+    deterministic box-mean downsample replicated back up, exactly —
+    across 4:2:0/4:2:2/4:1:1-style factor sets, every predictor, odd
+    dimensions (MCU padding + crop), and MCU-counted restarts."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(23)
+    factor_sets = [
+        [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+        [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+        [(4, 1), (1, 1), (1, 1)],  # 4:1:1
+        [(1, 2), (1, 1), (1, 1)],  # vertical-only
+        [(4, 4), (2, 2), (1, 1)],  # mixed three-tier
+    ]
+    for h, w in [(16, 16), (17, 19), (7, 5)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sampling in factor_sets:
+            for pred in (1, 4, 7):
+                for ri in (0, 3):
+                    got = decode_jpeg(
+                        encode_jpeg_lossless(
+                            img, predictor=pred, restart_interval=ri,
+                            sampling=sampling,
+                        )
+                    )
+                    want = _subsampled_lossless_expected(img, sampling)
+                    assert (got == want).all(), (h, w, sampling, pred, ri)
+
+
+def test_lossless_subsampled_groups_16bit_and_legacy():
+    """Subsampled multi-scan lossless (per-group scans walk their own
+    MCU/raster grids, EOI assembly upsamples), 16-bit precision with a
+    point transform, and the sampling=[(1,1),...] argument emitting
+    byte-identical streams to the legacy all-1x1 encoder."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    for groups in ([(1,), (2, 3)], [(1, 2), (3,)], [(3,), (1,), (2,)]):
+        got = decode_jpeg(
+            encode_jpeg_lossless(
+                img, predictor=4, groups=groups, sampling=s420,
+                restart_interval=2,
+            )
+        )
+        assert (got == _subsampled_lossless_expected(img, s420)).all(), groups
+    img16 = rng.integers(0, 65536, size=(9, 14, 3), dtype=np.uint16)
+    for pt in (0, 3):
+        got = decode_jpeg(
+            encode_jpeg_lossless(
+                img16, predictor=7, point_transform=pt, sampling=s420
+            )
+        )
+        assert got.dtype == np.uint16
+        assert (got == _subsampled_lossless_expected(img16, s420, pt)).all()
+    assert encode_jpeg_lossless(img, predictor=4) == encode_jpeg_lossless(
+        img, predictor=4, sampling=[(1, 1)] * 3
+    )
+    with pytest.raises(ValueError):
+        # Hmax=4 with Hi=3 is a non-integer ratio: fixture encoder rejects
+        encode_jpeg_lossless(img, sampling=[(4, 1), (3, 1), (1, 1)])
+
+
+def test_lossless_subsampled_arith_equals_huffman():
+    """SOF11 subsampled lossless: the QM entropy layer over the same
+    box-mean sample planes must decode pixel-identical to the SOF3
+    Huffman twin — across factor sets, predictors, MCU-counted
+    restarts, component groups with DAC conditioning, and 16-bit
+    precision with a point transform."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(31)
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    for h, w in [(16, 16), (17, 19), (7, 5)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sampling in (s420, [(2, 1), (1, 1), (1, 1)],
+                         [(4, 4), (2, 2), (1, 1)]):
+            for pred in (1, 4, 7):
+                for ri in (0, 3):
+                    ga = decode_jpeg(
+                        encode_jpeg_lossless_arith(
+                            img, predictor=pred, restart_interval=ri,
+                            sampling=sampling,
+                        )
+                    )
+                    gh = decode_jpeg(
+                        encode_jpeg_lossless(
+                            img, predictor=pred, restart_interval=ri,
+                            sampling=sampling,
+                        )
+                    )
+                    assert (ga == gh).all(), (h, w, sampling, pred, ri)
+    img = rng.integers(0, 256, size=(13, 11, 3), dtype=np.uint8)
+    for groups in ([(1,), (2, 3)], [(1, 2), (3,)]):
+        ga = decode_jpeg(
+            encode_jpeg_lossless_arith(
+                img, predictor=4, groups=groups, sampling=s420,
+                restart_interval=2, dc_cond=(2, 6),
+            )
+        )
+        gh = decode_jpeg(
+            encode_jpeg_lossless(
+                img, predictor=4, groups=groups, sampling=s420,
+                restart_interval=2,
+            )
+        )
+        assert (ga == gh).all(), groups
+    img16 = rng.integers(0, 65536, size=(9, 14, 3), dtype=np.uint16)
+    for pt in (0, 3):
+        ga = decode_jpeg(
+            encode_jpeg_lossless_arith(
+                img16, predictor=7, point_transform=pt, sampling=s420
+            )
+        )
+        assert (ga == _subsampled_lossless_expected(img16, s420, pt)).all()
+    assert encode_jpeg_lossless_arith(
+        img, predictor=4
+    ) == encode_jpeg_lossless_arith(img, predictor=4, sampling=[(1, 1)] * 3)
+
+
 def test_lossless_malformed_contract():
     """Lossless scan-header violations are ValueError (malformed), the
     remaining SOF modes stay NotImplementedError, and decode_rgb_bytes
