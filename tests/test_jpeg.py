@@ -535,6 +535,45 @@ def test_lossless_subsampled_groups_16bit_and_legacy():
         encode_jpeg_lossless(img, sampling=[(4, 1), (3, 1), (1, 1)])
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31),
+    pred=st.integers(1, 7),
+    pt=st.integers(0, 4),
+    ri=st.integers(0, 3),
+    f1=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2), (4, 2), (4, 4)]),
+    f2=st.sampled_from([(1, 1), (2, 2)]),
+    deep=st.booleans(),
+    arith=st.booleans(),
+)
+def test_fuzz_lossless_subsampled_exact(
+    w, h, seed, pred, pt, ri, f1, f2, deep, arith
+):
+    """Random factor sets / shapes / predictors / restarts / point
+    transforms / precisions, both entropy layers: subsampled lossless
+    decode equals the box-mean identity exactly (integer-ratio factor
+    sets only — f2 divides f1 by construction)."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_lossless_arith
+
+    sampling = [f1, f2, (1, 1)]
+    rng = np.random.default_rng(seed)
+    dtype = np.uint16 if deep else np.uint8
+    img = rng.integers(
+        0, 65536 if deep else 256, size=(h, w, 3), dtype=dtype
+    )
+    enc = encode_jpeg_lossless_arith if arith else encode_jpeg_lossless
+    out = decode_jpeg(
+        enc(
+            img, predictor=pred, point_transform=pt,
+            restart_interval=ri * 5, sampling=sampling,
+        )
+    )
+    assert (out == _subsampled_lossless_expected(img, sampling, pt)).all()
+
+
 def test_lossless_subsampled_arith_equals_huffman():
     """SOF11 subsampled lossless: the QM entropy layer over the same
     box-mean sample planes must decode pixel-identical to the SOF3
