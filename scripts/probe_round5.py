@@ -387,9 +387,29 @@ def probe_hier_codecs(spark, n_docs: int) -> None:
 
         return synth
 
+    def _synth_ls(sampling):
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+            from dstlr_spark.operators.multimodal import _planted_rgb
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [dict(doc_id=str(i),
+                          payload=encode_jpeg_lossless(
+                              _planted_rgb(96 + int(i) % 7,
+                                           96 + (int(i) * 3) % 7),
+                              sampling=sampling))
+                     for i in pdf["id"]]
+                )
+
+        return synth
+
     run("jpeg 420 → feats  ", synth_jpeg, decode_features_np)
     run("jpeg hier seq→fts ", _synth_hier(False), decode_features_np)
     run("jpeg hier prog→fts", _synth_hier(True), decode_features_np)
+    run("jpeg ls 444 → fts ", _synth_ls(None), decode_features_np)
+    run("jpeg ls 420 → fts ", _synth_ls([(2, 2), (1, 1), (1, 1)]),
+        decode_features_np)
 
 
 def main() -> None:
