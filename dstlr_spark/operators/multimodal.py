@@ -1294,15 +1294,24 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def encode_y4m(y_frames, fps=(25, 1), colorspace: str = "Cmono") -> bytes:
+def encode_y4m(
+    y_frames, fps=(25, 1), colorspace: str = "Cmono", interlace: str = "Ip"
+) -> bytes:
     """Encode a luma stack (n, h, w) uint8 as a YUV4MPEG2 stream.
     ``Cmono`` writes Y planes only; ``C444`` writes flat U/V planes
-    (value 128) so full-chroma decode paths stay testable."""
+    (value 128) so full-chroma decode paths stay testable.
+    ``interlace`` stamps the header I-tag — It/Ib streams store the
+    SAME woven frames (yuv4mpeg(5) stores full frames regardless);
+    only the tag changes, which is exactly what the decoder's field
+    split keys on."""
     import numpy as np
 
     fr = np.asarray(y_frames, np.uint8)
     n, h, w = fr.shape
-    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode()
+    head = (
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} {interlace} A1:1 "
+        f"{colorspace}\n"
+    ).encode()
     out = [head]
     flat_uv = bytes([128]) * (w * h)
     for f in range(n):
@@ -1324,9 +1333,17 @@ def decode_y4m(b: bytes):
     chroma), ``C420``/``C420jpeg``/``C420mpeg2``/``C420paldv``
     (quarter chroma; even dims enforced). The luma plane is returned;
     chroma planes are length-validated and skipped (features operate
-    on luma — a color pipeline reads the same offsets). Interlaced
-    streams (I[tb]) raise NotImplementedError; a malformed container
-    raises ValueError."""
+    on luma — a color pipeline reads the same offsets).
+
+    Interlaced streams decode with REAL field semantics: ``It`` /
+    ``Ib`` frames store two temporally distinct fields woven
+    line-wise (top field = even lines, bottom = odd — yuv4mpeg(5)),
+    so each stored frame splits into two half-height field images in
+    temporal order (It: top first, Ib: bottom first) and the returned
+    fps doubles to the field rate. Odd-height interlaced streams are
+    malformed (fields would be ragged) → ValueError. ``Im``
+    (mixed-mode, per-frame ILACE parameters) stays a loud stub; a
+    malformed container raises ValueError."""
     import numpy as np
 
     nl = b.find(b"\n")
@@ -1350,9 +1367,13 @@ def decode_y4m(b: bytes):
             interlace = tok
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
-    if interlace != "Ip":
-        raise NotImplementedError(f"STUB: interlaced Y4M ({interlace}) needs "
-                                  "field weaving; only progressive decodes")
+    if interlace not in ("Ip", "It", "Ib"):
+        raise NotImplementedError(
+            f"STUB: Y4M interlace mode {interlace} (mixed-mode needs "
+            "per-frame ILACE parameters); Ip/It/Ib decode natively"
+        )
+    if interlace != "Ip" and h % 2:
+        raise ValueError(f"interlaced Y4M needs even height, got {h}")
     if cs == "Cmono":
         chroma = 0
     elif cs == "C444":
@@ -1374,9 +1395,21 @@ def decode_y4m(b: bytes):
         pos = fnl + 1
         if pos + ysize + 2 * chroma > len(b):
             raise ValueError("truncated Y4M frame payload")
-        frames.append(np.frombuffer(b, np.uint8, ysize, pos).reshape(h, w))
+        woven = np.frombuffer(b, np.uint8, ysize, pos).reshape(h, w)
+        if interlace == "Ip":
+            frames.append(woven)
+        else:
+            top, bot = woven[0::2], woven[1::2]
+            frames.extend((top, bot) if interlace == "It" else (bot, top))
         pos += ysize + 2 * chroma
-    return np.stack(frames) if frames else np.zeros((0, h, w), np.uint8), fps, cs
+    out_h = h if interlace == "Ip" else h // 2
+    if interlace != "Ip":
+        fps = (2 * fps[0], fps[1])
+    return (
+        np.stack(frames) if frames else np.zeros((0, out_h, w), np.uint8),
+        fps,
+        cs,
+    )
 
 
 def video_frame_features_np(media: DataFrame, every_n: int = 2) -> DataFrame:

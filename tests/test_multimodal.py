@@ -546,10 +546,37 @@ def test_y4m_corrupt_and_unsupported():
         decode_y4m(good[:-3])  # truncated frame payload
     with pytest.raises(ValueError):
         decode_y4m(b"AVI1 nope")
-    with pytest.raises(NotImplementedError):  # interlaced
-        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 It A1:1 Cmono\nFRAME\n" + bytes(4))
+    with pytest.raises(NotImplementedError):  # mixed-mode interlace
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 Im A1:1 Cmono\nFRAME\n" + bytes(4))
+    with pytest.raises(ValueError):  # interlaced with odd height
+        decode_y4m(b"YUV4MPEG2 W2 H3 F25:1 It A1:1 Cmono\nFRAME\n" + bytes(6))
     with pytest.raises(ValueError):  # C420 with odd width
         decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 Ip C420\n")
+
+
+def test_y4m_interlaced_field_split():
+    """It/Ib streams split each stored frame into two half-height
+    fields in temporal order (top = even lines per yuv4mpeg(5)); the
+    returned fps doubles to the field rate; field pixels are exactly
+    the woven frame's alternating lines."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    fr = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    for tag, first, second in (("It", 0, 1), ("Ib", 1, 0)):
+        out, fps, cs = decode_y4m(
+            encode_y4m(fr, fps=(25, 1), interlace=tag)
+        )
+        assert out.shape == (4, 2, 3) and fps == (50, 1)
+        for f in range(2):
+            assert (out[2 * f] == fr[f, first::2]).all(), tag
+            assert (out[2 * f + 1] == fr[f, second::2]).all(), tag
+    # C444 interlaced: chroma skip offsets unchanged (full stored frame)
+    out, fps, _ = decode_y4m(
+        encode_y4m(fr, colorspace="C444", interlace="Ib")
+    )
+    assert out.shape == (4, 2, 3) and fps == (50, 1)
 
 
 def test_video_frame_features_sample_and_isolate(spark):
