@@ -1154,20 +1154,49 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _g711_ulaw_to_linear(u):
+    """Vectorized ITU G.711 µ-law expansion (the classic Sun
+    ulaw2linear): uint8 codes → int16 linear samples. Pure table
+    math — exact, no codec state."""
+    import numpy as np
+
+    u = (~np.asarray(u, np.uint8)).astype(np.int32)
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
+def _g711_alaw_to_linear(a):
+    """Vectorized ITU G.711 A-law expansion (alaw2linear): uint8
+    codes → int16 linear samples."""
+    import numpy as np
+
+    a = (np.asarray(a, np.uint8) ^ 0x55).astype(np.int32)
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
 def decode_wav(b: bytes):
-    """REAL PCM WAV decode → (samples int16 ndarray interleaved,
+    """REAL uncompressed-WAV decode → (samples ndarray interleaved,
     sample_rate, n_channels) — RIFF chunk walk with word-aligned
     skipping, stdlib struct + NumPy frombuffer.
 
-    Supported: 16-bit integer PCM (format tag 1), any rate/channel
-    count. Compressed formats (IEEE float, A-law, MP3-in-RIFF, …)
-    raise NotImplementedError; a malformed container raises
-    ValueError."""
+    Supported, all codec-free: integer PCM (format tag 1) at 8 bits
+    (offset-binary, expanded to full-scale int16 via ``(x-128)<<8``),
+    16 bits (int16), 24 bits (sign-extended to int32), and 32 bits
+    (int32); IEEE float (tag 3) at 32/64 bits; G.711 A-law/µ-law
+    (tags 6/7 — pure table expansions to int16); and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the real tag read from the
+    SubFormat GUID). Genuinely compressed formats (ADPCM,
+    MP3-in-RIFF, …) raise NotImplementedError; a malformed container
+    raises ValueError."""
     import numpy as np
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_chunk, data = 12, None, None, None
     while pos + 8 <= len(b):
         tag, ln = struct.unpack("<4sI", b[pos : pos + 8])
         chunk = b[pos + 8 : pos + 8 + ln]
@@ -1177,6 +1206,7 @@ def decode_wav(b: bytes):
             if ln < 16:
                 raise ValueError("WAV fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
+            fmt_chunk = chunk
         elif tag == b"data":
             data = chunk
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
@@ -1189,12 +1219,50 @@ def decode_wav(b: bytes):
         # every duration/per-channel reducer downstream, escaping the
         # (NotImplementedError, ValueError) per-doc isolation
         raise ValueError(f"WAV rate={rate} channels={n_channels} invalid")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"STUB: WAV format={audio_format} bits={bits} needs a codec; "
-            "only 16-bit integer PCM decodes natively"
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real tag is the first word of
+        # the SubFormat GUID (fmt = 16 base + cbSize + 2 valid-bits +
+        # 4 channel-mask + 16 GUID)
+        if fmt_chunk is None or len(fmt_chunk) < 26:
+            raise ValueError("WAV extensible fmt chunk truncated")
+        audio_format = struct.unpack("<H", fmt_chunk[24:26])[0]
+        if audio_format == 0xFFFE:
+            raise ValueError("WAV extensible SubFormat is itself extensible")
+    if audio_format == 1:  # integer PCM
+        if bits == 16:
+            return np.frombuffer(data, "<i2"), rate, n_channels
+        if bits == 8:  # offset-binary → full-scale int16
+            u = np.frombuffer(data, np.uint8).astype(np.int16)
+            return (u - 128) << 8, rate, n_channels
+        if bits == 24:  # sign-extend 3-byte LE → int32
+            if len(data) % 3:
+                raise ValueError("WAV 24-bit data not sample-aligned")
+            tri = np.frombuffer(data, np.uint8).reshape(-1, 3).astype(np.int32)
+            v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+            return v - ((v & 0x800000) << 1), rate, n_channels
+        if bits == 32:
+            return np.frombuffer(data, "<i4"), rate, n_channels
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            return np.frombuffer(data, "<f4"), rate, n_channels
+        if bits == 64:
+            return np.frombuffer(data, "<f8"), rate, n_channels
+    elif audio_format == 6 and bits == 8:  # G.711 A-law
+        return (
+            _g711_alaw_to_linear(np.frombuffer(data, np.uint8)),
+            rate,
+            n_channels,
         )
-    return np.frombuffer(data, "<i2"), rate, n_channels
+    elif audio_format == 7 and bits == 8:  # G.711 µ-law
+        return (
+            _g711_ulaw_to_linear(np.frombuffer(data, np.uint8)),
+            rate,
+            n_channels,
+        )
+    raise NotImplementedError(
+        f"STUB: WAV format={audio_format} bits={bits} needs a codec; "
+        "integer/float PCM and G.711 A-law/µ-law decode natively"
+    )
 
 
 def audio_features_np(media: DataFrame) -> DataFrame:

@@ -467,13 +467,125 @@ def test_wav_unsupported_and_corrupt():
     good = bytearray(encode_wav(np.zeros(4, np.int16), 8000))
     fmt_off = good.index(b"fmt ") + 8
     bad = bytearray(good)
-    bad[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # IEEE float tag
+    bad[fmt_off : fmt_off + 2] = struct.pack("<H", 2)  # ADPCM: a real codec
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad))
+    bad = bytearray(good)
+    bad[fmt_off : fmt_off + 2] = struct.pack("<H", 3)  # float at 16 bits
     with pytest.raises(NotImplementedError):
         decode_wav(bytes(bad))
     with pytest.raises(ValueError):
         decode_wav(b"RIFF\x00\x00\x00\x00WAVE")  # no fmt/data
     with pytest.raises(ValueError):
         decode_wav(bytes(good[: len(good) - 3]))  # truncated data chunk
+
+
+def _riff_wav(fmt_tag, ch, rate, bits, data, ext_sub=None):
+    """Hand-rolled RIFF/WAVE container for decode-surface tests
+    (encode_wav only writes 16-bit PCM)."""
+    import struct
+
+    if ext_sub is None:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+    else:
+        guid = (
+            struct.pack("<H", ext_sub)
+            + b"\x00\x00"
+            + bytes.fromhex("000010008000" + "00aa00389b71")
+        )
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        ) + struct.pack("<HHI", 22, bits, 0x3) + guid
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"\x00" if len(fmt) & 1 else b""
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    chunks += b"\x00" if len(data) & 1 else b""
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_uncompressed_surface():
+    """Every codec-free WAV form decodes: 8-bit offset-binary PCM
+    (full-scale int16), 24-bit (sign-extended int32, alignment
+    enforced), 32-bit int, IEEE float32/64, and extensible containers
+    resolving their SubFormat GUID."""
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_wav
+
+    s, r, ch = decode_wav(
+        _riff_wav(1, 1, 8000, 8, bytes([0, 128, 255, 1]))
+    )
+    assert (s == np.array([-32768, 0, 32512, -32512], np.int16)).all()
+    vals = [0, 1, -1, 8388607, -8388608, 305419]
+    raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+    s, r, ch = decode_wav(_riff_wav(1, 2, 44100, 24, raw))
+    assert s.dtype == np.int32 and list(s) == vals and ch == 2
+    with pytest.raises(ValueError):  # misaligned 24-bit data
+        decode_wav(_riff_wav(1, 1, 8000, 24, b"\x00\x00"))
+    v32 = np.array([0, 2**31 - 1, -(2**31), 7], "<i4")
+    s, *_ = decode_wav(_riff_wav(1, 1, 48000, 32, v32.tobytes()))
+    assert (s == v32).all()
+    f32 = np.array([0.0, -1.5, 0.25], "<f4")
+    s, *_ = decode_wav(_riff_wav(3, 1, 16000, 32, f32.tobytes()))
+    assert s.dtype == np.float32 and (s == f32).all()
+    f64 = np.array([1.0, -2.0], "<f8")
+    s, *_ = decode_wav(_riff_wav(3, 1, 16000, 64, f64.tobytes()))
+    assert s.dtype == np.float64 and (s == f64).all()
+    v16 = np.array([5, -5, 1000], "<i2")
+    s, r, ch = decode_wav(_riff_wav(None, 2, 22050, 16, v16.tobytes(), ext_sub=1))
+    assert (s == v16).all() and ch == 2 and r == 22050
+    s, *_ = decode_wav(_riff_wav(None, 1, 22050, 32, f32.tobytes(), ext_sub=3))
+    assert s.dtype == np.float32
+
+
+def test_wav_g711_expansion():
+    """G.711 A-law/µ-law expansion matches the scalar Sun reference
+    on all 256 codes, and the classic anchor values hold (µ-law 0x00
+    → −32124, 0xFF/0x7F → 0; A-law 0x55 → −8, 0xD5 → +8)."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        _g711_alaw_to_linear,
+        _g711_ulaw_to_linear,
+        decode_wav,
+    )
+
+    def ulaw_ref(u):
+        u = ~u & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw_ref(a):
+        a ^= 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (
+        _g711_ulaw_to_linear(codes)
+        == np.array([ulaw_ref(int(c)) for c in codes], np.int16)
+    ).all()
+    assert (
+        _g711_alaw_to_linear(codes)
+        == np.array([alaw_ref(int(c)) for c in codes], np.int16)
+    ).all()
+    s, *_ = decode_wav(_riff_wav(7, 1, 8000, 8, bytes([0x00, 0xFF, 0x7F])))
+    assert list(s) == [-32124, 0, 0]
+    s, *_ = decode_wav(_riff_wav(6, 1, 8000, 8, bytes([0x55, 0xD5])))
+    assert list(s) == [-8, 8]
 
 
 def test_audio_features_match_samples(spark):
