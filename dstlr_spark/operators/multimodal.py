@@ -157,8 +157,9 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
 
     if not have_pil and not fake:
         raise NotImplementedError(
-            "STUB: pixel decode requires Pillow (not in this container); "
-            "pass fake=True for the deterministic plumbing test"
+            "STUB: arbitrary-container pixel decode requires Pillow (not in "
+            "this container); BMP/PPM/PNG/GIF/JPEG decode natively via "
+            "decode_image_np; pass fake=True for the plumbing test"
         )
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -233,8 +234,9 @@ def resize_image(media: DataFrame, max_side: int = 64, fake: bool = False) -> Da
         have_pil = False
     if not have_pil and not fake:
         raise NotImplementedError(
-            "STUB: resize requires Pillow (not in this container); "
-            "pass fake=True for the deterministic plumbing test"
+            "STUB: arbitrary-container resize requires Pillow (not in this "
+            "container); BMP/PPM/PNG/GIF/JPEG resize natively via "
+            "resize_image_np; pass fake=True for the plumbing test"
         )
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
