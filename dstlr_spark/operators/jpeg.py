@@ -748,6 +748,10 @@ def _ll_scan_layout(frame, scan_comp_idx):
     ``(mcux, mcuy, [(yi, xi, hi, vi, ph, pw) per scan component])``
     where (ph, pw) are the padded coding dims."""
     h, w, comps = frame
+    if any(not 1 <= c[1] <= 4 or not 1 <= c[2] <= 4 for c in comps):
+        # corrupt SOF: factor 0 would divide by zero below; >4 is
+        # out of the T.81 range either way
+        raise ValueError("JPEG sampling factors out of range")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     geo = []

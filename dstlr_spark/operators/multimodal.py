@@ -1400,8 +1400,10 @@ def decode_y4m(b: bytes):
     ``FRAME`` marker line followed by raw planes.
 
     Supported colorspaces: ``Cmono`` (Y only), ``C444`` (full
-    chroma), ``C420``/``C420jpeg``/``C420mpeg2``/``C420paldv``
-    (quarter chroma; even dims enforced). The luma plane is returned;
+    chroma), ``C422`` (half-horizontal chroma), ``C411``
+    (quarter-horizontal), ``C420``/``C420jpeg``/``C420mpeg2``/
+    ``C420paldv`` (quarter chroma; even dims enforced). The luma
+    plane is returned;
     chroma planes are length-validated and skipped (features operate
     on luma — a color pipeline reads the same offsets).
 
@@ -1448,13 +1450,26 @@ def decode_y4m(b: bytes):
         chroma = 0
     elif cs == "C444":
         chroma = w * h
-    elif cs.startswith("C420"):
+    elif cs in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        # exact-match, not startswith: C420p10/C420p12 are 16-bit
+        # wide-sample variants whose plane sizes double — stub below
         if w % 2 or h % 2:
             raise ValueError(f"C420 needs even dims, got {w}x{h}")
         chroma = (w // 2) * (h // 2)
+    elif cs == "C422":
+        if w % 2:
+            raise ValueError(f"C422 needs even width, got {w}")
+        chroma = (w // 2) * h
+    elif cs == "C411":
+        if w % 4:
+            raise ValueError(f"C411 needs width % 4 == 0, got {w}")
+        chroma = (w // 4) * h
     else:
-        raise NotImplementedError(f"STUB: Y4M colorspace {cs} unsupported; "
-                                  "Cmono/C444/C420* decode natively")
+        raise NotImplementedError(
+            f"STUB: Y4M colorspace {cs} unsupported (>8-bit Cxxxp1y "
+            "needs wide-sample planes); Cmono/C444/C422/C420*/C411 "
+            "decode natively"
+        )
     ysize = w * h
     frames = []
     pos = nl + 1

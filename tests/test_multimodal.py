@@ -691,6 +691,35 @@ def test_y4m_interlaced_field_split():
     assert out.shape == (4, 2, 3) and fps == (50, 1)
 
 
+def test_y4m_422_411_chroma_sizes():
+    """C422/C411 streams: luma decodes identically; chroma planes are
+    length-validated at half/quarter horizontal resolution (handcraft
+    the containers — encode_y4m only writes Cmono/C444)."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_y4m
+
+    h, w = 2, 4
+    y = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    for cs, cw in (("C422", w // 2), ("C411", w // 4)):
+        head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {cs}\n".encode()
+        frame = b"FRAME\n" + y.tobytes() + bytes(2 * cw * h)
+        out, fps, got = decode_y4m(head + 2 * frame)
+        assert got == cs and out.shape == (2, h, w)
+        assert (out[0] == y).all() and (out[1] == y).all()
+        # truncated chroma must not silently pass
+        import pytest
+
+        with pytest.raises(ValueError):
+            decode_y4m(head + b"FRAME\n" + y.tobytes() + bytes(2 * cw * h - 1))
+    import pytest
+
+    with pytest.raises(ValueError):  # odd width under C422
+        decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 Ip C422\n")
+    with pytest.raises(NotImplementedError):  # wide-sample colorspace
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 Ip C420p10\n")
+
+
 def test_video_frame_features_sample_and_isolate(spark):
     """Every 2nd frame of the planted clip appears with its exact luma
     stats (recomputed independently); an undecodable payload degrades
