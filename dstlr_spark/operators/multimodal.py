@@ -5,7 +5,8 @@ image/audio/video travel as ``binary`` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` UDFs.
 
-Pixel decode is REAL for 24-bit BMP, binary PPM (P6, maxval ≤ 65535),
+Pixel decode is REAL for uncompressed BMP (1-32 bpp incl. palettes),
+binary PPM (P6, maxval ≤ 65535),
 PNG (stdlib ``zlib`` inflate + NumPy unfilter of all five scanline
 filters; 8/16-bit gray/RGB/RGBA + 8-bit palette, sequential AND
 Adam7-interlaced — :func:`decode_png`), and GIF89a (pure-Python
@@ -343,7 +344,9 @@ def decode_rgb_bytes(b: bytes):
     """REAL pixel decode of one payload → (h, w, 3) uint8 RGB array.
 
     Supports the formats whose codec needs no imaging library:
-    - 24-bit uncompressed BMP (bottom-up or top-down, BGR, padded rows);
+    - uncompressed BI_RGB BMP at 1/4/8 (paletted), 16 (X1R5G5B5,
+      5-bit channels expanded ``(v<<3)|(v>>2)``), 24, and 32 bpp
+      (bottom-up or top-down, BGR order, rows padded to 4 bytes);
     - binary PPM ``P6`` (maxval ≤ 255 → uint8; ≤ 65535 → exact uint16);
     - PNG, 8/16-bit gray/RGB/RGBA + 8-bit palette, sequential or
       Adam7-interlaced (stdlib zlib inflate + NumPy unfilter —
@@ -390,10 +393,11 @@ def decode_rgb_bytes(b: bytes):
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
         comp = struct.unpack("<I", b[30:34])[0]
-        if bpp != 24 or comp != 0:
+        if comp != 0 or bpp not in (1, 4, 8, 16, 24, 32):
             raise NotImplementedError(
-                f"STUB: BMP bpp={bpp} compression={comp} needs a codec; "
-                "only uncompressed 24-bit BMP decodes natively"
+                f"STUB: BMP bpp={bpp} compression={comp} needs a codec "
+                "(RLE/bitfields); uncompressed BI_RGB at 1/4/8/16/24/32 "
+                "bpp decodes natively"
             )
         if w <= 0 or h == 0:
             # zero/negative-width and zero-height headers are malformed:
@@ -402,12 +406,53 @@ def decode_rgb_bytes(b: bytes):
             raise ValueError(f"BMP dimensions {w}x{h} invalid")
         flip = h > 0
         h = abs(h)
-        stride = (w * 3 + 3) & ~3
+        stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes at any bpp
         data = np.frombuffer(b, np.uint8, count=stride * h, offset=off)
-        rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        data = data.reshape(h, stride)
         if flip:
-            rows = rows[::-1]
-        return rows[..., ::-1].copy()  # BGR → RGB
+            data = data[::-1]
+        if bpp == 24:
+            return data[:, : w * 3].reshape(h, w, 3)[..., ::-1].copy()
+        if bpp == 32:  # stored BGRX; the X byte is padding under BI_RGB
+            return data[:, : w * 4].reshape(h, w, 4)[..., 2::-1].copy()
+        if bpp == 16:  # X1R5G5B5; 5-bit channels expand (v<<3)|(v>>2)
+            lo = data[:, : w * 2 : 2].astype(np.uint16)
+            hi = data[:, 1 : w * 2 : 2].astype(np.uint16)
+            v = lo | (hi << 8)
+            chans = [(v >> 10) & 31, (v >> 5) & 31, v & 31]
+            return np.stack(
+                [((c << 3) | (c >> 2)).astype(np.uint8) for c in chans],
+                axis=2,
+            )
+        # paletted (1/4/8 bpp): BGRX palette follows the info header
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        if hdr_size < 40:
+            raise NotImplementedError(
+                "STUB: BMP core-header palette (3-byte entries)"
+            )
+        n_used = struct.unpack("<I", b[46:50])[0]
+        # biClrUsed=0 means "full 2^bpp table", but the table can only
+        # occupy the bytes between the info header and the pixel-data
+        # offset — bound by what the file actually carries
+        avail = (off - 14 - hdr_size) // 4
+        n_pal = min(n_used or (1 << bpp), avail)
+        if n_pal <= 0:
+            raise ValueError("BMP palette missing")
+        pal = np.frombuffer(
+            b, np.uint8, count=n_pal * 4, offset=14 + hdr_size
+        ).reshape(n_pal, 4)[:, 2::-1]
+        if bpp == 8:
+            idx = data[:, :w]
+        elif bpp == 4:
+            nib = np.repeat(data, 2, axis=1)
+            nib[:, 0::2] >>= 4
+            nib[:, 1::2] &= 15
+            idx = nib[:, :w]
+        else:
+            idx = np.unpackbits(data, axis=1)[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("BMP palette index beyond table")
+        return pal[idx].copy()
     if b[:2] == b"P6":
         # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
         pos, fields = 2, []

@@ -120,6 +120,72 @@ def test_bmp_topdown_negative_height():
     assert (decode_rgb_bytes(bytes(b)) == rgb[::-1][::-1]).all()
 
 
+def _bmp_container(w, h, bpp, pixel_rows, palette=None, n_used=0):
+    """Hand-rolled BITMAPINFOHEADER BMP: pixel_rows is the raw
+    bottom-up row bytes (already padded to 4); palette is a list of
+    (r, g, b) written as BGRX entries."""
+    import struct
+
+    pal = b"".join(bytes([b_, g, r, 0]) for r, g, b_ in (palette or []))
+    off = 14 + 40 + len(pal)
+    data = b"".join(pixel_rows)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(data), 0, 0, n_used, 0
+    )
+    return hdr + info + pal + data
+
+
+def test_bmp_depths_32_16_paletted():
+    """Every uncompressed BI_RGB depth decodes: 32 bpp (BGRX, pad byte
+    ignored), 16 bpp (X1R5G5B5 with the (v<<3)|(v>>2) channel
+    expansion), 8/4/1 bpp through the BGRX palette (4-byte row pad
+    exercised throughout); out-of-table indices raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    # 32 bpp, 1x2 bottom-up: bottom row first in the file
+    rows = [bytes([10, 20, 30, 99]) , bytes([1, 2, 3, 0])]
+    out = decode_rgb_bytes(_bmp_container(1, 2, 32, [rows[1], rows[0]]))
+    assert (out == np.array([[[30, 20, 10]], [[3, 2, 1]]], np.uint8)).all()
+    # 16 bpp: R=31 G=0 B=7 → bytes LE of (31<<10)|(7)
+    v = (31 << 10) | 7
+    row = struct.pack("<H", v) + b"\x00\x00"  # w=1 → pad to 4
+    out = decode_rgb_bytes(_bmp_container(1, 1, 16, [row]))
+    assert (out[0, 0] == [255, 0, (7 << 3) | (7 >> 2)]).all()
+    # 8 bpp paletted, w=3 (stride pads 3 → 4)
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    out = decode_rgb_bytes(
+        _bmp_container(3, 1, 8, [bytes([2, 0, 1, 0])], palette)
+    )
+    assert (out == np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0]]])).all()
+    # 4 bpp: indices 2,0,1 packed as nibbles 0x20 0x10
+    out = decode_rgb_bytes(
+        _bmp_container(3, 1, 4, [bytes([0x20, 0x10, 0, 0])], palette)
+    )
+    assert (out == np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0]]])).all()
+    # 1 bpp: bits 1,0,1 → 0b10100000
+    pal2 = [(9, 9, 9), (200, 100, 50)]
+    out = decode_rgb_bytes(
+        _bmp_container(3, 1, 1, [bytes([0b10100000, 0, 0, 0])], pal2)
+    )
+    assert (out == np.array([[[200, 100, 50], [9, 9, 9], [200, 100, 50]]])).all()
+    # palette index beyond biClrUsed-limited table
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(
+            _bmp_container(1, 1, 8, [bytes([2, 0, 0, 0])], pal2, n_used=2)
+        )
+    # RLE8 stays a codec stub
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(_bmp_container(1, 1, 8, [bytes(4)], pal2))
+        bad[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        decode_rgb_bytes(bytes(bad))
+
+
 def test_ppm_p6_with_comment():
     import numpy as np
 
@@ -153,13 +219,21 @@ def test_unsupported_codecs_raise_not_implemented():
         decode_rgb_bytes(sof5)
     with pytest.raises(ValueError):
         decode_rgb_bytes(sof5.replace(b"\xff\xc5", b"\xff\xc6"))
-    # 8-bit paletted BMP: real header, unsupported bpp
+    # 8-bit paletted BMP decodes natively now — but a container whose
+    # pixel offset leaves NO room for a palette is malformed, and a
+    # real codec (RLE8) stays a stub
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
     )
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(hdr + b"\0" * 46)  # palette missing
+    rle = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 1, 0, 0, 0, 0, 0)
+    )
     with pytest.raises(NotImplementedError):
-        decode_rgb_bytes(hdr + b"\0" * 46)
+        decode_rgb_bytes(rle + b"\0" * 46)
     # PNG with garbage chunks is CORRUPT (the real parser runs), not a stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(bytes.fromhex("89504E470D0A1A0A") + b"\0" * 32)
