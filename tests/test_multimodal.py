@@ -1186,6 +1186,26 @@ def test_decoder_exception_contract_under_corruption():
                       encode_jpeg_hier(rgb, levels=2, arith=True)),
         "jpg_cmyk": (decode_rgb_bytes, encode_jpeg_cmyk(
             nprng.integers(0, 255, (7, 9, 4)).astype(np.uint8))),
+        # round-5 tail closes ride the same contract: subsampled
+        # lossless (both entropy layers), new BMP depths, G.711 WAV,
+        # interlaced / C422 Y4M
+        "jpg_ls420": (decode_rgb_bytes, encode_jpeg_lossless(
+            rgb, sampling=[(2, 2), (1, 1), (1, 1)])),
+        "jpg_lsa420": (decode_rgb_bytes, encode_jpeg_lossless_arith(
+            rgb, sampling=[(2, 2), (1, 1), (1, 1)])),
+        "bmp8": (decode_rgb_bytes, _bmp_container(
+            3, 2, 8, [bytes([0, 1, 2, 0]), bytes([2, 1, 0, 0])],
+            [(9, 9, 9), (1, 2, 3), (200, 100, 50)])),
+        "bmp16": (decode_rgb_bytes, _bmp_container(
+            2, 2, 16, [bytes([0x07, 0x7C]) * 2, bytes([0xE0, 0x03]) * 2])),
+        "wav_ulaw": (decode_wav, _riff_wav(
+            7, 1, 8000, 8, bytes(range(64)))),
+        "y4m_it": (decode_y4m, encode_y4m(
+            nprng.integers(0, 255, (2, 4, 4)).astype(np.uint8),
+            interlace="It")),
+        "y4m_422": (decode_y4m,
+                    b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C422\n"
+                    + 2 * (b"FRAME\n" + bytes(4 * 2 + 2 * 2 * 2))),
     })
 
     def check(dec, payload, ctx):
