@@ -347,7 +347,8 @@ def decode_rgb_bytes(b: bytes):
     - uncompressed BI_RGB BMP at 1/4/8 (paletted), 16 (X1R5G5B5,
       5-bit channels expanded ``(v<<3)|(v>>2)``), 24, and 32 bpp
       (bottom-up or top-down, BGR order, rows padded to 4 bytes);
-    - binary PPM ``P6`` (maxval ≤ 255 → uint8; ≤ 65535 → exact uint16);
+    - binary PPM ``P6`` / PGM ``P5`` (maxval ≤ 255 → uint8; ≤ 65535 →
+      exact uint16; gray replicates to RGB);
     - PNG, 8/16-bit gray/RGB/RGBA + 8-bit palette, sequential or
       Adam7-interlaced (stdlib zlib inflate + NumPy unfilter —
       :func:`decode_png`); 16-bit → exact uint16;
@@ -453,8 +454,9 @@ def decode_rgb_bytes(b: bytes):
         if int(idx.max(initial=0)) >= n_pal:
             raise ValueError("BMP palette index beyond table")
         return pal[idx].copy()
-    if b[:2] == b"P6":
-        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>
+    if b[:2] in (b"P5", b"P6"):
+        nch = 3 if b[:2] == b"P6" else 1  # P5 = binary PGM, gray
+        # header: magic <ws> width <ws> height <ws> maxval <single ws>
         pos, fields = 2, []
         while len(fields) < 3:
             while pos < len(b) and b[pos : pos + 1].isspace():
@@ -474,16 +476,18 @@ def decode_rgb_bytes(b: bytes):
         if maxval > 65535:
             raise ValueError(f"PPM maxval {maxval} exceeds the P6 spec")
         if maxval > 255:  # 2-byte big-endian samples, exact values
-            return (
-                np.frombuffer(b, ">u2", count=w * h * 3, offset=pos)
-                .reshape(h, w, 3)
+            out = (
+                np.frombuffer(b, ">u2", count=w * h * nch, offset=pos)
+                .reshape(h, w, nch)
                 .astype(np.uint16)
             )
-        return (
-            np.frombuffer(b, np.uint8, count=w * h * 3, offset=pos)
-            .reshape(h, w, 3)
-            .copy()
-        )
+        else:
+            out = (
+                np.frombuffer(b, np.uint8, count=w * h * nch, offset=pos)
+                .reshape(h, w, nch)
+                .copy()
+            )
+        return out if nch == 3 else np.repeat(out, 3, axis=2)
     if b[:8] == bytes.fromhex(PNG_MAGIC):
         return decode_png(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):

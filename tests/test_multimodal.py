@@ -186,6 +186,21 @@ def test_bmp_depths_32_16_paletted():
         decode_rgb_bytes(bytes(bad))
 
 
+def test_pgm_p5_gray_replicates():
+    """Binary PGM (P5): gray samples replicate to RGB, 8- and exact
+    16-bit, comments in the header honored."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    g = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    out = decode_rgb_bytes(b"P5 # c\n3 2 255\n" + g.tobytes())
+    assert out.shape == (2, 3, 3) and (out == g[..., None]).all()
+    g16 = np.array([[256, 65535]], np.uint16)
+    out = decode_rgb_bytes(b"P5 2 1 65535\n" + g16.astype(">u2").tobytes())
+    assert out.dtype == np.uint16 and (out == g16[..., None]).all()
+
+
 def test_ppm_p6_with_comment():
     import numpy as np
 
