@@ -1229,25 +1229,167 @@ def _g711_alaw_to_linear(a):
     return np.where(a & 0x80, t, -t).astype(np.int16)
 
 
-def decode_wav(b: bytes):
-    """REAL uncompressed-WAV decode → (samples ndarray interleaved,
-    sample_rate, n_channels) — RIFF chunk walk with word-aligned
-    skipping, stdlib struct + NumPy frombuffer.
+# IMA ADPCM (tag 0x11): the 89-entry step-size table and the 16-entry
+# index-adjustment table from the IMA Digital Audio Pack reference
+# algorithm — integer-exact, shared by encoder and decoder.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
 
-    Supported, all codec-free: integer PCM (format tag 1) at 8 bits
-    (offset-binary, expanded to full-scale int16 via ``(x-128)<<8``),
-    16 bits (int16), 24 bits (sign-extended to int32), and 32 bits
-    (int32); IEEE float (tag 3) at 32/64 bits; G.711 A-law/µ-law
-    (tags 6/7 — pure table expansions to int16); and
+# MS ADPCM (tag 2): the 16-entry delta-adaptation table and the seven
+# standard predictor-coefficient pairs from the WAVE format spec.
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+_MS_COEFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+
+
+def _ima_adpcm_decode(data, n_channels, block_align, n_samples=None):
+    """Vectorized IMA-ADPCM (WAV tag 0x11) decode → interleaved int16.
+
+    Blocks are independent (each carries its own predictor + step
+    index), so the decode vectorizes across (block, channel) with one
+    NumPy step per nibble position — the same across-independent-units
+    loop shape as the JPEG IDCT batches. Per channel each block is a
+    4-byte header (int16 predictor = the block's FIRST output sample,
+    uint8 step index, reserved) followed by 4-byte nibble words
+    channel-interleaved; low nibble first within each byte."""
+    import numpy as np
+
+    ch, ba = n_channels, block_align
+    if ba < 4 * ch + 4 * ch or (ba - 4 * ch) % (4 * ch):
+        raise ValueError(f"IMA ADPCM block_align {ba} invalid for {ch}ch")
+    if len(data) == 0 or len(data) % ba:
+        raise ValueError("IMA ADPCM data not block-aligned")
+    nb = len(data) // ba
+    arr = np.frombuffer(data, np.uint8).reshape(nb, ba)
+    hdr = arr[:, : 4 * ch].reshape(nb, ch, 4)
+    pred = (
+        (hdr[:, :, 0].astype(np.uint16) | (hdr[:, :, 1].astype(np.uint16) << 8))
+        .astype(np.int16)
+        .astype(np.int32)
+    )
+    idx = hdr[:, :, 2].astype(np.int32)
+    if (idx > 88).any():
+        raise ValueError("IMA ADPCM step index out of range (>88)")
+    byts = (
+        arr[:, 4 * ch :]
+        .reshape(nb, -1, ch, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(nb, ch, -1)
+    )
+    nibs = np.empty((nb, ch, byts.shape[2] * 2), np.uint8)
+    nibs[:, :, 0::2] = byts & 0x0F
+    nibs[:, :, 1::2] = byts >> 4
+    spb = nibs.shape[2] + 1
+    out = np.empty((nb, spb, ch), np.int16)
+    out[:, 0, :] = pred
+    step_tab = np.array(_IMA_STEP, np.int32)
+    idx_tab = np.array(_IMA_INDEX, np.int32)
+    for t in range(nibs.shape[2]):
+        n = nibs[:, :, t].astype(np.int32)
+        step = step_tab[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 4, step, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 1, step >> 2, 0)
+        )
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + idx_tab[n], 0, 88)
+        out[:, t + 1, :] = pred
+    flat = out.reshape(-1)
+    if n_samples is not None:
+        flat = flat[: n_samples * ch]
+    return flat
+
+
+def _ms_adpcm_decode(data, n_channels, block_align, coefs, n_samples=None):
+    """Vectorized MS-ADPCM (WAV tag 2) decode → interleaved int16.
+
+    Per block: one predictor-index byte per channel, then int16
+    initial-delta / sample1 / sample2 per channel, then 4-bit codes
+    HIGH nibble first, channel-interleaved per nibble. sample2 and
+    sample1 are the block's first two output samples. Vectorized
+    across blocks; the arithmetic (``>> 8`` on signed predictors,
+    delta floor 16) follows the WAVE spec's reference C exactly —
+    NumPy's int64 ``>>`` is arithmetic, matching."""
+    import numpy as np
+
+    ch, ba = n_channels, block_align
+    if ba < 7 * ch + ch or (ba - 7 * ch) % ch:
+        raise ValueError(f"MS ADPCM block_align {ba} invalid for {ch}ch")
+    if len(data) == 0 or len(data) % ba:
+        raise ValueError("MS ADPCM data not block-aligned")
+    nb = len(data) // ba
+    arr = np.frombuffer(data, np.uint8).reshape(nb, ba)
+    pidx = arr[:, :ch].astype(np.int64)
+    if (pidx >= len(coefs)).any():
+        raise ValueError("MS ADPCM predictor index out of range")
+
+    def i16(off):
+        lo = arr[:, off : off + 2 * ch : 2].astype(np.uint16)
+        hi = arr[:, off + 1 : off + 2 * ch : 2].astype(np.uint16)
+        return (lo | (hi << 8)).astype(np.int16).astype(np.int64)
+
+    delta, s1, s2 = i16(ch), i16(3 * ch), i16(5 * ch)
+    c1 = np.array([c[0] for c in coefs], np.int64)[pidx]
+    c2 = np.array([c[1] for c in coefs], np.int64)[pidx]
+    body = arr[:, 7 * ch :]
+    nibs = np.empty((nb, body.shape[1] * 2), np.uint8)
+    nibs[:, 0::2] = body >> 4
+    nibs[:, 1::2] = body & 0x0F
+    nch = nibs.reshape(nb, -1, ch)
+    out = np.empty((nb, nch.shape[1] + 2, ch), np.int16)
+    out[:, 0, :] = s2
+    out[:, 1, :] = s1
+    adapt = np.array(_MS_ADAPT, np.int64)
+    for t in range(nch.shape[1]):
+        n = nch[:, t, :].astype(np.int64)
+        signed = np.where(n >= 8, n - 16, n)
+        pred = np.clip(((s1 * c1 + s2 * c2) >> 8) + signed * delta, -32768, 32767)
+        s2, s1 = s1, pred
+        delta = np.maximum((adapt[n] * delta) >> 8, 16)
+        out[:, t + 2, :] = pred
+    flat = out.reshape(-1)
+    if n_samples is not None:
+        flat = flat[: n_samples * ch]
+    return flat
+
+
+def decode_wav(b: bytes):
+    """REAL WAV decode → (samples ndarray interleaved, sample_rate,
+    n_channels) — RIFF chunk walk with word-aligned skipping, stdlib
+    struct + NumPy frombuffer.
+
+    Supported: integer PCM (format tag 1) at 8 bits (offset-binary,
+    expanded to full-scale int16 via ``(x-128)<<8``), 16 bits (int16),
+    24 bits (sign-extended to int32), and 32 bits (int32); IEEE float
+    (tag 3) at 32/64 bits; G.711 A-law/µ-law (tags 6/7 — pure table
+    expansions to int16); MS ADPCM (tag 2) and IMA ADPCM (tag 0x11) —
+    both integer-exact block codecs decoded block-parallel, with the
+    ``fact`` chunk trimming trailing block-padding samples; and
     WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the real tag read from the
-    SubFormat GUID). Genuinely compressed formats (ADPCM,
-    MP3-in-RIFF, …) raise NotImplementedError; a malformed container
-    raises ValueError."""
+    SubFormat GUID). True transform codecs (MP3-in-RIFF, WMA, …)
+    raise NotImplementedError; a malformed container raises
+    ValueError."""
     import numpy as np
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, fmt_chunk, data = 12, None, None, None
+    pos, fmt, fmt_chunk, data, fact = 12, None, None, None, None
     while pos + 8 <= len(b):
         tag, ln = struct.unpack("<4sI", b[pos : pos + 8])
         chunk = b[pos + 8 : pos + 8 + ln]
@@ -1260,10 +1402,14 @@ def decode_wav(b: bytes):
             fmt_chunk = chunk
         elif tag == b"data":
             data = chunk
+        elif tag == b"fact" and ln >= 4:
+            # dwSampleLength: frames per channel actually encoded —
+            # trims the final ADPCM block's padding samples
+            fact = struct.unpack("<I", chunk[:4])[0]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, n_channels, rate, _, _, bits = fmt
+    audio_format, n_channels, rate, _, block_align, bits = fmt
     if rate <= 0 or n_channels <= 0:
         # a rate/channel count of 0 is a malformed fmt chunk: returning
         # it as a "successful" decode turns into ZeroDivisionError in
@@ -1310,10 +1456,182 @@ def decode_wav(b: bytes):
             rate,
             n_channels,
         )
+    elif audio_format == 2 and bits == 4:  # MS ADPCM
+        # fmt extension: cbSize, wSamplesPerBlock, wNumCoef, then
+        # (coef1, coef2) int16 pairs; an extensible-wrapped or
+        # extension-less fmt falls back to the seven standard pairs
+        coefs = _MS_COEFS
+        if fmt_chunk is not None and len(fmt_chunk) >= 22:
+            n_coef = struct.unpack("<H", fmt_chunk[20:22])[0]
+            if 0 < n_coef and len(fmt_chunk) >= 22 + 4 * n_coef:
+                coefs = [
+                    struct.unpack("<hh", fmt_chunk[22 + 4 * i : 26 + 4 * i])
+                    for i in range(n_coef)
+                ]
+        return (
+            _ms_adpcm_decode(data, n_channels, block_align, coefs, fact),
+            rate,
+            n_channels,
+        )
+    elif audio_format == 0x11 and bits == 4:  # IMA ADPCM
+        return (
+            _ima_adpcm_decode(data, n_channels, block_align, fact),
+            rate,
+            n_channels,
+        )
     raise NotImplementedError(
-        f"STUB: WAV format={audio_format} bits={bits} needs a codec; "
-        "integer/float PCM and G.711 A-law/µ-law decode natively"
+        f"STUB: WAV format={audio_format} bits={bits} needs a transform "
+        "codec (MP3/WMA/…); integer/float PCM, G.711 A-law/µ-law, and "
+        "MS/IMA ADPCM decode natively"
     )
+
+
+def encode_wav_ima(samples, sample_rate: int, n_channels: int = 1,
+                   block_align: int | None = None) -> bytes:
+    """Deterministic IMA-ADPCM fixture encoder → full RIFF/WAVE
+    (fmt-with-extension + fact + data). Greedy reference quantizer
+    with predictor/step state carried across blocks (each block
+    header consumes the block's first sample, per the WAV IMA
+    layout); the final block pads by repeating the last frame, and
+    the fact chunk records the true frame count so decode trims the
+    padding. Scalar per-sample loop — fixture-scale only."""
+    import numpy as np
+
+    ch = n_channels
+    s = np.asarray(samples, np.int16).astype(np.int32)
+    if s.size == 0 or s.size % ch:
+        raise ValueError("sample count not channel-aligned")
+    frames = s.size // ch
+    s = s.reshape(frames, ch)
+    ba = block_align if block_align is not None else 4 * ch * 8
+    if ba < 8 * ch or (ba - 4 * ch) % (4 * ch):
+        raise ValueError(f"block_align {ba} invalid for {ch}ch")
+    spb = (ba - 4 * ch) // ch * 2 + 1
+    pred, idx = [0] * ch, [0] * ch
+    blocks, pos = [], 0
+    while pos < frames:
+        blk = s[pos : pos + spb]
+        hdr = b""
+        nibs = [[] for _ in range(ch)]
+        for c in range(ch):
+            pred[c] = int(blk[0, c])
+            hdr += struct.pack("<hBB", pred[c], idx[c], 0)
+        for t in range(1, spb):
+            f = blk[min(t, len(blk) - 1)]
+            for c in range(ch):
+                step = _IMA_STEP[idx[c]]
+                diff = int(f[c]) - pred[c]
+                n = 0
+                if diff < 0:
+                    n, diff = 8, -diff
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                d = step >> 3
+                if n & 4:
+                    d += step
+                if n & 2:
+                    d += step >> 1
+                if n & 1:
+                    d += step >> 2
+                pred[c] = max(-32768, min(32767, pred[c] + (-d if n & 8 else d)))
+                idx[c] = max(0, min(88, idx[c] + _IMA_INDEX[n]))
+                nibs[c].append(n)
+        packed = [
+            bytes(nibs[c][i] | (nibs[c][i + 1] << 4)
+                  for i in range(0, len(nibs[c]), 2))
+            for c in range(ch)
+        ]
+        body = bytearray()
+        for w in range(len(packed[0]) // 4):
+            for c in range(ch):
+                body += packed[c][4 * w : 4 * w + 4]
+        blocks.append(hdr + bytes(body))
+        pos += spb
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        sample_rate * ba // spb, ba, 4, 2, spb,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_ms(samples, sample_rate: int, n_channels: int = 1,
+                  block_align: int | None = None) -> bytes:
+    """Deterministic MS-ADPCM fixture encoder → full RIFF/WAVE
+    (fmt + coef extension + fact + data). Predictor pair fixed at
+    index 0 (coef1=256, coef2=0); initial delta per block derived
+    from the block's mean first difference (floor 16); nibbles chosen
+    by rounding the prediction error to the nearest delta multiple,
+    state then updated with the decoder's exact arithmetic. Scalar
+    loop — fixture-scale only."""
+    import numpy as np
+
+    ch = n_channels
+    s = np.asarray(samples, np.int16).astype(np.int64)
+    if s.size == 0 or s.size % ch:
+        raise ValueError("sample count not channel-aligned")
+    frames = s.size // ch
+    s = s.reshape(frames, ch)
+    ba = block_align if block_align is not None else 7 * ch + 32 * ch
+    if ba < 8 * ch or (ba - 7 * ch) % ch:
+        raise ValueError(f"block_align {ba} invalid for {ch}ch")
+    spb = (ba - 7 * ch) * 2 // ch + 2
+    c1, c2 = _MS_COEFS[0]
+    blocks, pos = [], 0
+    while pos < frames:
+        blk = s[pos : pos + spb]
+        pad = np.vstack([blk] + [blk[-1:]] * (spb - len(blk)))
+        s2 = [int(pad[0, c]) for c in range(ch)]
+        s1 = [int(pad[1, c]) for c in range(ch)]
+        delta = [
+            max(16, int(np.mean(np.abs(np.diff(pad[:, c])))) >> 2)
+            for c in range(ch)
+        ]
+        hdr = bytes([0] * ch)
+        for part in (delta, s1, s2):
+            for c in range(ch):
+                hdr += struct.pack("<h", part[c])
+        nibs = []
+        for t in range(2, spb):
+            for c in range(ch):
+                predicted = (s1[c] * c1 + s2[c] * c2) >> 8
+                err = int(pad[t, c]) - predicted
+                half = delta[c] >> 1
+                n = (err + half if err >= 0 else err - half) // delta[c]
+                n = max(-8, min(7, n))
+                recon = max(-32768, min(32767, predicted + n * delta[c]))
+                s2[c], s1[c] = s1[c], recon
+                delta[c] = max(16, (_MS_ADAPT[n & 0xF] * delta[c]) >> 8)
+                nibs.append(n & 0xF)
+        body = bytes(nibs[i] << 4 | nibs[i + 1] for i in range(0, len(nibs), 2))
+        blocks.append(hdr + body)
+        pos += spb
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHHH", 2, ch, sample_rate, sample_rate * ba // spb,
+        ba, 4, 4 + 4 * len(_MS_COEFS), spb, len(_MS_COEFS),
+    ) + b"".join(struct.pack("<hh", a, b) for a, b in _MS_COEFS)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, frames)
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def audio_features_np(media: DataFrame) -> DataFrame:
