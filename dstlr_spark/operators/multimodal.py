@@ -340,6 +340,206 @@ def encode_bmp(rgb) -> bytes:
     return header + pix
 
 
+def _bmp_rle_decode(stream: bytes, w: int, h: int, bpp: int):
+    """BI_RLE8/BI_RLE4 decompression → (h, w) uint8 index array in
+    FILE order (bottom-up; caller flips). Encoded runs, absolute mode
+    (word-aligned), and the 00-escapes (end-of-line, end-of-bitmap,
+    delta skip — skipped pixels keep index 0, the convention every
+    reader uses for the spec's 'undefined') all honored; a run that
+    writes past the row or a truncated stream raises ValueError.
+    Loop cost is O(runs), not O(pixels) — runs write slices."""
+    import numpy as np
+
+    idx = np.zeros((h, w), np.uint8)
+    x = y = pos = 0
+    n = len(stream)
+    while pos + 2 <= n:
+        c, v = stream[pos], stream[pos + 1]
+        pos += 2
+        if c == 0 and v == 0:  # end of line
+            x, y = 0, y + 1
+            continue
+        if c == 0 and v == 1:  # end of bitmap
+            return idx
+        if c == 0 and v == 2:  # delta skip
+            if pos + 2 > n:
+                raise ValueError("BMP RLE delta truncated")
+            x += stream[pos]
+            y += stream[pos + 1]
+            pos += 2
+            continue
+        if y >= h:
+            raise ValueError("BMP RLE writes past the last row")
+        if c:  # encoded run: c pixels of v (RLE4: alternating nibbles)
+            if x + c > w:
+                raise ValueError("BMP RLE run overflows the row")
+            if bpp == 8:
+                idx[y, x : x + c] = v
+            else:
+                pair = np.array([v >> 4, v & 15], np.uint8)
+                idx[y, x : x + c] = np.tile(pair, (c + 1) // 2)[:c]
+            x += c
+            continue
+        # absolute mode: v literal pixels, data padded to a word boundary
+        if x + v > w:
+            raise ValueError("BMP RLE absolute run overflows the row")
+        nbytes = v if bpp == 8 else (v + 1) // 2
+        if pos + nbytes > n:
+            raise ValueError("BMP RLE absolute run truncated")
+        lit = np.frombuffer(stream, np.uint8, count=nbytes, offset=pos)
+        if bpp == 8:
+            idx[y, x : x + v] = lit
+        else:
+            nib = np.empty(nbytes * 2, np.uint8)
+            nib[0::2] = lit >> 4
+            nib[1::2] = lit & 15
+            idx[y, x : x + v] = nib[:v]
+        x += v
+        pos += nbytes + (nbytes & 1)
+    raise ValueError("BMP RLE stream missing end-of-bitmap")
+
+
+def _expand_masked(v, mask: int):
+    """Extract one BI_BITFIELDS channel from packed pixel values and
+    expand it to 8 bits by bit replication (the same convention as the
+    X1R5G5B5 path's ``(v<<3)|(v>>2)``); a zero mask yields zeros and a
+    >8-bit channel keeps its top 8 bits."""
+    import numpy as np
+
+    if mask == 0:
+        return np.zeros(v.shape, np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    x = (v & np.uint32(mask)) >> shift
+    if width >= 8:
+        return (x >> (width - 8)).astype(np.uint8)
+    y = x << (8 - width)
+    out = y.copy()
+    s = width
+    while s < 8:
+        out |= y >> s
+        s += width
+    return out.astype(np.uint8)
+
+
+def encode_bmp_rle(idx, palette, bpp: int = 8) -> bytes:
+    """Deterministic BI_RLE8/BI_RLE4 fixture encoder: an (h, w) uint8
+    index image + (n, 3) RGB palette → compressed bottom-up BMP.
+    Homogeneous runs ≥3 use encoded mode; heterogeneous stretches ≥3
+    use absolute mode (word-padded); shorter leftovers fall back to
+    encoded singles/pairs; every row ends with 00 00 and the stream
+    with 00 01 — exercising all three RLE constructs on real data."""
+    import numpy as np
+
+    idx = np.asarray(idx, np.uint8)
+    h, w = idx.shape
+    if bpp not in (8, 4):
+        raise ValueError("RLE BMP is 8 or 4 bpp")
+    if bpp == 4 and int(idx.max(initial=0)) > 15:
+        raise ValueError("RLE4 index beyond a nibble")
+    out = bytearray()
+    for row in idx[::-1]:  # bottom-up file order
+        x = 0
+        while x < w:
+            r = 1
+            while x + r < w and row[x + r] == row[x] and r < 255:
+                r += 1
+            if r >= 3:
+                pix = int(row[x])
+                out += bytes(
+                    (r, pix if bpp == 8 else (pix << 4) | pix)
+                )
+                x += r
+                continue
+            # heterogeneous stretch: scan until the next ≥3-run
+            e = x
+            while e < w:
+                nxt = 1
+                while e + nxt < w and row[e + nxt] == row[e] and nxt < 3:
+                    nxt += 1
+                if nxt >= 3 or e - x + nxt > 255:
+                    break
+                e += nxt
+            lit = row[x:e]
+            if len(lit) >= 3:
+                out += bytes((0, len(lit)))
+                if bpp == 8:
+                    out += lit.tobytes()
+                    if len(lit) & 1:
+                        out += b"\x00"
+                else:
+                    pad = np.append(lit, 0) if len(lit) & 1 else lit
+                    out += ((pad[0::2] << 4) | pad[1::2]).astype(
+                        np.uint8
+                    ).tobytes()
+                    if ((len(lit) + 1) // 2) & 1:
+                        out += b"\x00"
+            else:
+                for p in lit:
+                    out += bytes(
+                        (1, int(p) if bpp == 8 else (int(p) << 4))
+                    )
+            x = e
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    pal = np.zeros((16 if bpp == 4 else 256, 4), np.uint8)
+    pal[: len(palette), 2::-1] = palette  # BGRX entries
+    off = 14 + 40 + pal.size
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(out), 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 1 if bpp == 8 else 2,
+            len(out), 2835, 2835, len(pal), 0,
+        )
+    )
+    return header + pal.tobytes() + bytes(out)
+
+
+def encode_bmp_bitfields(rgb, masks, bpp: int = 16) -> bytes:
+    """Deterministic BI_BITFIELDS fixture encoder: packs an (h, w, 3)
+    uint8 RGB array under arbitrary per-channel masks at 16 or 32 bpp
+    (top bits of each 8-bit channel, bottom-up rows, word-padded).
+    Masks sit right after the 40-byte BITMAPINFOHEADER."""
+    import numpy as np
+
+    h, w, _ = np.asarray(rgb).shape
+    v = np.zeros((h, w), np.uint32)
+    for chan, mask in enumerate(masks):
+        if mask == 0:
+            continue
+        shift = (mask & -mask).bit_length() - 1
+        width = (mask >> shift).bit_length()
+        x = np.asarray(rgb)[:, :, chan].astype(np.uint32)
+        x = x >> (8 - width) if width <= 8 else x << (width - 8)
+        v |= (x << shift) & np.uint32(mask)
+    v = v[::-1]  # bottom-up
+    if bpp == 16:
+        stride = (w * 2 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 2 : 2] = v & 0xFF
+        rows[:, 1 : w * 2 : 2] = (v >> 8) & 0xFF
+    elif bpp == 32:
+        stride = w * 4
+        rows = np.zeros((h, stride), np.uint8)
+        for i in range(4):
+            rows[:, i::4] = (v >> (8 * i)) & 0xFF
+    else:
+        raise ValueError("BI_BITFIELDS is 16 or 32 bpp")
+    pix = rows.tobytes()
+    off = 14 + 40 + 12
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, 3, len(pix),
+            2835, 2835, 0, 0,
+        )
+        + struct.pack("<III", *masks)
+    )
+    return header + pix
+
+
 def decode_rgb_bytes(b: bytes):
     """REAL pixel decode of one payload → (h, w, 3) uint8 RGB array.
 
@@ -394,24 +594,61 @@ def decode_rgb_bytes(b: bytes):
         w, h = struct.unpack("<ii", b[18:26])
         bpp = struct.unpack("<H", b[28:30])[0]
         comp = struct.unpack("<I", b[30:34])[0]
-        if comp != 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        if comp not in (0, 1, 2, 3) or bpp not in (1, 4, 8, 16, 24, 32):
             raise NotImplementedError(
-                f"STUB: BMP bpp={bpp} compression={comp} needs a codec "
-                "(RLE/bitfields); uncompressed BI_RGB at 1/4/8/16/24/32 "
-                "bpp decodes natively"
+                f"STUB: BMP bpp={bpp} compression={comp} needs an "
+                "embedded codec (BI_JPEG/BI_PNG); BI_RGB, BI_RLE8/4, "
+                "and BI_BITFIELDS decode natively"
             )
+        if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
+            raise ValueError(f"BMP RLE compression {comp} needs bpp 8/4")
+        if comp == 3 and bpp not in (16, 32):
+            raise ValueError("BI_BITFIELDS needs 16/32 bpp")
         if w <= 0 or h == 0:
             # zero/negative-width and zero-height headers are malformed:
             # a (h, 0, 3) "successful" decode would push the empty-array
             # crash into every downstream feature reducer
             raise ValueError(f"BMP dimensions {w}x{h} invalid")
         flip = h > 0
-        h = abs(h)
-        stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes at any bpp
-        data = np.frombuffer(b, np.uint8, count=stride * h, offset=off)
-        data = data.reshape(h, stride)
-        if flip:
-            data = data[::-1]
+        if comp in (1, 2):
+            # RLE streams are bottom-up by definition (no top-down form)
+            if not flip:
+                raise ValueError("top-down RLE BMP is malformed")
+            h = abs(h)
+            idx = _bmp_rle_decode(b[off:], w, h, bpp)[::-1]
+            data = None
+        else:
+            h = abs(h)
+            stride = ((w * bpp + 31) // 32) * 4  # rows pad to 4 bytes
+            data = np.frombuffer(b, np.uint8, count=stride * h, offset=off)
+            data = data.reshape(h, stride)
+            if flip:
+                data = data[::-1]
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        if comp == 3:
+            # channel masks: inside the header from V2-info (≥52 bytes)
+            # on; a plain 40-byte BITMAPINFOHEADER carries them as
+            # three DWORDs immediately after
+            mask_at = 14 + 40 if hdr_size >= 52 else 14 + hdr_size
+            if len(b) < mask_at + 12:
+                raise ValueError("BI_BITFIELDS masks truncated")
+            masks = struct.unpack("<III", b[mask_at : mask_at + 12])
+            if bpp == 16:
+                lo = data[:, : w * 2 : 2].astype(np.uint32)
+                hi = data[:, 1 : w * 2 : 2].astype(np.uint32)
+                v = lo | (hi << 8)
+            else:
+                v = (
+                    data[:, : w * 4]
+                    .reshape(h, w, 4)
+                    .astype(np.uint32)
+                )
+                v = v[..., 0] | (v[..., 1] << 8) | (v[..., 2] << 16) | (
+                    v[..., 3] << 24
+                )
+            return np.stack(
+                [_expand_masked(v, m) for m in masks], axis=2
+            )
         if bpp == 24:
             return data[:, : w * 3].reshape(h, w, 3)[..., ::-1].copy()
         if bpp == 32:  # stored BGRX; the X byte is padding under BI_RGB
@@ -426,7 +663,6 @@ def decode_rgb_bytes(b: bytes):
                 axis=2,
             )
         # paletted (1/4/8 bpp): BGRX palette follows the info header
-        hdr_size = struct.unpack("<I", b[14:18])[0]
         if hdr_size < 40:
             raise NotImplementedError(
                 "STUB: BMP core-header palette (3-byte entries)"
@@ -442,7 +678,9 @@ def decode_rgb_bytes(b: bytes):
         pal = np.frombuffer(
             b, np.uint8, count=n_pal * 4, offset=14 + hdr_size
         ).reshape(n_pal, 4)[:, 2::-1]
-        if bpp == 8:
+        if comp in (1, 2):
+            pass  # idx already decoded from the RLE stream
+        elif bpp == 8:
             idx = data[:, :w]
         elif bpp == 4:
             nib = np.repeat(data, 2, axis=1)

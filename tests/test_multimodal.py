@@ -179,10 +179,109 @@ def test_bmp_depths_32_16_paletted():
         decode_rgb_bytes(
             _bmp_container(1, 1, 8, [bytes([2, 0, 0, 0])], pal2, n_used=2)
         )
-    # RLE8 stays a codec stub
+    # an embedded codec (BI_JPEG) stays a stub
     with pytest.raises(NotImplementedError):
         bad = bytearray(_bmp_container(1, 1, 8, [bytes(4)], pal2))
-        bad[30:34] = struct.pack("<I", 1)  # BI_RLE8
+        bad[30:34] = struct.pack("<I", 4)  # BI_JPEG
+        decode_rgb_bytes(bytes(bad))
+
+
+def test_bmp_rle_and_bitfields():
+    """BI_RLE8/BI_RLE4 and BI_BITFIELDS decode natively: fixture
+    round-trips exercise encoded runs, absolute mode, and row ends; a
+    hand stream pins the 00-escapes (delta skip leaves index 0, early
+    EOL zero-fills the row, EOB ends the image); 565/8888/weird masks
+    all extract with bit-replication expansion; malformed streams
+    (row overflow, truncation, top-down RLE, bitfields at 24 bpp)
+    raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import (
+        _bmp_rle_decode,
+        _planted_rgb,
+        decode_rgb_bytes,
+        encode_bmp_bitfields,
+        encode_bmp_rle,
+    )
+
+    rng = np.random.default_rng(7)
+    idx = np.repeat(rng.integers(0, 12, (9, 7)), 5, axis=1).astype(
+        np.uint8
+    )[:, :31]
+    idx[3] = rng.integers(0, 12, 31)  # heterogeneous → absolute mode
+    pal = rng.integers(0, 256, (12, 3)).astype(np.uint8)
+    assert (decode_rgb_bytes(encode_bmp_rle(idx, pal, bpp=8)) == pal[idx]).all()
+    idx4 = (idx % 16).astype(np.uint8)
+    assert (
+        decode_rgb_bytes(encode_bmp_rle(idx4, pal, bpp=4)) == pal[idx4]
+    ).all()
+
+    # hand stream, 4x3 RLE8 in FILE order (row 0 = bottom): encoded
+    # run of 2, delta skip (+1,+1), literal-free EOLs, absolute 3 on
+    # the top row, EOB before the last row ends → zeros fill the rest
+    stream = bytes(
+        [2, 7]              # row0: idx 7,7
+        + [0, 2, 1, 1]      # delta: skip to row1 x=3
+        + [1, 5]            # row1: x=3 → 5
+        + [0, 0]            # EOL → row2
+        + [0, 3, 9, 8, 7, 0]  # absolute 3 (pad byte) on row2
+        + [0, 1]            # EOB
+    )
+    got = _bmp_rle_decode(stream, 4, 3, 8)
+    exp = np.array(
+        [[7, 7, 0, 0], [0, 0, 0, 5], [9, 8, 7, 0]], np.uint8
+    )
+    assert (got == exp).all()
+    with pytest.raises(ValueError):  # run overflows the row
+        _bmp_rle_decode(bytes([200, 1, 0, 1]), 4, 3, 8)
+    with pytest.raises(ValueError):  # absolute run truncated
+        _bmp_rle_decode(bytes([0, 8, 1, 2]), 16, 3, 8)
+    with pytest.raises(ValueError):  # no EOB
+        _bmp_rle_decode(bytes([1, 1]), 4, 3, 8)
+    # top-down RLE is malformed
+    bad = bytearray(encode_bmp_rle(idx, pal, bpp=8))
+    bad[22:26] = struct.pack("<i", -9)
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(bytes(bad))
+
+    rgb = _planted_rgb(13, 5)
+    # 565: quantize-then-replicate, the X1R5G5B5 convention
+    def q(x, wbits):
+        y = (x >> (8 - wbits)).astype(np.uint32) << (8 - wbits)
+        out, s = y.copy(), wbits
+        while s < 8:
+            out |= y >> s
+            s += wbits
+        return out.astype(np.uint8)
+
+    got = decode_rgb_bytes(
+        encode_bmp_bitfields(rgb, (0xF800, 0x07E0, 0x001F), bpp=16)
+    )
+    exp = np.stack(
+        [q(rgb[:, :, 0], 5), q(rgb[:, :, 1], 6), q(rgb[:, :, 2], 5)], 2
+    )
+    assert (got == exp).all()
+    # 32 bpp full-byte masks → lossless; 10-bit masks → lossless top-8
+    for masks in (
+        (0x00FF0000, 0x0000FF00, 0x000000FF),
+        (0x3FF00000, 0x000FFC00, 0x000003FF),
+    ):
+        assert (
+            decode_rgb_bytes(encode_bmp_bitfields(rgb, masks, bpp=32))
+            == rgb
+        ).all()
+    # a zero mask yields a zero channel
+    got = decode_rgb_bytes(
+        encode_bmp_bitfields(rgb, (0xF800, 0, 0x001F), bpp=16)
+    )
+    assert (got[:, :, 1] == 0).all()
+    # bitfields at 24 bpp is malformed
+    bad = bytearray(encode_bmp_bitfields(rgb, (0xF800, 0x07E0, 0x1F)))
+    bad[28:30] = struct.pack("<H", 24)
+    with pytest.raises(ValueError):
         decode_rgb_bytes(bytes(bad))
 
 
