@@ -1969,32 +1969,74 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _y4m_geometry(cs: str, w: int, h: int):
+    """(base, depth, chroma-samples-per-plane) for a Y4M colorspace
+    tag, wide-sample variants included (``C420p10``/``C422p12``/
+    ``C444p10``/… and ``Cmono10``/…: 2-byte little-endian samples).
+    Unknown tags raise NotImplementedError, bad dims ValueError."""
+    import re
+
+    depth, base = 8, cs
+    m = re.fullmatch(r"Cmono(9|10|12|14|16)", cs)
+    if m:
+        base, depth = "Cmono", int(m.group(1))
+    else:
+        m = re.fullmatch(r"(C420|C422|C444)p(9|10|12|14|16)", cs)
+        if m:
+            base, depth = m.group(1), int(m.group(2))
+    if base == "Cmono":
+        chroma = 0
+    elif base == "C444":
+        chroma = w * h
+    elif base in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 needs even dims, got {w}x{h}")
+        chroma = (w // 2) * (h // 2)
+    elif base == "C422":
+        if w % 2:
+            raise ValueError(f"C422 needs even width, got {w}")
+        chroma = (w // 2) * h
+    elif base == "C411":
+        if w % 4:
+            raise ValueError(f"C411 needs width % 4 == 0, got {w}")
+        chroma = (w // 4) * h
+    else:
+        raise NotImplementedError(
+            f"STUB: Y4M colorspace {cs} unsupported; Cmono/C444/C422/"
+            "C420*/C411 at 8 bits and their p9-p16 wide-sample forms "
+            "decode natively"
+        )
+    return base, depth, chroma
+
+
 def encode_y4m(
     y_frames, fps=(25, 1), colorspace: str = "Cmono", interlace: str = "Ip"
 ) -> bytes:
-    """Encode a luma stack (n, h, w) uint8 as a YUV4MPEG2 stream.
-    ``Cmono`` writes Y planes only; ``C444`` writes flat U/V planes
-    (value 128) so full-chroma decode paths stay testable.
-    ``interlace`` stamps the header I-tag — It/Ib streams store the
-    SAME woven frames (yuv4mpeg(5) stores full frames regardless);
-    only the tag changes, which is exactly what the decoder's field
-    split keys on."""
+    """Encode a luma stack (n, h, w) as a YUV4MPEG2 stream. ``Cmono``
+    writes Y planes only; chroma colorspaces write flat U/V planes at
+    mid-scale so every chroma-geometry decode path stays testable.
+    Wide-sample tags (``C444p10``, ``Cmono12``, …) write 2-byte
+    little-endian samples. ``interlace`` stamps the header I-tag —
+    It/Ib streams store the SAME woven frames (yuv4mpeg(5) stores
+    full frames regardless); only the tag changes, which is exactly
+    what the decoder's field split keys on."""
     import numpy as np
 
-    fr = np.asarray(y_frames, np.uint8)
-    n, h, w = fr.shape
+    n, h, w = np.asarray(y_frames).shape
+    base, depth, chroma = _y4m_geometry(colorspace, w, h)
+    dtype = np.uint8 if depth == 8 else "<u2"
+    fr = np.asarray(y_frames).astype(dtype)
     head = (
         f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} {interlace} A1:1 "
         f"{colorspace}\n"
     ).encode()
     out = [head]
-    flat_uv = bytes([128]) * (w * h)
+    flat_uv = np.full(chroma, 1 << (depth - 1), dtype).tobytes()
     for f in range(n):
         out.append(b"FRAME\n")
         out.append(fr[f].tobytes())
-        if colorspace == "C444":
-            out.append(flat_uv)
-            out.append(flat_uv)
+        out.append(flat_uv)
+        out.append(flat_uv)
     return b"".join(out)
 
 
@@ -2007,8 +2049,11 @@ def decode_y4m(b: bytes):
     Supported colorspaces: ``Cmono`` (Y only), ``C444`` (full
     chroma), ``C422`` (half-horizontal chroma), ``C411``
     (quarter-horizontal), ``C420``/``C420jpeg``/``C420mpeg2``/
-    ``C420paldv`` (quarter chroma; even dims enforced). The luma
-    plane is returned;
+    ``C420paldv`` (quarter chroma; even dims enforced), and the
+    wide-sample forms of each chroma geometry plus mono
+    (``C420p10``/``C422p12``/``C444p10``/…/``Cmono10``/…): 2-byte
+    little-endian samples returned as exact uint16, range-checked
+    against the tag's bit depth. The luma plane is returned;
     chroma planes are length-validated and skipped (features operate
     on luma — a color pipeline reads the same offsets).
 
@@ -2051,30 +2096,9 @@ def decode_y4m(b: bytes):
         )
     if interlace != "Ip" and h % 2:
         raise ValueError(f"interlaced Y4M needs even height, got {h}")
-    if cs == "Cmono":
-        chroma = 0
-    elif cs == "C444":
-        chroma = w * h
-    elif cs in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
-        # exact-match, not startswith: C420p10/C420p12 are 16-bit
-        # wide-sample variants whose plane sizes double — stub below
-        if w % 2 or h % 2:
-            raise ValueError(f"C420 needs even dims, got {w}x{h}")
-        chroma = (w // 2) * (h // 2)
-    elif cs == "C422":
-        if w % 2:
-            raise ValueError(f"C422 needs even width, got {w}")
-        chroma = (w // 2) * h
-    elif cs == "C411":
-        if w % 4:
-            raise ValueError(f"C411 needs width % 4 == 0, got {w}")
-        chroma = (w // 4) * h
-    else:
-        raise NotImplementedError(
-            f"STUB: Y4M colorspace {cs} unsupported (>8-bit Cxxxp1y "
-            "needs wide-sample planes); Cmono/C444/C422/C420*/C411 "
-            "decode natively"
-        )
+    _base, depth, chroma = _y4m_geometry(cs, w, h)
+    bps = 1 if depth == 8 else 2
+    dtype = np.uint8 if depth == 8 else np.uint16
     ysize = w * h
     frames = []
     pos = nl + 1
@@ -2083,20 +2107,26 @@ def decode_y4m(b: bytes):
         if fnl < 0 or not b[pos:fnl].startswith(b"FRAME"):
             raise ValueError("Y4M frame marker missing/corrupt")
         pos = fnl + 1
-        if pos + ysize + 2 * chroma > len(b):
+        if pos + (ysize + 2 * chroma) * bps > len(b):
             raise ValueError("truncated Y4M frame payload")
-        woven = np.frombuffer(b, np.uint8, ysize, pos).reshape(h, w)
+        woven = np.frombuffer(
+            b, np.uint8 if bps == 1 else "<u2", ysize, pos
+        ).reshape(h, w)
+        if bps == 2 and int(woven.max(initial=0)) >= 1 << depth:
+            raise ValueError(
+                f"Y4M wide sample exceeds the {depth}-bit range"
+            )
         if interlace == "Ip":
             frames.append(woven)
         else:
             top, bot = woven[0::2], woven[1::2]
             frames.extend((top, bot) if interlace == "It" else (bot, top))
-        pos += ysize + 2 * chroma
+        pos += (ysize + 2 * chroma) * bps
     out_h = h if interlace == "Ip" else h // 2
     if interlace != "Ip":
         fps = (2 * fps[0], fps[1])
     return (
-        np.stack(frames) if frames else np.zeros((0, out_h, w), np.uint8),
+        np.stack(frames) if frames else np.zeros((0, out_h, w), dtype),
         fps,
         cs,
     )

@@ -334,8 +334,9 @@ def test_unsupported_codecs_raise_not_implemented():
     with pytest.raises(ValueError):
         decode_rgb_bytes(sof5.replace(b"\xff\xc5", b"\xff\xc6"))
     # 8-bit paletted BMP decodes natively now — but a container whose
-    # pixel offset leaves NO room for a palette is malformed, and a
-    # real codec (RLE8) stays a stub
+    # pixel offset leaves NO room for a palette is malformed; RLE8
+    # decodes natively too (a zero-filled stream has no end-of-bitmap
+    # → CORRUPT); only an embedded codec (BI_JPEG) stays a stub
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
@@ -346,8 +347,14 @@ def test_unsupported_codecs_raise_not_implemented():
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 1, 0, 0, 0, 0, 0)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_rgb_bytes(rle + b"\0" * 46)
+    bi_jpeg = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 4, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_rgb_bytes(bi_jpeg + b"\0" * 46)
     # PNG with garbage chunks is CORRUPT (the real parser runs), not a stub
     with pytest.raises(ValueError):
         decode_rgb_bytes(bytes.fromhex("89504E470D0A1A0A") + b"\0" * 32)
@@ -1089,8 +1096,46 @@ def test_y4m_422_411_chroma_sizes():
 
     with pytest.raises(ValueError):  # odd width under C422
         decode_y4m(b"YUV4MPEG2 W3 H2 F25:1 Ip C422\n")
-    with pytest.raises(NotImplementedError):  # wide-sample colorspace
-        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 Ip C420p10\n")
+    with pytest.raises(NotImplementedError):  # unknown colorspace tag
+        decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 Ip C420p11\n")
+
+
+def test_y4m_wide_samples():
+    """Wide-sample colorspaces decode to exact uint16: every chroma
+    geometry (Cmono/C444/C422/C420) at 10 and 12 bits round-trips
+    bit-exact through the fixture encoder; a sample beyond the tag's
+    bit depth and a truncated wide frame raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(19)
+    for cs, depth in (
+        ("Cmono10", 10),
+        ("Cmono12", 12),
+        ("C444p10", 10),
+        ("C422p12", 12),
+        ("C420p10", 10),
+    ):
+        fr = rng.integers(0, 1 << depth, (3, 4, 6)).astype(np.uint16)
+        out, fps, got = decode_y4m(encode_y4m(fr, colorspace=cs))
+        assert got == cs and out.dtype == np.uint16
+        assert out.shape == (3, 4, 6) and (out == fr).all()
+    # interlaced wide streams keep the field split + doubled rate
+    out, fps, _ = decode_y4m(
+        encode_y4m(fr, fps=(30, 1), colorspace="C420p10", interlace="It")
+    )
+    assert out.shape == (6, 2, 6) and fps == (60, 1)
+    assert (out[0] == fr[0, 0::2]).all() and (out[1] == fr[0, 1::2]).all()
+    # a sample beyond the tag's range is malformed
+    hot = fr.copy()
+    hot[0, 0, 0] = 1 << 12
+    with pytest.raises(ValueError):
+        decode_y4m(encode_y4m(hot, colorspace="C420p10"))
+    good = encode_y4m(fr, colorspace="C444p10")
+    with pytest.raises(ValueError):  # truncated wide payload
+        decode_y4m(good[:-1])
 
 
 def test_video_frame_features_sample_and_isolate(spark):
