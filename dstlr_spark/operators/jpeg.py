@@ -362,9 +362,9 @@ def decode_jpeg(b: bytes):
             ncomp = seg[5]
             if not h or not w:
                 raise ValueError(f"JPEG dimensions {w}x{h} invalid")
-            if ncomp not in (1, 3, 4):
-                raise NotImplementedError(
-                    f"STUB: JPEG {ncomp}-component color"
+            if ncomp not in (1, 2, 3, 4):
+                raise ValueError(
+                    f"JPEG {ncomp}-component frame outside T.81's 1-4"
                 )
             if len(seg) < 6 + 3 * ncomp:
                 raise ValueError("JPEG SOF component list truncated")
@@ -890,7 +890,7 @@ def _assemble_lossless(frame, planes, pts, prec):
         if hi != hmax:
             a = np.repeat(a, hmax // hi, axis=1)
         out.append(a[:h, :w])
-    if len(out) == 1:
+    if len(out) in (1, 2):  # 2-comp: gray + aux dropped
         return np.repeat(out[0][..., None], 3, axis=2)
     if len(out) == 4:
         return _cmyk_to_rgb(out, mask)
@@ -1069,7 +1069,7 @@ def _decode_lossless_scan(
     dtype = np.uint8 if prec <= 8 else np.uint16
     out = np.array(planes, np.int64)
     out = ((out << pt) & mask).astype(dtype)
-    if nc == 1:
+    if nc in (1, 2):  # 2-comp: gray + aux dropped (color-undefined)
         return np.repeat(out[0][..., None], 3, axis=2)
     if nc == 4:
         return _cmyk_to_rgb(list(out), mask)
@@ -1143,6 +1143,13 @@ def _reconstruct(frame, coefs, qtables, prec=8, transform=None):
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
         out.append(p[:h, :w])
     if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
+        return np.repeat(g[..., None], 3, axis=2)
+    if len(out) == 2:
+        # T.81-legal but color-undefined (even libjpeg calls it
+        # JCS_UNKNOWN): component 0 is treated as luma and the
+        # auxiliary plane dropped — the PNG gray+alpha convention
+        # decode_png already uses
         g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
         return np.repeat(g[..., None], 3, axis=2)
     if len(out) == 4:
@@ -1468,6 +1475,13 @@ def _quantize_blocks(img, quant, subsample, prec=8):
     if gray:
         comps = [(1, 1, 1, 0)]
         planes = [arr - center]
+    elif arr.ndim == 3 and arr.shape[2] == 2:
+        # two full-resolution components stored directly (T.81 allows
+        # 2-component frames; color is undefined, so no transform)
+        if subsample != "444":
+            raise ValueError("2-component JPEG supports 4:4:4 only")
+        comps = [(1, 1, 1, 0), (2, 1, 1, 0)]
+        planes = [arr[..., i] - center for i in range(2)]
     elif arr.ndim == 3 and arr.shape[2] == 4:
         # CMYK/YCCK: four full-resolution components in the STORED
         # domain (the caller pre-applies the YCCK transform) — no

@@ -1830,3 +1830,48 @@ def test_fuzz_hierarchical_dct_lossless_close(
         assert (out == _ycbcr_roundtrip_expected(img)).all()
     else:
         assert (out[..., 0] == img).all()
+
+
+def test_two_component_frames_every_mode():
+    """T.81-legal 2-component frames decode in every mode under the
+    gray+aux-drop convention (component 0 replicates to RGB, the
+    auxiliary plane is dropped — the PNG gray+alpha convention):
+    lossless is EXACT at 8 and 16 bits; sequential DCT decodes
+    bit-identically to the gray twin of component 0; progressive and
+    arithmetic decode bit-identically to the sequential twin. A
+    5-component frame is malformed (ValueError), not a stub."""
+    from dstlr_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+        encode_jpeg_multiscan,
+        encode_jpeg_progressive,
+    )
+    from dstlr_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    rng = np.random.default_rng(5)
+    img2 = rng.integers(0, 256, (17, 13, 2)).astype(np.uint8)
+    exp = np.repeat(img2[..., :1], 3, axis=2)
+    for pred in (1, 4, 7):
+        assert (
+            decode_jpeg(encode_jpeg_lossless(img2, predictor=pred)) == exp
+        ).all()
+    img16 = rng.integers(0, 65536, (9, 11, 2)).astype(np.uint16)
+    got = decode_jpeg(encode_jpeg_lossless(img16, predictor=7))
+    assert got.dtype == np.uint16
+    assert (got == np.repeat(img16[..., :1], 3, axis=2)).all()
+
+    seq = decode_jpeg(encode_jpeg(img2))
+    assert (seq == decode_jpeg(encode_jpeg(img2[:, :, 0]))).all()
+    assert (decode_jpeg(encode_jpeg_progressive(img2)) == seq).all()
+    assert (decode_jpeg(encode_jpeg_arith(img2)) == seq).all()
+    assert (
+        decode_jpeg(encode_jpeg_multiscan(img2, groups=[[1], [2]])) == seq
+    ).all()
+
+    sof = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 2 + 6 + 3 * 5)
+        + struct.pack(">BHHB", 8, 4, 4, 5)
+        + bytes(15)
+    )
+    with pytest.raises(ValueError):
+        decode_jpeg(sof)
