@@ -2199,12 +2199,15 @@ def audio_vad_np(
     Σ s² ≥ ``thresh`` (exact integers), and emit one row per maximal
     voiced segment — (doc_id, seg_idx, start_frame, n_frames, energy).
 
-    Mono only (interleaved multi-channel energy would mix channels);
-    stereo clips raise NotImplementedError — a production pass VADs
-    per channel after de-interleave. Arrow-batched mapInPandas with
-    per-doc isolation (X2): undecodable/unsupported clips and clips
-    with NO voiced frame yield one null-segment row (the doc never
-    vanishes). Map-only: only segment tuples leave the stage."""
+    Multi-channel clips de-interleave and VAD on TOTAL cross-channel
+    frame energy (frame boundaries in per-channel sample positions —
+    a frame is voiced when ANY mix of its channels carries enough
+    energy), which reduces to the plain mono walk at ch=1; a clip
+    whose sample count isn't channel-aligned is malformed. Arrow-
+    batched mapInPandas with per-doc isolation (X2): undecodable/
+    unsupported clips and clips with NO voiced frame yield one
+    null-segment row (the doc never vanishes). Map-only: only segment
+    tuples leave the stage."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -2215,14 +2218,13 @@ def audio_vad_np(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     s, _, ch = decode_wav(bytes(payload))
-                    if ch != 1:
-                        raise NotImplementedError(
-                            "STUB: multi-channel VAD needs per-channel "
-                            "de-interleave; only mono decodes here"
+                    if ch > 1 and s.size % ch:
+                        raise ValueError(
+                            "WAV data not channel-aligned for VAD"
                         )
                     s64 = s.astype(np.int64)
-                    sq = s64 * s64
-                    bounds = np.arange(0, s64.size, frame)
+                    sq = (s64 * s64).reshape(-1, ch).sum(axis=1)
+                    bounds = np.arange(0, sq.size, frame)
                     energy = (
                         np.add.reduceat(sq, bounds)
                         if s64.size

@@ -1796,8 +1796,10 @@ def test_phash_invariant_across_codecs_and_matches_spec(spark):
 
 def test_audio_vad_segments_on_hand_clip(spark):
     """VAD spec pin: a hand clip with known voice/silence layout yields
-    exactly the expected (start_frame, n_frames, energy) segments; an
-    all-silent clip and a stereo clip ride the null-segment row."""
+    exactly the expected (start_frame, n_frames, energy) segments; a
+    stereo clip de-interleaves and VADs on total cross-channel energy
+    with frame boundaries in per-channel positions; an all-silent clip
+    and a channel-misaligned clip ride the null-segment row."""
     import numpy as np
 
     from dstlr_spark.operators.multimodal import audio_vad_np, encode_wav
@@ -1809,11 +1811,27 @@ def test_audio_vad_segments_on_hand_clip(spark):
     s = np.zeros(50, np.int16)
     s[0:10] = 2
     s[25:35] = 3
+    # stereo: L voiced in instants 0-9 (value 1), R in 20-29 (value 3)
+    # → 30 per-channel instants = 3 frames: E = 10·1², silence, 10·3²
+    st = np.zeros((30, 2), np.int16)
+    st[0:10, 0] = 1
+    st[20:30, 1] = 3
+    # ch=2 but 5 samples: not channel-aligned → malformed → null row
+    misaligned = encode_wav(np.ones(6, np.int16), 8000, n_channels=2)
+    misaligned = misaligned[:-2] + b""  # drop one int16 sample
+    misaligned = bytearray(misaligned)
+    import struct as _st
+
+    dat = misaligned.index(b"data")
+    misaligned[dat + 4 : dat + 8] = _st.pack(
+        "<I", _st.unpack("<I", misaligned[dat + 4 : dat + 8])[0] - 2
+    )
     media = spark.createDataFrame(
         [
             ("clip", encode_wav(s, 8000)),
             ("silent", encode_wav(np.zeros(30, np.int16), 8000)),
-            ("stereo", encode_wav(np.ones(20, np.int16), 8000, n_channels=2)),
+            ("stereo", encode_wav(st.reshape(-1), 8000, n_channels=2)),
+            ("misaligned", bytes(misaligned)),
         ],
         "doc_id string, payload binary",
     )
@@ -1823,7 +1841,12 @@ def test_audio_vad_segments_on_hand_clip(spark):
          for r in rows if r.doc_id == "clip"]
     )
     assert segs == [(0, 0, 1, 40), (1, 2, 2, 90)]
-    for d in ("silent", "stereo"):
+    segs = sorted(
+        [(r.seg_idx, r.start_frame, r.n_frames, r.energy)
+         for r in rows if r.doc_id == "stereo"]
+    )
+    assert segs == [(0, 0, 1, 10), (1, 2, 1, 90)]
+    for d in ("silent", "misaligned"):
         null_rows = [r for r in rows if r.doc_id == d]
         assert len(null_rows) == 1 and null_rows[0].seg_idx is None
 
