@@ -90,8 +90,10 @@ def _parse_sofish(seg: bytes, what: str):
     if not h or not w:
         raise ValueError(f"JPEG {what} dimensions {w}x{h} invalid")
     ncomp = seg[5]
-    if ncomp not in (1, 3, 4):
-        raise NotImplementedError(f"STUB: JPEG {ncomp}-component color")
+    if ncomp not in (1, 2, 3, 4):
+        raise ValueError(
+            f"JPEG {ncomp}-component frame outside T.81's 1-4"
+        )
     if len(seg) < 6 + 3 * ncomp:
         raise ValueError(f"JPEG {what} component list truncated")
     comps = []
@@ -434,7 +436,7 @@ def decode_jpeg_hier(b: bytes):
             mask = (1 << prec) - 1
             dtype = np.uint8 if prec <= 8 else np.uint16
             out = (np.array(ref, np.int64) & mask).astype(dtype)
-            if len(ref) == 1:
+            if len(ref) in (1, 2):  # 2-comp: gray + aux dropped
                 return np.repeat(out[0][..., None], 3, axis=2)
             if len(ref) == 4:
                 from dstlr_spark.operators.jpeg import _cmyk_to_rgb

@@ -1875,3 +1875,19 @@ def test_two_component_frames_every_mode():
     )
     with pytest.raises(ValueError):
         decode_jpeg(sof)
+
+
+def test_two_component_hierarchical_exact():
+    """2-component frames inside an Annex-J lossless hierarchy decode
+    exactly under the gray+aux-drop convention, both entropy layers,
+    multi-level pyramids included."""
+    from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+
+    rng = np.random.default_rng(3)
+    img2 = rng.integers(0, 256, (12, 10, 2)).astype(np.uint8)
+    exp = np.repeat(img2[..., :1], 3, axis=2)
+    for levels in (1, 3):
+        assert (decode_jpeg(encode_jpeg_hier(img2, levels=levels)) == exp).all()
+    assert (
+        decode_jpeg(encode_jpeg_hier(img2, levels=2, arith=True)) == exp
+    ).all()
