@@ -2506,10 +2506,11 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Ten-variant twin of :func:`synth_media_bmp`: the SAME planted
-    image per document (dims and pixels are functions of n_chars
-    alone), serialized per (n_chars DIV 7) MOD 10 — DIV 7 first so the
-    codec choice is independent of the (n_chars MOD 7)-derived dims
+    """Twelve-variant twin of :func:`synth_media_bmp`: the SAME
+    planted image per document (dims and pixels are functions of
+    n_chars alone), serialized per (n_chars DIV 7) MOD 12 — DIV 7
+    first so the codec choice is independent of the (n_chars MOD
+    7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
     truecolor PNG (rotating per-row filters 0..4, every unfilter
     path); palettized GIF89a (real LZW, variable-width code growth +
@@ -2522,9 +2523,12 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     LOSSLESS JPEG (SOF3 predictor 4 — exact by construction, the one
     JPEG family whose decode can join a value-equality oracle);
     LOSSLESS-ARITHMETIC JPEG (SOF11 predictor 4 — the same exact
-    prediction walk under the QM coder); and HIERARCHICAL JPEG (Annex
+    prediction walk under the QM coder); HIERARCHICAL JPEG (Annex
     J: DHP + a two-level SOF3/SOF7 lossless pyramid through the
-    normative EXP bilinear expansion — also exact). A decoder is
+    normative EXP bilinear expansion — also exact); BI_RLE8 BMP
+    (palettized run-length stream — all three RLE constructs on real
+    data, exact); and BI_BITFIELDS BMP (32 bpp under full-byte
+    channel masks — exact mask extraction). A decoder is
     correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
@@ -2550,6 +2554,10 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_jpeg_lossless(a, predictor=4),
             lambda a: encode_jpeg_lossless_arith(a, predictor=4),
             lambda a: encode_jpeg_hier(a, levels=2),
+            lambda a: encode_bmp_rle(*palettize_rgb(a)),
+            lambda a: encode_bmp_bitfields(
+                a, (0xFF0000, 0xFF00, 0xFF), bpp=32
+            ),
         )
         for pdf in batches:
             rows = []
@@ -2557,7 +2565,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 10](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 12](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

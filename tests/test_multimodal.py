@@ -1181,14 +1181,14 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The ten-variant gate corpus: every doc decodes to the planted
-    array regardless of codec ((n_chars DIV 7) MOD 10 → BMP / PNG /
-    GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit PNG /
-    lossless JPEG / lossless-arithmetic JPEG / hierarchical JPEG),
-    through the same Spark operator the driver gate runs.
-    n_chars = 7·v + (v MOD 7) hits exactly variant v with v-dependent
-    dims, so the 10-doc corpus covers every encoder, and all four
-    container magics appear."""
+    """The twelve-variant gate corpus: every doc decodes to the
+    planted array regardless of codec ((n_chars DIV 7) MOD 12 → BMP /
+    PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit
+    PNG / lossless JPEG / lossless-arithmetic JPEG / hierarchical
+    JPEG / RLE8 BMP / bitfields BMP), through the same Spark operator
+    the driver gate runs. n_chars = 7·v + (v MOD 7) hits exactly
+    variant v with v-dependent dims, so the 12-doc corpus covers
+    every encoder, and all four container magics appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -1196,7 +1196,7 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         synth_media_mixed,
     )
 
-    chars = {v: 7 * v + v % 7 for v in range(10)}
+    chars = {v: 7 * v + v % 7 for v in range(12)}
     docs = spark.createDataFrame(
         [(str(v), "t" * n, n) for v, n in chars.items()],
         "doc_id string, text string, n_chars int",
@@ -1208,9 +1208,9 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert b"GIF89a" in magics
     assert b"\xff\xd8" in {m[:2] for m in magics}  # JPEG SOI
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 10
+    assert len(rows) == 12
     for v, n in chars.items():
-        assert (n // 7) % 10 == v  # the corpus really covers variant v
+        assert (n // 7) % 12 == v  # the corpus really covers variant v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
         r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]
