@@ -412,6 +412,114 @@ def probe_hier_codecs(spark, n_docs: int) -> None:
         decode_features_np)
 
 
+def probe_tail_codecs(spark, n_docs: int, side: int = 96) -> None:
+    """Final-tail codec throughput (RLE8/bitfields BMP, MS/IMA ADPCM
+    WAV, wide-sample Y4M) beside a same-window 24-bit BMP / PCM-WAV /
+    8-bit-Y4M baseline — synth-in-executor → decode → in-stage reduce
+    (the decode_features_np shape), like probe_codecs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        decode_features_np,
+        video_frame_features_np,
+    )
+
+    def run(label, synth_body, op):
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(synth_body, "doc_id string, payload binary")
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = op(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} clips/s  {total / dt / 1e6:.1f} MB/s"
+        )
+
+    def synth_img(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from dstlr_spark.operators.multimodal import _planted_rgb
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [dict(doc_id=str(i),
+                          payload=enc(_planted_rgb(side + int(i) % 7,
+                                                   side + (int(i) * 3) % 7)))
+                     for i in pdf["id"]]
+                )
+
+        return body
+
+    def synth_wav(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = np.arange(16_000, dtype=np.int64)
+                    s = ((int(i) * 31 + idx * 17) % 4097 - 2048).astype(
+                        np.int16
+                    )
+                    rows.append(dict(doc_id=str(i), payload=enc(s)))
+                yield pd.DataFrame(rows)
+
+        return body
+
+    def synth_y4m(cs):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            from dstlr_spark.operators.multimodal import encode_y4m
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    fs, ys, xs = np.mgrid[0:16, 0:64, 0:64]
+                    fr = ((5 * xs + 3 * ys + 7 * fs + int(i)) % 241)
+                    rows.append(
+                        dict(doc_id=str(i),
+                             payload=encode_y4m(fr, colorspace=cs))
+                    )
+                yield pd.DataFrame(rows)
+
+        return body
+
+    from dstlr_spark.operators.multimodal import (
+        encode_bmp,
+        encode_bmp_bitfields,
+        encode_bmp_rle,
+        encode_wav,
+        encode_wav_ima,
+        encode_wav_ms,
+        palettize_rgb,
+    )
+
+    run("bmp 24-bit → fts  ", synth_img(encode_bmp), decode_features_np)
+    run("bmp RLE8 → fts    ",
+        synth_img(lambda a: encode_bmp_rle(*palettize_rgb(a))),
+        decode_features_np)
+    run("bmp bitfields→fts ",
+        synth_img(lambda a: encode_bmp_bitfields(
+            a, (0xFF0000, 0xFF00, 0xFF), bpp=32)),
+        decode_features_np)
+    run("wav pcm → feats   ", synth_wav(lambda s: encode_wav(s, 16_000)),
+        audio_features_np)
+    run("wav ima-adpcm→fts ", synth_wav(lambda s: encode_wav_ima(s, 16_000)),
+        audio_features_np)
+    run("wav ms-adpcm →fts ", synth_wav(lambda s: encode_wav_ms(s, 16_000)),
+        audio_features_np)
+    run("y4m mono 8b → fts ", synth_y4m("Cmono"), video_frame_features_np)
+    run("y4m mono10 → fts  ", synth_y4m("Cmono10"), video_frame_features_np)
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -429,6 +537,8 @@ def main() -> None:
         probe_codecs(spark, n_docs)
     if only in ("all", "hier"):
         probe_hier_codecs(spark, n_docs)
+    if only in ("all", "tail"):
+        probe_tail_codecs(spark, n_docs, side)
     spark.stop()
 
 
