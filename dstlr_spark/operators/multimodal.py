@@ -591,9 +591,24 @@ def decode_rgb_bytes(b: bytes):
             # struct.error — one bad payload must not kill an Arrow batch
             raise ValueError("truncated BMP header")
         off = struct.unpack("<I", b[10:14])[0]
-        w, h = struct.unpack("<ii", b[18:26])
-        bpp = struct.unpack("<H", b[28:30])[0]
-        comp = struct.unpack("<I", b[30:34])[0]
+        hdr_size = struct.unpack("<I", b[14:18])[0]
+        core = hdr_size == 12
+        if core:
+            # BITMAPCOREHEADER (OS/2 1.x): uint16 dims (always
+            # bottom-up), 3-byte BGR palette entries, no compression
+            # field — always BI_RGB at 1/4/8/24 bpp
+            w, h = struct.unpack("<HH", b[18:22])
+            bpp = struct.unpack("<H", b[24:26])[0]
+            comp = 0
+            if bpp not in (1, 4, 8, 24):
+                raise ValueError(f"BMP core-header bpp {bpp} invalid")
+            w, h = int(w), int(h)
+        else:
+            if hdr_size < 40:
+                raise ValueError(f"BMP header size {hdr_size} unknown")
+            w, h = struct.unpack("<ii", b[18:26])
+            bpp = struct.unpack("<H", b[28:30])[0]
+            comp = struct.unpack("<I", b[30:34])[0]
         if comp not in (0, 1, 2, 3) or bpp not in (1, 4, 8, 16, 24, 32):
             raise NotImplementedError(
                 f"STUB: BMP bpp={bpp} compression={comp} needs an "
@@ -624,7 +639,6 @@ def decode_rgb_bytes(b: bytes):
             data = data.reshape(h, stride)
             if flip:
                 data = data[::-1]
-        hdr_size = struct.unpack("<I", b[14:18])[0]
         if comp == 3:
             # channel masks: inside the header from V2-info (≥52 bytes)
             # on; a plain 40-byte BITMAPINFOHEADER carries them as
@@ -663,21 +677,19 @@ def decode_rgb_bytes(b: bytes):
                 axis=2,
             )
         # paletted (1/4/8 bpp): BGRX palette follows the info header
-        if hdr_size < 40:
-            raise NotImplementedError(
-                "STUB: BMP core-header palette (3-byte entries)"
-            )
-        n_used = struct.unpack("<I", b[46:50])[0]
-        # biClrUsed=0 means "full 2^bpp table", but the table can only
-        # occupy the bytes between the info header and the pixel-data
-        # offset — bound by what the file actually carries
-        avail = (off - 14 - hdr_size) // 4
+        # (3-byte BGR entries under a core header). biClrUsed=0 means
+        # "full 2^bpp table", but the table can only occupy the bytes
+        # between the header and the pixel-data offset — bound by what
+        # the file actually carries
+        entry = 3 if core else 4
+        n_used = 0 if core else struct.unpack("<I", b[46:50])[0]
+        avail = (off - 14 - hdr_size) // entry
         n_pal = min(n_used or (1 << bpp), avail)
         if n_pal <= 0:
             raise ValueError("BMP palette missing")
         pal = np.frombuffer(
-            b, np.uint8, count=n_pal * 4, offset=14 + hdr_size
-        ).reshape(n_pal, 4)[:, 2::-1]
+            b, np.uint8, count=n_pal * entry, offset=14 + hdr_size
+        ).reshape(n_pal, entry)[:, 2::-1]
         if comp in (1, 2):
             pass  # idx already decoded from the RLE stream
         elif bpp == 8:

@@ -1880,3 +1880,51 @@ def test_video_shots_on_hand_clip(spark):
     assert shots == [(0, 0, 3, 120), (1, 3, 2, 320), (2, 5, 1, 360)]
     nulls = [r for r in rows if r.doc_id == "empty"]
     assert len(nulls) == 1 and nulls[0].shot_idx is None
+
+
+def test_bmp_core_header_decodes():
+    """OS/2 BITMAPCOREHEADER (12-byte header, uint16 dims, 3-byte BGR
+    palette entries, always bottom-up BI_RGB) decodes natively at
+    paletted and 24-bit depths; core-header 16 bpp and unknown header
+    sizes are malformed (ValueError)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    pal = [(10, 20, 30), (200, 100, 50), (0, 255, 0)]
+    pal_bytes = b"".join(bytes((bb, g, r)) for r, g, bb in pal)
+    rows = [bytes([2, 0, 1, 0]), bytes([1, 1, 2, 0])]  # bottom-up, pad 4
+    off = 14 + 12 + len(pal_bytes)
+    hdr = (
+        b"BM" + struct.pack("<IHHI", off + 8, 0, 0, off)
+        + struct.pack("<IHHHH", 12, 3, 2, 1, 8)
+    )
+    img = decode_rgb_bytes(hdr + pal_bytes + b"".join(rows))
+    exp = np.array(
+        [[pal[1], pal[1], pal[2]], [pal[2], pal[0], pal[1]]], np.uint8
+    )
+    assert (img == exp).all()
+
+    off = 14 + 12
+    hdr = (
+        b"BM" + struct.pack("<IHHI", off + 8, 0, 0, off)
+        + struct.pack("<IHHHH", 12, 2, 1, 1, 24)
+    )
+    img = decode_rgb_bytes(hdr + bytes([1, 2, 3, 4, 5, 6, 0, 0]))
+    assert (img == np.array([[[3, 2, 1], [6, 5, 4]]], np.uint8)).all()
+
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 40, 0, 0, 26)
+        + struct.pack("<IHHHH", 12, 1, 1, 1, 16)
+    )
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(hdr + bytes(8))
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 60, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 20, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0)
+    )
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(hdr + bytes(8))
