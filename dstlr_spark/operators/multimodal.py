@@ -1432,6 +1432,171 @@ def decode_gif(b: bytes):
     raise ValueError("GIF contains no image frame")
 
 
+def encode_gif_anim(
+    frames, palette, delays=None, disposals=None, rects=None,
+    transparent_idx=None, interlace=False,
+) -> bytes:
+    """Deterministic animated-GIF89a fixture encoder: a list of index
+    arrays (each its own size) + one global (≤256, 3) palette →
+    multi-frame stream with a Graphic Control Extension per frame
+    (disposal method, centisecond delay, optional transparent index)
+    and per-frame image descriptors at ``rects`` offsets (default
+    (0, 0)). The logical screen is sized to cover every frame rect;
+    the background color index is 0."""
+    import numpy as np
+
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    rects = rects or [(0, 0)] * len(frames)
+    delays = delays or [4] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    sw = max(l + f.shape[1] for f, (l, _t) in zip(frames, rects))
+    sh = max(t + f.shape[0] for f, (_l, t) in zip(frames, rects))
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0xF7, 0, 0)  # 256-entry GCT
+    out += pal.tobytes()
+    for f, (left, top), delay, disp in zip(frames, rects, delays, disposals):
+        flags = (disp & 7) << 2
+        tidx = 0
+        if transparent_idx is not None:
+            flags |= 1
+            tidx = transparent_idx
+        out += bytes([0x21, 0xF9, 4, flags]) + struct.pack("<H", delay)
+        out += bytes([tidx, 0])
+        h, w = f.shape
+        iflags = 0x40 if interlace else 0
+        out += bytes([0x2C]) + struct.pack("<HHHHB", left, top, w, h, iflags)
+        rows = f[_gif_interlace_rows(h)] if interlace else f
+        out += bytes([8])  # LZW minimum code size
+        data = _lzw_encode(rows.reshape(-1), 8)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes):
+    """REAL animated-GIF decode → (frame stack (n, H, W, 3) uint8,
+    centisecond delays list) with GIF89a compositing semantics over
+    the LOGICAL SCREEN: the canvas initializes to the background
+    color (GCT entry of header byte 11; zeros without a GCT), each
+    image descriptor draws its rect at (left, top) — skipping
+    transparent pixels when the preceding Graphic Control Extension
+    flags a transparent index, so underlying content shows through —
+    and after each emitted frame the GCE disposal method applies
+    (0/1 leave, 2 restore the rect to background, 3 restore the rect
+    to its pre-draw content). Local palettes and interlaced frames
+    ride the same machinery as :func:`decode_gif`, which keeps its
+    raw-first-frame contract. A frame rect outside the logical
+    screen or a truncated GCE raises ValueError."""
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    if len(b) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", b[6:10])
+    if not sw or not sh:
+        raise ValueError(f"GIF logical screen {sw}x{sh} invalid")
+    flags, bg_idx = b[10], b[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    bg = (
+        gct[bg_idx].copy()
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg
+    frames, delays = [], []
+    gce = None  # (disposal, transparent_idx-or-None, delay)
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension
+            if pos + 2 > len(b):
+                raise ValueError("truncated GIF extension")
+            label = b[pos + 1]
+            if label == 0xF9:
+                if pos + 7 > len(b) or b[pos + 2] != 4:
+                    raise ValueError("GIF graphic control block malformed")
+                gflags = b[pos + 3]
+                delay = struct.unpack("<H", b[pos + 4 : pos + 6])[0]
+                tidx = b[pos + 6] if gflags & 1 else None
+                gce = ((gflags >> 2) & 7, tidx, delay)
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(b):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", b[pos + 1 : pos + 10]
+            )
+            if not w or not h:
+                raise ValueError(f"GIF dimensions {w}x{h} invalid")
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame rect outside the logical screen")
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            if pos >= len(b):
+                raise ValueError("GIF truncated before LZW code size")
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode(bytes(lzw), min_code, w * h)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF index beyond palette")
+            idx = idx.reshape(h, w)
+            if iflags & 0x40:
+                inv = np.empty(h, np.int64)
+                inv[_gif_interlace_rows(h)] = np.arange(h)
+                idx = idx[inv]
+            disposal, tidx, delay = gce or (0, None, 0)
+            region = canvas[top : top + h, left : left + w]
+            prev = region.copy() if disposal == 3 else None
+            rgb = pal[idx]
+            if tidx is not None:
+                mask = idx != tidx
+                region[mask] = rgb[mask]
+            else:
+                region[:] = rgb
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:
+                region[:] = bg
+            elif disposal == 3:
+                region[:] = prev
+            gce = None
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return np.stack(frames), delays
+
+
 # --------------------------------------------------------------------------
 # REAL audio decode — PCM WAV is a byte layout, not a codec (round 5)
 # --------------------------------------------------------------------------

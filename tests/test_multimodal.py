@@ -1928,3 +1928,87 @@ def test_bmp_core_header_decodes():
     )
     with pytest.raises(ValueError):
         decode_rgb_bytes(hdr + bytes(8))
+
+
+def test_gif_animation_compositing():
+    """Animated GIF: the full GIF89a frame walk — per-frame GCE
+    delays, sub-rect drawing onto the logical screen, transparent
+    pixels showing underlying content, disposal 2 (restore rect to
+    background) and 3 (restore to previous), local-palette machinery
+    shared with the single-frame path, interlaced frames — pinned
+    against hand-computed composites; decode_gif keeps its
+    raw-first-frame contract; a frame rect outside the logical screen
+    raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.multimodal import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_anim,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+
+    fr = [rng.integers(0, 8, (5, 7)).astype(np.uint8) for _ in range(3)]
+    b = encode_gif_anim(fr, pal, delays=[10, 20, 30])
+    frames, delays = decode_gif_frames(b)
+    assert frames.shape == (3, 5, 7, 3) and delays == [10, 20, 30]
+    for i in range(3):
+        assert (frames[i] == pal[fr[i]]).all()
+    assert (decode_gif(b) == pal[fr[0]]).all()
+
+    base = rng.integers(1, 8, (6, 6)).astype(np.uint8)
+    sub = rng.integers(0, 8, (2, 3)).astype(np.uint8)
+    sub[0, 1] = 0  # transparent under tidx=0
+    sub2 = rng.integers(1, 8, (1, 2)).astype(np.uint8)
+    b = encode_gif_anim(
+        [base, sub, sub2], pal,
+        rects=[(0, 0), (2, 3), (0, 0)],
+        disposals=[0, 2, 3],
+        transparent_idx=0,
+    )
+    frames, _ = decode_gif_frames(b)
+    c0 = pal[base].copy()
+    assert (frames[0] == c0).all()
+    c1 = c0.copy()
+    m = sub != 0
+    c1[3:5, 2:5][m] = pal[sub][m]
+    assert (frames[1] == c1).all()
+    c2 = c0.copy()
+    c2[3:5, 2:5] = pal[0]  # disposal 2: background restore
+    c2[0:1, 0:2] = pal[sub2]
+    assert (frames[2] == c2).all()
+
+    # disposal 3: the third frame must see frame-2's rect UNDONE
+    b = encode_gif_anim(
+        [base, sub, sub2], pal,
+        rects=[(0, 0), (2, 3), (0, 0)],
+        disposals=[0, 3, 0],
+        transparent_idx=0,
+    )
+    frames, _ = decode_gif_frames(b)
+    c2 = c0.copy()  # sub's rect restored to pre-draw content
+    c2[0:1, 0:2] = pal[sub2]
+    assert (frames[2] == c2).all()
+
+    # interlaced frames ride the same compositor
+    b = encode_gif_anim(fr, pal, interlace=True)
+    frames, _ = decode_gif_frames(b)
+    for i in range(3):
+        assert (frames[i] == pal[fr[i]]).all()
+
+    # shrink the logical screen under a frame rect → ValueError
+    b = bytearray(encode_gif_anim([base], pal))
+    b[6:8] = struct.pack("<H", 4)  # screen narrower than the frame
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(b))
+    # truncated GCE is malformed
+    b = bytearray(encode_gif_anim([base], pal))
+    gce_at = b.index(bytes([0x21, 0xF9]))
+    b[gce_at + 2] = 3  # wrong block size
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(b))
