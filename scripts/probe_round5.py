@@ -442,6 +442,10 @@ def probe_tail_codecs(spark, n_docs: int, side: int = 96) -> None:
             f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
             f"{dt:.2f}s  {n_docs / dt:,.0f} clips/s  {total / dt / 1e6:.1f} MB/s"
         )
+        # checkpointed payloads accumulate across runs (GBs here) —
+        # dropping them keeps each row's measurement free of the
+        # predecessors' memory pressure
+        media.unpersist(True)
 
     def synth_img(enc):
         def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
