@@ -1142,13 +1142,10 @@ def _reconstruct(frame, coefs, qtables, prec=8, transform=None):
         if ch_ != hmax or cv != vmax:
             p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch_, axis=1)
         out.append(p[:h, :w])
-    if len(out) == 1:
-        g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
-        return np.repeat(g[..., None], 3, axis=2)
-    if len(out) == 2:
-        # T.81-legal but color-undefined (even libjpeg calls it
-        # JCS_UNKNOWN): component 0 is treated as luma and the
-        # auxiliary plane dropped — the PNG gray+alpha convention
+    if len(out) in (1, 2):
+        # 2-comp is T.81-legal but color-undefined (even libjpeg
+        # calls it JCS_UNKNOWN): component 0 is treated as luma and
+        # the auxiliary plane dropped — the PNG gray+alpha convention
         # decode_png already uses
         g = np.clip(np.round(out[0]), 0, maxv).astype(dtype)
         return np.repeat(g[..., None], 3, axis=2)

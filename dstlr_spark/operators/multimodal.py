@@ -1361,30 +1361,50 @@ def encode_gif(indices, palette, interlace=False) -> bytes:
     return head + gct + desc + bytes(blocks) + b";"
 
 
-def decode_gif(b: bytes):
-    """REAL GIF decode → (h, w, 3) uint8 RGB, pure Python LZW +
-    NumPy palette mapping: logical screen descriptor, global/local
-    color tables, extension-block skipping, sub-block reassembly,
-    variable-width LZW with clear/EOI and table growth to 12 bits,
-    and 4-pass interlace row reordering when the descriptor flags it.
-    First image frame only (animation = repeated frames of the same
-    machinery). A malformed stream raises ValueError."""
+def _gif_header(b: bytes):
+    """Shared GIF front half: magic + logical-screen descriptor +
+    global color table. Returns (screen_w, screen_h, bg_index,
+    gct-or-None, offset of the first block)."""
     import numpy as np
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     if len(b) < 13:
         raise ValueError("truncated GIF header")
-    flags = b[10]
+    sw, sh = struct.unpack("<HH", b[6:10])
+    flags, bg_idx = b[10], b[11]
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    return sw, sh, bg_idx, gct, pos
+
+
+def _gif_frames_iter(b: bytes, pos: int, gct):
+    """Shared GIF frame walk: yields one (left, top, idx (h, w)
+    de-interlaced, palette, gce) tuple per image descriptor — gce is
+    the preceding Graphic Control Extension's (disposal,
+    transparent_idx-or-None, delay) or None. Handles extension
+    skipping, local color tables, LZW sub-block reassembly, and the
+    palette bound check; both the single-frame and the animated
+    decoder layer on this. A malformed stream raises ValueError."""
+    import numpy as np
+
+    gce = None
     while pos < len(b):
         block = b[pos]
         if block == 0x21:  # extension: label + sub-blocks
+            if pos + 2 > len(b):
+                raise ValueError("truncated GIF extension")
+            if b[pos + 1] == 0xF9:  # graphic control
+                if pos + 7 > len(b) or b[pos + 2] != 4:
+                    raise ValueError("GIF graphic control block malformed")
+                gflags = b[pos + 3]
+                delay = struct.unpack("<H", b[pos + 4 : pos + 6])[0]
+                tidx = b[pos + 6] if gflags & 1 else None
+                gce = ((gflags >> 2) & 7, tidx, delay)
             pos += 2
             while pos < len(b) and b[pos]:
                 pos += 1 + b[pos]
@@ -1392,7 +1412,9 @@ def decode_gif(b: bytes):
         elif block == 0x2C:  # image descriptor
             if pos + 10 > len(b):
                 raise ValueError("truncated GIF image descriptor")
-            _, _, w, h, iflags = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", b[pos + 1 : pos + 10]
+            )
             if not w or not h:
                 raise ValueError(f"GIF dimensions {w}x{h} invalid")
             pos += 10
@@ -1414,21 +1436,35 @@ def decode_gif(b: bytes):
                 ln = b[pos]
                 lzw += b[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx = _lzw_decode(bytes(lzw), min_code, w * h)
             if idx.max(initial=0) >= len(pal):
                 raise ValueError("GIF index beyond palette")
-            rgb = pal[idx].reshape(h, w, 3)
+            idx = idx.reshape(h, w)
             if iflags & 0x40:  # de-interlace: invert the emission order
-                import numpy as np
-
                 inv = np.empty(h, np.int64)
                 inv[_gif_interlace_rows(h)] = np.arange(h)
-                rgb = rgb[inv]
-            return rgb.copy()
+                idx = idx[inv]
+            yield left, top, idx, pal, gce
+            gce = None
         elif block == 0x3B:  # trailer
-            break
+            return
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+
+
+def decode_gif(b: bytes):
+    """REAL GIF decode → (h, w, 3) uint8 RGB, pure Python LZW +
+    NumPy palette mapping: logical screen descriptor, global/local
+    color tables, extension-block skipping, sub-block reassembly,
+    variable-width LZW with clear/EOI and table growth to 12 bits,
+    and 4-pass interlace row reordering when the descriptor flags it.
+    First image frame only, RAW at the frame's own dims (the
+    animated compositor is :func:`decode_gif_frames`, layered on the
+    same walk). A malformed stream raises ValueError."""
+    _sw, _sh, _bg, gct, pos = _gif_header(b)
+    for _left, _top, idx, pal, _gce in _gif_frames_iter(b, pos, gct):
+        return pal[idx].copy()
     raise ValueError("GIF contains no image frame")
 
 
@@ -1451,6 +1487,10 @@ def encode_gif_anim(
     rects = rects or [(0, 0)] * len(frames)
     delays = delays or [4] * len(frames)
     disposals = disposals or [0] * len(frames)
+    if not len(rects) == len(delays) == len(disposals) == len(frames):
+        # zip would silently drop trailing frames otherwise — a
+        # fixture that quietly tests fewer frames than intended
+        raise ValueError("rects/delays/disposals must match frame count")
     sw = max(l + f.shape[1] for f, (l, _t) in zip(frames, rects))
     sh = max(t + f.shape[0] for f, (_l, t) in zip(frames, rects))
     pal = np.zeros((256, 3), np.uint8)
@@ -1490,26 +1530,16 @@ def decode_gif_frames(b: bytes):
     flags a transparent index, so underlying content shows through —
     and after each emitted frame the GCE disposal method applies
     (0/1 leave, 2 restore the rect to background, 3 restore the rect
-    to its pre-draw content). Local palettes and interlaced frames
-    ride the same machinery as :func:`decode_gif`, which keeps its
-    raw-first-frame contract. A frame rect outside the logical
-    screen or a truncated GCE raises ValueError."""
+    to its pre-draw content). Local palettes, interlaced frames, and
+    the block walk itself are SHARED with :func:`decode_gif`
+    (:func:`_gif_frames_iter`), which keeps its raw-first-frame
+    contract. A frame rect outside the logical screen or a truncated
+    GCE raises ValueError."""
     import numpy as np
 
-    if b[:6] not in (b"GIF87a", b"GIF89a"):
-        raise ValueError("not a GIF stream")
-    if len(b) < 13:
-        raise ValueError("truncated GIF header")
-    sw, sh = struct.unpack("<HH", b[6:10])
+    sw, sh, bg_idx, gct, pos = _gif_header(b)
     if not sw or not sh:
         raise ValueError(f"GIF logical screen {sw}x{sh} invalid")
-    flags, bg_idx = b[10], b[11]
-    pos = 13
-    gct = None
-    if flags & 0x80:
-        n = 2 << (flags & 7)
-        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
-        pos += n * 3
     bg = (
         gct[bg_idx].copy()
         if gct is not None and bg_idx < len(gct)
@@ -1518,80 +1548,25 @@ def decode_gif_frames(b: bytes):
     canvas = np.empty((sh, sw, 3), np.uint8)
     canvas[:] = bg
     frames, delays = [], []
-    gce = None  # (disposal, transparent_idx-or-None, delay)
-    while pos < len(b):
-        block = b[pos]
-        if block == 0x21:  # extension
-            if pos + 2 > len(b):
-                raise ValueError("truncated GIF extension")
-            label = b[pos + 1]
-            if label == 0xF9:
-                if pos + 7 > len(b) or b[pos + 2] != 4:
-                    raise ValueError("GIF graphic control block malformed")
-                gflags = b[pos + 3]
-                delay = struct.unpack("<H", b[pos + 4 : pos + 6])[0]
-                tidx = b[pos + 6] if gflags & 1 else None
-                gce = ((gflags >> 2) & 7, tidx, delay)
-            pos += 2
-            while pos < len(b) and b[pos]:
-                pos += 1 + b[pos]
-            pos += 1
-        elif block == 0x2C:  # image descriptor
-            if pos + 10 > len(b):
-                raise ValueError("truncated GIF image descriptor")
-            left, top, w, h, iflags = struct.unpack(
-                "<HHHHB", b[pos + 1 : pos + 10]
-            )
-            if not w or not h:
-                raise ValueError(f"GIF dimensions {w}x{h} invalid")
-            if left + w > sw or top + h > sh:
-                raise ValueError("GIF frame rect outside the logical screen")
-            pos += 10
-            pal = gct
-            if iflags & 0x80:
-                n = 2 << (iflags & 7)
-                pal = np.frombuffer(b, np.uint8, n * 3, pos).reshape(n, 3)
-                pos += n * 3
-            if pal is None:
-                raise ValueError("GIF frame has no color table")
-            if pos >= len(b):
-                raise ValueError("GIF truncated before LZW code size")
-            min_code = b[pos]
-            pos += 1
-            lzw = bytearray()
-            while pos < len(b) and b[pos]:
-                ln = b[pos]
-                lzw += b[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1  # block terminator
-            idx = _lzw_decode(bytes(lzw), min_code, w * h)
-            if idx.max(initial=0) >= len(pal):
-                raise ValueError("GIF index beyond palette")
-            idx = idx.reshape(h, w)
-            if iflags & 0x40:
-                inv = np.empty(h, np.int64)
-                inv[_gif_interlace_rows(h)] = np.arange(h)
-                idx = idx[inv]
-            disposal, tidx, delay = gce or (0, None, 0)
-            region = canvas[top : top + h, left : left + w]
-            prev = region.copy() if disposal == 3 else None
-            rgb = pal[idx]
-            if tidx is not None:
-                mask = idx != tidx
-                region[mask] = rgb[mask]
-            else:
-                region[:] = rgb
-            frames.append(canvas.copy())
-            delays.append(delay)
-            if disposal == 2:
-                region[:] = bg
-            elif disposal == 3:
-                region[:] = prev
-            gce = None
-        elif block == 0x3B:
-            break
+    for left, top, idx, pal, gce in _gif_frames_iter(b, pos, gct):
+        h, w = idx.shape
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside the logical screen")
+        disposal, tidx, delay = gce or (0, None, 0)
+        region = canvas[top : top + h, left : left + w]
+        prev = region.copy() if disposal == 3 else None
+        rgb = pal[idx]
+        if tidx is not None:
+            mask = idx != tidx
+            region[mask] = rgb[mask]
         else:
-            raise ValueError(f"unknown GIF block 0x{block:02x}")
+            region[:] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            region[:] = bg
+        elif disposal == 3:
+            region[:] = prev
     if not frames:
         raise ValueError("GIF contains no image frame")
     return np.stack(frames), delays
@@ -1671,6 +1646,14 @@ _MS_COEFS = [
 ]
 
 
+def _div256_trunc(x):
+    """Signed C ``/ 256``: truncation toward zero (NOT ``>> 8``,
+    which floors — off by 1 on negative non-multiples)."""
+    import numpy as np
+
+    return np.where(x >= 0, x >> 8, -((-x) >> 8))
+
+
 def _ima_adpcm_decode(data, n_channels, block_align, n_samples=None):
     """Vectorized IMA-ADPCM (WAV tag 0x11) decode → interleaved int16.
 
@@ -1738,9 +1721,11 @@ def _ms_adpcm_decode(data, n_channels, block_align, coefs, n_samples=None):
     initial-delta / sample1 / sample2 per channel, then 4-bit codes
     HIGH nibble first, channel-interleaved per nibble. sample2 and
     sample1 are the block's first two output samples. Vectorized
-    across blocks; the arithmetic (``>> 8`` on signed predictors,
-    delta floor 16) follows the WAVE spec's reference C exactly —
-    NumPy's int64 ``>>`` is arithmetic, matching."""
+    across blocks; the arithmetic follows the WAVE spec's reference C
+    exactly — ``/ 256`` there is SIGNED C division, i.e. truncation
+    toward zero, NOT an arithmetic shift (they differ by 1 on
+    negative non-multiples, and the error would feed the s1/s2
+    history), hence :func:`_div256_trunc`; delta floor 16."""
     import numpy as np
 
     ch, ba = n_channels, block_align
@@ -1774,9 +1759,11 @@ def _ms_adpcm_decode(data, n_channels, block_align, coefs, n_samples=None):
     for t in range(nch.shape[1]):
         n = nch[:, t, :].astype(np.int64)
         signed = np.where(n >= 8, n - 16, n)
-        pred = np.clip(((s1 * c1 + s2 * c2) >> 8) + signed * delta, -32768, 32767)
+        pred = np.clip(
+            _div256_trunc(s1 * c1 + s2 * c2) + signed * delta, -32768, 32767
+        )
         s2, s1 = s1, pred
-        delta = np.maximum((adapt[n] * delta) >> 8, 16)
+        delta = np.maximum(_div256_trunc(adapt[n] * delta), 16)
         out[:, t + 2, :] = pred
     flat = out.reshape(-1)
     if n_samples is not None:
@@ -1819,8 +1806,10 @@ def decode_wav(b: bytes):
             data = chunk
         elif tag == b"fact" and ln >= 4:
             # dwSampleLength: frames per channel actually encoded —
-            # trims the final ADPCM block's padding samples
-            fact = struct.unpack("<I", chunk[:4])[0]
+            # trims the final ADPCM block's padding samples. A zero
+            # here is a streaming-encoder placeholder ("backfill
+            # later"), not "no samples" — treat it as absent
+            fact = struct.unpack("<I", chunk[:4])[0] or None
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -1831,7 +1820,8 @@ def decode_wav(b: bytes):
         # every duration/per-channel reducer downstream, escaping the
         # (NotImplementedError, ValueError) per-doc isolation
         raise ValueError(f"WAV rate={rate} channels={n_channels} invalid")
-    if audio_format == 0xFFFE:
+    extensible = audio_format == 0xFFFE
+    if extensible:
         # WAVE_FORMAT_EXTENSIBLE: the real tag is the first word of
         # the SubFormat GUID (fmt = 16 base + cbSize + 2 valid-bits +
         # 4 channel-mask + 16 GUID)
@@ -1873,10 +1863,13 @@ def decode_wav(b: bytes):
         )
     elif audio_format == 2 and bits == 4:  # MS ADPCM
         # fmt extension: cbSize, wSamplesPerBlock, wNumCoef, then
-        # (coef1, coef2) int16 pairs; an extensible-wrapped or
-        # extension-less fmt falls back to the seven standard pairs
+        # (coef1, coef2) int16 pairs. An EXTENSIBLE-wrapped fmt has a
+        # different extension layout (valid-bits/channel-mask/GUID,
+        # no coef table) — misreading it as the tag-2 layout would
+        # decode with garbage coefficients, so extensible falls back
+        # to the seven standard pairs, like an extension-less fmt
         coefs = _MS_COEFS
-        if fmt_chunk is not None and len(fmt_chunk) >= 22:
+        if not extensible and fmt_chunk is not None and len(fmt_chunk) >= 22:
             n_coef = struct.unpack("<H", fmt_chunk[20:22])[0]
             if 0 < n_coef and len(fmt_chunk) >= 22 + 4 * n_coef:
                 coefs = [
@@ -2020,16 +2013,20 @@ def encode_wav_ms(samples, sample_rate: int, n_channels: int = 1,
             for c in range(ch):
                 hdr += struct.pack("<h", part[c])
         nibs = []
+
+        def trunc256(x: int) -> int:  # signed C /256, like the decoder
+            return x >> 8 if x >= 0 else -((-x) >> 8)
+
         for t in range(2, spb):
             for c in range(ch):
-                predicted = (s1[c] * c1 + s2[c] * c2) >> 8
+                predicted = trunc256(s1[c] * c1 + s2[c] * c2)
                 err = int(pad[t, c]) - predicted
                 half = delta[c] >> 1
                 n = (err + half if err >= 0 else err - half) // delta[c]
                 n = max(-8, min(7, n))
                 recon = max(-32768, min(32767, predicted + n * delta[c]))
                 s2[c], s1[c] = s1[c], recon
-                delta[c] = max(16, (_MS_ADAPT[n & 0xF] * delta[c]) >> 8)
+                delta[c] = max(16, trunc256(_MS_ADAPT[n & 0xF] * delta[c]))
                 nibs.append(n & 0xF)
         body = bytes(nibs[i] << 4 | nibs[i + 1] for i in range(0, len(nibs), 2))
         blocks.append(hdr + body)

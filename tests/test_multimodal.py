@@ -826,11 +826,15 @@ def _ima_ref(data, ch, ba):
 
 def _ms_ref(data, ch, ba, coefs):
     """Scalar MS-ADPCM reference decoder — the WAVE spec's reference
-    C arithmetic transliterated (arithmetic >> 8, delta floor 16,
-    high nibble first, channel-interleaved per nibble)."""
+    C arithmetic transliterated (signed C /256 = truncation toward
+    zero, delta floor 16, high nibble first, channel-interleaved per
+    nibble)."""
     import struct as st
 
     from dstlr_spark.operators.multimodal import _MS_ADAPT
+
+    def t256(x):
+        return x >> 8 if x >= 0 else -((-x) >> 8)
 
     out = []
     for bo in range(0, len(data), ba):
@@ -848,10 +852,10 @@ def _ms_ref(data, ch, ba, coefs):
                 c = k % ch
                 k += 1
                 signed = n - 16 if n >= 8 else n
-                pred = ((s1[c] * c1[c] + s2[c] * c2[c]) >> 8) + signed * delta[c]
+                pred = t256(s1[c] * c1[c] + s2[c] * c2[c]) + signed * delta[c]
                 pred = max(-32768, min(32767, pred))
                 s2[c], s1[c] = s1[c], pred
-                delta[c] = max(16, (_MS_ADAPT[n] * delta[c]) >> 8)
+                delta[c] = max(16, t256(_MS_ADAPT[n] * delta[c]))
                 chans[c].append(pred)
         for t in range(len(chans[0])):
             for c in range(ch):
@@ -2012,3 +2016,63 @@ def test_gif_animation_compositing():
     b[gce_at + 2] = 3  # wrong block size
     with pytest.raises(ValueError):
         decode_gif_frames(bytes(b))
+
+
+def test_wav_adpcm_review_regressions():
+    """Round-5 review pins: (1) an EXTENSIBLE-wrapped MS-ADPCM fmt
+    must NOT be parsed with the tag-2 extension layout (its
+    valid-bits/channel-mask bytes would read as a garbage coefficient
+    table) — it falls back to the seven standard pairs and decodes
+    identically to the native-tag container; (2) a fact chunk of 0 is
+    a streaming placeholder, not "zero samples" — the decode keeps
+    every block; (3) the MS predictor uses signed C /256 (truncation
+    toward zero), pinned on a negative-sum state where floor (>> 8)
+    would be off by one."""
+    import struct
+
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        _MS_COEFS,
+        _ms_adpcm_decode,
+        decode_wav,
+        encode_wav_ima,
+        encode_wav_ms,
+    )
+
+    t = np.arange(500)
+    sig = (2000 * np.sin(t / 9.0)).astype(np.int16)
+    native = encode_wav_ms(sig, 8000)
+    want, _, _ = decode_wav(native)
+    dat = native.index(b"data")
+    data = native[dat + 8 : dat + 8 + struct.unpack(
+        "<I", native[dat + 4 : dat + 8])[0]]
+    guid = (
+        struct.pack("<H", 2) + b"\x00\x00"
+        + bytes.fromhex("000010008000" + "00aa00389b71")
+    )
+    ba = 39  # encode_wav_ms mono default block align
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * ba // 66, ba, 4)
+        + struct.pack("<HHI", 22, 4, 0x4) + guid
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, sig.size)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    chunks += b"\x00" if len(data) & 1 else b""
+    ext = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    got, rate, ch = decode_wav(ext)
+    assert (rate, ch) == (8000, 1) and (got == want).all()
+
+    # fact = 0 → no trim (full blocks), not an empty clip
+    b = bytearray(encode_wav_ima(sig, 8000))
+    fa = b.index(b"fact")
+    b[fa + 8 : fa + 12] = struct.pack("<I", 0)
+    s, _, _ = decode_wav(bytes(b))
+    assert s.size >= sig.size and s.size % 57 == 0  # whole 57-sample blocks
+
+    # trunc-toward-zero predictor pin: pidx=3 → (192, 64), s1=-1,
+    # s2=0, delta=16, nibbles (0,0): trunc(-192/256)=0; floor → -1
+    blk = bytes([3]) + struct.pack("<hhh", 16, -1, 0) + bytes([0])
+    got = _ms_adpcm_decode(blk, 1, 8, _MS_COEFS)
+    assert list(got) == [0, -1, 0, 0]
