@@ -2306,9 +2306,38 @@ def decode_y4m(b: bytes):
     )
 
 
+def decode_video_luma(b: bytes):
+    """Container-dispatched video decode → luma frame stack
+    (n, h, w): YUV4MPEG2 streams return their Y planes
+    (:func:`decode_y4m` — uint8, or exact uint16 for wide-sample
+    tags); animated GIFs composite through :func:`decode_gif_frames`
+    and reduce to integer ITU-R BT.601 luma
+    ((299·R + 587·G + 114·B) DIV 1000 — exact, oracle-able). Both
+    video operators dispatch through this, so a GIF animation rides
+    the same sampling/shot machinery as a Y4M clip."""
+    import numpy as np
+
+    if b[:9] == b"YUV4MPEG2":
+        return decode_y4m(b)[0]
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        rgb, _delays = decode_gif_frames(b)
+        r64 = rgb.astype(np.int64)
+        return (
+            (299 * r64[..., 0] + 587 * r64[..., 1] + 114 * r64[..., 2])
+            // 1000
+        ).astype(np.uint8)
+    raise NotImplementedError(
+        "STUB: unrecognized video container — Y4M and animated GIF "
+        "decode natively; other codecs (H.26x, VP9, AV1) need a "
+        "video library this container doesn't ship"
+    )
+
+
 def video_frame_features_np(media: DataFrame, every_n: int = 2) -> DataFrame:
-    """REAL frame sampling + per-frame features: decode the Y4M
-    payload and emit one row per SAMPLED frame (indices 0, k, 2k, …) —
+    """REAL frame sampling + per-frame features: decode the video
+    payload (Y4M luma planes, or animated-GIF composites reduced to
+    BT.601 luma — :func:`decode_video_luma`) and emit one row per
+    SAMPLED frame (indices 0, k, 2k, …) —
     (doc_id, frame_idx, width, height, y_sum, y_min, y_max), all exact
     integers. This replaces the byte-stride stand-in with a real GOP
     reader shape: decode happens in-stage, only per-frame reductions
@@ -2321,13 +2350,13 @@ def video_frame_features_np(media: DataFrame, every_n: int = 2) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    fr, _, _ = decode_y4m(bytes(payload))
+                    fr = decode_video_luma(bytes(payload))
                     if not fr.shape[0]:
                         # header-only stream: no frames to sample. Route
                         # to the null-feature row so the doc still emits
                         # exactly one row (per-doc contract) instead of
                         # silently vanishing from the output
-                        raise ValueError("empty Y4M stream: zero frames")
+                        raise ValueError("empty video stream: zero frames")
                     for idx in range(0, fr.shape[0], every_n):
                         y = fr[idx].astype(np.int64)
                         rows.append(
@@ -2538,9 +2567,9 @@ def video_shots_np(media: DataFrame, thresh: int = SHOT_DIFF_MIN) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    fr, _, _ = decode_y4m(bytes(payload))
+                    fr = decode_video_luma(bytes(payload))
                     if not fr.shape[0]:
-                        raise ValueError("empty Y4M stream: zero frames")
+                        raise ValueError("empty video stream: zero frames")
                     y = fr.astype(np.int64)
                     deltas = np.abs(np.diff(y, axis=0)).sum(axis=(1, 2))
                     # frame 0 always opens shot 0

@@ -2076,3 +2076,51 @@ def test_wav_adpcm_review_regressions():
     blk = bytes([3]) + struct.pack("<hhh", 16, -1, 0) + bytes([0])
     got = _ms_adpcm_decode(blk, 1, 8, _MS_COEFS)
     assert list(got) == [0, -1, 0, 0]
+
+
+def test_video_operators_accept_animated_gif(spark):
+    """The video operators dispatch on container magic: an animated
+    GIF rides the same frame-sampling and shot machinery as Y4M, its
+    composited frames reduced to exact integer BT.601 luma — stats
+    recomputed independently in the test; an H.26x-looking payload
+    stays a per-doc null row."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_anim,
+        video_frame_features_np,
+        video_shots_np,
+    )
+
+    rng = np.random.default_rng(29)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    fr = [rng.integers(0, 8, (4, 5)).astype(np.uint8) for _ in range(5)]
+    payload = encode_gif_anim(fr, pal)
+    rgb, _ = decode_gif_frames(payload)
+    luma = (
+        299 * rgb[..., 0].astype(np.int64)
+        + 587 * rgb[..., 1].astype(np.int64)
+        + 114 * rgb[..., 2].astype(np.int64)
+    ) // 1000
+    media = spark.createDataFrame(
+        [("anim", payload), ("h264", b"\x00\x00\x00\x01\x67" + bytes(32))],
+        "doc_id string, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in video_frame_features_np(media, every_n=2).collect()
+    }
+    for idx in (0, 2, 4):
+        r = rows[("anim", idx)]
+        assert (r.width, r.height) == (5, 4)
+        assert r.y_sum == int(luma[idx].sum())
+        assert r.y_min == int(luma[idx].min())
+        assert r.y_max == int(luma[idx].max())
+    assert rows[("h264", None)].y_sum is None
+    shot_rows = [
+        r for r in video_shots_np(media, thresh=1).collect()
+        if r.doc_id == "anim"
+    ]
+    assert sum(r.n_frames for r in shot_rows) == 5
+    assert sum(r.y_sum for r in shot_rows) == int(luma.sum())
