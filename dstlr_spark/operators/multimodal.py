@@ -340,6 +340,24 @@ def encode_bmp(rgb) -> bytes:
     return header + pix
 
 
+def encode_bmp_embedded(blob: bytes, w: int, h: int, comp: int) -> bytes:
+    """Wrap ONE complete JPEG (``comp=4``, BI_JPEG) or PNG (``comp=5``,
+    BI_PNG) stream in a BMP container per the BITMAPINFOHEADER spec:
+    biBitCount 0, biCompression 4/5, biSizeImage = stream length, and
+    header dims that must agree with the embedded image (the decoder
+    cross-checks them)."""
+    if comp not in (4, 5):
+        raise ValueError("embedded BMP wraps BI_JPEG (4) or BI_PNG (5)")
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 14 + 40 + len(blob), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 0, comp, len(blob), 2835, 2835, 0, 0
+        )
+    )
+    return header + blob
+
+
 def _bmp_rle_decode(stream: bytes, w: int, h: int, bpp: int):
     """BI_RLE8/BI_RLE4 decompression → (h, w) uint8 index array in
     FILE order (bottom-up; caller flips). Encoded runs, absolute mode
@@ -609,11 +627,42 @@ def decode_rgb_bytes(b: bytes):
             w, h = struct.unpack("<ii", b[18:26])
             bpp = struct.unpack("<H", b[28:30])[0]
             comp = struct.unpack("<I", b[30:34])[0]
+        if comp in (4, 5):
+            # BI_JPEG / BI_PNG: the pixel-data area carries ONE complete
+            # embedded JPEG/PNG stream (biSizeImage = its byte length;
+            # biBitCount is 0 by spec and the stream is authoritative, so
+            # it is ignored here). Top-down (negative-height) DIBs are
+            # only legal under BI_RGB/BI_BITFIELDS — the embedded stream
+            # defines its own scan order.
+            if h < 0:
+                raise ValueError("top-down BMP is malformed under BI_JPEG/BI_PNG")
+            if len(b) < 38:
+                raise ValueError("truncated BMP header (no biSizeImage)")
+            size_img = struct.unpack("<I", b[34:38])[0]
+            end = off + size_img if size_img else len(b)
+            blob = bytes(b[off:end])
+            ok = (
+                blob[:2] == b"\xff\xd8"
+                if comp == 4
+                else blob[:8] == bytes.fromhex(PNG_MAGIC)
+            )
+            if not ok:
+                raise ValueError(
+                    "BMP embedded stream magic does not match the "
+                    f"BI_{'JPEG' if comp == 4 else 'PNG'} tag"
+                )
+            inner = decode_rgb_bytes(blob)  # depth-1: magic check above
+            if inner.shape[0] != h or inner.shape[1] != w:
+                raise ValueError(
+                    f"BMP header says {w}x{h} but the embedded stream "
+                    f"decodes {inner.shape[1]}x{inner.shape[0]}"
+                )
+            return inner
         if comp not in (0, 1, 2, 3) or bpp not in (1, 4, 8, 16, 24, 32):
             raise NotImplementedError(
-                f"STUB: BMP bpp={bpp} compression={comp} needs an "
-                "embedded codec (BI_JPEG/BI_PNG); BI_RGB, BI_RLE8/4, "
-                "and BI_BITFIELDS decode natively"
+                f"STUB: BMP bpp={bpp} compression={comp} is outside the "
+                "format (BI_RGB, BI_RLE8/4, BI_BITFIELDS, and embedded "
+                "BI_JPEG/BI_PNG all decode natively)"
             )
         if (comp == 1 and bpp != 8) or (comp == 2 and bpp != 4):
             raise ValueError(f"BMP RLE compression {comp} needs bpp 8/4")
@@ -2709,9 +2758,9 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Twelve-variant twin of :func:`synth_media_bmp`: the SAME
+    """Fourteen-variant twin of :func:`synth_media_bmp`: the SAME
     planted image per document (dims and pixels are functions of
-    n_chars alone), serialized per (n_chars DIV 7) MOD 12 — DIV 7
+    n_chars alone), serialized per (n_chars DIV 7) MOD 14 — DIV 7
     first so the codec choice is independent of the (n_chars MOD
     7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
@@ -2730,9 +2779,12 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     J: DHP + a two-level SOF3/SOF7 lossless pyramid through the
     normative EXP bilinear expansion — also exact); BI_RLE8 BMP
     (palettized run-length stream — all three RLE constructs on real
-    data, exact); and BI_BITFIELDS BMP (32 bpp under full-byte
-    channel masks — exact mask extraction). A decoder is
-    correct iff
+    data, exact); BI_BITFIELDS BMP (32 bpp under full-byte
+    channel masks — exact mask extraction); BI_PNG BMP (a complete
+    truecolor PNG stream embedded in the BMP pixel-data area, header
+    dims cross-checked against the stream — exact); and BI_JPEG BMP
+    (an embedded SOF3 lossless JPEG stream, predictor 4 — exact). A
+    decoder is correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -2761,6 +2813,15 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_bmp_bitfields(
                 a, (0xFF0000, 0xFF00, 0xFF), bpp=32
             ),
+            lambda a: encode_bmp_embedded(
+                encode_png(a), a.shape[1], a.shape[0], 5
+            ),
+            lambda a: encode_bmp_embedded(
+                encode_jpeg_lossless(a, predictor=4),
+                a.shape[1],
+                a.shape[0],
+                4,
+            ),
         )
         for pdf in batches:
             rows = []
@@ -2768,7 +2829,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 12](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 14](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

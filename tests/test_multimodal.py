@@ -179,11 +179,73 @@ def test_bmp_depths_32_16_paletted():
         decode_rgb_bytes(
             _bmp_container(1, 1, 8, [bytes([2, 0, 0, 0])], pal2, n_used=2)
         )
-    # an embedded codec (BI_JPEG) stays a stub
-    with pytest.raises(NotImplementedError):
+    # a BI_JPEG tag whose pixel area is NOT a JPEG stream is malformed
+    # (ValueError, isolatable), not a stub — embedded codecs decode
+    with pytest.raises(ValueError):
         bad = bytearray(_bmp_container(1, 1, 8, [bytes(4)], pal2))
         bad[30:34] = struct.pack("<I", 4)  # BI_JPEG
         decode_rgb_bytes(bytes(bad))
+    # an unknown compression tag stays a loud stub
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(_bmp_container(1, 1, 8, [bytes(4)], pal2))
+        bad[30:34] = struct.pack("<I", 6)  # BI_ALPHABITFIELDS (CE only)
+        decode_rgb_bytes(bytes(bad))
+
+
+def test_bmp_embedded_jpeg_png():
+    """BI_JPEG/BI_PNG decode natively by delegating to the package's
+    own JPEG/PNG codecs: the pixel-data area carries one complete
+    embedded stream (biBitCount 0, biSizeImage = stream length), and
+    the header dims must agree with what the stream decodes. Planted
+    round-trips are exact for BI_PNG (truecolor + 16-bit) and BI_JPEG
+    (SOF3 lossless); trailing bytes after biSizeImage are ignored;
+    magic/tag mismatch, dim disagreement, top-down height, and a
+    truncated embedded stream all raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.multimodal import (
+        _planted_rgb,
+        decode_rgb_bytes,
+        encode_bmp_embedded,
+        encode_png,
+    )
+
+    rgb = _planted_rgb(6, 4)
+    png = encode_png(rgb)
+    jpg = encode_jpeg_lossless(rgb, predictor=4)
+    assert (decode_rgb_bytes(encode_bmp_embedded(png, 6, 4, 5)) == rgb).all()
+    assert (decode_rgb_bytes(encode_bmp_embedded(jpg, 6, 4, 4)) == rgb).all()
+    # 16-bit embedded PNG keeps the uint16 contract through the wrapper
+    png16 = encode_png(rgb.astype(np.uint16))
+    out = decode_rgb_bytes(encode_bmp_embedded(png16, 6, 4, 5))
+    assert out.dtype == np.uint16 and (out == rgb).all()
+    # trailing junk after biSizeImage is outside the stream → ignored
+    assert (
+        decode_rgb_bytes(encode_bmp_embedded(png, 6, 4, 5) + b"\xab" * 9)
+        == rgb
+    ).all()
+    # PNG stream under the BI_JPEG tag (and vice versa) is malformed
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(encode_bmp_embedded(png, 6, 4, 4))
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(encode_bmp_embedded(jpg, 6, 4, 5))
+    # header dims must match the embedded stream
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(encode_bmp_embedded(png, 4, 6, 5))
+    # top-down DIBs are only legal under BI_RGB/BI_BITFIELDS
+    bad = bytearray(encode_bmp_embedded(png, 6, 4, 5))
+    bad[22:26] = struct.pack("<i", -4)
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(bytes(bad))
+    # a truncated embedded stream dies as ValueError, not a codec crash
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(encode_bmp_embedded(png[: len(png) // 2], 6, 4, 5))
+    with pytest.raises(ValueError):
+        decode_rgb_bytes(encode_bmp_embedded(jpg[: len(jpg) // 2], 6, 4, 4))
 
 
 def test_bmp_rle_and_bitfields():
@@ -336,7 +398,8 @@ def test_unsupported_codecs_raise_not_implemented():
     # 8-bit paletted BMP decodes natively now — but a container whose
     # pixel offset leaves NO room for a palette is malformed; RLE8
     # decodes natively too (a zero-filled stream has no end-of-bitmap
-    # → CORRUPT); only an embedded codec (BI_JPEG) stays a stub
+    # → CORRUPT); an embedded codec (BI_JPEG) decodes natively —
+    # a zero-filled pixel area fails its magic check (CORRUPT)
     hdr = (
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 0, 0, 0, 0, 0)
@@ -353,7 +416,7 @@ def test_unsupported_codecs_raise_not_implemented():
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
         + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 4, 0, 0, 0, 0, 0)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_rgb_bytes(bi_jpeg + b"\0" * 46)
     # PNG with garbage chunks is CORRUPT (the real parser runs), not a stub
     with pytest.raises(ValueError):
@@ -1185,14 +1248,15 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The twelve-variant gate corpus: every doc decodes to the
-    planted array regardless of codec ((n_chars DIV 7) MOD 12 → BMP /
+    """The fourteen-variant gate corpus: every doc decodes to the
+    planted array regardless of codec ((n_chars DIV 7) MOD 14 → BMP /
     PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit
     PNG / lossless JPEG / lossless-arithmetic JPEG / hierarchical
-    JPEG / RLE8 BMP / bitfields BMP), through the same Spark operator
-    the driver gate runs. n_chars = 7·v + (v MOD 7) hits exactly
-    variant v with v-dependent dims, so the 12-doc corpus covers
-    every encoder, and all four container magics appear."""
+    JPEG / RLE8 BMP / bitfields BMP / BI_PNG BMP / BI_JPEG BMP),
+    through the same Spark operator the driver gate runs.
+    n_chars = 7·v + (v MOD 7) hits exactly variant v with v-dependent
+    dims, so the 14-doc corpus covers every encoder, and all four
+    container magics appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -1200,7 +1264,7 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         synth_media_mixed,
     )
 
-    chars = {v: 7 * v + v % 7 for v in range(12)}
+    chars = {v: 7 * v + v % 7 for v in range(14)}
     docs = spark.createDataFrame(
         [(str(v), "t" * n, n) for v, n in chars.items()],
         "doc_id string, text string, n_chars int",
@@ -1212,9 +1276,9 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert b"GIF89a" in magics
     assert b"\xff\xd8" in {m[:2] for m in magics}  # JPEG SOI
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 12
+    assert len(rows) == 14
     for v, n in chars.items():
-        assert (n // 7) % 12 == v  # the corpus really covers variant v
+        assert (n // 7) % 14 == v  # the corpus really covers variant v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
         r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]
@@ -1554,6 +1618,18 @@ def test_decoder_exception_contract_under_corruption():
         "y4m_422": (decode_y4m,
                     b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C422\n"
                     + 2 * (b"FRAME\n" + bytes(4 * 2 + 2 * 2 * 2))),
+    })
+    # embedded-codec BMP wrappers (BI_PNG / BI_JPEG) ride the contract
+    # too: corruption may land in the BMP header, the size field, or
+    # anywhere inside the delegated stream
+    from dstlr_spark.operators.multimodal import encode_bmp_embedded
+
+    streams.update({
+        "bmp_epng": (decode_rgb_bytes,
+                     encode_bmp_embedded(encode_png(rgb), 9, 7, 5)),
+        "bmp_ejpg": (decode_rgb_bytes,
+                     encode_bmp_embedded(
+                         encode_jpeg_lossless(rgb), 9, 7, 4)),
     })
 
     def check(dec, payload, ctx):
