@@ -125,3 +125,81 @@ def test_canonical_triples_er_apply_invariants(spark):
         assert r["subj"] != r["obj"]
         assert r["subj"] in reps and r["obj"] in reps
         assert 1 <= r["n_docs"] <= r["n_triples"]
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Equivalence property for the canonicalization core: on seeded
+    random graphs across the shapes that break naive propagation —
+    sparse forests, denser near-cliques, many singleton components,
+    self-loops, duplicate and reversed-duplicate edges — the Spark
+    pointer-doubling operator must produce exactly the label a
+    sequential union-find oracle derives (component = lexicographic
+    min member, the operator's documented contract)."""
+    import random
+
+    def oracle(n, edges):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for v in range(n):
+            comp.setdefault(find(v), []).append(v)
+        out = {}
+        for members in comp.values():
+            lab = min(f"v{m:03d}" for m in members)
+            for m in members:
+                out[f"v{m:03d}"] = lab
+        return out
+
+    for seed, n, m in [(1, 12, 6), (2, 30, 25), (3, 40, 70), (4, 25, 12), (5, 50, 50)]:
+        rng = random.Random(seed)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges += [(v, v) for v in (0, n - 1)]           # self-loops
+        edges += [(b, a) for a, b in edges[: m // 3]]   # reversed dups
+        edges += edges[: m // 4]                        # exact dups
+        df = spark.createDataFrame(
+            [(f"v{a:03d}", f"v{b:03d}") for a, b in edges],
+            "src string, dst string",
+        )
+        verts = spark.createDataFrame(
+            [(f"v{i:03d}",) for i in range(n)], "id string"
+        )
+        got = _cc_map(connected_components(df, verts))
+        assert got == oracle(n, edges), f"seed {seed}"
+
+
+def test_cc_partitioning_invariance(spark):
+    """The operator's result must be a pure function of the edge SET —
+    identical labels whether the edges arrive in 1 partition or 16,
+    shuffled or sorted (at 1000 executors the physical layout is
+    arbitrary; any layout sensitivity here silently corrupts every
+    canonical id downstream)."""
+    import random
+
+    rng = random.Random(9)
+    edges = [
+        (f"v{rng.randrange(60):03d}", f"v{rng.randrange(60):03d}")
+        for _ in range(80)
+    ]
+    base = None
+    for nparts, order in [(1, False), (4, True), (16, True)]:
+        rows = list(edges)
+        if order:
+            rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "src string, dst string").repartition(
+            nparts
+        )
+        got = _cc_map(connected_components(df))
+        if base is None:
+            base = got
+        else:
+            assert got == base, f"labels differ at {nparts} partitions"

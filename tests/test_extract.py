@@ -267,3 +267,40 @@ def test_mapinarrow_fused_bag_parity(spark):
         extract_bag_fused(docs, gaz, ali, COOCCUR_WINDOW, 10_000, impl="arrow")
     )
     assert a == b and len(a) > 0
+
+
+def test_fused_extraction_partitioning_invariance(spark):
+    """North-rule determinism at unit scale: the fused extraction bag
+    must be a pure function of the document SET — row-identical whether
+    the corpus arrives in 1 partition or 8, sorted or shuffled (the
+    scaling harness asserts equal triple COUNTS across core counts;
+    this pins full row equality, so N- and 4N-executor runs are
+    bit-comparable)."""
+    from dstlr_spark.operators.assembly import assemble_documents
+    from dstlr_spark.operators.extract import extract_bag_fused
+    from dstlr_spark.queries.doc_kg import COOCCUR_WINDOW, _aliases, _gazetteer
+    from dstlr_spark.sources.transcripts import derive_transcripts
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .selectExpr("CAST(doc_id AS STRING) AS doc_id", "text")
+        .limit(120)
+    )
+    gaz, ali = _gazetteer(spark), _aliases(spark)
+
+    def rows(docs_df):
+        bag = extract_bag_fused(
+            assemble_documents(derive_transcripts(docs_df)),
+            gaz, ali, COOCCUR_WINDOW, 10_000,
+        )
+        return sorted(
+            (r["doc"], r["subjectType"], r["subjectValue"], r["relation"],
+             r["objectType"], r["objectValue"],
+             tuple(r["meta"]) if r["meta"] is not None else None)
+            for r in bag.collect()
+        )
+
+    a = rows(base.coalesce(1))
+    b = rows(base.repartition(8))
+    c = rows(base.orderBy(F.desc("doc_id")).repartition(3, "doc_id"))
+    assert a == b == c and len(a) > 0
