@@ -2095,6 +2095,28 @@ def encode_wav_ms(samples, sample_rate: int, n_channels: int = 1,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def decode_audio(b: bytes):
+    """Container-dispatched audio decode → (interleaved samples,
+    sample_rate, n_channels): RIFF/WAVE streams via
+    :func:`decode_wav` (PCM / float / G.711 / MS+IMA ADPCM /
+    EXTENSIBLE), FLAC via :func:`dstlr_spark.operators.flac.
+    decode_flac` (lossless predictive decode — integer-exact, so it
+    sits under the same planted-value oracles). Both audio operators
+    dispatch through this, so a FLAC clip rides the identical
+    feature/VAD machinery as a WAV."""
+    if b[:4] == b"RIFF":
+        return decode_wav(b)
+    if b[:4] == b"fLaC":
+        from dstlr_spark.operators.flac import decode_flac
+
+        return decode_flac(b)
+    raise NotImplementedError(
+        "STUB: unrecognized audio container — RIFF/WAVE and FLAC "
+        "decode natively; transform codecs (MP3/AAC/WMA) need an "
+        "audio library this container doesn't ship"
+    )
+
+
 def audio_features_np(media: DataFrame) -> DataFrame:
     """REAL audio feature extraction: (doc_id, payload) → per-clip
     (n_samples, n_channels, sample_rate, duration_us, sumsq, peak,
@@ -2111,7 +2133,7 @@ def audio_features_np(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    s, rate, ch = decode_wav(bytes(payload))
+                    s, rate, ch = decode_audio(bytes(payload))
                     s64 = s.astype(np.int64)
                     rows.append(
                         dict(
@@ -2156,14 +2178,28 @@ WAV_BASE_RATE = 8000
 
 def synth_media_wav(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, n_chars) → (doc_id, payload binary):
-    a REAL mono 16-bit PCM WAV per document with planted samples
-    (count = n_chars % 50 + 10, rate = 8000 + (n_chars % 2)·8000).
-    Deterministic in n_chars only — same oracle contract as
-    :func:`synth_media_bmp`. Same F1/F2 null guard."""
+    the SAME planted mono 16-bit clip per document (count = n_chars %
+    50 + 10, rate = 8000 + (n_chars % 2)·8000, samples from
+    :data:`WAV_MOD`'s formula), serialized per (n_chars DIV 2) MOD 3 —
+    PCM WAV; FLAC with fixed-order-2 prediction + Rice residuals; or
+    FLAC verbatim subframes (DIV 2 first so the container choice is
+    independent of the MOD-2-derived rate). The features oracle is
+    container-BLIND (it derives everything from n_chars), so all
+    three codec paths must reproduce identical decoded samples — the
+    same lockstep-free gate growth the image corpus uses for
+    BI_JPEG/BI_PNG. Deterministic in n_chars only — same oracle
+    contract as :func:`synth_media_bmp`. Same F1/F2 null guard."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from dstlr_spark.operators.flac import encode_flac
+
+        encoders = (
+            lambda s, r: encode_wav(s, r),
+            lambda s, r: encode_flac(s, r, subframe="fixed2", blocksize=32),
+            lambda s, r: encode_flac(s, r, subframe="verbatim", blocksize=32),
+        )
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -2173,7 +2209,10 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
                 i = np.arange(count, dtype=np.int64)
                 samples = ((n * 31 + i * 17) % WAV_MOD - 2048).astype(np.int16)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encode_wav(samples, rate))
+                    dict(
+                        doc_id=doc_id,
+                        payload=encoders[(n // 2) % 3](samples, rate),
+                    )
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
@@ -2469,10 +2508,10 @@ def audio_vad_np(
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    s, _, ch = decode_wav(bytes(payload))
+                    s, _, ch = decode_audio(bytes(payload))
                     if ch > 1 and s.size % ch:
                         raise ValueError(
-                            "WAV data not channel-aligned for VAD"
+                            "audio data not channel-aligned for VAD"
                         )
                     s64 = s.astype(np.int64)
                     sq = (s64 * s64).reshape(-1, ch).sum(axis=1)

@@ -524,6 +524,62 @@ def probe_tail_codecs(spark, n_docs: int, side: int = 96) -> None:
     run("y4m mono10 → fts  ", synth_y4m("Cmono10"), video_frame_features_np)
 
 
+def probe_flac(spark, n_docs: int) -> None:
+    """FLAC decode throughput (closing session) beside the same-window
+    PCM baseline — 1 s @ 16 kHz clips, production-shaped 4096-sample
+    blocks, fixed-order-2 + Rice vs verbatim subframes; the same
+    synth-in-executor → decode → in-stage-reduce shape as the codec
+    tables in BENCH/BASELINE.md."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        encode_wav,
+    )
+
+    def run(label, enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = np.arange(16_000, dtype=np.int64)
+                    s = ((int(i) * 31 + idx * 17) % 4097 - 2048).astype(
+                        np.int64
+                    )
+                    rows.append(dict(doc_id=str(i), payload=enc(s)))
+                yield pd.DataFrame(rows)
+
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(body, "doc_id string, payload binary")
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = audio_features_np(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} clips/s  {total / dt / 1e6:.1f} MB/s"
+        )
+        media.unpersist(True)
+
+    from dstlr_spark.operators.flac import encode_flac
+
+    run("wav pcm → feats   ",
+        lambda s: encode_wav(s.astype("int16"), 16_000))
+    run("flac fixed2 → fts ",
+        lambda s: encode_flac(s, 16_000, subframe="fixed2", blocksize=4096))
+    run("flac verbatim→fts ",
+        lambda s: encode_flac(s, 16_000, subframe="verbatim",
+                              blocksize=4096))
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -543,6 +599,8 @@ def main() -> None:
         probe_hier_codecs(spark, n_docs)
     if only in ("all", "tail"):
         probe_tail_codecs(spark, n_docs, side)
+    if only in ("all", "flac"):
+        probe_flac(spark, n_docs)
     spark.stop()
 
 

@@ -1631,6 +1631,16 @@ def test_decoder_exception_contract_under_corruption():
                      encode_bmp_embedded(
                          encode_jpeg_lossless(rgb), 9, 7, 4)),
     })
+    # FLAC rides the audio dispatch (tests/test_flac.py fuzzes the
+    # codec interior; this pins the decode_audio routing layer)
+    from dstlr_spark.operators.flac import encode_flac
+    from dstlr_spark.operators.multimodal import decode_audio
+
+    streams.update({
+        "flac": (decode_audio, encode_flac(
+            nprng.integers(-2000, 2000, 96), 8000, subframe="fixed2",
+            blocksize=64)),
+    })
 
     def check(dec, payload, ctx):
         try:
