@@ -795,10 +795,14 @@ def decode_rgb_bytes(b: bytes):
         from dstlr_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF — strips/PackBits/LZW
+        from dstlr_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(b)
     raise NotImplementedError(
-        "STUB: unrecognized image container — BMP/PPM/PNG/GIF/JPEG "
-        "decode natively via decode_rgb_bytes; other codecs need an "
-        "imaging library this container doesn't ship"
+        "STUB: unrecognized image container — BMP/PPM/PNG/GIF/JPEG/"
+        "TIFF decode natively via decode_rgb_bytes; other codecs need "
+        "an imaging library this container doesn't ship"
     )
 
 
@@ -2797,9 +2801,9 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Fourteen-variant twin of :func:`synth_media_bmp`: the SAME
+    """Sixteen-variant twin of :func:`synth_media_bmp`: the SAME
     planted image per document (dims and pixels are functions of
-    n_chars alone), serialized per (n_chars DIV 7) MOD 14 — DIV 7
+    n_chars alone), serialized per (n_chars DIV 7) MOD 16 — DIV 7
     first so the codec choice is independent of the (n_chars MOD
     7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
@@ -2821,9 +2825,12 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     data, exact); BI_BITFIELDS BMP (32 bpp under full-byte
     channel masks — exact mask extraction); BI_PNG BMP (a complete
     truecolor PNG stream embedded in the BMP pixel-data area, header
-    dims cross-checked against the stream — exact); and BI_JPEG BMP
-    (an embedded SOF3 lossless JPEG stream, predictor 4 — exact). A
-    decoder is correct iff
+    dims cross-checked against the stream — exact); BI_JPEG BMP
+    (an embedded SOF3 lossless JPEG stream, predictor 4 — exact);
+    little-endian TIFF (LZW with the spec's early-change width rule +
+    the horizontal-differencing predictor, multi-strip — exact); and
+    big-endian TIFF (uncompressed chunky strips, MM byte order —
+    exact). A decoder is correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -2836,6 +2843,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             encode_jpeg_lossless_arith,
         )
         from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+        from dstlr_spark.operators.tiff import encode_tiff
 
         encoders = (
             encode_bmp,
@@ -2861,6 +2869,10 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 a.shape[0],
                 4,
             ),
+            lambda a: encode_tiff(
+                a, compression=5, predictor=2, rows_per_strip=3
+            ),
+            lambda a: encode_tiff(a, byte_order=">"),
         )
         for pdf in batches:
             rows = []
@@ -2868,7 +2880,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 14](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 16](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

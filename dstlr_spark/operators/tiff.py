@@ -1,0 +1,500 @@
+"""TIFF decode/encode — pure Python/NumPy, zero dependencies.
+
+Baseline TIFF 6.0: both byte orders (``II``/``MM``), first-IFD image,
+chunky strips with RowsPerStrip assembly, Compression 1 (none),
+32773 (PackBits RLE) and 5 (TIFF-LZW — MSB-first codes with the
+spec's EARLY-CHANGE width switch, which is exactly one code earlier
+than GIF's), Predictor 2 (horizontal differencing, per-component
+modulo add), and the four photometrics that need no color science:
+WhiteIsZero / BlackIsZero gray (1/4/8/16 bits), RGB (8/16 bits,
+SamplesPerPixel 3, or 4 with the extra sample dropped — the same
+aux-drop convention the PNG decoder uses for gray+alpha), and
+Palette (ColorMap's 16-bit planes scaled ``>> 8``). All integer-
+exact, so TIFF joins the planted-pixel oracle gates beside
+BMP/PNG/GIF/lossless-JPEG. Returns (h, w, 3) uint8 (uint16 for
+16-bit samples) like :func:`dstlr_spark.operators.multimodal.
+decode_rgb_bytes`, which dispatches ``II*``/``MM*`` magic here.
+
+Out of scope (loud stubs): planar configuration 2, tiled images,
+CCITT/JPEG-in-TIFF compression, floating-point samples — each is
+either a layout rarely produced by scan/export pipelines or a codec
+family with its own module already.
+
+Encoder (:func:`encode_tiff`) is the deterministic fixture side —
+real PackBits and real LZW (early change included) so decode paths
+are pinned by round-trips, plus hand-stream tests for the conventions
+an encoder of our own could mask.
+
+Contract: malformed input raises ValueError; unsupported-but-real
+layouts raise NotImplementedError; never struct.error/IndexError
+(the Arrow per-doc isolation wrappers catch exactly those two).
+
+Reference semantics: TIFF 6.0 spec §§ 7 (strips), 9 (PackBits),
+13 (LZW), 14 (differencing predictor).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    pos, n = 0, len(data)
+    while pos < n and len(out) < expect:
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal run of h+1 bytes
+            lit = data[pos : pos + h + 1]
+            if len(lit) != h + 1:
+                raise ValueError("truncated PackBits literal")
+            out += lit
+            pos += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if pos >= n:
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - h)
+            pos += 1
+        # h == 128: no-op per spec
+    if len(out) < expect:
+        raise ValueError("PackBits strip shorter than expected")
+    return bytes(out[:expect])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 1 < n and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-LZW (spec §13): MSB-first codes, Clear=256/EOI=257, width
+    9→12 with the EARLY-CHANGE convention — the width grows when the
+    NEXT code to be assigned is 511/1023/2047 (one earlier than GIF's
+    table-full rule, the classic cross-codec bug)."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 Clear
+        table.append(b"")  # 257 EOI
+
+    reset()
+    width = 9
+    acc = nacc = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        nacc += 8
+        while nacc >= width:
+            nacc -= width
+            code = (acc >> nacc) & ((1 << width) - 1)
+            if code == 256:  # Clear
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOI
+                if len(out) < expect:
+                    raise ValueError("LZW EOI before strip complete")
+                return bytes(out[:expect])
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("LZW first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("LZW code beyond table")
+            out += entry
+            prev = entry
+            # EARLY CHANGE with the decoder's one-entry lag: the
+            # encoder widens as soon as its next free code is 2^w−1,
+            # and the decoder's table trails the encoder's by one
+            # entry at read time — so the width grows at table sizes
+            # 510/1022/2046, one earlier than a GIF decoder would
+            if len(table) + 2 >= (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expect:
+                return bytes(out[:expect])
+    raise ValueError("LZW strip ended without EOI")
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    nxt, width = 258, 9
+    emit(256, width)  # leading Clear, as the spec requires
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # early change mirrors the decoder
+        if nxt + 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:  # table full: clear and restart
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                nxt, width = 258, 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOI
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(b: bytes, off: int, eo: str):
+    if off + 2 > len(b):
+        raise ValueError("truncated TIFF IFD")
+    (n,) = struct.unpack(eo + "H", b[off : off + 2])
+    tags = {}
+    at = off + 2
+    if at + 12 * n > len(b):
+        raise ValueError("truncated TIFF IFD entries")
+    for _ in range(n):
+        tag, typ, cnt = struct.unpack(eo + "HHI", b[at : at + 8])
+        size = _TYPE_SIZES.get(typ, 0) * cnt
+        if size == 0:
+            at += 12
+            continue  # unknown type: skip, per spec readers must
+        if size <= 4:
+            raw = b[at + 8 : at + 8 + size]
+        else:
+            (voff,) = struct.unpack(eo + "I", b[at + 8 : at + 12])
+            raw = b[voff : voff + size]
+            if len(raw) != size:
+                raise ValueError(f"TIFF tag {tag} value out of bounds")
+        if typ == 3:
+            vals = struct.unpack(eo + "H" * cnt, raw)
+        elif typ == 4:
+            vals = struct.unpack(eo + "I" * cnt, raw)
+        elif typ == 1:
+            vals = tuple(raw)
+        else:
+            vals = raw  # bytes for types the decoder doesn't interpret
+        tags[tag] = vals
+        at += 12
+    return tags
+
+
+def decode_tiff(b: bytes):
+    """Decode the first IFD of a TIFF stream → (h, w, 3) RGB array
+    (uint8, or exact uint16 for 16-bit samples)."""
+    import numpy as np
+
+    if b[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF stream")
+    eo = "<" if b[:2] == b"II" else ">"
+    if len(b) < 8:
+        raise ValueError("truncated TIFF header")
+    (ifd_off,) = struct.unpack(eo + "I", b[4:8])
+    tags = _read_ifd(b, ifd_off, eo)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return int(v[0])
+
+    w, h = one(256), one(257)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"TIFF dimensions {w}x{h} invalid")
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    bits_v = tags.get(258, (1,))
+    if not isinstance(bits_v, tuple):
+        raise ValueError("TIFF BitsPerSample type invalid")
+    if len(set(bits_v)) != 1:
+        raise NotImplementedError("STUB: heterogeneous TIFF BitsPerSample")
+    bits = int(bits_v[0])
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if planar != 1:
+        raise NotImplementedError(
+            "STUB: planar (PlanarConfiguration=2) TIFF — chunky strips "
+            "decode natively"
+        )
+    if 322 in tags or 324 in tags:
+        raise NotImplementedError("STUB: tiled TIFF — strips decode natively")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"STUB: TIFF compression {comp} (CCITT/JPEG-in-TIFF need "
+            "their codec modules); none/LZW/PackBits decode natively"
+        )
+    if predictor not in (1, 2):
+        raise ValueError(f"TIFF predictor {predictor} invalid")
+    if predictor == 2 and bits not in (8, 16):
+        raise NotImplementedError("STUB: predictor on sub-byte samples")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count length mismatch")
+    rows_per_strip = one(278, h)
+    if rows_per_strip <= 0:
+        raise ValueError("TIFF RowsPerStrip invalid")
+
+    row_bits = w * spp * bits
+    row_bytes = (row_bits + 7) // 8
+    rows = []
+    done = 0
+    for soff, scnt in zip(offsets, counts):
+        strip = b[int(soff) : int(soff) + int(scnt)]
+        if len(strip) != int(scnt):
+            raise ValueError("TIFF strip out of bounds")
+        nrows = min(rows_per_strip, h - done)
+        if nrows <= 0:
+            break
+        expect = row_bytes * nrows
+        if comp == 1:
+            if len(strip) < expect:
+                raise ValueError("TIFF strip shorter than expected")
+            raw = strip[:expect]
+        elif comp == 32773:
+            raw = _packbits_decode(strip, expect)
+        else:
+            raw = _lzw_decode(strip, expect)
+        rows.append(np.frombuffer(raw, np.uint8).reshape(nrows, row_bytes))
+        done += nrows
+    if done < h:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    data = np.concatenate(rows)
+
+    # unpack samples → (h, w, spp) int array
+    if bits == 8:
+        px = data[:, : w * spp].reshape(h, w, spp).astype(np.uint16)
+    elif bits == 16:
+        flat = data[:, : w * spp * 2].reshape(h, w * spp, 2).astype(np.uint16)
+        px = (
+            (flat[..., 0] | (flat[..., 1] << 8))
+            if eo == "<"
+            else ((flat[..., 0] << 8) | flat[..., 1])
+        ).reshape(h, w, spp)
+    elif bits in (1, 4):
+        if spp != 1:
+            raise NotImplementedError("STUB: sub-byte multi-sample TIFF")
+        per = 8 // bits
+        up = np.zeros((h, row_bytes * per), np.uint16)
+        if bits == 1:
+            bitsarr = np.unpackbits(data, axis=1)
+            up[:, : bitsarr.shape[1]] = bitsarr
+        else:
+            up[:, 0::2] = data >> 4
+            up[:, 1::2] = data & 0xF
+        px = up[:, :w].reshape(h, w, 1)
+    else:
+        raise NotImplementedError(f"STUB: TIFF BitsPerSample {bits}")
+
+    if predictor == 2:
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint16)
+        px &= (1 << bits) - 1
+
+    maxv = (1 << bits) - 1
+    dtype = np.uint16 if bits == 16 else np.uint8
+    if photo in (0, 1):  # gray (0 = WhiteIsZero inverts)
+        if spp not in (1, 2):
+            raise ValueError("gray TIFF needs 1 sample (+1 extra)")
+        g = px[..., 0]
+        if photo == 0:
+            g = maxv - g
+        if bits in (1, 4):  # replicate sub-byte gray to full scale
+            g = (g * (255 // maxv)).astype(np.uint16)
+        return np.repeat(g[..., None], 3, axis=2).astype(dtype)
+    if photo == 2:  # RGB (spp 4 → drop the extra sample, PNG-style)
+        if spp not in (3, 4):
+            raise ValueError("RGB TIFF needs 3 samples (+1 extra)")
+        return px[..., :3].astype(dtype)
+    if photo == 3:  # palette
+        if spp != 1:
+            raise ValueError("palette TIFF needs 1 sample")
+        cmap = tags.get(320)
+        n = 1 << bits
+        if cmap is None or not isinstance(cmap, tuple) or len(cmap) < 3 * n:
+            raise ValueError("TIFF ColorMap missing or short")
+        pal = (np.array(cmap[: 3 * n], np.uint32) >> 8).astype(np.uint8)
+        pal = pal.reshape(3, n).T  # planes R,G,B → (n, 3)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return pal[idx]
+    raise NotImplementedError(
+        f"STUB: TIFF photometric {photo} (CMYK/YCbCr ride the color "
+        "modules); gray/RGB/palette decode natively"
+    )
+
+
+# --------------------------------------------------------------------------
+# fixture encoder
+# --------------------------------------------------------------------------
+
+
+def encode_tiff(
+    rgb,
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+    predictor: int = 1,
+    byte_order: str = "<",
+    photometric: int = 2,
+) -> bytes:
+    """Deterministic TIFF fixture encoder: (h, w, 3) uint8 RGB (or
+    uint16 for 16-bit), chunky, multi-strip, Compression 1/5/32773,
+    optional horizontal-differencing predictor, either byte order.
+    ``photometric=1`` writes the R channel as single-sample gray."""
+    import numpy as np
+
+    a = np.asarray(rgb)
+    h, w = a.shape[:2]
+    bits = 16 if a.dtype == np.uint16 else 8
+    if photometric == 2:
+        spp = 3
+        samples = a.reshape(h, w * 3)
+    elif photometric == 1:
+        spp = 1
+        samples = a[..., 0].reshape(h, w)
+    else:
+        raise ValueError("fixture encodes photometric 1 or 2")
+    eo = byte_order
+    if eo not in ("<", ">"):
+        raise ValueError("byte_order is '<' or '>'")
+    rps = rows_per_strip or max(1, h // 3)
+
+    def row_bytes(rows):
+        s = rows.astype(np.uint32)
+        if predictor == 2:
+            d = np.empty_like(s)
+            d[:, : spp] = s[:, : spp]
+            d[:, spp:] = (s[:, spp:] - s[:, :-spp]) & ((1 << bits) - 1)
+            s = d
+        if bits == 8:
+            return s.astype(np.uint8).tobytes()
+        return s.astype(np.uint16).astype(
+            np.dtype(eo + "u2")
+        ).tobytes()
+
+    strips = []
+    for at in range(0, h, rps):
+        raw = row_bytes(samples[at : at + rps])
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        elif compression == 5:
+            strips.append(_lzw_encode(raw))
+        else:
+            raise ValueError("fixture encodes compression 1/5/32773")
+
+    header = struct.pack(eo + "2sHI", b"II" if eo == "<" else b"MM", 42, 8)
+    # layout: header(8) | IFD | bits-array | strip data...
+    nstrips = len(strips)
+    entries = []  # (tag, type, count, packed-value-or-None, payload)
+
+    def short(tag, *vals):
+        entries.append((tag, 3, len(vals), vals))
+
+    def long_(tag, *vals):
+        entries.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([bits] * spp))
+    short(259, compression)
+    short(262, photometric)
+    long_(273, *([0] * nstrips))  # patched below
+    short(277, spp)
+    short(278, rps)
+    long_(279, *[len(s) for s in strips])
+    if predictor == 2:
+        short(317, predictor)
+
+    entries.sort(key=lambda e: e[0])
+    n = len(entries)
+    ifd_size = 2 + 12 * n + 4
+    # external value areas come right after the IFD
+    ext_at = 8 + ifd_size
+    ext = bytearray()
+    packed = []
+    for tag, typ, cnt, vals in entries:
+        size = _TYPE_SIZES[typ] * cnt
+        fmt = "H" if typ == 3 else "I"
+        blob = struct.pack(eo + fmt * cnt, *vals)
+        if size <= 4:
+            packed.append((tag, typ, cnt, blob.ljust(4, b"\x00"), None))
+        else:
+            packed.append((tag, typ, cnt, None, (ext_at + len(ext), blob)))
+            ext += blob
+    data_at = ext_at + len(ext)
+    offsets = []
+    for s in strips:
+        offsets.append(data_at)
+        data_at += len(s)
+
+    out = bytearray(header)
+    out += struct.pack(eo + "H", n)
+    for tag, typ, cnt, inline, ref in packed:
+        out += struct.pack(eo + "HHI", tag, typ, cnt)
+        if inline is not None:
+            if tag == 273 and nstrips == 1:
+                out += struct.pack(eo + "I", offsets[0])
+            else:
+                out += inline
+        else:
+            out += struct.pack(eo + "I", ref[0])
+    out += struct.pack(eo + "I", 0)  # next-IFD pointer
+    # patch the strip-offset array into the ext area
+    for tag, typ, cnt, inline, ref in packed:
+        if tag == 273 and ref is not None:
+            off_blob = struct.pack(eo + "I" * nstrips, *offsets)
+            ext[ref[0] - ext_at : ref[0] - ext_at + len(off_blob)] = off_blob
+    out += ext
+    for s in strips:
+        out += s
+    return bytes(out)

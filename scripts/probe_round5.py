@@ -580,6 +580,57 @@ def probe_flac(spark, n_docs: int) -> None:
                               blocksize=4096))
 
 
+def probe_tiff(spark, n_docs: int, side: int = 96) -> None:
+    """TIFF decode throughput (closing session) beside the 24-bit BMP
+    baseline — uncompressed / PackBits / LZW+predictor strips at the
+    same planted-image sizes as the tail-codec window."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import decode_features_np
+
+    def synth(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from dstlr_spark.operators.multimodal import _planted_rgb
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [dict(doc_id=str(i),
+                          payload=enc(_planted_rgb(side + int(i) % 7,
+                                                   side + (int(i) * 3) % 7)))
+                     for i in pdf["id"]]
+                )
+
+        return body
+
+    def run(label, enc):
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(synth(enc), "doc_id string, payload binary")
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = decode_features_np(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} imgs/s  {total / dt / 1e6:.1f} MB/s"
+        )
+        media.unpersist(True)
+
+    from dstlr_spark.operators.multimodal import encode_bmp
+    from dstlr_spark.operators.tiff import encode_tiff
+
+    run("bmp 24-bit (base) ", encode_bmp)
+    run("tiff uncompressed ", lambda a: encode_tiff(a))
+    run("tiff packbits     ", lambda a: encode_tiff(a, compression=32773))
+    run("tiff lzw+predictor", lambda a: encode_tiff(
+        a, compression=5, predictor=2))
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -601,6 +652,8 @@ def main() -> None:
         probe_tail_codecs(spark, n_docs, side)
     if only in ("all", "flac"):
         probe_flac(spark, n_docs)
+    if only in ("all", "tiff"):
+        probe_tiff(spark, n_docs, side)
     spark.stop()
 
 

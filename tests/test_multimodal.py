@@ -1248,15 +1248,15 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The fourteen-variant gate corpus: every doc decodes to the
-    planted array regardless of codec ((n_chars DIV 7) MOD 14 → BMP /
+    """The sixteen-variant gate corpus: every doc decodes to the
+    planted array regardless of codec ((n_chars DIV 7) MOD 16 → BMP /
     PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit
     PNG / lossless JPEG / lossless-arithmetic JPEG / hierarchical
-    JPEG / RLE8 BMP / bitfields BMP / BI_PNG BMP / BI_JPEG BMP),
-    through the same Spark operator the driver gate runs.
-    n_chars = 7·v + (v MOD 7) hits exactly variant v with v-dependent
-    dims, so the 14-doc corpus covers every encoder, and all four
-    container magics appear."""
+    JPEG / RLE8 BMP / bitfields BMP / BI_PNG BMP / BI_JPEG BMP /
+    LZW-predictor TIFF / big-endian TIFF), through the same Spark
+    operator the driver gate runs. n_chars = 7·v + (v MOD 7) hits
+    exactly variant v with v-dependent dims, so the 16-doc corpus
+    covers every encoder, and all five container magics appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
         _planted_rgb,
@@ -1264,7 +1264,7 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         synth_media_mixed,
     )
 
-    chars = {v: 7 * v + v % 7 for v in range(14)}
+    chars = {v: 7 * v + v % 7 for v in range(16)}
     docs = spark.createDataFrame(
         [(str(v), "t" * n, n) for v, n in chars.items()],
         "doc_id string, text string, n_chars int",
@@ -1275,10 +1275,11 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert bytes.fromhex(PNG_MAGIC)[:6] in magics
     assert b"GIF89a" in magics
     assert b"\xff\xd8" in {m[:2] for m in magics}  # JPEG SOI
+    assert {b"II*\x00", b"MM\x00*"} <= {m[:4] for m in magics}  # TIFF
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 14
+    assert len(rows) == 16
     for v, n in chars.items():
-        assert (n // 7) % 14 == v  # the corpus really covers variant v
+        assert (n // 7) % 16 == v  # the corpus really covers variant v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
         r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]
@@ -1640,6 +1641,15 @@ def test_decoder_exception_contract_under_corruption():
         "flac": (decode_audio, encode_flac(
             nprng.integers(-2000, 2000, 96), 8000, subframe="fixed2",
             blocksize=64)),
+    })
+    # TIFF rides the image dispatch (tests/test_tiff.py fuzzes the
+    # codec interior; this pins the decode_rgb_bytes routing layer)
+    from dstlr_spark.operators.tiff import encode_tiff
+
+    streams.update({
+        "tiff_lzw": (decode_rgb_bytes, encode_tiff(
+            rgb, compression=5, predictor=2, rows_per_strip=3)),
+        "tiff_mm": (decode_rgb_bytes, encode_tiff(rgb, byte_order=">")),
     })
 
     def check(dec, payload, ctx):
