@@ -2801,9 +2801,9 @@ def _encode_gif_rgb(rgb, interlace=False) -> bytes:
 
 
 def synth_media_mixed(documents: DataFrame) -> DataFrame:
-    """Sixteen-variant twin of :func:`synth_media_bmp`: the SAME
+    """Seventeen-variant twin of :func:`synth_media_bmp`: the SAME
     planted image per document (dims and pixels are functions of
-    n_chars alone), serialized per (n_chars DIV 7) MOD 16 — DIV 7
+    n_chars alone), serialized per (n_chars DIV 7) MOD 17 — DIV 7
     first so the codec choice is independent of the (n_chars MOD
     7)-derived dims
     and every codec sees every image shape — uncompressed 24-bit BMP;
@@ -2828,9 +2828,11 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     dims cross-checked against the stream — exact); BI_JPEG BMP
     (an embedded SOF3 lossless JPEG stream, predictor 4 — exact);
     little-endian TIFF (LZW with the spec's early-change width rule +
-    the horizontal-differencing predictor, multi-strip — exact); and
+    the horizontal-differencing predictor, multi-strip — exact);
     big-endian TIFF (uncompressed chunky strips, MM byte order —
-    exact). A decoder is correct iff
+    exact); and JPEG-in-TIFF (new-style Compression 7 — SOF3
+    lossless strips under the shared JPEGTables tag, exact). A
+    decoder is correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -2873,6 +2875,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 a, compression=5, predictor=2, rows_per_strip=3
             ),
             lambda a: encode_tiff(a, byte_order=">"),
+            lambda a: encode_tiff(a, compression=7, jpeg_tables=True),
         )
         for pdf in batches:
             rows = []
@@ -2880,7 +2883,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 16](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 17](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

@@ -15,10 +15,14 @@ BMP/PNG/GIF/lossless-JPEG. Returns (h, w, 3) uint8 (uint16 for
 16-bit samples) like :func:`dstlr_spark.operators.multimodal.
 decode_rgb_bytes`, which dispatches ``II*``/``MM*`` magic here.
 
-Out of scope (loud stubs): planar configuration 2, tiled images,
-CCITT/JPEG-in-TIFF compression, floating-point samples — each is
-either a layout rarely produced by scan/export pipelines or a codec
-family with its own module already.
+New-style JPEG-in-TIFF (Compression 7, TTN2) also decodes: every
+strip is a complete JPEG stream — abbreviated against the shared
+``JPEGTables`` tag 347 when present — delegated to
+:mod:`dstlr_spark.operators.jpeg` and stacked strip-wise (lossless
+SOF3 strips stay integer-exact, so the hybrid joins the gate corpus
+too). Out of scope (loud stubs): planar configuration 2, tiled
+images, CCITT and the broken old-style JPEG tag 6, floating-point
+samples — layouts rarely produced by scan/export pipelines.
 
 Encoder (:func:`encode_tiff`) is the deterministic fixture side —
 real PackBits and real LZW (early change included) so decode paths
@@ -263,10 +267,11 @@ def decode_tiff(b: bytes):
         )
     if 322 in tags or 324 in tags:
         raise NotImplementedError("STUB: tiled TIFF — strips decode natively")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 32773, 7):
         raise NotImplementedError(
-            f"STUB: TIFF compression {comp} (CCITT/JPEG-in-TIFF need "
-            "their codec modules); none/LZW/PackBits decode natively"
+            f"STUB: TIFF compression {comp} (CCITT and the broken "
+            "old-style JPEG-in-TIFF tag 6 stay stubs); none/LZW/"
+            "PackBits/new-style-JPEG decode natively"
         )
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} invalid")
@@ -282,6 +287,49 @@ def decode_tiff(b: bytes):
     rows_per_strip = one(278, h)
     if rows_per_strip <= 0:
         raise ValueError("TIFF RowsPerStrip invalid")
+
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TTN2): every strip is a complete
+        # JPEG stream — optionally abbreviated against the shared
+        # JPEGTables (tag 347: SOI + table segments + EOI) — decoded
+        # by the package's own JPEG module and stacked strip-wise
+        if photo not in (1, 2, 6):
+            raise NotImplementedError(
+                "STUB: JPEG-in-TIFF photometric beyond gray/RGB/YCbCr"
+            )
+        from dstlr_spark.operators.jpeg import decode_jpeg
+
+        tables = tags.get(347)
+        if tables is not None and (
+            not isinstance(tables, (bytes, bytearray))
+            or tables[:2] != b"\xff\xd8"
+            or tables[-2:] != b"\xff\xd9"
+        ):
+            raise ValueError("TIFF JPEGTables is not an abbreviated stream")
+        strips_px = []
+        done = 0
+        for soff, scnt in zip(offsets, counts):
+            strip = b[int(soff) : int(soff) + int(scnt)]
+            if len(strip) != int(scnt):
+                raise ValueError("TIFF strip out of bounds")
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF strip lacks SOI")
+            if tables is not None:
+                strip = b"\xff\xd8" + bytes(tables[2:-2]) + strip[2:]
+            nrows = min(rows_per_strip, h - done)
+            if nrows <= 0:
+                break
+            img = decode_jpeg(bytes(strip))
+            if img.shape[0] != nrows or img.shape[1] != w:
+                raise ValueError(
+                    f"JPEG strip decodes {img.shape[1]}x{img.shape[0]}, "
+                    f"header says {w}x{nrows}"
+                )
+            strips_px.append(img)
+            done += nrows
+        if done < h:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        return np.concatenate(strips_px)
 
     row_bits = w * spp * bits
     row_bytes = (row_bits + 7) // 8
@@ -372,6 +420,45 @@ def decode_tiff(b: bytes):
     )
 
 
+def _split_jpeg_tables(stream: bytes):
+    """Split a complete JPEG stream into (abbreviated JPEGTables
+    stream, table-less image stream) — the TTN2 tag-347 layout: the
+    tables stream is SOI + DQT/DHT segments + EOI; the image stream
+    keeps everything else. Marker walk only; entropy data untouched."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    body = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise ValueError("JPEG marker walk desynchronized")
+        marker = stream[pos + 1]
+        if marker == 0xD9:  # EOI
+            body += stream[pos:]
+            break
+        seg_len = struct.unpack(">H", stream[pos + 2 : pos + 4])[0]
+        seg = stream[pos : pos + 2 + seg_len]
+        if marker in (0xC4, 0xDB):  # DHT / DQT
+            tables += seg
+        else:
+            body += seg
+        pos += 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy data until next marker/EOI
+            scan_end = pos
+            while scan_end + 1 < n and not (
+                stream[scan_end] == 0xFF
+                and stream[scan_end + 1] not in (0x00,)
+                and not (0xD0 <= stream[scan_end + 1] <= 0xD7)
+            ):
+                scan_end += 1
+            body += stream[pos:scan_end]
+            pos = scan_end
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
 # --------------------------------------------------------------------------
 # fixture encoder
 # --------------------------------------------------------------------------
@@ -384,11 +471,15 @@ def encode_tiff(
     predictor: int = 1,
     byte_order: str = "<",
     photometric: int = 2,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """Deterministic TIFF fixture encoder: (h, w, 3) uint8 RGB (or
-    uint16 for 16-bit), chunky, multi-strip, Compression 1/5/32773,
-    optional horizontal-differencing predictor, either byte order.
-    ``photometric=1`` writes the R channel as single-sample gray."""
+    uint16 for 16-bit), chunky, multi-strip, Compression 1/5/32773/7
+    (new-style JPEG strips — SOF3 lossless, so decode stays exact;
+    ``jpeg_tables=True`` splits the DHT segments into the shared tag
+    347, single-strip), optional horizontal-differencing predictor,
+    either byte order. ``photometric=1`` writes the R channel as
+    single-sample gray."""
     import numpy as np
 
     a = np.asarray(rgb)
@@ -420,17 +511,33 @@ def encode_tiff(
             np.dtype(eo + "u2")
         ).tobytes()
 
+    tables_blob = None
     strips = []
-    for at in range(0, h, rps):
-        raw = row_bytes(samples[at : at + rps])
-        if compression == 1:
-            strips.append(raw)
-        elif compression == 32773:
-            strips.append(_packbits_encode(raw))
-        elif compression == 5:
-            strips.append(_lzw_encode(raw))
-        else:
-            raise ValueError("fixture encodes compression 1/5/32773")
+    if compression == 7:
+        if photometric != 2:
+            raise ValueError("fixture JPEG strips are RGB (photometric 2)")
+        from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+        if jpeg_tables:
+            rps = h  # tag-347 sharing needs identical tables → one strip
+        for at in range(0, h, rps):
+            strips.append(
+                encode_jpeg_lossless(a[at : at + rps], predictor=4)
+            )
+        if jpeg_tables:
+            tables_blob, body = _split_jpeg_tables(strips[0])
+            strips = [body]
+    else:
+        for at in range(0, h, rps):
+            raw = row_bytes(samples[at : at + rps])
+            if compression == 1:
+                strips.append(raw)
+            elif compression == 32773:
+                strips.append(_packbits_encode(raw))
+            elif compression == 5:
+                strips.append(_lzw_encode(raw))
+            else:
+                raise ValueError("fixture encodes compression 1/5/32773/7")
 
     header = struct.pack(eo + "2sHI", b"II" if eo == "<" else b"MM", 42, 8)
     # layout: header(8) | IFD | bits-array | strip data...
@@ -454,6 +561,8 @@ def encode_tiff(
     long_(279, *[len(s) for s in strips])
     if predictor == 2:
         short(317, predictor)
+    if tables_blob is not None:
+        entries.append((347, 7, len(tables_blob), tables_blob))
 
     entries.sort(key=lambda e: e[0])
     n = len(entries)
@@ -464,8 +573,11 @@ def encode_tiff(
     packed = []
     for tag, typ, cnt, vals in entries:
         size = _TYPE_SIZES[typ] * cnt
-        fmt = "H" if typ == 3 else "I"
-        blob = struct.pack(eo + fmt * cnt, *vals)
+        if typ == 7:  # UNDEFINED: raw bytes (JPEGTables)
+            blob = bytes(vals)
+        else:
+            fmt = "H" if typ == 3 else "I"
+            blob = struct.pack(eo + fmt * cnt, *vals)
         if size <= 4:
             packed.append((tag, typ, cnt, blob.ljust(4, b"\x00"), None))
         else:

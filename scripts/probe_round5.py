@@ -629,6 +629,8 @@ def probe_tiff(spark, n_docs: int, side: int = 96) -> None:
     run("tiff packbits     ", lambda a: encode_tiff(a, compression=32773))
     run("tiff lzw+predictor", lambda a: encode_tiff(
         a, compression=5, predictor=2))
+    run("tiff jpeg strips  ", lambda a: encode_tiff(
+        a, compression=7, rows_per_strip=32))
 
 
 def main() -> None:

@@ -257,3 +257,66 @@ def test_dispatch_through_decode_rgb_bytes():
         got = decode_rgb_bytes(encode_tiff(rgb, compression=5, predictor=2,
                                            byte_order=eo))
         assert (got == ref).all(), eo
+
+
+def test_jpeg_in_tiff_new_style():
+    """Compression 7 (TTN2): lossless-JPEG strips restore the planted
+    pixels exactly, multi-strip and single-strip, both byte orders;
+    the shared-JPEGTables (tag 347) abbreviated layout decodes and
+    the abbreviated strips genuinely lack their Huffman tables;
+    malformed hybrids (non-JPEG strip bytes, dim-disagreeing strips,
+    bad tables stream) raise ValueError."""
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.tiff import _split_jpeg_tables
+
+    rgb = _rgb(12, 9, seed=11)
+    for eo in ("<", ">"):
+        out = decode_tiff(
+            encode_tiff(rgb, compression=7, rows_per_strip=5, byte_order=eo)
+        )
+        assert (out == rgb).all(), eo
+    b = encode_tiff(rgb, compression=7, jpeg_tables=True)
+    assert (decode_tiff(b) == rgb).all()
+    t, body = _split_jpeg_tables(encode_jpeg_lossless(rgb, predictor=4))
+    assert b"\xff\xc4" in t
+    assert b"\xff\xc4" not in body.split(b"\xff\xda")[0]
+    # a strip that is not a JPEG stream is malformed
+    bad = bytearray(encode_tiff(rgb, compression=7))
+    # find the first strip (starts with SOI after the IFD/ext area)
+    at = bad.find(b"\xff\xd8", 8)
+    bad[at] = 0x00
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+    # header/strip dim disagreement is loud
+    bad = bytearray(encode_tiff(rgb, compression=7))
+    (n,) = struct.unpack_from("<H", bad, 8)
+    for i in range(n):
+        if struct.unpack_from("<H", bad, 10 + i * 12)[0] == 256:
+            struct.pack_into("<I", bad, 10 + i * 12 + 8, 8)  # wrong width
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+
+
+def test_jpeg_in_tiff_corruption_contract():
+    """The isolation contract on the hybrid path: truncation at every
+    offset + seeded mutations raise only ValueError /
+    NotImplementedError."""
+    import random
+
+    rng = random.Random(17)
+    rgb = _rgb(7, 9, seed=2)
+    for kwargs in (dict(), dict(jpeg_tables=True)):
+        b = encode_tiff(rgb, compression=7, rows_per_strip=4, **kwargs)
+        for cut in range(len(b)):
+            try:
+                decode_tiff(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(300):
+            m = bytearray(b)
+            for _ in range(rng.randint(1, 4)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                decode_tiff(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass
