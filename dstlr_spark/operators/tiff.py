@@ -20,9 +20,12 @@ strip is a complete JPEG stream — abbreviated against the shared
 ``JPEGTables`` tag 347 when present — delegated to
 :mod:`dstlr_spark.operators.jpeg` and stacked strip-wise (lossless
 SOF3 strips stay integer-exact, so the hybrid joins the gate corpus
-too). Out of scope (loud stubs): planar configuration 2, tiled
-images, CCITT and the broken old-style JPEG tag 6, floating-point
-samples — layouts rarely produced by scan/export pipelines.
+too). Planar configuration 2 (per-plane strip/tile sequences) and
+TILED layouts (tags 322-325, zero-padded edge tiles, per-tile
+predictor chains) decode natively for every byte codec, and tiled
+JPEG-in-TIFF assembles through the same JPEG delegation. Out of
+scope (loud stubs): CCITT and the broken old-style JPEG tag 6,
+floating-point samples.
 
 Encoder (:func:`encode_tiff`) is the deterministic fixture side —
 real PackBits and real LZW (early change included) so decode paths
@@ -260,13 +263,9 @@ def decode_tiff(b: bytes):
     bits = int(bits_v[0])
     planar = one(284, 1)
     predictor = one(317, 1)
-    if planar != 1:
-        raise NotImplementedError(
-            "STUB: planar (PlanarConfiguration=2) TIFF — chunky strips "
-            "decode natively"
-        )
-    if 322 in tags or 324 in tags:
-        raise NotImplementedError("STUB: tiled TIFF — strips decode natively")
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF PlanarConfiguration {planar} invalid")
+    tiled = 322 in tags or 324 in tags
     if comp not in (1, 5, 32773, 7):
         raise NotImplementedError(
             f"STUB: TIFF compression {comp} (CCITT and the broken "
@@ -278,25 +277,20 @@ def decode_tiff(b: bytes):
     if predictor == 2 and bits not in (8, 16):
         raise NotImplementedError("STUB: predictor on sub-byte samples")
 
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if offsets is None or counts is None:
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    if len(offsets) != len(counts):
-        raise ValueError("TIFF strip offset/count length mismatch")
-    rows_per_strip = one(278, h)
-    if rows_per_strip <= 0:
-        raise ValueError("TIFF RowsPerStrip invalid")
+    nplanes = spp if planar == 2 else 1
+    sppc = 1 if planar == 2 else spp  # samples per pixel per segment
 
     if comp == 7:
-        # new-style JPEG-in-TIFF (TTN2): every strip is a complete
+        # new-style JPEG-in-TIFF (TTN2): every strip/tile is a complete
         # JPEG stream — optionally abbreviated against the shared
         # JPEGTables (tag 347: SOI + table segments + EOI) — decoded
-        # by the package's own JPEG module and stacked strip-wise
+        # by the package's own JPEG module and assembled
         if photo not in (1, 2, 6):
             raise NotImplementedError(
                 "STUB: JPEG-in-TIFF photometric beyond gray/RGB/YCbCr"
             )
+        if planar == 2:
+            raise ValueError("planar JPEG-in-TIFF is malformed (TTN2)")
         from dstlr_spark.operators.jpeg import decode_jpeg
 
         tables = tags.get(347)
@@ -306,20 +300,61 @@ def decode_tiff(b: bytes):
             or tables[-2:] != b"\xff\xd9"
         ):
             raise ValueError("TIFF JPEGTables is not an abbreviated stream")
+
+        def jpeg_seg(raw):
+            if raw[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF segment lacks SOI")
+            if tables is not None:
+                raw = b"\xff\xd8" + bytes(tables[2:-2]) + raw[2:]
+            return decode_jpeg(bytes(raw))
+
+        if tiled:
+            tw, tl = one(322), one(323)
+            if tw <= 0 or tl <= 0:
+                raise ValueError("TIFF tile dimensions invalid")
+            offs, cnts = tags.get(324), tags.get(325)
+            if offs is None or cnts is None:
+                raise ValueError("TIFF missing tile offsets/byte counts")
+            ta, td = -(-w // tw), -(-h // tl)
+            if len(offs) != len(cnts) or len(offs) != ta * td:
+                raise ValueError("TIFF tile count mismatch")
+            out = None
+            for ti, (soff, scnt) in enumerate(zip(offs, cnts)):
+                raw = b[int(soff) : int(soff) + int(scnt)]
+                if len(raw) != int(scnt):
+                    raise ValueError("TIFF tile out of bounds")
+                img = jpeg_seg(raw)
+                if img.shape[0] != tl or img.shape[1] != tw:
+                    raise ValueError("JPEG tile dims disagree with header")
+                if out is None:
+                    out = np.zeros((h, w, 3), img.dtype)
+                ty, tx = divmod(ti, ta)
+                ch = min(tl, h - ty * tl)
+                cw = min(tw, w - tx * tw)
+                out[ty * tl : ty * tl + ch, tx * tw : tx * tw + cw] = img[
+                    :ch, :cw
+                ]
+            if out is None:
+                raise ValueError("TIFF has zero tiles")
+            return out
+        offsets, counts = tags.get(273), tags.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offset/count length mismatch")
+        rows_per_strip = one(278, h)
+        if rows_per_strip <= 0:
+            raise ValueError("TIFF RowsPerStrip invalid")
         strips_px = []
         done = 0
         for soff, scnt in zip(offsets, counts):
             strip = b[int(soff) : int(soff) + int(scnt)]
             if len(strip) != int(scnt):
                 raise ValueError("TIFF strip out of bounds")
-            if strip[:2] != b"\xff\xd8":
-                raise ValueError("JPEG-in-TIFF strip lacks SOI")
-            if tables is not None:
-                strip = b"\xff\xd8" + bytes(tables[2:-2]) + strip[2:]
             nrows = min(rows_per_strip, h - done)
             if nrows <= 0:
                 break
-            img = decode_jpeg(bytes(strip))
+            img = jpeg_seg(strip)
             if img.shape[0] != nrows or img.shape[1] != w:
                 raise ValueError(
                     f"JPEG strip decodes {img.shape[1]}x{img.shape[0]}, "
@@ -331,60 +366,108 @@ def decode_tiff(b: bytes):
             raise ValueError("TIFF strips cover fewer rows than ImageLength")
         return np.concatenate(strips_px)
 
-    row_bits = w * spp * bits
-    row_bytes = (row_bits + 7) // 8
-    rows = []
-    done = 0
-    for soff, scnt in zip(offsets, counts):
-        strip = b[int(soff) : int(soff) + int(scnt)]
-        if len(strip) != int(scnt):
-            raise ValueError("TIFF strip out of bounds")
-        nrows = min(rows_per_strip, h - done)
-        if nrows <= 0:
-            break
-        expect = row_bytes * nrows
+    def decomp(seg, expect):
         if comp == 1:
-            if len(strip) < expect:
-                raise ValueError("TIFF strip shorter than expected")
-            raw = strip[:expect]
-        elif comp == 32773:
-            raw = _packbits_decode(strip, expect)
-        else:
-            raw = _lzw_decode(strip, expect)
-        rows.append(np.frombuffer(raw, np.uint8).reshape(nrows, row_bytes))
-        done += nrows
-    if done < h:
-        raise ValueError("TIFF strips cover fewer rows than ImageLength")
-    data = np.concatenate(rows)
+            if len(seg) < expect:
+                raise ValueError("TIFF segment shorter than expected")
+            return seg[:expect]
+        if comp == 32773:
+            return _packbits_decode(seg, expect)
+        return _lzw_decode(seg, expect)
 
-    # unpack samples → (h, w, spp) int array
-    if bits == 8:
-        px = data[:, : w * spp].reshape(h, w, spp).astype(np.uint16)
-    elif bits == 16:
-        flat = data[:, : w * spp * 2].reshape(h, w * spp, 2).astype(np.uint16)
-        px = (
-            (flat[..., 0] | (flat[..., 1] << 8))
-            if eo == "<"
-            else ((flat[..., 0] << 8) | flat[..., 1])
-        ).reshape(h, w, spp)
-    elif bits in (1, 4):
-        if spp != 1:
-            raise NotImplementedError("STUB: sub-byte multi-sample TIFF")
-        per = 8 // bits
-        up = np.zeros((h, row_bytes * per), np.uint16)
-        if bits == 1:
-            bitsarr = np.unpackbits(data, axis=1)
-            up[:, : bitsarr.shape[1]] = bitsarr
+    def unpack_rows(raw, nrows, width_px, seg_row_bytes):
+        """Packed segment bytes → (nrows, width_px, sppc) uint16."""
+        data = np.frombuffer(raw, np.uint8).reshape(nrows, seg_row_bytes)
+        if bits == 8:
+            s = data[:, : width_px * sppc].astype(np.uint16)
+        elif bits == 16:
+            flat = (
+                data[:, : width_px * sppc * 2]
+                .reshape(nrows, width_px * sppc, 2)
+                .astype(np.uint16)
+            )
+            s = (
+                (flat[..., 0] | (flat[..., 1] << 8))
+                if eo == "<"
+                else ((flat[..., 0] << 8) | flat[..., 1])
+            )
+        elif bits in (1, 4):
+            if sppc != 1:
+                raise NotImplementedError("STUB: sub-byte multi-sample TIFF")
+            per = 8 // bits
+            up = np.zeros((nrows, seg_row_bytes * per), np.uint16)
+            if bits == 1:
+                ba = np.unpackbits(data, axis=1)
+                up[:, : ba.shape[1]] = ba
+            else:
+                up[:, 0::2] = data >> 4
+                up[:, 1::2] = data & 0xF
+            s = up[:, :width_px]
         else:
-            up[:, 0::2] = data >> 4
-            up[:, 1::2] = data & 0xF
-        px = up[:, :w].reshape(h, w, 1)
+            raise NotImplementedError(f"STUB: TIFF BitsPerSample {bits}")
+        g = s.reshape(nrows, width_px, sppc)
+        if predictor == 2:
+            # horizontal differencing runs per SEGMENT row (a tile row
+            # restarts its chain; planar rows difference within their
+            # own plane) — cumsum per channel along the row
+            g = np.cumsum(g.astype(np.uint32), axis=1).astype(np.uint16)
+            g &= (1 << bits) - 1
+        return g
+
+    px = np.zeros((h, w, spp), np.uint16)
+    if tiled:
+        tw, tl = one(322), one(323)
+        if tw <= 0 or tl <= 0:
+            raise ValueError("TIFF tile dimensions invalid")
+        offs, cnts = tags.get(324), tags.get(325)
+        if offs is None or cnts is None:
+            raise ValueError("TIFF missing tile offsets/byte counts")
+        ta, td = -(-w // tw), -(-h // tl)
+        if len(offs) != len(cnts) or len(offs) != ta * td * nplanes:
+            raise ValueError("TIFF tile count mismatch")
+        trb = (tw * sppc * bits + 7) // 8
+        for ti, (soff, scnt) in enumerate(zip(offs, cnts)):
+            raw = b[int(soff) : int(soff) + int(scnt)]
+            if len(raw) != int(scnt):
+                raise ValueError("TIFF tile out of bounds")
+            g = unpack_rows(decomp(raw, trb * tl), tl, tw, trb)
+            plane, idx = divmod(ti, ta * td)
+            ty, tx = divmod(idx, ta)
+            ch = min(tl, h - ty * tl)
+            cw = min(tw, w - tx * tw)
+            crop = g[:ch, :cw]
+            if planar == 2:
+                px[ty * tl : ty * tl + ch, tx * tw : tx * tw + cw, plane] = (
+                    crop[..., 0]
+                )
+            else:
+                px[ty * tl : ty * tl + ch, tx * tw : tx * tw + cw] = crop
     else:
-        raise NotImplementedError(f"STUB: TIFF BitsPerSample {bits}")
-
-    if predictor == 2:
-        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint16)
-        px &= (1 << bits) - 1
+        offsets, counts = tags.get(273), tags.get(279)
+        if offsets is None or counts is None:
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF strip offset/count length mismatch")
+        rows_per_strip = one(278, h)
+        if rows_per_strip <= 0:
+            raise ValueError("TIFF RowsPerStrip invalid")
+        per_plane = -(-h // rows_per_strip)
+        if len(offsets) < per_plane * nplanes:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        seg_rb = (w * sppc * bits + 7) // 8
+        for si in range(per_plane * nplanes):
+            soff, scnt = offsets[si], counts[si]
+            strip = b[int(soff) : int(soff) + int(scnt)]
+            if len(strip) != int(scnt):
+                raise ValueError("TIFF strip out of bounds")
+            plane, sidx = divmod(si, per_plane)
+            row0 = sidx * rows_per_strip
+            nrows = min(rows_per_strip, h - row0)
+            g = unpack_rows(decomp(strip, seg_rb * nrows), nrows, w, seg_rb)
+            if planar == 2:
+                px[row0 : row0 + nrows, :, plane] = g[..., 0]
+            else:
+                px[row0 : row0 + nrows] = g
 
     maxv = (1 << bits) - 1
     dtype = np.uint16 if bits == 16 else np.uint8
@@ -414,9 +497,24 @@ def decode_tiff(b: bytes):
         if int(idx.max(initial=0)) >= n:
             raise ValueError("TIFF palette index out of range")
         return pal[idx]
+    if photo == 5:  # CMYK (separated — standard non-inverted storage,
+        # unlike Adobe JPEG's inverted planes: 0 means no ink)
+        if spp not in (4, 5):
+            raise ValueError("CMYK TIFF needs 4 samples (+1 extra)")
+        c, m, y2, k = (px[..., i].astype(np.float64) for i in range(4))
+        rgb = np.stack(
+            [
+                np.round((maxv - c) * (maxv - k) / maxv),
+                np.round((maxv - m) * (maxv - k) / maxv),
+                np.round((maxv - y2) * (maxv - k) / maxv),
+            ],
+            axis=2,
+        )
+        return np.clip(rgb, 0, maxv).astype(dtype)
     raise NotImplementedError(
-        f"STUB: TIFF photometric {photo} (CMYK/YCbCr ride the color "
-        "modules); gray/RGB/palette decode natively"
+        f"STUB: TIFF photometric {photo} (YCbCr rides the JPEG path; "
+        "CIELab needs real color science); gray/RGB/palette/CMYK "
+        "decode natively"
     )
 
 
@@ -472,6 +570,8 @@ def encode_tiff(
     byte_order: str = "<",
     photometric: int = 2,
     jpeg_tables: bool = False,
+    planar: bool = False,
+    tile: tuple | None = None,
 ) -> bytes:
     """Deterministic TIFF fixture encoder: (h, w, 3) uint8 RGB (or
     uint16 for 16-bit), chunky, multi-strip, Compression 1/5/32773/7
@@ -479,7 +579,10 @@ def encode_tiff(
     ``jpeg_tables=True`` splits the DHT segments into the shared tag
     347, single-strip), optional horizontal-differencing predictor,
     either byte order. ``photometric=1`` writes the R channel as
-    single-sample gray."""
+    single-sample gray. ``planar=True`` writes PlanarConfiguration 2
+    (per-plane strip sequences); ``tile=(tw, tl)`` writes a tiled
+    layout (tags 322-325, zero-padded edge tiles) instead of
+    strips — both byte-codec-only in the fixture."""
     import numpy as np
 
     a = np.asarray(rgb)
@@ -491,19 +594,24 @@ def encode_tiff(
     elif photometric == 1:
         spp = 1
         samples = a[..., 0].reshape(h, w)
+    elif photometric == 5:
+        if a.shape[2] != 4:
+            raise ValueError("photometric 5 fixture expects (h, w, 4) CMYK")
+        spp = 4
+        samples = a.reshape(h, w * 4)
     else:
-        raise ValueError("fixture encodes photometric 1 or 2")
+        raise ValueError("fixture encodes photometric 1, 2, or 5")
     eo = byte_order
     if eo not in ("<", ">"):
         raise ValueError("byte_order is '<' or '>'")
     rps = rows_per_strip or max(1, h // 3)
 
-    def row_bytes(rows):
+    def row_bytes(rows, stride):
         s = rows.astype(np.uint32)
         if predictor == 2:
             d = np.empty_like(s)
-            d[:, : spp] = s[:, : spp]
-            d[:, spp:] = (s[:, spp:] - s[:, :-spp]) & ((1 << bits) - 1)
+            d[:, :stride] = s[:, :stride]
+            d[:, stride:] = (s[:, stride:] - s[:, :-stride]) & ((1 << bits) - 1)
             s = d
         if bits == 8:
             return s.astype(np.uint8).tobytes()
@@ -514,30 +622,63 @@ def encode_tiff(
     tables_blob = None
     strips = []
     if compression == 7:
-        if photometric != 2:
-            raise ValueError("fixture JPEG strips are RGB (photometric 2)")
+        if photometric != 2 or planar:
+            raise ValueError("fixture JPEG segments are chunky RGB")
         from dstlr_spark.operators.jpeg import encode_jpeg_lossless
 
-        if jpeg_tables:
-            rps = h  # tag-347 sharing needs identical tables → one strip
-        for at in range(0, h, rps):
-            strips.append(
-                encode_jpeg_lossless(a[at : at + rps], predictor=4)
-            )
-        if jpeg_tables:
-            tables_blob, body = _split_jpeg_tables(strips[0])
-            strips = [body]
+        if tile is not None:
+            tw_, tl_ = tile
+            for ty in range(0, h, tl_):
+                for tx in range(0, w, tw_):
+                    t = np.zeros((tl_, tw_, 3), a.dtype)
+                    blk = a[ty : ty + tl_, tx : tx + tw_]
+                    t[: blk.shape[0], : blk.shape[1]] = blk
+                    strips.append(encode_jpeg_lossless(t, predictor=4))
+        else:
+            if jpeg_tables:
+                rps = h  # tag-347 sharing needs identical tables → 1 strip
+            for at in range(0, h, rps):
+                strips.append(
+                    encode_jpeg_lossless(a[at : at + rps], predictor=4)
+                )
+            if jpeg_tables:
+                tables_blob, body = _split_jpeg_tables(strips[0])
+                strips = [body]
     else:
-        for at in range(0, h, rps):
-            raw = row_bytes(samples[at : at + rps])
+        def comp_seg(raw):
             if compression == 1:
-                strips.append(raw)
-            elif compression == 32773:
-                strips.append(_packbits_encode(raw))
-            elif compression == 5:
-                strips.append(_lzw_encode(raw))
-            else:
-                raise ValueError("fixture encodes compression 1/5/32773/7")
+                return raw
+            if compression == 32773:
+                return _packbits_encode(raw)
+            if compression == 5:
+                return _lzw_encode(raw)
+            raise ValueError("fixture encodes compression 1/5/32773/7")
+
+        px3 = a if photometric in (2, 5) else a[..., :1]  # (h, w, spp)
+        if tile is not None:
+            tw_, tl_ = tile
+            stride = 1 if planar else spp
+            planes = range(spp) if planar else (None,)
+            for c in planes:
+                for ty in range(0, h, tl_):
+                    for tx in range(0, w, tw_):
+                        t = np.zeros((tl_, tw_ * stride), np.uint32)
+                        if planar:
+                            blk = px3[ty : ty + tl_, tx : tx + tw_, c]
+                        else:
+                            b3 = px3[ty : ty + tl_, tx : tx + tw_]
+                            blk = b3.reshape(b3.shape[0], -1)
+                        t[: blk.shape[0], : blk.shape[1]] = blk
+                        strips.append(comp_seg(row_bytes(t, stride)))
+        elif planar:
+            for c in range(spp):
+                for at in range(0, h, rps):
+                    strips.append(
+                        comp_seg(row_bytes(px3[at : at + rps, :, c], 1))
+                    )
+        else:
+            for at in range(0, h, rps):
+                strips.append(comp_seg(row_bytes(samples[at : at + rps], spp)))
 
     header = struct.pack(eo + "2sHI", b"II" if eo == "<" else b"MM", 42, 8)
     # layout: header(8) | IFD | bits-array | strip data...
@@ -550,15 +691,22 @@ def encode_tiff(
     def long_(tag, *vals):
         entries.append((tag, 4, len(vals), vals))
 
+    seg_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     short(256, w)
     short(257, h)
     short(258, *([bits] * spp))
     short(259, compression)
     short(262, photometric)
-    long_(273, *([0] * nstrips))  # patched below
+    long_(seg_tag, *([0] * nstrips))  # patched below
     short(277, spp)
-    short(278, rps)
-    long_(279, *[len(s) for s in strips])
+    if tile is not None:
+        short(322, tile[0])
+        short(323, tile[1])
+    else:
+        short(278, rps)
+    long_(cnt_tag, *[len(s) for s in strips])
+    if planar:
+        short(284, 2)
     if predictor == 2:
         short(317, predictor)
     if tables_blob is not None:
@@ -594,7 +742,7 @@ def encode_tiff(
     for tag, typ, cnt, inline, ref in packed:
         out += struct.pack(eo + "HHI", tag, typ, cnt)
         if inline is not None:
-            if tag == 273 and nstrips == 1:
+            if tag == seg_tag and nstrips == 1:
                 out += struct.pack(eo + "I", offsets[0])
             else:
                 out += inline
@@ -603,7 +751,7 @@ def encode_tiff(
     out += struct.pack(eo + "I", 0)  # next-IFD pointer
     # patch the strip-offset array into the ext area
     for tag, typ, cnt, inline, ref in packed:
-        if tag == 273 and ref is not None:
+        if tag == seg_tag and ref is not None:
             off_blob = struct.pack(eo + "I" * nstrips, *offsets)
             ext[ref[0] - ext_at : ref[0] - ext_at + len(off_blob)] = off_blob
     out += ext

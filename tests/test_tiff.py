@@ -320,3 +320,95 @@ def test_jpeg_in_tiff_corruption_contract():
                 decode_tiff(bytes(m))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_planar_and_tiled_layouts():
+    """PlanarConfiguration 2 (per-plane strip sequences) and tiled
+    layouts (tags 322-325, zero-padded edge tiles, per-tile predictor
+    chains) restore the planted pixels exactly for every byte codec,
+    both byte orders, 8- and 16-bit — including planar TILES and
+    JPEG-in-TIFF tiles; tile-count mismatches are loud."""
+    rgb = _rgb(13, 11, seed=8)
+    for comp in (1, 32773, 5):
+        for pred in (1, 2):
+            b = encode_tiff(rgb, compression=comp, predictor=pred,
+                            planar=True, rows_per_strip=4)
+            assert (decode_tiff(b) == rgb).all(), ("planar", comp, pred)
+            b = encode_tiff(rgb, compression=comp, predictor=pred,
+                            tile=(8, 5))
+            assert (decode_tiff(b) == rgb).all(), ("tile", comp, pred)
+    b = encode_tiff(rgb, compression=5, predictor=2, planar=True,
+                    tile=(4, 6), byte_order=">")
+    assert (decode_tiff(b) == rgb).all()
+    b = encode_tiff(rgb, compression=7, tile=(8, 5))
+    assert (decode_tiff(b) == rgb).all()
+    r16 = _rgb(7, 9, seed=3, depth=np.uint16)
+    b = encode_tiff(r16, compression=5, predictor=2, planar=True,
+                    tile=(4, 3))
+    out = decode_tiff(b)
+    assert out.dtype == np.uint16 and (out == r16).all()
+    # a tile count that does not match ceil-grid × planes is malformed
+    bad = bytearray(encode_tiff(rgb, tile=(8, 5)))
+    (n,) = struct.unpack_from("<H", bad, 8)
+    for i in range(n):
+        at = 10 + i * 12
+        if struct.unpack_from("<H", bad, at)[0] == 322:
+            struct.pack_into("<I", bad, at + 8, 4)  # wrong tile width
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
+
+
+def test_planar_tiled_corruption_contract():
+    """Truncation + mutation over the planar and tiled paths raise
+    only ValueError/NotImplementedError."""
+    import random
+
+    rng = random.Random(23)
+    rgb = _rgb(9, 7, seed=6)
+    for kwargs in (
+        dict(compression=5, planar=True, rows_per_strip=3),
+        dict(compression=32773, tile=(4, 4)),
+        dict(compression=7, tile=(4, 4)),
+    ):
+        b = encode_tiff(rgb, **kwargs)
+        for cut in range(len(b)):
+            try:
+                decode_tiff(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(200):
+            m = bytearray(b)
+            for _ in range(rng.randint(1, 4)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                decode_tiff(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_cmyk_photometric_separated():
+    """Photometric 5 (separated CMYK — 0 means no ink, NOT Adobe
+    JPEG's inverted planes): RGB = round((maxv−C)(maxv−K)/maxv)
+    channel-wise, exact under every codec and layout."""
+    cmyk = np.random.default_rng(2).integers(0, 256, (9, 7, 4)).astype(
+        np.uint8
+    )
+    exp = np.clip(
+        np.stack(
+            [
+                np.round((255.0 - cmyk[..., c]) * (255.0 - cmyk[..., 3]) / 255.0)
+                for c in range(3)
+            ],
+            axis=2,
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    for comp in (1, 5, 32773):
+        out = decode_tiff(encode_tiff(cmyk, photometric=5, compression=comp))
+        assert (out == exp).all(), comp
+    out = decode_tiff(
+        encode_tiff(cmyk, photometric=5, compression=5, planar=True,
+                    tile=(4, 4), byte_order=">")
+    )
+    assert (out == exp).all()
