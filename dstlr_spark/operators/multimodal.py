@@ -799,10 +799,25 @@ def decode_rgb_bytes(b: bytes):
         from dstlr_spark.operators.tiff import decode_tiff
 
         return decode_tiff(b)
+    if b[:4] == b"qoif":  # QOI — all six ops
+        from dstlr_spark.operators.qoi import decode_qoi
+
+        return decode_qoi(b)
+    if len(b) >= 128 and b[0] == 0x0A and b[2] == 1 and b[1] <= 5:
+        # PCX: manufacturer 0x0A + RLE encoding byte + version ≤ 5
+        from dstlr_spark.operators.pcx import decode_pcx
+
+        return decode_pcx(b)
+    if len(b) >= 44 and b[-18:] == b"TRUEVISION-XFILE.\x00":
+        # TGA has no front magic; the TGA 2.0 footer is the dispatch
+        # key (checked LAST so front-magic formats can't be shadowed)
+        from dstlr_spark.operators.tga import decode_tga
+
+        return decode_tga(b)
     raise NotImplementedError(
         "STUB: unrecognized image container — BMP/PPM/PNG/GIF/JPEG/"
-        "TIFF decode natively via decode_rgb_bytes; other codecs need "
-        "an imaging library this container doesn't ship"
+        "TIFF/QOI/PCX/TGA decode natively via decode_rgb_bytes; other "
+        "codecs need an imaging library this container doesn't ship"
     )
 
 
@@ -2114,10 +2129,19 @@ def decode_audio(b: bytes):
         from dstlr_spark.operators.flac import decode_flac
 
         return decode_flac(b)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        from dstlr_spark.operators.aiff import decode_aiff
+
+        return decode_aiff(b)
+    if b[:4] == b".snd":
+        from dstlr_spark.operators.aiff import decode_au
+
+        return decode_au(b)
     raise NotImplementedError(
-        "STUB: unrecognized audio container — RIFF/WAVE and FLAC "
-        "decode natively; transform codecs (MP3/AAC/WMA) need an "
-        "audio library this container doesn't ship"
+        "STUB: unrecognized audio container — RIFF/WAVE, FLAC, "
+        "AIFF/AIFF-C, and Sun AU decode natively; transform codecs "
+        "(MP3/AAC/WMA) need an audio library this container doesn't "
+        "ship"
     )
 
 
@@ -2184,25 +2208,31 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, n_chars) → (doc_id, payload binary):
     the SAME planted mono 16-bit clip per document (count = n_chars %
     50 + 10, rate = 8000 + (n_chars % 2)·8000, samples from
-    :data:`WAV_MOD`'s formula), serialized per (n_chars DIV 2) MOD 3 —
-    PCM WAV; FLAC with fixed-order-2 prediction + Rice residuals; or
-    FLAC verbatim subframes (DIV 2 first so the container choice is
-    independent of the MOD-2-derived rate). The features oracle is
-    container-BLIND (it derives everything from n_chars), so all
-    three codec paths must reproduce identical decoded samples — the
-    same lockstep-free gate growth the image corpus uses for
-    BI_JPEG/BI_PNG. Deterministic in n_chars only — same oracle
-    contract as :func:`synth_media_bmp`. Same F1/F2 null guard."""
+    :data:`WAV_MOD`'s formula), serialized per (n_chars DIV 2) MOD 6 —
+    PCM WAV; FLAC with fixed-order-2 prediction + Rice residuals;
+    FLAC verbatim subframes; big-endian AIFF; AIFF-C ``sowt``
+    (little-endian) ; or Sun AU 16-bit linear (DIV 2 first so the
+    container choice is independent of the MOD-2-derived rate). The
+    features oracle is container-BLIND (it derives everything from
+    n_chars), so all six codec paths must reproduce identical decoded
+    samples — the same lockstep-free gate growth the image corpus
+    uses for BI_JPEG/BI_PNG. Deterministic in n_chars only — same
+    oracle contract as :func:`synth_media_bmp`. Same F1/F2 null
+    guard."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from dstlr_spark.operators.aiff import encode_aiff, encode_au
         from dstlr_spark.operators.flac import encode_flac
 
         encoders = (
             lambda s, r: encode_wav(s, r),
             lambda s, r: encode_flac(s, r, subframe="fixed2", blocksize=32),
             lambda s, r: encode_flac(s, r, subframe="verbatim", blocksize=32),
+            lambda s, r: encode_aiff(s, r),
+            lambda s, r: encode_aiff(s, r, compression="sowt"),
+            lambda s, r: encode_au(s, r),
         )
         for pdf in batches:
             rows = []
@@ -2215,7 +2245,7 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
                 rows.append(
                     dict(
                         doc_id=doc_id,
-                        payload=encoders[(n // 2) % 3](samples, rate),
+                        payload=encoders[(n // 2) % 6](samples, rate),
                     )
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
@@ -2398,30 +2428,43 @@ def decode_y4m(b: bytes):
     )
 
 
+def _bt601_luma(rgb):
+    """RGB frame stack → integer ITU-R BT.601 luma
+    ((299·R + 587·G + 114·B) DIV 1000 — exact, oracle-able; the
+    weights sum to 1000, so gray-replicated RGB round-trips to its
+    gray value bit-for-bit)."""
+    import numpy as np
+
+    r64 = rgb.astype(np.int64)
+    return (
+        (299 * r64[..., 0] + 587 * r64[..., 1] + 114 * r64[..., 2]) // 1000
+    ).astype(np.uint8)
+
+
 def decode_video_luma(b: bytes):
     """Container-dispatched video decode → luma frame stack
     (n, h, w): YUV4MPEG2 streams return their Y planes
     (:func:`decode_y4m` — uint8, or exact uint16 for wide-sample
-    tags); animated GIFs composite through :func:`decode_gif_frames`
-    and reduce to integer ITU-R BT.601 luma
-    ((299·R + 587·G + 114·B) DIV 1000 — exact, oracle-able). Both
-    video operators dispatch through this, so a GIF animation rides
-    the same sampling/shot machinery as a Y4M clip."""
+    tags); animated GIFs composite through :func:`decode_gif_frames`;
+    AVI DIB/MJPEG frame stacks decode through
+    :func:`dstlr_spark.operators.avi.decode_avi_frames` — RGB paths
+    reduce to integer BT.601 luma (:func:`_bt601_luma`). All three
+    containers ride the same sampling/shot machinery."""
     import numpy as np
 
     if b[:9] == b"YUV4MPEG2":
         return decode_y4m(b)[0]
     if b[:6] in (b"GIF87a", b"GIF89a"):
         rgb, _delays = decode_gif_frames(b)
-        r64 = rgb.astype(np.int64)
-        return (
-            (299 * r64[..., 0] + 587 * r64[..., 1] + 114 * r64[..., 2])
-            // 1000
-        ).astype(np.uint8)
+        return _bt601_luma(rgb)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from dstlr_spark.operators.avi import decode_avi_frames
+
+        return _bt601_luma(decode_avi_frames(b)[0])
     raise NotImplementedError(
-        "STUB: unrecognized video container — Y4M and animated GIF "
-        "decode natively; other codecs (H.26x, VP9, AV1) need a "
-        "video library this container doesn't ship"
+        "STUB: unrecognized video container — Y4M, animated GIF, and "
+        "AVI (DIB/MJPEG) decode natively; inter-frame codecs (H.26x, "
+        "VP9, AV1) need a video library this container doesn't ship"
     )
 
 
@@ -2605,14 +2648,38 @@ Y4M_MOD = 241
 
 def synth_media_y4m(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, n_chars) → (doc_id, payload binary):
-    a REAL mono Y4M clip per document with planted luma — dims
+    the SAME planted mono luma clip per document — dims
     w = n_chars % 6 + 2, h = (n_chars · 5) % 6 + 2, frames
-    n_chars % 6 + 2. Deterministic in n_chars only (the
+    n_chars % 6 + 2 — serialized per (n_chars DIV 6) MOD 3 (DIV 6
+    first so the container choice is independent of the MOD-6-derived
+    dims): mono Y4M; AVI with uncompressed 24-bpp DIB frames
+    (gray-replicated RGB — the BT.601 weights sum to 1000, so the
+    luma reduce returns the planted gray bit-for-bit); or AVI-MJPEG
+    whose frames are LOSSLESS JPEG (SOF3) streams — also exact. The
+    frame-features oracle is container-BLIND (it derives everything
+    from n_chars), so all three paths must reproduce identical luma
+    stacks. Deterministic in n_chars only (the
     :func:`synth_media_bmp` oracle contract); same F1/F2 null guard."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from dstlr_spark.operators.avi import encode_avi
+        from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+
+        def enc_avi_dib(fr):
+            rgb = np.repeat(fr[..., None], 3, axis=-1)
+            return encode_avi(rgb)
+
+        def enc_avi_mjpg(fr):
+            rgb = np.repeat(fr[..., None], 3, axis=-1)
+            return encode_avi(
+                rgb,
+                codec="MJPG",
+                jpeg_encoder=lambda img: encode_jpeg_lossless(img, predictor=4),
+            )
+
+        encoders = (encode_y4m, enc_avi_dib, enc_avi_mjpg)
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -2620,7 +2687,9 @@ def synth_media_y4m(documents: DataFrame) -> DataFrame:
                 w, h, nf = n % 6 + 2, (n * 5) % 6 + 2, n % 6 + 2
                 fs, ys, xs = np.mgrid[0:nf, 0:h, 0:w]
                 fr = ((5 * xs + 3 * ys + 7 * fs + 11) % Y4M_MOD).astype(np.uint8)
-                rows.append(dict(doc_id=doc_id, payload=encode_y4m(fr)))
+                rows.append(
+                    dict(doc_id=doc_id, payload=encoders[(n // 6) % 3](fr))
+                )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
                  "payload": pd.Series(dtype="object")}
@@ -2830,9 +2899,12 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     little-endian TIFF (LZW with the spec's early-change width rule +
     the horizontal-differencing predictor, multi-strip — exact);
     big-endian TIFF (uncompressed chunky strips, MM byte order —
-    exact); and JPEG-in-TIFF (new-style Compression 7 — SOF3
-    lossless strips under the shared JPEGTables tag, exact). A
-    decoder is correct iff
+    exact); JPEG-in-TIFF (new-style Compression 7 — SOF3
+    lossless strips under the shared JPEGTables tag, exact);
+    RLE bottom-up truecolor TGA (no front magic — dispatched on the
+    TGA 2.0 footer signature, exact); 24-bit 3-plane PCX (scanline
+    RLE, exact); and QOI (running 64-slot index + diff/luma/run ops,
+    exact). A decoder is correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -2845,6 +2917,9 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             encode_jpeg_lossless_arith,
         )
         from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+        from dstlr_spark.operators.pcx import encode_pcx
+        from dstlr_spark.operators.qoi import encode_qoi
+        from dstlr_spark.operators.tga import encode_tga
         from dstlr_spark.operators.tiff import encode_tiff
 
         encoders = (
@@ -2876,6 +2951,9 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             ),
             lambda a: encode_tiff(a, byte_order=">"),
             lambda a: encode_tiff(a, compression=7, jpeg_tables=True),
+            lambda a: encode_tga(a, rle=True, top_down=False),
+            lambda a: encode_pcx(rgb=a),
+            encode_qoi,
         )
         for pdf in batches:
             rows = []
@@ -2883,7 +2961,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 17](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 20](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
