@@ -2610,11 +2610,22 @@ def synth_media_wav_vad(documents: DataFrame) -> DataFrame:
     formula ((n·31 + i·17) % WAV_MOD) − 2048. Count = n_chars % 120 +
     40 samples at 8 kHz, so clips span 1–7 silence blocks and the VAD
     segment table is a pure function of n_chars — the analytic-oracle
-    contract every planted corpus here carries."""
+    contract every planted corpus here carries. Serialized per
+    (n_chars DIV 120) MOD 3 — PCM WAV / big-endian AIFF / Sun AU
+    (DIV 120 first so the container choice is independent of the
+    MOD-120-derived count): the VAD oracle is container-blind, so all
+    three dispatch arms must segment identically."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from dstlr_spark.operators.aiff import encode_aiff, encode_au
+
+        encoders = (
+            lambda s: encode_wav(s, 8000),
+            lambda s: encode_aiff(s, 8000),
+            lambda s: encode_au(s, 8000),
+        )
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -2624,7 +2635,10 @@ def synth_media_wav_vad(documents: DataFrame) -> DataFrame:
                 s = (n * 31 + i * 17) % WAV_MOD - 2048
                 s[(i // VAD_SILENCE_BLOCK) % 2 == 1] = 0
                 rows.append(
-                    dict(doc_id=doc_id, payload=encode_wav(s.astype(np.int16), 8000))
+                    dict(
+                        doc_id=doc_id,
+                        payload=encoders[(n // 120) % 3](s.astype(np.int16)),
+                    )
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
@@ -2772,11 +2786,22 @@ def synth_media_y4m_shots(documents: DataFrame) -> DataFrame:
     scene boundary. Dims w = n_chars % 5 + 2, h = (n_chars·3) % 5 + 2,
     frames = n_chars % 9 + 3 (1–4 scenes, last possibly partial). The
     shot table is a pure function of n_chars — the analytic-oracle
-    contract every planted corpus here carries."""
+    contract every planted corpus here carries. Serialized per
+    (n_chars DIV 45) MOD 2 — mono Y4M or AVI-DIB (gray-replicated
+    RGB, exact through the BT.601 reduce; DIV 45 = lcm(5, 9) first so
+    the container choice is independent of the MOD-derived dims):
+    the shots oracle is container-blind, so both dispatch arms must
+    cut identical scenes."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from dstlr_spark.operators.avi import encode_avi
+
+        def enc_avi(fr):
+            return encode_avi(np.repeat(fr[..., None], 3, axis=-1))
+
+        encoders = (encode_y4m, enc_avi)
         for pdf in batches:
             rows = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -2786,7 +2811,9 @@ def synth_media_y4m_shots(documents: DataFrame) -> DataFrame:
                 fr = (
                     (5 * xs + 3 * ys + 31 * (fs // SHOT_SCENE_LEN) + 11) % Y4M_MOD
                 ).astype(np.uint8)
-                rows.append(dict(doc_id=doc_id, payload=encode_y4m(fr)))
+                rows.append(
+                    dict(doc_id=doc_id, payload=encoders[(n // 45) % 2](fr))
+                )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
                  "payload": pd.Series(dtype="object")}

@@ -161,7 +161,8 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode → exact integer frame energies → maximal voiced segments
     (:func:`dstlr_spark.operators.multimodal.audio_vad_np`), over the
     planted-silence corpus (`synth_media_wav_vad`: alternating
-    25-sample voice/zero blocks). The oracle re-derives every segment
+    25-sample voice/zero blocks, shipped per doc as PCM WAV /
+    big-endian AIFF / Sun AU). The oracle re-derives every segment
     analytically from n_chars — sample values from range() arithmetic
     with the silence mask, frames by i DIV VAD_FRAME, segments via the
     gaps-and-islands sum — without touching a byte. Scale shape:
@@ -174,11 +175,12 @@ def q_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shot-boundary detection under the value gate: REAL Y4M decode →
-    exact integer frame-delta sums → shots (:func:`dstlr_spark.
+    """Shot-boundary detection under the value gate: REAL video decode
+    → exact integer frame-delta sums → shots (:func:`dstlr_spark.
     operators.multimodal.video_shots_np`), over the planted-scene
     corpus (`synth_media_y4m_shots`: luma constant within 3-frame
-    scenes, jumping at boundaries). The oracle re-derives every shot
+    scenes, jumping at boundaries; shipped per doc as mono Y4M or
+    AVI-DIB). The oracle re-derives every shot
     analytically from n_chars — per-pixel luma via range() arithmetic,
     frame deltas via LAG over (doc, x, y), boundaries + shots via the
     gaps-and-islands sum — without touching a byte. Scale shape:
