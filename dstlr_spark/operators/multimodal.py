@@ -803,6 +803,10 @@ def decode_rgb_bytes(b: bytes):
         from dstlr_spark.operators.qoi import decode_qoi
 
         return decode_qoi(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":  # WebP-lossless (VP8L)
+        from dstlr_spark.operators.webp import decode_webp
+
+        return decode_webp(b)
     if len(b) >= 128 and b[0] == 0x0A and b[2] == 1 and b[1] <= 5:
         # PCX: manufacturer 0x0A + RLE encoding byte + version ≤ 5
         from dstlr_spark.operators.pcx import decode_pcx
@@ -816,8 +820,9 @@ def decode_rgb_bytes(b: bytes):
         return decode_tga(b)
     raise NotImplementedError(
         "STUB: unrecognized image container — BMP/PPM/PNG/GIF/JPEG/"
-        "TIFF/QOI/PCX/TGA decode natively via decode_rgb_bytes; other "
-        "codecs need an imaging library this container doesn't ship"
+        "TIFF/QOI/PCX/TGA/WebP-lossless decode natively via "
+        "decode_rgb_bytes; other codecs need an imaging library this "
+        "container doesn't ship"
     )
 
 
@@ -2930,8 +2935,10 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     lossless strips under the shared JPEGTables tag, exact);
     RLE bottom-up truecolor TGA (no front magic — dispatched on the
     TGA 2.0 footer signature, exact); 24-bit 3-plane PCX (scanline
-    RLE, exact); and QOI (running 64-slot index + diff/luma/run ops,
-    exact). A decoder is correct iff
+    RLE, exact); QOI (running 64-slot index + diff/luma/run ops,
+    exact); and WebP-lossless (VP8L — canonical prefix codes, LZ77
+    runs, subtract-green transform + 4-bit color cache, exact). A
+    decoder is correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -2948,6 +2955,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
         from dstlr_spark.operators.qoi import encode_qoi
         from dstlr_spark.operators.tga import encode_tga
         from dstlr_spark.operators.tiff import encode_tiff
+        from dstlr_spark.operators.webp import encode_webp
 
         encoders = (
             encode_bmp,
@@ -2981,6 +2989,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_tga(a, rle=True, top_down=False),
             lambda a: encode_pcx(rgb=a),
             encode_qoi,
+            lambda a: encode_webp(a, subtract_green=True, cache_bits=4),
         )
         for pdf in batches:
             rows = []
@@ -2988,7 +2997,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 20](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 21](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),
