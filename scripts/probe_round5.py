@@ -633,6 +633,138 @@ def probe_tiff(spark, n_docs: int, side: int = 96) -> None:
         a, compression=7, rows_per_strip=32))
 
 
+def probe_containers(spark, n_docs: int, side: int = 96) -> None:
+    """New-container decode throughput (final session) beside the
+    in-family baselines: TGA/PCX/QOI vs 24-bit BMP, AIFF/AU vs PCM
+    WAV, AVI-DIB/AVI-MJPEG-lossless vs mono Y4M — the same
+    synth-in-executor → decode → in-stage-reduce shape as every codec
+    table in BENCH/BASELINE.md."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        decode_features_np,
+        encode_bmp,
+        encode_wav,
+        encode_y4m,
+        video_frame_features_np,
+    )
+
+    def run(label, synth_body, op, unit):
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(synth_body, "doc_id string, payload binary")
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = op(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} {unit}/s  "
+            f"{total / dt / 1e6:.1f} MB/s"
+        )
+        media.unpersist(True)
+
+    def synth_img(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from dstlr_spark.operators.multimodal import _planted_rgb
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [dict(doc_id=str(i),
+                          payload=enc(_planted_rgb(side + int(i) % 7,
+                                                   side + (int(i) * 3) % 7)))
+                     for i in pdf["id"]]
+                )
+
+        return body
+
+    def synth_audio(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = np.arange(16_000, dtype=np.int64)
+                    s = ((int(i) * 31 + idx * 17) % 4097 - 2048).astype(
+                        np.int16
+                    )
+                    rows.append(dict(doc_id=str(i), payload=enc(s)))
+                yield pd.DataFrame(rows)
+
+        return body
+
+    def synth_video(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    n = int(i)
+                    # 8 frames of side/3-square planted luma per clip
+                    d = side // 3
+                    fs, ys, xs = np.mgrid[0:8, 0:d, 0:d]
+                    fr = ((5 * xs + 3 * ys + 7 * fs + n) % 241).astype(
+                        np.uint8
+                    )
+                    rows.append(dict(doc_id=str(i), payload=enc(fr)))
+                yield pd.DataFrame(rows)
+
+        return body
+
+    from dstlr_spark.operators.aiff import encode_aiff, encode_au
+    from dstlr_spark.operators.avi import encode_avi
+    from dstlr_spark.operators.jpeg import encode_jpeg_lossless
+    from dstlr_spark.operators.pcx import encode_pcx
+    from dstlr_spark.operators.qoi import encode_qoi
+    from dstlr_spark.operators.tga import encode_tga
+
+    run("bmp 24-bit (base) ", synth_img(encode_bmp),
+        decode_features_np, "imgs")
+    run("tga rle bottom-up ",
+        synth_img(lambda a: encode_tga(a, rle=True, top_down=False)),
+        decode_features_np, "imgs")
+    run("pcx 3-plane rle   ", synth_img(lambda a: encode_pcx(rgb=a)),
+        decode_features_np, "imgs")
+    run("qoi               ", synth_img(encode_qoi),
+        decode_features_np, "imgs")
+    from dstlr_spark.operators.webp import encode_webp
+
+    run("webp vp8l sg+cache",
+        synth_img(lambda a: encode_webp(a, subtract_green=True,
+                                        cache_bits=8)),
+        decode_features_np, "imgs")
+    run("wav pcm (base)    ",
+        synth_audio(lambda s: encode_wav(s, 16_000)),
+        audio_features_np, "clips")
+    run("aiff be pcm       ", synth_audio(lambda s: encode_aiff(s, 16_000)),
+        audio_features_np, "clips")
+    run("aifc sowt         ",
+        synth_audio(lambda s: encode_aiff(s, 16_000, compression="sowt")),
+        audio_features_np, "clips")
+    run("au be pcm         ", synth_audio(lambda s: encode_au(s, 16_000)),
+        audio_features_np, "clips")
+    run("y4m mono (base)   ", synth_video(encode_y4m),
+        video_frame_features_np, "clips")
+    run("avi dib 24-bit    ",
+        synth_video(lambda fr: encode_avi(
+            __import__("numpy").repeat(fr[..., None], 3, axis=-1))),
+        video_frame_features_np, "clips")
+    run("avi mjpeg sof3    ",
+        synth_video(lambda fr: encode_avi(
+            __import__("numpy").repeat(fr[..., None], 3, axis=-1),
+            codec="MJPG",
+            jpeg_encoder=lambda a: encode_jpeg_lossless(a, predictor=4))),
+        video_frame_features_np, "clips")
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -656,6 +788,8 @@ def main() -> None:
         probe_flac(spark, n_docs)
     if only in ("all", "tiff"):
         probe_tiff(spark, n_docs, side)
+    if only in ("all", "containers"):
+        probe_containers(spark, n_docs, side)
     spark.stop()
 
 
