@@ -812,6 +812,15 @@ def decode_rgb_bytes(b: bytes):
         from dstlr_spark.operators.pcx import decode_pcx
 
         return decode_pcx(b)
+    if (
+        len(b) >= 6
+        and b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+        and b[4:6] != b"\x00\x00"
+    ):
+        # ICO/CUR: reserved 0, type 1/2, nonzero entry count
+        from dstlr_spark.operators.ico import decode_ico
+
+        return decode_ico(b)
     if len(b) >= 44 and b[-18:] == b"TRUEVISION-XFILE.\x00":
         # TGA has no front magic; the TGA 2.0 footer is the dispatch
         # key (checked LAST so front-magic formats can't be shadowed)
@@ -1862,15 +1871,26 @@ def decode_wav(b: bytes):
     ValueError."""
     import numpy as np
 
-    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    rf64 = b[:4] in (b"RF64", b"BW64")
+    if (b[:4] != b"RIFF" and not rf64) or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, fmt, fmt_chunk, data, fact = 12, None, None, None, None
+    ds64_data_size = None
     while pos + 8 <= len(b):
         tag, ln = struct.unpack("<4sI", b[pos : pos + 8])
+        if tag == b"data" and ln == 0xFFFFFFFF and ds64_data_size is not None:
+            # RF64/BW64 (EBU Tech 3306): the 32-bit data size is the
+            # sentinel and the real 64-bit size lives in ds64 — the
+            # >4 GB-WAV form a 100 TB audio corpus actually ships
+            ln = ds64_data_size
         chunk = b[pos + 8 : pos + 8 + ln]
         if len(chunk) != ln:
             raise ValueError(f"truncated WAV chunk {tag!r}")
-        if tag == b"fmt ":
+        if tag == b"ds64":
+            if not rf64 or ln < 24:
+                raise ValueError("ds64 chunk outside RF64 / too short")
+            _riff64, ds64_data_size = struct.unpack("<QQ", chunk[:16])
+        elif tag == b"fmt ":
             if ln < 16:
                 raise ValueError("WAV fmt chunk shorter than 16 bytes")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
@@ -2128,7 +2148,7 @@ def decode_audio(b: bytes):
     sits under the same planted-value oracles). Both audio operators
     dispatch through this, so a FLAC clip rides the identical
     feature/VAD machinery as a WAV."""
-    if b[:4] == b"RIFF":
+    if b[:4] in (b"RIFF", b"RF64", b"BW64"):
         return decode_wav(b)
     if b[:4] == b"fLaC":
         from dstlr_spark.operators.flac import decode_flac
@@ -2142,11 +2162,19 @@ def decode_audio(b: bytes):
         from dstlr_spark.operators.aiff import decode_au
 
         return decode_au(b)
+    if b[:4] == b"caff":
+        from dstlr_spark.operators.caf import decode_caf
+
+        return decode_caf(b)
+    if b[:4] == b"riff":  # Sony Wave64 (lowercase GUID fourcc)
+        from dstlr_spark.operators.caf import decode_w64
+
+        return decode_w64(b)
     raise NotImplementedError(
-        "STUB: unrecognized audio container — RIFF/WAVE, FLAC, "
-        "AIFF/AIFF-C, and Sun AU decode natively; transform codecs "
-        "(MP3/AAC/WMA) need an audio library this container doesn't "
-        "ship"
+        "STUB: unrecognized audio container — RIFF/WAVE (incl. "
+        "RF64/BW64), FLAC, AIFF/AIFF-C, Sun AU, CAF, and Wave64 "
+        "decode natively; transform codecs (MP3/AAC/WMA) need an "
+        "audio library this container doesn't ship"
     )
 
 
@@ -2213,22 +2241,28 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text, n_chars) → (doc_id, payload binary):
     the SAME planted mono 16-bit clip per document (count = n_chars %
     50 + 10, rate = 8000 + (n_chars % 2)·8000, samples from
-    :data:`WAV_MOD`'s formula), serialized per (n_chars DIV 2) MOD 6 —
+    :data:`WAV_MOD`'s formula), serialized per (n_chars DIV 2) MOD 9 —
     PCM WAV; FLAC with fixed-order-2 prediction + Rice residuals;
     FLAC verbatim subframes; big-endian AIFF; AIFF-C ``sowt``
-    (little-endian) ; or Sun AU 16-bit linear (DIV 2 first so the
+    (little-endian); Sun AU 16-bit linear; Apple CAF lpcm; Sony
+    Wave64; or RF64 with the ds64 64-bit sizes (DIV 2 first so the
     container choice is independent of the MOD-2-derived rate). The
     features oracle is container-BLIND (it derives everything from
-    n_chars), so all six codec paths must reproduce identical decoded
-    samples — the same lockstep-free gate growth the image corpus
-    uses for BI_JPEG/BI_PNG. Deterministic in n_chars only — same
-    oracle contract as :func:`synth_media_bmp`. Same F1/F2 null
+    n_chars), so all nine codec paths must reproduce identical
+    decoded samples — the same lockstep-free gate growth the image
+    corpus uses for BI_JPEG/BI_PNG. Deterministic in n_chars only —
+    same oracle contract as :func:`synth_media_bmp`. Same F1/F2 null
     guard."""
 
     def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         from dstlr_spark.operators.aiff import encode_aiff, encode_au
+        from dstlr_spark.operators.caf import (
+            encode_caf,
+            encode_rf64,
+            encode_w64,
+        )
         from dstlr_spark.operators.flac import encode_flac
 
         encoders = (
@@ -2238,6 +2272,9 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
             lambda s, r: encode_aiff(s, r),
             lambda s, r: encode_aiff(s, r, compression="sowt"),
             lambda s, r: encode_au(s, r),
+            encode_caf,
+            encode_w64,
+            encode_rf64,
         )
         for pdf in batches:
             rows = []
@@ -2250,7 +2287,7 @@ def synth_media_wav(documents: DataFrame) -> DataFrame:
                 rows.append(
                     dict(
                         doc_id=doc_id,
-                        payload=encoders[(n // 2) % 6](samples, rate),
+                        payload=encoders[(n // 2) % 9](samples, rate),
                     )
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
@@ -2936,9 +2973,10 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
     RLE bottom-up truecolor TGA (no front magic — dispatched on the
     TGA 2.0 footer signature, exact); 24-bit 3-plane PCX (scanline
     RLE, exact); QOI (running 64-slot index + diff/luma/run ops,
-    exact); and WebP-lossless (VP8L — canonical prefix codes, LZ77
-    runs, subtract-green transform + 4-bit color cache, exact). A
-    decoder is correct iff
+    exact); WebP-lossless (VP8L — canonical prefix codes, LZ77
+    runs, subtract-green transform + 4-bit color cache, exact); and
+    ICO (doubled-height DIB entry behind a 1×1 decoy — largest-entry
+    selection + BMP delegation, exact). A decoder is correct iff
     EVERY variant reproduces the identical planted values — which is
     exactly what lets one format-agnostic analytic oracle gate all of
     them."""
@@ -2951,6 +2989,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             encode_jpeg_lossless_arith,
         )
         from dstlr_spark.operators.jpeg_hier import encode_jpeg_hier
+        from dstlr_spark.operators.ico import encode_ico
         from dstlr_spark.operators.pcx import encode_pcx
         from dstlr_spark.operators.qoi import encode_qoi
         from dstlr_spark.operators.tga import encode_tga
@@ -2990,6 +3029,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
             lambda a: encode_pcx(rgb=a),
             encode_qoi,
             lambda a: encode_webp(a, subtract_green=True, cache_bits=4),
+            encode_ico,
         )
         for pdf in batches:
             rows = []
@@ -2997,7 +3037,7 @@ def synth_media_mixed(documents: DataFrame) -> DataFrame:
                 n = int(n_chars)
                 rgb = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
                 rows.append(
-                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 21](rgb))
+                    dict(doc_id=doc_id, payload=encoders[(n // 7) % 22](rgb))
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {"doc_id": pd.Series(dtype="object"),

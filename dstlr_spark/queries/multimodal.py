@@ -114,7 +114,7 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual (aHash) near-dup groups over the mixed-codec corpus —
     the dedup exact byte hashing cannot do: `synth_media_mixed` keys
-    the CODEC on (n_chars DIV 7) MOD 21 and the IMAGE on n_chars MOD 7,
+    the CODEC on (n_chars DIV 7) MOD 22 and the IMAGE on n_chars MOD 7,
     so the same planted picture ships as BMP in one doc and PNG/GIF in
     another — different payload md5, same decoded pixels, same aHash.
     Groups therefore span codec variants (n_variants > 1 rows are the
@@ -124,10 +124,10 @@ def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle re-derives every hash analytically from n_chars (planted
     pixel formula + the fixed-side nearest-neighbor index math + the
     gray/mean/bit spec in :func:`dstlr_spark.operators.multimodal.
-    phash_np`) without touching a byte — format-blind, so all twenty-one
+    phash_np`) without touching a byte — format-blind, so all twenty-two
     codec paths (lossless/lossless-arithmetic/hierarchical JPEG,
     RLE8/bitfields BMP, embedded BI_JPEG/BI_PNG BMP, LZW/MM TIFF,
-    JPEG-in-TIFF, TGA, PCX, QOI, and VP8L included — exact decodes) must land the
+    JPEG-in-TIFF, TGA, PCX, QOI, VP8L, and ICO included — exact decodes) must land the
     identical 16-bit key.
 
     Scale shape: map-only decode+hash (only (doc_id, key) leaves the
@@ -141,7 +141,7 @@ def q_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull() & F.col("n_chars").isNotNull()
     ).select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.expr("CAST((n_chars DIV 7) % 21 AS INT)").alias("variant"),
+        F.expr("CAST((n_chars DIV 7) % 22 AS INT)").alias("variant"),
     )
     return (
         ph.where(F.col("phash").isNotNull())
@@ -216,8 +216,8 @@ def q_frame_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL pixel decode + resize under the value gate (retires the
     round-4 stub finding): synth the planted position/channel-dependent
-    image per document as a TWENTY-ONE-VARIANT corpus keyed on
-    (n_chars DIV 7) MOD 21 (DIV 7 first so the codec choice is
+    image per document as a TWENTY-TWO-VARIANT corpus keyed on
+    (n_chars DIV 7) MOD 22 (DIV 7 first so the codec choice is
     independent of the MOD-7-derived dims — see synth_media_mixed) —
     24-bit BMP; truecolor PNG with rotating scanline filters 0..4 (zlib
     inflate + all five unfilter paths exercised at gate time);
@@ -242,7 +242,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-plane PCX (scanline RLE, exact); and QOI (all six ops of the
     running-index/diff/luma/run stream, exact); and WebP-lossless
     (VP8L: canonical prefix codes + LZ77 runs under the
-    subtract-green transform and a 4-bit color cache, exact) — decode
+    subtract-green transform and a 4-bit color cache, exact); and ICO
+    (a doubled-height DIB entry behind a 1×1 decoy — largest-entry
+    selection + headerless-DIB rebuild delegated to the BMP decoder,
+    exact) — decode
     with the pure-NumPy decoders, nearest-neighbor-resize to max_side=4,
     emit per-doc dimensions, the full-pixel checksum, orientation
     probes (first-R / last-B pixel — catches a missing bottom-up flip
@@ -289,9 +292,10 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + feature extraction under the value gate:
-    synth the planted mono 16-bit clip per document as a SIX-VARIANT
+    synth the planted mono 16-bit clip per document as a NINE-VARIANT
     container corpus (PCM WAV / FLAC fixed-2+Rice / FLAC verbatim /
-    big-endian AIFF / AIFF-C sowt / Sun AU — see synth_media_wav;
+    big-endian AIFF / AIFF-C sowt / Sun AU / Apple CAF / Sony Wave64
+    / RF64 — see synth_media_wav;
     count, rate, and every sample value are functions of n_chars),
     decode through the container-dispatched readers, and emit exact
     integer clip features — sample count, channel count, rate,
@@ -389,12 +393,12 @@ JOIN tpx ON tpx.doc_id = d.doc_id""",
     # analytic re-derivation of the aHash: planted pixels + fixed-side
     # nearest index math + gray/mean/bit spec, grouped on the key — no
     # byte parsing anywhere on the oracle side (format-blind: all
-    # twenty-one codec variants of one planted image must land the same hash)
+    # twenty-two codec variants of one planted image must land the same hash)
     "mm_phash_groups": """
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars,
          n_chars % 7 + 2 AS w, (n_chars * 3) % 7 + 2 AS h,
-         CAST((n_chars // 7) % 21 AS INT) AS variant
+         CAST((n_chars // 7) % 22 AS INT) AS variant
   FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
 txs AS (SELECT doc_id, w, h, unnest(range(4)) AS tx FROM m),
 tys AS (SELECT doc_id, w, h, tx, unnest(range(4)) AS ty FROM txs),

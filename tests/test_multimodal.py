@@ -1248,16 +1248,16 @@ def test_video_frame_features_sample_and_isolate(spark):
 
 
 def test_synth_media_mixed_decodes_to_planted(spark):
-    """The twenty-one-variant gate corpus: every doc decodes to the
-    planted array regardless of codec ((n_chars DIV 7) MOD 21 → BMP /
+    """The twenty-two-variant gate corpus: every doc decodes to the
+    planted array regardless of codec ((n_chars DIV 7) MOD 22 → BMP /
     PNG / GIF / Adam7 PNG / paletted PNG / interlaced GIF / 16-bit
     PNG / lossless JPEG / lossless-arithmetic JPEG / hierarchical
     JPEG / RLE8 BMP / bitfields BMP / BI_PNG BMP / BI_JPEG BMP /
     LZW-predictor TIFF / big-endian TIFF / JPEG-in-TIFF / RLE TGA /
-    PCX / QOI / VP8L WebP), through
+    PCX / QOI / VP8L WebP / ICO), through
     the same Spark operator the driver gate runs. n_chars = 7·v +
     (v MOD 7) hits exactly variant v with v-dependent dims, so the
-    21-doc corpus covers every encoder, and all the container
+    22-doc corpus covers every encoder, and all the container
     magics appear."""
     from dstlr_spark.operators.multimodal import (
         PNG_MAGIC,
@@ -1266,7 +1266,7 @@ def test_synth_media_mixed_decodes_to_planted(spark):
         synth_media_mixed,
     )
 
-    chars = {v: 7 * v + v % 7 for v in range(21)}
+    chars = {v: 7 * v + v % 7 for v in range(22)}
     docs = spark.createDataFrame(
         [(str(v), "t" * n, n) for v, n in chars.items()],
         "doc_id string, text string, n_chars int",
@@ -1282,9 +1282,9 @@ def test_synth_media_mixed_decodes_to_planted(spark):
     assert 0x0A in {m[0] for m in magics}  # PCX manufacturer byte
     assert any(m[:4] == b"RIFF" for m in magics)  # WebP VP8L
     rows = {r.doc_id: r for r in decode_image_np(media).collect()}
-    assert len(rows) == 21
+    assert len(rows) == 22
     for v, n in chars.items():
-        assert (n // 7) % 21 == v  # the corpus really covers variant v
+        assert (n // 7) % 22 == v  # the corpus really covers variant v
         planted = _planted_rgb(n % 7 + 2, (n * 3) % 7 + 2)
         r = rows[str(v)]
         assert (r.height, r.width) == planted.shape[:2]

@@ -549,3 +549,126 @@ def test_fuzz_audio_containers_roundtrip(n, rate, seed, ch):
         )
         assert (r, c) == (rate, ch)
         assert np.array_equal(d, s)
+
+
+# ---------------------------------------------------------- CAF/W64/RF64/ICO
+
+
+def test_caf_w64_roundtrip_and_stubs():
+    from dstlr_spark.operators.caf import (
+        decode_caf,
+        decode_w64,
+        encode_caf,
+        encode_w64,
+    )
+
+    rng = np.random.default_rng(12)
+    s = rng.integers(-32768, 32768, 200).astype(np.int16)
+    for ch in (1, 2):
+        for le in (False, True):
+            d, r, c = decode_caf(encode_caf(s, 22050, ch, little_endian=le))
+            assert (r, c) == (22050, ch) and np.array_equal(d, s)
+        d, r, c = decode_w64(encode_w64(s, 44100, ch))
+        assert (r, c) == (44100, ch) and np.array_equal(d, s)
+    blob = encode_caf(s, 8000)
+    aac = blob.replace(b"lpcm", b"aac ")
+    with pytest.raises(NotImplementedError):
+        decode_caf(aac)
+    # open-ended data chunk (size -1) decodes to stream end
+    at = blob.find(b"data")
+    open_ended = blob[: at + 4] + struct.pack(">q", -1) + blob[at + 12 :]
+    d, _, _ = decode_caf(open_ended)
+    assert np.array_equal(d, s)
+
+
+def test_rf64_ds64_sentinel_sizes():
+    """RF64/BW64: the 32-bit data size is 0xFFFFFFFF and the real
+    64-bit size lives in ds64 — decode must substitute it."""
+    from dstlr_spark.operators.caf import encode_rf64
+    from dstlr_spark.operators.multimodal import decode_audio, decode_wav
+
+    rng = np.random.default_rng(13)
+    s = rng.integers(-32768, 32768, 321).astype(np.int16)
+    blob = encode_rf64(s, 16000)
+    assert blob[:4] == b"RF64"
+    assert struct.unpack("<I", blob[4:8])[0] == 0xFFFFFFFF
+    d, r, c = decode_wav(blob)
+    assert (r, c) == (16000, 1) and np.array_equal(d, s)
+    # BW64 magic rides the same path
+    bw64 = b"BW64" + blob[4:]
+    d, _, _ = decode_audio(bw64)
+    assert np.array_equal(d, s)
+    # ds64 in a plain RIFF is malformed; sentinel without ds64 too
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF" + blob[4:])
+
+
+def test_ico_delegation_and_largest_entry():
+    from dstlr_spark.operators.ico import decode_ico, encode_ico
+    from dstlr_spark.operators.multimodal import decode_rgb_bytes
+
+    rng = np.random.default_rng(14)
+    for (h, w) in ((1, 1), (5, 7), (16, 9), (32, 32)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        for png in (False, True):
+            blob = encode_ico(img, png=png)
+            assert np.array_equal(decode_ico(blob), img), (h, w, png)
+            # dispatch through the shared entry point
+            assert np.array_equal(decode_rgb_bytes(blob), img)
+    # the decoy 1x1 entry must NOT win the largest-entry selection
+    img = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    blob = encode_ico(img, extra_small_entry=True)
+    assert decode_ico(blob).shape == (4, 6, 3)
+    with pytest.raises(ValueError):
+        decode_ico(struct.pack("<HHH", 0, 3, 1))  # bad type
+    with pytest.raises(ValueError):
+        decode_ico(struct.pack("<HHH", 0, 1, 0))  # zero entries
+
+
+def test_audio_dispatch_caf_w64_rf64_equal_wav():
+    from dstlr_spark.operators.caf import encode_caf, encode_rf64, encode_w64
+    from dstlr_spark.operators.multimodal import decode_audio, encode_wav
+
+    s = ((np.arange(60, dtype=np.int64) * 977 + 31) % 4097 - 2048).astype(
+        np.int16
+    )
+    ref = decode_audio(encode_wav(s, 16000))
+    for blob in (encode_caf(s, 16000), encode_w64(s, 16000),
+                 encode_rf64(s, 16000)):
+        d, r, c = decode_audio(blob)
+        assert (r, c) == (ref[1], ref[2])
+        assert np.array_equal(d, ref[0])
+
+
+def test_corruption_contract_caf_w64_rf64_ico():
+    import random
+
+    from dstlr_spark.operators.caf import encode_caf, encode_rf64, encode_w64
+    from dstlr_spark.operators.ico import encode_ico
+    from dstlr_spark.operators.multimodal import decode_audio, decode_rgb_bytes
+
+    rng = random.Random(99)
+    nprng = np.random.default_rng(99)
+    s = nprng.integers(-999, 999, 40).astype(np.int16)
+    img = nprng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    streams = {
+        "caf": (decode_audio, encode_caf(s, 8000)),
+        "w64": (decode_audio, encode_w64(s, 8000)),
+        "rf64": (decode_audio, encode_rf64(s, 8000)),
+        "ico_dib": (decode_rgb_bytes, encode_ico(img)),
+        "ico_png": (decode_rgb_bytes, encode_ico(img, png=True)),
+    }
+    for name, (dec, b) in streams.items():
+        for cut in range(len(b)):
+            try:
+                dec(b[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for i in range(150):
+            m = bytearray(b)
+            for _ in range(rng.randint(1, 4)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                dec(bytes(m))
+            except (ValueError, NotImplementedError):
+                pass
