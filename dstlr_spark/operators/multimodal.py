@@ -3217,3 +3217,149 @@ def resize_image_np(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.mapInPandas(
         body, "doc_id string, width int, height int, pixels array<int>"
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus normalization — the standard multimodal preprocessing steps
+# (post-close continuation): every heterogeneous container → one
+# canonical shape, exact integer semantics so the math is oracle-able.
+# --------------------------------------------------------------------------
+
+
+def normalize_audio(samples, rate: int, n_channels: int,
+                    target_rate: int = 16_000):
+    """Normalize one decoded clip to MONO @ ``target_rate`` — the
+    canonical ASR/audio-LM preprocessing step — with exact integer
+    semantics:
+
+    - downmix: per-frame floor mean of the channels
+      (``sum DIV n_channels`` on int64 — deterministic, no float);
+    - resample: nearest-source-index map ``out[i] =
+      mono[(i · rate) DIV target]`` with ``n_out = n · target DIV
+      rate`` — the audio twin of :func:`resize_nearest`'s index rule
+      (for integer decimation this IS take-every-k; proper band-limit
+      filtering is a quality choice layered on top, not a correctness
+      contract).
+
+    Returns the normalized int64 sample array."""
+    import numpy as np
+
+    s = np.asarray(samples, np.int64)
+    if n_channels <= 0 or s.size % n_channels:
+        raise ValueError("samples not channel-aligned")
+    frames = s.size // n_channels
+    mono = (
+        s.reshape(frames, n_channels).sum(axis=1) // n_channels
+        if n_channels > 1
+        else s
+    )
+    if rate == target_rate or frames == 0:
+        return mono
+    n_out = frames * target_rate // rate
+    idx = (np.arange(n_out, dtype=np.int64) * rate) // target_rate
+    return mono[idx]
+
+
+def audio_normalize_np(media: DataFrame,
+                       target_rate: int = 16_000) -> DataFrame:
+    """REAL corpus normalization operator: decode ANY supported audio
+    container (WAV/RF64/FLAC/AIFF/AU/CAF/W64 — :func:`decode_audio`),
+    normalize to mono @ ``target_rate`` (:func:`normalize_audio`), and
+    emit per-clip proof features — output sample count, exact checksum
+    (sum), sum of squares, and peak — all integers. Arrow-batched
+    mapInPandas with per-doc failure isolation (X2); map-only, samples
+    never leave the stage (the decode_features_np shape)."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["doc_id", "n_samples", "sample_rate", "checksum", "sumsq",
+                "peak"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    s, rate, ch = decode_audio(bytes(payload))
+                    mono = normalize_audio(s, rate, ch, target_rate)
+                    rows.append(
+                        dict(
+                            doc_id=doc_id,
+                            n_samples=int(mono.size),
+                            sample_rate=target_rate,
+                            checksum=int(mono.sum()),
+                            sumsq=int((mono * mono).sum()),
+                            peak=int(np.abs(mono).max()) if mono.size else 0,
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append({c: (doc_id if c == "doc_id" else None)
+                                 for c in cols})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return media.mapInPandas(
+        body,
+        "doc_id string, n_samples long, sample_rate int, checksum long, "
+        "sumsq long, peak long",
+    )
+
+
+def standardize_image(rgb, side: int):
+    """Center-crop to square then nearest-resize to ``side``×``side`` —
+    the canonical vision-encoder preprocessing shape. Exact: crop
+    offsets are ``(dim − min_dim) DIV 2``; the resize is
+    :func:`resize_nearest`'s index rule applied at fixed output dims
+    (upscaling small images too, unlike the thumbnail cap)."""
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    m = min(h, w)
+    y0, x0 = (h - m) // 2, (w - m) // 2
+    sq = rgb[y0 : y0 + m, x0 : x0 + m]
+    xs = (np.arange(side) * m) // side
+    ys = (np.arange(side) * m) // side
+    return sq[ys][:, xs]
+
+
+def image_standardize_np(media: DataFrame, side: int = 224) -> DataFrame:
+    """REAL vision-preprocessing operator: decode ANY supported image
+    container, center-crop + nearest-resize to ``side``×``side``
+    (:func:`standardize_image`), and emit proof features — output
+    dims, full-pixel checksum, and the four corner pixels' red
+    channels (orientation probes). Arrow-batched mapInPandas with
+    per-doc isolation; map-only."""
+
+    def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = ["doc_id", "width", "height", "pixel_sum", "tl_r", "tr_r",
+                "bl_r", "br_r"]
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    std = standardize_image(
+                        decode_rgb_bytes(bytes(payload)), side
+                    )
+                    s64 = std.astype(np.int64)
+                    rows.append(
+                        dict(
+                            doc_id=doc_id, width=side, height=side,
+                            pixel_sum=int(s64.sum()),
+                            tl_r=int(std[0, 0, 0]), tr_r=int(std[0, -1, 0]),
+                            bl_r=int(std[-1, 0, 0]), br_r=int(std[-1, -1, 0]),
+                        )
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append({c: (doc_id if c == "doc_id" else None)
+                                 for c in cols})
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in cols}
+            )
+
+    return media.mapInPandas(
+        body,
+        "doc_id string, width int, height int, pixel_sum long, tl_r int, "
+        "tr_r int, bl_r int, br_r int",
+    )

@@ -672,3 +672,95 @@ def test_corruption_contract_caf_w64_rf64_ico():
                 dec(bytes(m))
             except (ValueError, NotImplementedError):
                 pass
+
+
+# ------------------------------------------------------- normalization ops
+
+
+def test_normalize_audio_exact_semantics():
+    from dstlr_spark.operators.multimodal import normalize_audio
+
+    # stereo downmix: floor mean per frame
+    s = np.array([10, 20, -7, -8, 3, 4], np.int64)  # 3 frames x 2 ch
+    mono = normalize_audio(s, 16000, 2, 16000)
+    assert mono.tolist() == [15, -8, 3]  # floor((-7-8)/2) = -8
+    # 2:1 decimation == take every 2nd sample
+    s = np.arange(100, dtype=np.int64)
+    out = normalize_audio(s, 32000, 1, 16000)
+    assert out.tolist() == list(range(0, 100, 2))
+    # non-integer ratio: nearest-source-index rule
+    s = np.arange(441, dtype=np.int64)
+    out = normalize_audio(s, 44100, 1, 16000)
+    assert out.size == 441 * 16000 // 44100
+    i = np.arange(out.size, dtype=np.int64)
+    assert np.array_equal(out, (i * 44100) // 16000)
+    # upsample: index rule repeats sources
+    out = normalize_audio(np.array([5, 9], np.int64), 8000, 1, 16000)
+    assert out.tolist() == [5, 5, 9, 9]
+
+
+def test_standardize_image_exact_semantics():
+    from dstlr_spark.operators.multimodal import standardize_image
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (10, 16, 3)).astype(np.uint8)
+    std = standardize_image(img, 4)
+    # crop: x0 = (16-10)//2 = 3, square = img[:, 3:13]
+    sq = img[:, 3:13]
+    xs = (np.arange(4) * 10) // 4
+    assert np.array_equal(std, sq[xs][:, xs])
+    # upscaling a small image reaches the fixed dims
+    small = rng.integers(0, 256, (2, 3, 3)).astype(np.uint8)
+    std = standardize_image(small, 6)
+    assert std.shape == (6, 6, 3)
+
+
+def test_normalization_operators_cross_container(spark):
+    """The canonical-corpus contract: the SAME clip/image shipped in
+    different containers normalizes to identical proof features; an
+    undecodable payload degrades to one null row."""
+    from dstlr_spark.operators.aiff import encode_aiff
+    from dstlr_spark.operators.caf import encode_caf, encode_w64
+    from dstlr_spark.operators.multimodal import (
+        audio_normalize_np,
+        encode_bmp,
+        encode_wav,
+        image_standardize_np,
+    )
+    from dstlr_spark.operators.qoi import encode_qoi
+    from dstlr_spark.operators.tga import encode_tga
+
+    rng = np.random.default_rng(16)
+    s = rng.integers(-32768, 32768, 320).astype(np.int16)  # stereo 160fr
+    clips = [("wav", encode_wav(s, 44100, 2)),
+             ("aiff", encode_aiff(s, 44100, 2)),
+             ("caf", encode_caf(s, 44100, 2)),
+             ("w64", encode_w64(s, 44100, 2)),
+             ("bad", b"\x00gar\xffbage")]
+    media = spark.createDataFrame(
+        [(n, bytearray(p)) for n, p in clips],
+        "doc_id string, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_normalize_np(media).collect()}
+    ref = rows["wav"]
+    assert ref.sample_rate == 16000 and ref.n_samples == 160 * 16000 // 44100
+    for n in ("aiff", "caf", "w64"):
+        assert (rows[n].checksum, rows[n].sumsq, rows[n].peak) == (
+            ref.checksum, ref.sumsq, ref.peak), n
+    assert rows["bad"].n_samples is None
+
+    img = rng.integers(0, 256, (9, 13, 3)).astype(np.uint8)
+    imgs = [("bmp", encode_bmp(img)),
+            ("tga", encode_tga(img, rle=True, top_down=False)),
+            ("qoi", encode_qoi(img))]
+    media = spark.createDataFrame(
+        [(n, bytearray(p)) for n, p in imgs],
+        "doc_id string, payload binary",
+    )
+    rows = {r.doc_id: r for r in image_standardize_np(media, side=4).collect()}
+    ref = rows["bmp"]
+    assert (ref.width, ref.height) == (4, 4)
+    for n in ("tga", "qoi"):
+        got = rows[n]
+        assert (got.pixel_sum, got.tl_r, got.tr_r, got.bl_r, got.br_r) == (
+            ref.pixel_sum, ref.tl_r, ref.tr_r, ref.bl_r, ref.br_r), n
