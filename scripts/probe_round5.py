@@ -741,6 +741,11 @@ def probe_containers(spark, n_docs: int, side: int = 96) -> None:
         synth_img(lambda a: encode_webp(a, subtract_green=True,
                                         cache_bits=8)),
         decode_features_np, "imgs")
+    from dstlr_spark.operators.ico import encode_ico
+
+    run("ico dib (256px cap)",
+        synth_img(lambda a: encode_ico(a[:256, :256])),
+        decode_features_np, "imgs")
     run("wav pcm (base)    ",
         synth_audio(lambda s: encode_wav(s, 16_000)),
         audio_features_np, "clips")
@@ -750,6 +755,14 @@ def probe_containers(spark, n_docs: int, side: int = 96) -> None:
         synth_audio(lambda s: encode_aiff(s, 16_000, compression="sowt")),
         audio_features_np, "clips")
     run("au be pcm         ", synth_audio(lambda s: encode_au(s, 16_000)),
+        audio_features_np, "clips")
+    from dstlr_spark.operators.caf import encode_caf, encode_rf64, encode_w64
+
+    run("caf lpcm be       ", synth_audio(lambda s: encode_caf(s, 16_000)),
+        audio_features_np, "clips")
+    run("w64 pcm           ", synth_audio(lambda s: encode_w64(s, 16_000)),
+        audio_features_np, "clips")
+    run("rf64 pcm          ", synth_audio(lambda s: encode_rf64(s, 16_000)),
         audio_features_np, "clips")
     run("y4m mono (base)   ", synth_video(encode_y4m),
         video_frame_features_np, "clips")
