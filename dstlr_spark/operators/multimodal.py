@@ -79,22 +79,43 @@ def synth_media(documents: DataFrame) -> DataFrame:
 
 
 def sniff_media_type(payload) -> F.Column:
-    """Magic-prefix sniffing — native expression, no UDF."""
+    """Magic-prefix sniffing — native expression, no UDF. RIFF-family
+    streams disambiguate on the form type at bytes 9-12 (WAVE vs
+    AVI vs WEBP); TGA is the one decodable format absent here — its
+    only signature is a trailing footer, which a prefix sniff cannot
+    see (the decode dispatch checks it last instead)."""
     head8 = F.hex(F.substring(payload, 1, 8))
     head4 = F.hex(F.substring(payload, 1, 4))
+    form4 = F.hex(F.substring(payload, 9, 4))
     return (
         F.when(head8 == PNG_MAGIC, F.lit("image/png"))
+        .when((head4 == "52494646") & (form4 == "41564920"),  # RIFF/AVI
+              F.lit("video/x-msvideo"))
+        .when((head4 == "52494646") & (form4 == "57454250"),  # RIFF/WEBP
+              F.lit("image/webp"))
         .when(head4 == "52494646", F.lit("audio/wav"))  # 'RIFF'
+        .when(head4.isin("52463634", "42573634"),  # RF64 / BW64
+              F.lit("audio/wav"))
         .when(F.hex(F.substring(payload, 1, 3)) == "FFD8FF", F.lit("image/jpeg"))
         .when(F.hex(F.substring(payload, 1, 3)) == "474946", F.lit("image/gif"))
         # every format decode_rgb_bytes/decode_y4m supports is a named
         # type here — routing on the sniff must not drop decodable media
         # into the octet-stream bucket
         .when(F.hex(F.substring(payload, 1, 2)) == "424D", F.lit("image/bmp"))
-        .when(F.hex(F.substring(payload, 1, 2)) == "5036",  # 'P6'
+        .when(F.hex(F.substring(payload, 1, 2)).isin("5035", "5036"),  # P5/P6
               F.lit("image/x-portable-pixmap"))
         .when(F.hex(F.substring(payload, 1, 9)) == "595556344D50454732",
               F.lit("video/x-yuv4mpeg"))  # 'YUV4MPEG2'
+        .when(head4.isin("49492A00", "4D4D002A"), F.lit("image/tiff"))
+        .when(head4 == "664C6143", F.lit("audio/flac"))  # 'fLaC'
+        .when((head4 == "464F524D") & (form4.isin("41494646", "41494643")),
+              F.lit("audio/aiff"))  # FORM/AIFF|AIFC
+        .when(head4 == "2E736E64", F.lit("audio/basic"))  # '.snd'
+        .when(head4 == "63616666", F.lit("audio/x-caf"))  # 'caff'
+        .when(head4 == "72696666", F.lit("audio/wav"))  # Wave64 GUID
+        .when(head4 == "716F6966", F.lit("image/qoi"))  # 'qoif'
+        .when(head4.isin("00000100", "00000200"), F.lit("image/x-icon"))
+        .when(F.hex(F.substring(payload, 1, 1)) == "0A", F.lit("image/x-pcx"))
         .otherwise(F.lit("application/octet-stream"))
     )
 

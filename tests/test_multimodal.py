@@ -1819,12 +1819,39 @@ def test_sniff_covers_every_native_decode_format(spark):
         sniff_media_type,
     )
 
+    from dstlr_spark.operators.aiff import encode_aiff, encode_au
+    from dstlr_spark.operators.avi import encode_avi
+    from dstlr_spark.operators.caf import encode_caf, encode_rf64, encode_w64
+    from dstlr_spark.operators.flac import encode_flac
+    from dstlr_spark.operators.ico import encode_ico
+    from dstlr_spark.operators.multimodal import encode_wav
+    from dstlr_spark.operators.pcx import encode_pcx
+    from dstlr_spark.operators.qoi import encode_qoi
+    from dstlr_spark.operators.tiff import encode_tiff
+    from dstlr_spark.operators.webp import encode_webp
+
     rgb = np.zeros((2, 2, 3), np.uint8)
+    s = np.zeros(16, np.int16)
+    fr = np.zeros((1, 2, 2, 3), np.uint8)
     rows = spark.createDataFrame(
         [
             ("bmp", bytes(encode_bmp(rgb))),
             ("ppm", b"P6 2 2 255\n" + rgb.tobytes()),
+            ("pgm", b"P5 2 2 255\n" + rgb[..., 0].tobytes()),
             ("y4m", bytes(encode_y4m(np.zeros((1, 2, 2), np.uint8)))),
+            ("tiff", bytes(encode_tiff(rgb))),
+            ("qoi", bytes(encode_qoi(rgb))),
+            ("pcx", bytes(encode_pcx(rgb=rgb))),
+            ("ico", bytes(encode_ico(rgb))),
+            ("webp", bytes(encode_webp(rgb))),
+            ("wav", bytes(encode_wav(s, 8000))),
+            ("rf64", bytes(encode_rf64(s, 8000))),
+            ("flac", bytes(encode_flac(s, 8000))),
+            ("aiff", bytes(encode_aiff(s, 8000))),
+            ("au", bytes(encode_au(s, 8000))),
+            ("caf", bytes(encode_caf(s, 8000))),
+            ("w64", bytes(encode_w64(s, 8000))),
+            ("avi", bytes(encode_avi(fr))),
             ("other", b"\x00\x01\x02\x03\x04\x05\x06\x07\x08\x09"),
         ],
         "doc_id string, payload binary",
@@ -1838,7 +1865,21 @@ def test_sniff_covers_every_native_decode_format(spark):
     assert got == {
         "bmp": "image/bmp",
         "ppm": "image/x-portable-pixmap",
+        "pgm": "image/x-portable-pixmap",
         "y4m": "video/x-yuv4mpeg",
+        "tiff": "image/tiff",
+        "qoi": "image/qoi",
+        "pcx": "image/x-pcx",
+        "ico": "image/x-icon",
+        "webp": "image/webp",
+        "wav": "audio/wav",
+        "rf64": "audio/wav",
+        "flac": "audio/flac",
+        "aiff": "audio/aiff",
+        "au": "audio/basic",
+        "caf": "audio/x-caf",
+        "w64": "audio/wav",
+        "avi": "video/x-msvideo",
         "other": "application/octet-stream",
     }
 
