@@ -181,15 +181,22 @@ def encode_aiff(
 def _linear_from_be(data: bytes, bits: int, little: bool = False):
     """Raw linear sample bytes → ndarray, matching decode_wav's width
     conventions (8-bit → full-scale int16, 24-bit → sign-extended
-    int32)."""
+    int32). Always returns NATIVE byte order: a big-endian view would
+    silently pay a per-element byteswap in every downstream reducer
+    (measured 3-10× on the feature sums), so the one-pass swap happens
+    here."""
     import numpy as np
 
     if bits == 16:
-        return np.frombuffer(data, "<i2" if little else ">i2")
+        return np.frombuffer(data, "<i2" if little else ">i2").astype(
+            np.int16, copy=False
+        )
     if bits == 8:
         return np.frombuffer(data, np.int8).astype(np.int16) << 8
     if bits == 32:
-        return np.frombuffer(data, "<i4" if little else ">i4")
+        return np.frombuffer(data, "<i4" if little else ">i4").astype(
+            np.int32, copy=False
+        )
     if bits == 24:
         if len(data) % 3:
             raise ValueError("24-bit data not sample-aligned")
@@ -264,9 +271,9 @@ def decode_aiff(b: bytes):
 
         s = _g711_alaw_to_linear(np.frombuffer(data, np.uint8))
     elif comp in (b"fl32", b"FL32"):
-        s = np.frombuffer(data, ">f4")
+        s = np.frombuffer(data, ">f4").astype(np.float32, copy=False)
     elif comp in (b"fl64", b"FL64"):
-        s = np.frombuffer(data, ">f8")
+        s = np.frombuffer(data, ">f8").astype(np.float64, copy=False)
     else:
         raise NotImplementedError(
             f"STUB: AIFC compression {comp!r} is a transform codec "
@@ -370,9 +377,11 @@ def decode_au(b: bytes):
     if encoding in _AU_LINEAR:
         return _linear_from_be(data, _AU_LINEAR[encoding]), rate, n_channels
     if encoding == 6:
-        return np.frombuffer(data, ">f4"), rate, n_channels
+        return (np.frombuffer(data, ">f4").astype(np.float32, copy=False),
+                rate, n_channels)
     if encoding == 7:
-        return np.frombuffer(data, ">f8"), rate, n_channels
+        return (np.frombuffer(data, ">f8").astype(np.float64, copy=False),
+                rate, n_channels)
     raise NotImplementedError(
         f"STUB: AU encoding {encoding} is a compressed codec "
         "(G.721/G.723/…); µ-law/A-law, linear 8-32, and floats decode "

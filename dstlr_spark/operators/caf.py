@@ -109,9 +109,13 @@ def decode_caf(b: bytes):
     e = "<" if little else ">"
     if is_float:
         if bits == 32:
-            return np.frombuffer(pcm, e + "f4"), rate, n_channels
+            return (np.frombuffer(pcm, e + "f4").astype(np.float32,
+                                                        copy=False),
+                    rate, n_channels)
         if bits == 64:
-            return np.frombuffer(pcm, e + "f8"), rate, n_channels
+            return (np.frombuffer(pcm, e + "f8").astype(np.float64,
+                                                        copy=False),
+                    rate, n_channels)
         raise ValueError(f"CAF float at {bits} bits invalid")
     from dstlr_spark.operators.aiff import _linear_from_be
 
