@@ -97,7 +97,9 @@ def _unpack_f80(b: bytes) -> int:
         # real-world rates are integers, but a denormal-ish encoder
         # could legally write 44099.99…
         whole = mant >> -shift if -shift < 64 else 0
-        frac_top = (mant >> (-shift - 1)) & 1 if -shift <= 64 else 0
+        # shift == 0 has no truncated bits to round (and -shift-1
+        # would be a negative shift count)
+        frac_top = (mant >> (-shift - 1)) & 1 if 1 <= -shift <= 64 else 0
         rate = whole + frac_top
     if rate <= 0 or rate > 10_000_000:
         raise ValueError(f"AIFF sample rate {rate} out of audio range")

@@ -75,6 +75,10 @@ def _dib_frame(data: bytes, w: int, h: int, bpp: int, top_down: bool,
         idx = raw.reshape(h, row_bytes)[:, :w]
         if palette is None:
             raise ValueError("8-bpp DIB frame without strf palette")
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            # isolation contract: out-of-palette indices must be a
+            # ValueError, never an IndexError escaping the Arrow batch
+            raise ValueError("DIB frame index outside strf palette")
         rgb = palette[idx]
     elif bpp in (24, 32):
         nb = bpp // 8

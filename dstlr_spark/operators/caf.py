@@ -91,9 +91,14 @@ def decode_caf(b: bytes):
     rate_f, fmt_id, flags, _bpp, _fpp, n_channels, bits = struct.unpack(
         ">d4sIIIII", desc[:32]
     )
-    if not (0 < rate_f <= 10_000_000) or rate_f != int(rate_f):
+    if not (0 < rate_f <= 10_000_000):  # also rejects NaN/inf
         raise ValueError(f"CAF sample rate {rate_f} invalid")
-    rate = int(rate_f)
+    # mSampleRate is Float64 per spec: fractional rates (e.g. the
+    # classic Mac 22254.54545 Hz) are legal — round to nearest like
+    # the AIFF 80-bit-float path does
+    rate = int(round(rate_f))
+    if rate <= 0:
+        raise ValueError(f"CAF sample rate {rate_f} invalid")
     if n_channels <= 0:
         raise ValueError(f"CAF channels={n_channels} invalid")
     if fmt_id != b"lpcm":

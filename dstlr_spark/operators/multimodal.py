@@ -115,7 +115,17 @@ def sniff_media_type(payload) -> F.Column:
         .when(head4 == "72696666", F.lit("audio/wav"))  # Wave64 GUID
         .when(head4 == "716F6966", F.lit("image/qoi"))  # 'qoif'
         .when(head4.isin("00000100", "00000200"), F.lit("image/x-icon"))
-        .when(F.hex(F.substring(payload, 1, 1)) == "0A", F.lit("image/x-pcx"))
+        .when(
+            (F.hex(F.substring(payload, 1, 1)) == "0A")
+            & (F.hex(F.substring(payload, 3, 1)) == "01")
+            & F.hex(F.substring(payload, 2, 1)).isin(
+                "00", "02", "03", "04", "05"
+            ),
+            # manufacturer + RLE-encoding + version bytes, the same
+            # fields the decode dispatch checks — a text blob starting
+            # with '\n' must NOT sniff as PCX
+            F.lit("image/x-pcx"),
+        )
         .otherwise(F.lit("application/octet-stream"))
     )
 

@@ -232,6 +232,16 @@ def _decode_image(br: _BitReader, w: int, h: int, allow_meta: bool):
     """Decode one spatially-coded image → flat list of ARGB uint32
     (length w·h). Sub-images (transforms, entropy image, palette) set
     ``allow_meta=False`` per spec."""
+    # RFC 9649 §4.3 order: color-cache-info FIRST, then the
+    # meta-prefix bit (libwebp DecodeImageStream → ReadHuffmanCodes)
+    cache_size = 0
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L cache bits {cache_bits} out of range")
+        cache_size = 1 << cache_bits
+
     meta = None
     meta_bits = 0
     if allow_meta and br.read_bit():
@@ -245,14 +255,6 @@ def _decode_image(br: _BitReader, w: int, h: int, allow_meta: bool):
         n_groups += 1
     else:
         n_groups = 1
-
-    cache_size = 0
-    cache_bits = 0
-    if br.read_bit():
-        cache_bits = br.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError(f"VP8L cache bits {cache_bits} out of range")
-        cache_size = 1 << cache_bits
     groups = _read_groups(br, n_groups, cache_size)
     cache = [0] * cache_size
 
@@ -634,22 +636,13 @@ def _huffman_lengths(freqs, max_len=15):
 
 
 def _canon_from_lengths(lengths):
-    max_len = max(lengths)
-    count = [0] * (max_len + 1)
-    for ln in lengths:
-        if ln:
-            count[ln] += 1
-    code = 0
-    next_code = [0] * (max_len + 1)
-    for ln in range(1, max_len + 1):
-        code = (code + count[ln - 1]) << 1
-        next_code[ln] = code
-    codes = {}
-    for sym, ln in enumerate(lengths):
-        if ln:
-            codes[sym] = (next_code[ln], ln)
-            next_code[ln] += 1
-    return codes
+    """symbol → (code, length), by inverting the DECODER's canonical
+    table — one shared assignment algorithm (and its >15-length
+    guard), so encoder and decoder cannot drift."""
+    return {
+        sym: (code, ln)
+        for (ln, code), sym in _canonical_codes(lengths).items()
+    }
 
 
 def _write_prefix_code(bw: _BitWriter, lengths):
@@ -846,10 +839,7 @@ def encode_webp(rgb, subtract_green: bool = False, palette: bool = False,
         deltas = []
         prev = 0
         for c in colors:
-            d = 0
-            for sh in (24, 16, 8, 0):
-                d |= ((((c >> sh) & 0xFF) - ((prev >> sh) & 0xFF)) & 0xFF) << sh
-            deltas.append(d)
+            deltas.append(_sub_px(c, prev))
             prev = c
         _encode_image(bw, deltas, 0, False, top_level=False)
         if n <= 2:
@@ -895,8 +885,8 @@ def _encode_image(bw: _BitWriter, px, cache_bits: int, use_runs: bool,
                   top_level: bool = True):
     """Serialize a flat ARGB list as one spatially-coded image (single
     prefix-code group, optional cache, distance-1 runs)."""
-    if top_level:
-        bw.write(0, 1)  # no meta prefix codes
+    # RFC 9649 §4.3 order: color-cache-info first, then (top level
+    # only) the meta-prefix bit
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -904,6 +894,8 @@ def _encode_image(bw: _BitWriter, px, cache_bits: int, use_runs: bool,
     else:
         bw.write(0, 1)
         cache_size = 0
+    if top_level:
+        bw.write(0, 1)  # no meta prefix codes
     cache = [None] * cache_size
 
     # tokenize: (kind, payload) with kinds lit / run / cache

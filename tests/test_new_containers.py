@@ -764,3 +764,41 @@ def test_normalization_operators_cross_container(spark):
         got = rows[n]
         assert (got.pixel_sum, got.tl_r, got.tr_r, got.bl_r, got.br_r) == (
             ref.pixel_sum, ref.tl_r, ref.tr_r, ref.bl_r, ref.br_r), n
+
+
+def test_review_regressions():
+    """Pins for the session code-review findings."""
+    from dstlr_spark.operators.caf import decode_caf, encode_caf
+    from dstlr_spark.operators.multimodal import sniff_media_type
+
+    # f80 exponent edge: shift == 0 must not hit a negative shift count
+    with pytest.raises(ValueError, match="out of (audio )?range"):
+        _unpack_f80(_pack_f80(2**63))
+    # fractional CAF rates are legal Float64 — round, don't reject
+    blob = encode_caf(np.zeros(4, np.int16), 22255)
+    frac = blob.replace(struct.pack(">d", 22255.0),
+                        struct.pack(">d", 22254.54545))
+    _, rate, _ = decode_caf(frac)
+    assert rate == 22255
+    # AVI 8-bpp out-of-palette index → ValueError, never IndexError
+    pal = np.zeros((4, 3), np.uint8)
+    idx = np.full((1, 2, 2), 5, np.uint8)
+    blob = encode_avi(idx, codec="DIB8", palette=pal[:4])
+    # shrink the declared palette below the index values
+    at = blob.find(b"strf") + 8 + 32
+    small = blob[:at] + struct.pack("<I", 4) + blob[at + 4 :]
+    with pytest.raises(ValueError):
+        decode_avi_frames(small)
+    # a newline-led text blob must not sniff as PCX
+    import pyspark.sql.functions as F
+    from dstlr_spark.session import get_spark
+
+    spark = get_spark("sniff-regression")
+    rows = spark.createDataFrame(
+        [("nl", b"\n the quick brown fox"),
+         ("pcx", bytes(encode_pcx(rgb=np.zeros((2, 2, 3), np.uint8))))],
+        "doc_id string, payload binary",
+    )
+    got = {r.doc_id: r.t for r in rows.select(
+        "doc_id", sniff_media_type(F.col("payload")).alias("t")).collect()}
+    assert got == {"nl": "application/octet-stream", "pcx": "image/x-pcx"}

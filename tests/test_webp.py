@@ -208,3 +208,22 @@ def test_fuzz_webp_roundtrip(w, h, seed, ncol, cache):
         ),
         img,
     )
+
+
+def test_header_order_cache_before_meta():
+    """RFC 9649 §4.3: color-cache-info precedes the meta-prefix bit.
+    Pin the bit positions in an encoded stream (found by review: an
+    encoder/decoder pair with BOTH sides swapped round-trips green
+    while rejecting every real WebP — only a bit-level pin catches
+    it)."""
+    img = np.zeros((2, 2, 3), np.uint8)
+    blob = encode_webp(img, cache_bits=4)
+    bits = _BitReader(blob[21:])  # skip RIFF header + signature byte
+    assert bits.read(14) == 1  # width-1
+    assert bits.read(14) == 1  # height-1
+    bits.read(1)               # alpha hint
+    assert bits.read(3) == 0   # version
+    assert bits.read(1) == 0   # no transforms
+    assert bits.read(1) == 1   # color-cache-info FIRST …
+    assert bits.read(4) == 4   # … carrying cache_bits
+    assert bits.read(1) == 0   # THEN the meta-prefix bit
