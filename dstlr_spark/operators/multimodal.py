@@ -838,11 +838,6 @@ def decode_rgb_bytes(b: bytes):
         from dstlr_spark.operators.webp import decode_webp
 
         return decode_webp(b)
-    if len(b) >= 128 and b[0] == 0x0A and b[2] == 1 and b[1] <= 5:
-        # PCX: manufacturer 0x0A + RLE encoding byte + version ≤ 5
-        from dstlr_spark.operators.pcx import decode_pcx
-
-        return decode_pcx(b)
     if (
         len(b) >= 6
         and b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
@@ -853,11 +848,24 @@ def decode_rgb_bytes(b: bytes):
 
         return decode_ico(b)
     if len(b) >= 44 and b[-18:] == b"TRUEVISION-XFILE.\x00":
-        # TGA has no front magic; the TGA 2.0 footer is the dispatch
-        # key (checked LAST so front-magic formats can't be shadowed)
+        # TGA has no front magic; its 18-byte 2.0 footer is a far
+        # stronger signature than PCX's 3-byte heuristic below, so it
+        # is checked FIRST — a colormapped TGA whose image-ID length
+        # happens to be 0x0A would otherwise misroute to decode_pcx
         from dstlr_spark.operators.tga import decode_tga
 
         return decode_tga(b)
+    if (
+        len(b) >= 128
+        and b[0] == 0x0A
+        and b[2] == 1
+        and b[1] in (0, 2, 3, 4, 5)
+    ):
+        # PCX: manufacturer 0x0A + RLE encoding byte + a RELEASED
+        # version (1 never shipped — same set the sniffer matches)
+        from dstlr_spark.operators.pcx import decode_pcx
+
+        return decode_pcx(b)
     raise NotImplementedError(
         "STUB: unrecognized image container — BMP/PPM/PNG/GIF/JPEG/"
         "TIFF/QOI/PCX/TGA/WebP-lossless decode natively via "
@@ -3275,7 +3283,14 @@ def normalize_audio(samples, rate: int, n_channels: int,
     Returns the normalized int64 sample array."""
     import numpy as np
 
-    s = np.asarray(samples, np.int64)
+    raw = np.asarray(samples)
+    if np.issubdtype(raw.dtype, np.floating):
+        # float-PCM containers (WAV fmt 3, AIFF fl32/fl64, AU 6/7,
+        # CAF/W64 float) carry [-1, 1] samples: map to int16 full
+        # scale (rint + clip) — a bare int64 cast would truncate the
+        # whole clip to zeros and report silent-looking features
+        raw = np.clip(np.rint(raw * 32767.0), -32768, 32767)
+    s = raw.astype(np.int64)
     if n_channels <= 0 or s.size % n_channels:
         raise ValueError("samples not channel-aligned")
     frames = s.size // n_channels

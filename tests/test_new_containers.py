@@ -802,3 +802,30 @@ def test_review_regressions():
     got = {r.doc_id: r.t for r in rows.select(
         "doc_id", sniff_media_type(F.col("payload")).alias("t")).collect()}
     assert got == {"nl": "application/octet-stream", "pcx": "image/x-pcx"}
+
+
+def test_review_regressions_round2():
+    """Pins for the second review pass."""
+    from dstlr_spark.operators.multimodal import (
+        decode_rgb_bytes,
+        normalize_audio,
+    )
+    from dstlr_spark.operators.tga import encode_tga
+
+    # a colormapped TGA whose image-ID length is 0x0A must not
+    # misroute to the PCX arm (footer beats the PCX heuristic)
+    pal = np.arange(120, dtype=np.uint8).reshape(40, 3)
+    idx = (np.arange(64, dtype=np.uint8) % 40).reshape(8, 8)
+    blob = bytearray(encode_tga(None, palette=pal, indices=idx))
+    blob[0] = 0x0A  # id_len = 10
+    blob[18:18] = b"\xEE" * 10  # the image-ID field itself
+    assert len(blob) >= 128  # inside the PCX heuristic's length bar
+    got = decode_rgb_bytes(bytes(blob))
+    assert np.array_equal(got, pal[idx])
+    # float-PCM clips map [-1,1] -> int16 full scale, not zeros
+    f = np.array([0.5, -1.0, 0.0, 1.0], np.float32)
+    out = normalize_audio(f, 16000, 1, 16000)
+    assert out.tolist() == [16384, -32767, 0, 32767]
+    # round-half-even: 0.50003.. of full scale
+    assert normalize_audio(np.array([1.5 / 32767], np.float64),
+                           16000, 1, 16000).tolist() == [2]
