@@ -16,7 +16,10 @@ Decoder surface:
   ``sowt`` (little-endian 16-bit), ``raw `` (offset-binary uint8),
   ``ulaw``/``ULAW`` and ``alaw``/``ALAW`` (G.711 table expansions
   shared with the WAV path), ``fl32``/``FL32``/``fl64``/``FL64``
-  (big-endian IEEE floats). True transform codecs (``ima4``, ``MAC3``,
+  (big-endian IEEE floats), and ``ima4`` (QuickTime IMA ADPCM —
+  34-byte packets of 64 samples, decoded per-packet from the 9-bit
+  predictor + step-index preamble with the WAV-shared IMA tables; see
+  :func:`_ima4_decode`). Remaining transform codecs (``MAC3``,
   ``GSM ``, …) raise NotImplementedError.
 - :func:`decode_au` — ``.snd`` header walk; encodings 1 (µ-law),
   2/3/4/5 (8/16/24/32-bit big-endian linear), 6/7 (BE floats),
@@ -106,6 +109,113 @@ def _unpack_f80(b: bytes) -> int:
     return int(rate)
 
 
+def _ima4_decode(data: bytes, n_channels: int):
+    """REAL AIFC ``ima4`` (QuickTime IMA ADPCM) decode → interleaved
+    int16.
+
+    Packet layout (Apple's fixed geometry): 34 bytes per channel per
+    packet — a 2-byte big-endian preamble whose top 9 bits are the
+    predictor (low 7 bits lost to the step index) and whose low 7 bits
+    are the IMA step index, then 32 data bytes = 64 nibbles, LOW
+    nibble first. Packets are channel-interleaved (ch0 packet, ch1
+    packet, …) and each decodes 64 sample frames with the SAME
+    step/index arithmetic as WAV IMA (tag 0x11) — the tables are
+    shared with :mod:`dstlr_spark.operators.multimodal`.
+
+    Each packet is decoded independently from its own preamble (the
+    seekability contract that lets QuickTime cut at any packet);
+    :func:`encode_aiff` masks its carried predictor to the preamble's
+    9-bit precision at every packet boundary, so encoder and decoder
+    states agree exactly and round-trips are deterministic.
+
+    Vectorized across (packet, channel) with one NumPy step per nibble
+    position — the same across-independent-units loop shape as the
+    WAV ADPCM decoders."""
+    import numpy as np
+
+    from dstlr_spark.operators.multimodal import _IMA_INDEX, _IMA_STEP
+
+    ch = n_channels
+    if len(data) == 0 or len(data) % (34 * ch):
+        raise ValueError("ima4 data not 34-byte-packet-aligned")
+    npk = len(data) // (34 * ch)
+    arr = np.frombuffer(data, np.uint8).reshape(npk, ch, 34)
+    pre = (arr[:, :, 0].astype(np.uint16) << 8) | arr[:, :, 1]
+    idx = (pre & 0x7F).astype(np.int32)
+    if (idx > 88).any():
+        raise ValueError("ima4 step index out of range (>88)")
+    pred = (pre & 0xFF80).view(np.int16).astype(np.int32)
+    byts = arr[:, :, 2:]
+    nibs = np.empty((npk, ch, 64), np.uint8)
+    nibs[:, :, 0::2] = byts & 0x0F
+    nibs[:, :, 1::2] = byts >> 4
+    out = np.empty((npk, 64, ch), np.int16)
+    step_tab = np.array(_IMA_STEP, np.int32)
+    idx_tab = np.array(_IMA_INDEX, np.int32)
+    for t in range(64):
+        n = nibs[:, :, t].astype(np.int32)
+        step = step_tab[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 4, step, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 1, step >> 2, 0)
+        )
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + idx_tab[n], 0, 88)
+        out[:, t, :] = pred
+    return out.reshape(-1)
+
+
+def _ima4_encode_packets(chan_samples, n_packets: int) -> bytes:
+    """Fixture-side ima4 packet stream for one clip: greedy IMA nibble
+    quantization, per-channel (predictor, index) state carried across
+    packets but masked to the preamble's 9-bit predictor precision at
+    every packet start — exactly what :func:`_ima4_decode` will
+    reconstruct, so the encoder's decode-side state IS the decoder's
+    state. ``chan_samples`` is (n_channels, n_packets*64) int32."""
+    from dstlr_spark.operators.multimodal import _IMA_INDEX, _IMA_STEP
+
+    ch = len(chan_samples)
+    state = [(0, 0)] * ch  # (predictor, step index)
+    out = bytearray()
+    for p in range(n_packets):
+        for c in range(ch):
+            pred, idx = state[c]
+            pred &= ~0x7F  # preamble precision: the decoder sees this
+            out += bytes([((pred & 0xFF80) >> 8) & 0xFF, (pred & 0x80) | idx])
+            nibs = []
+            for t in range(64):
+                sample = int(chan_samples[c][p * 64 + t])
+                step = _IMA_STEP[idx]
+                diff = sample - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                # decode-side update (the shared IMA rule)
+                d = step >> 3
+                if nib & 4:
+                    d += step
+                if nib & 2:
+                    d += step >> 1
+                if nib & 1:
+                    d += step >> 2
+                pred = max(-32768, min(32767, pred + (-d if nib & 8 else d)))
+                idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+                nibs.append(nib)
+            for lo, hi in zip(nibs[0::2], nibs[1::2]):
+                out.append(lo | (hi << 4))
+            state[c] = (pred, idx)
+    return bytes(out)
+
+
 def _pascal_even(name: bytes) -> bytes:
     """AIFC compressionName: count byte + chars, padded so the TOTAL
     (count byte included) is even."""
@@ -157,6 +267,16 @@ def encode_aiff(
         if sample_size != 8:
             raise ValueError("raw  fixtures are 8-bit")
         data = (s.astype(np.int16) + 128).astype(np.uint8).tobytes()
+    elif compression == "ima4":
+        if sample_size != 16:
+            raise ValueError("ima4 fixtures are 16-bit")
+        n_packets = -(-frames // 64)  # pad the tail packet
+        chans = np.zeros((n_channels, n_packets * 64), np.int32)
+        inter = s.astype(np.int32).reshape(frames, n_channels).T
+        chans[:, :frames] = inter
+        if frames:  # hold the last sample through the pad (no step jump)
+            chans[:, frames:] = inter[:, -1:]
+        data = _ima4_encode_packets(chans, n_packets)
     else:
         raise ValueError(f"unsupported fixture compression {compression!r}")
 
@@ -276,11 +396,13 @@ def decode_aiff(b: bytes):
         s = np.frombuffer(data, ">f4").astype(np.float32, copy=False)
     elif comp in (b"fl64", b"FL64"):
         s = np.frombuffer(data, ">f8").astype(np.float64, copy=False)
+    elif comp == b"ima4":
+        s = _ima4_decode(data, n_channels)
     else:
         raise NotImplementedError(
             f"STUB: AIFC compression {comp!r} is a transform codec "
-            "(ima4/MAC3/GSM/…); NONE/twos/sowt/raw /G.711/fl32/fl64 "
-            "decode natively"
+            "(MAC3/GSM/QDM2/…); NONE/twos/sowt/raw /G.711/fl32/fl64/"
+            "ima4 decode natively"
         )
     want = frames * n_channels
     if s.size < want:

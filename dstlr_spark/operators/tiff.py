@@ -23,9 +23,14 @@ SOF3 strips stay integer-exact, so the hybrid joins the gate corpus
 too). Planar configuration 2 (per-plane strip/tile sequences) and
 TILED layouts (tags 322-325, zero-padded edge tiles, per-tile
 predictor chains) decode natively for every byte codec, and tiled
-JPEG-in-TIFF assembles through the same JPEG delegation. Out of
-scope (loud stubs): CCITT and the broken old-style JPEG tag 6,
-floating-point samples.
+JPEG-in-TIFF assembles through the same JPEG delegation.
+IEEE-float samples (SampleFormat 3, 32/64-bit, both byte orders, all
+byte codecs incl. planar/tiled layouts) decode via a documented
+deterministic clamp-[0,1]-scale-to-255 mapping (TIFF assigns floats
+no display semantics, so the mapping is a contract of this engine,
+pinned by tests — NaN → 0, rint rounding). Out of scope (loud
+stubs): CCITT, the broken old-style JPEG tag 6, half-float samples,
+signed-int SampleFormat, and the float predictor 3.
 
 Encoder (:func:`encode_tiff`) is the deterministic fixture side —
 real PackBits and real LZW (early change included) so decode paths
@@ -272,8 +277,44 @@ def decode_tiff(b: bytes):
             "old-style JPEG-in-TIFF tag 6 stay stubs); none/LZW/"
             "PackBits/new-style-JPEG decode natively"
         )
+    if predictor == 3:
+        raise NotImplementedError(
+            "STUB: TIFF predictor 3 (floating-point differencing)"
+        )
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} invalid")
+
+    sfmt_v = tags.get(339, (1,) * max(1, spp))
+    if not isinstance(sfmt_v, tuple):
+        raise ValueError("TIFF SampleFormat type invalid")
+    if len(set(sfmt_v)) != 1:
+        raise NotImplementedError("STUB: heterogeneous TIFF SampleFormat")
+    sfmt = int(sfmt_v[0])
+    if sfmt in (2, 4):
+        raise NotImplementedError(
+            f"STUB: TIFF SampleFormat {sfmt} (signed-int / undefined); "
+            "unsigned (1) and IEEE-float (3) decode natively"
+        )
+    if sfmt not in (1, 3):
+        raise ValueError(f"TIFF SampleFormat {sfmt} invalid")
+    if sfmt == 3:
+        # IEEE-float samples (SampleFormat 3): decoded by clamping to
+        # [0, 1] and scaling to the 0-255 pixel contract at unpack
+        # time (rint; NaN → 0) — a documented DETERMINISTIC mapping,
+        # not spec (TIFF assigns floats no display semantics). Byte
+        # geometry below keeps the true 32/64 sample width.
+        if bits == 16:
+            raise NotImplementedError("STUB: half-float TIFF samples")
+        if bits not in (32, 64):
+            raise ValueError(f"float TIFF BitsPerSample {bits} invalid")
+        if comp == 7:
+            raise ValueError("float JPEG-in-TIFF is malformed (TTN2)")
+        if photo == 3:
+            raise ValueError("float palette TIFF is malformed")
+        if predictor == 2:
+            raise NotImplementedError(
+                "STUB: integer differencing on float samples"
+            )
     if predictor == 2 and bits not in (8, 16):
         raise NotImplementedError("STUB: predictor on sub-byte samples")
 
@@ -378,6 +419,16 @@ def decode_tiff(b: bytes):
     def unpack_rows(raw, nrows, width_px, seg_row_bytes):
         """Packed segment bytes → (nrows, width_px, sppc) uint16."""
         data = np.frombuffer(raw, np.uint8).reshape(nrows, seg_row_bytes)
+        if sfmt == 3:
+            fw = bits // 8
+            fl = np.frombuffer(
+                np.ascontiguousarray(
+                    data[:, : width_px * sppc * fw]
+                ).tobytes(),
+                eo + ("f4" if bits == 32 else "f8"),
+            ).reshape(nrows, width_px, sppc)
+            fl = np.where(np.isnan(fl), 0.0, fl)
+            return np.rint(np.clip(fl, 0.0, 1.0) * 255.0).astype(np.uint16)
         if bits == 8:
             s = data[:, : width_px * sppc].astype(np.uint16)
         elif bits == 16:
@@ -469,6 +520,8 @@ def decode_tiff(b: bytes):
             else:
                 px[row0 : row0 + nrows] = g
 
+    if sfmt == 3:
+        bits = 8  # float samples were mapped to 8-bit scale at unpack
     maxv = (1 << bits) - 1
     dtype = np.uint16 if bits == 16 else np.uint8
     if photo in (0, 1):  # gray (0 = WhiteIsZero inverts)

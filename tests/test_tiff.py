@@ -412,3 +412,65 @@ def test_cmyk_photometric_separated():
                     tile=(4, 4), byte_order=">")
     )
     assert (out == exp).all()
+
+
+def test_float_sample_format():
+    """SampleFormat 3 (IEEE float) decodes under the documented
+    clamp-[0,1]-scale-255 contract: rint rounding, NaN → 0, both
+    widths and byte orders, through the byte codecs; the adjacent
+    real-but-unsupported layouts stay loud stubs."""
+    import math
+
+    from dstlr_spark.operators.tiff import _lzw_encode, decode_tiff
+
+    def ftiff(values, w, h, eo="<", bits=32, comp=1, photo=1, spp=1,
+              sfmt=3, predictor=1):
+        fmt = ("f" if bits == 32 else "d")
+        data = struct.pack(eo + fmt * len(values), *values)
+        if comp == 5:
+            data = _lzw_encode(data)
+        ntags = 11
+        e = struct.pack(eo + "H", ntags)
+
+        def tag(t, typ, cnt, val):
+            if typ == 3 and cnt == 1:  # SHORT is LEFT-justified in the
+                # 4-byte value field (matters for big-endian streams)
+                return struct.pack(eo + "HHIHH", t, typ, cnt, val, 0)
+            return struct.pack(eo + "HHII", t, typ, cnt, val)
+
+        data_at = 8 + 2 + ntags * 12 + 4
+        e += tag(256, 3, 1, w) + tag(257, 3, 1, h)
+        e += tag(258, 3, 1, bits) + tag(259, 3, 1, comp)
+        e += tag(262, 3, 1, photo) + tag(273, 4, 1, data_at)
+        e += tag(277, 3, 1, spp)
+        e += tag(278, 3, 1, h) + tag(279, 4, 1, len(data))
+        e += tag(317, 3, 1, predictor)
+        e += tag(339, 3, 1, sfmt)
+        e += struct.pack(eo + "I", 0)
+        magic = b"II*\x00" if eo == "<" else b"MM\x00*"
+        return magic + struct.pack(eo + "I", 8) + e + data
+
+    vals = [0.0, 0.5, 1.0, 2.0, -1.0, math.nan]
+    want = [0, 128, 255, 255, 0, 0]  # rint: 127.5 rounds half-to-even
+    out = decode_tiff(ftiff(vals, 6, 1))
+    assert out.dtype == np.uint8 and out.shape == (1, 6, 3)
+    assert (out[0, :, 0] == want).all() and (out == out[..., :1]).all()
+    # f64, big-endian, WhiteIsZero inverts the mapped gray
+    out = decode_tiff(ftiff(vals, 6, 1, eo=">", bits=64, photo=0))
+    assert (out[0, :, 0] == [255 - v for v in want]).all()
+    # f32 RGB through LZW, two rows
+    rgbv = [i / 12.0 for i in range(12)]
+    out = decode_tiff(ftiff(rgbv, 2, 2, comp=5, photo=2, spp=3))
+    exp = np.rint(np.clip(np.array(rgbv), 0, 1) * 255).reshape(2, 2, 3)
+    assert (out == exp).all()
+
+    with pytest.raises(NotImplementedError):  # half-float
+        decode_tiff(ftiff([0.0], 1, 1, bits=16) )
+    with pytest.raises(NotImplementedError):  # signed-int SampleFormat
+        decode_tiff(ftiff([0.5], 1, 1, sfmt=2))
+    with pytest.raises(NotImplementedError):  # float predictor
+        decode_tiff(ftiff([0.5], 1, 1, predictor=3))
+    with pytest.raises(ValueError):  # float palette is malformed
+        decode_tiff(ftiff([0.5], 1, 1, photo=3))
+    with pytest.raises(ValueError):  # bogus SampleFormat code
+        decode_tiff(ftiff([0.5], 1, 1, sfmt=7))
