@@ -24,13 +24,16 @@ too). Planar configuration 2 (per-plane strip/tile sequences) and
 TILED layouts (tags 322-325, zero-padded edge tiles, per-tile
 predictor chains) decode natively for every byte codec, and tiled
 JPEG-in-TIFF assembles through the same JPEG delegation.
-IEEE-float samples (SampleFormat 3, 32/64-bit, both byte orders, all
-byte codecs incl. planar/tiled layouts) decode via a documented
-deterministic clamp-[0,1]-scale-to-255 mapping (TIFF assigns floats
-no display semantics, so the mapping is a contract of this engine,
-pinned by tests — NaN → 0, rint rounding). Out of scope (loud
-stubs): CCITT, the broken old-style JPEG tag 6, half-float samples,
-signed-int SampleFormat, and the float predictor 3.
+IEEE-float samples (SampleFormat 3 at 16/32/64 bits, both byte
+orders, all byte codecs incl. planar/tiled layouts) decode via a
+documented deterministic clamp-[0,1]-scale-to-255 mapping computed
+in float64 on the stored values (TIFF assigns floats no display
+semantics, so the mapping is a contract of this engine, pinned by
+tests — NaN → 0, rint rounding). Signed samples (SampleFormat 2,
+8/16-bit) map EXACTLY onto the unsigned pixel scale via the
+post-predictor offset ``x + 2^(bits-1) mod 2^bits``. Out of scope
+(loud stubs): CCITT, the broken old-style JPEG tag 6, sub-byte/32-bit
+signed samples, and the float predictor 3.
 
 Encoder (:func:`encode_tiff`) is the deterministic fixture side —
 real PackBits and real LZW (early change included) so decode paths
@@ -290,22 +293,34 @@ def decode_tiff(b: bytes):
     if len(set(sfmt_v)) != 1:
         raise NotImplementedError("STUB: heterogeneous TIFF SampleFormat")
     sfmt = int(sfmt_v[0])
-    if sfmt in (2, 4):
+    if sfmt == 4:
         raise NotImplementedError(
-            f"STUB: TIFF SampleFormat {sfmt} (signed-int / undefined); "
-            "unsigned (1) and IEEE-float (3) decode natively"
+            "STUB: TIFF SampleFormat 4 (undefined data) has no pixel "
+            "semantics to decode to"
         )
-    if sfmt not in (1, 3):
+    if sfmt not in (1, 2, 3):
         raise ValueError(f"TIFF SampleFormat {sfmt} invalid")
+    if sfmt == 2:
+        # signed-int samples: EXACT offset map to the unsigned pixel
+        # scale (x + 2^(bits-1) mod 2^bits) applied after any
+        # predictor chain — the two commute only in that order (the
+        # predictor's stored deltas are offset-free)
+        if bits not in (8, 16):
+            raise NotImplementedError(
+                f"STUB: signed TIFF samples at {bits} bits; 8/16 map "
+                "exactly onto the unsigned pixel scale"
+            )
+        if comp == 7:
+            raise ValueError("signed JPEG-in-TIFF is malformed (TTN2)")
+        if photo == 3:
+            raise ValueError("signed palette TIFF is malformed")
     if sfmt == 3:
         # IEEE-float samples (SampleFormat 3): decoded by clamping to
         # [0, 1] and scaling to the 0-255 pixel contract at unpack
         # time (rint; NaN → 0) — a documented DETERMINISTIC mapping,
         # not spec (TIFF assigns floats no display semantics). Byte
-        # geometry below keeps the true 32/64 sample width.
-        if bits == 16:
-            raise NotImplementedError("STUB: half-float TIFF samples")
-        if bits not in (32, 64):
+        # geometry below keeps the true 16/32/64 sample width.
+        if bits not in (16, 32, 64):
             raise ValueError(f"float TIFF BitsPerSample {bits} invalid")
         if comp == 7:
             raise ValueError("float JPEG-in-TIFF is malformed (TTN2)")
@@ -425,8 +440,8 @@ def decode_tiff(b: bytes):
                 np.ascontiguousarray(
                     data[:, : width_px * sppc * fw]
                 ).tobytes(),
-                eo + ("f4" if bits == 32 else "f8"),
-            ).reshape(nrows, width_px, sppc)
+                eo + {16: "f2", 32: "f4", 64: "f8"}[bits],
+            ).reshape(nrows, width_px, sppc).astype(np.float64)
             fl = np.where(np.isnan(fl), 0.0, fl)
             return np.rint(np.clip(fl, 0.0, 1.0) * 255.0).astype(np.uint16)
         if bits == 8:
@@ -463,6 +478,10 @@ def decode_tiff(b: bytes):
             # own plane) — cumsum per channel along the row
             g = np.cumsum(g.astype(np.uint32), axis=1).astype(np.uint16)
             g &= (1 << bits) - 1
+        if sfmt == 2:  # exact signed → unsigned offset, post-predictor
+            g = (
+                (g.astype(np.uint32) + (1 << (bits - 1))) & ((1 << bits) - 1)
+            ).astype(np.uint16)
         return g
 
     px = np.zeros((h, w, spp), np.uint16)

@@ -424,9 +424,11 @@ def test_float_sample_format():
     from dstlr_spark.operators.tiff import _lzw_encode, decode_tiff
 
     def ftiff(values, w, h, eo="<", bits=32, comp=1, photo=1, spp=1,
-              sfmt=3, predictor=1):
-        fmt = ("f" if bits == 32 else "d")
-        data = struct.pack(eo + fmt * len(values), *values)
+              sfmt=3, predictor=1, raw=None):
+        fmt = {16: "e", 32: "f", 64: "d"}.get(bits, "f")
+        data = raw if raw is not None else struct.pack(
+            eo + fmt * len(values), *values
+        )
         if comp == 5:
             data = _lzw_encode(data)
         ntags = 11
@@ -461,16 +463,67 @@ def test_float_sample_format():
     # f32 RGB through LZW, two rows
     rgbv = [i / 12.0 for i in range(12)]
     out = decode_tiff(ftiff(rgbv, 2, 2, comp=5, photo=2, spp=3))
-    exp = np.rint(np.clip(np.array(rgbv), 0, 1) * 255).reshape(2, 2, 3)
+    # expectation from the STORED f32 values (the contract computes in
+    # float64 on what the file carries, not on the f64 rationals —
+    # they differ at rint boundaries like 2/12*255)
+    exp = np.rint(
+        np.clip(np.array(rgbv, np.float32).astype(np.float64), 0, 1) * 255
+    ).reshape(2, 2, 3)
     assert (out == exp).all()
 
-    with pytest.raises(NotImplementedError):  # half-float
-        decode_tiff(ftiff([0.0], 1, 1, bits=16) )
-    with pytest.raises(NotImplementedError):  # signed-int SampleFormat
+    # half-float (f2) rides the same clamp-scale path
+    out = decode_tiff(ftiff([0.0, 0.5, 1.0, 2.0], 4, 1, bits=16))
+    assert out.dtype == np.uint8 and (out[0, :, 0] == [0, 128, 255, 255]).all()
+
+    with pytest.raises(NotImplementedError):  # signed at non-8/16 widths
         decode_tiff(ftiff([0.5], 1, 1, sfmt=2))
     with pytest.raises(NotImplementedError):  # float predictor
         decode_tiff(ftiff([0.5], 1, 1, predictor=3))
+    with pytest.raises(NotImplementedError):  # undefined SampleFormat
+        decode_tiff(ftiff([0.5], 1, 1, sfmt=4))
     with pytest.raises(ValueError):  # float palette is malformed
         decode_tiff(ftiff([0.5], 1, 1, photo=3))
     with pytest.raises(ValueError):  # bogus SampleFormat code
         decode_tiff(ftiff([0.5], 1, 1, sfmt=7))
+
+
+def test_signed_sample_format():
+    """SampleFormat 2 maps signed samples EXACTLY onto the unsigned
+    pixel scale (x + 2^(bits-1) mod 2^bits), 8- and 16-bit, and the
+    offset is applied AFTER the predictor chain (stored deltas are
+    offset-free)."""
+    from dstlr_spark.operators.tiff import decode_tiff
+
+    def stiff(raw, w, h, eo="<", bits=8, predictor=1, photo=1, spp=1):
+        ntags = 11
+        e = struct.pack(eo + "H", ntags)
+
+        def tag(t, typ, cnt, val):
+            if typ == 3 and cnt == 1:
+                return struct.pack(eo + "HHIHH", t, typ, cnt, val, 0)
+            return struct.pack(eo + "HHII", t, typ, cnt, val)
+
+        data_at = 8 + 2 + ntags * 12 + 4
+        e += tag(256, 3, 1, w) + tag(257, 3, 1, h)
+        e += tag(258, 3, 1, bits) + tag(259, 3, 1, 1)
+        e += tag(262, 3, 1, photo) + tag(273, 4, 1, data_at)
+        e += tag(277, 3, 1, spp)
+        e += tag(278, 3, 1, h) + tag(279, 4, 1, len(raw))
+        e += tag(317, 3, 1, predictor)
+        e += tag(339, 3, 1, 2)
+        e += struct.pack(eo + "I", 0)
+        magic = b"II*\x00" if eo == "<" else b"MM\x00*"
+        return magic + struct.pack(eo + "I", 8) + e + raw
+
+    out = decode_tiff(stiff(struct.pack("<3b", -128, 0, 127), 3, 1))
+    assert out.dtype == np.uint8 and (out[0, :, 0] == [0, 128, 255]).all()
+    out = decode_tiff(
+        stiff(struct.pack(">3h", -32768, 0, 32767), 3, 1, eo=">", bits=16)
+    )
+    assert out.dtype == np.uint16
+    assert (out[0, :, 0] == [0, 32768, 65535]).all()
+    # predictor 2 on signed 8-bit: stored [10, -15 mod, +12 mod] →
+    # samples [10, -5, 7] → offset-mapped [138, 123, 135]
+    raw = bytes([10, (-15) & 0xFF, 12])
+    out = decode_tiff(stiff(raw, 3, 1, predictor=2))
+    assert (out[0, :, 0] == [138, 123, 135]).all()
