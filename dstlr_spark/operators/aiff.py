@@ -133,10 +133,14 @@ def _ima4_decode(data: bytes, n_channels: int):
     WAV ADPCM decoders."""
     import numpy as np
 
-    from dstlr_spark.operators.multimodal import _IMA_INDEX, _IMA_STEP
+    from dstlr_spark.operators.multimodal import (
+        _IMA_INDEX,
+        _IMA_STEP,
+        _ima_expand_vec,
+    )
 
     ch = n_channels
-    if len(data) == 0 or len(data) % (34 * ch):
+    if len(data) % (34 * ch):  # empty is legal: a zero-frame clip
         raise ValueError("ima4 data not 34-byte-packet-aligned")
     npk = len(data) // (34 * ch)
     arr = np.frombuffer(data, np.uint8).reshape(npk, ch, 34)
@@ -154,15 +158,7 @@ def _ima4_decode(data: bytes, n_channels: int):
     idx_tab = np.array(_IMA_INDEX, np.int32)
     for t in range(64):
         n = nibs[:, :, t].astype(np.int32)
-        step = step_tab[idx]
-        diff = (
-            (step >> 3)
-            + np.where(n & 4, step, 0)
-            + np.where(n & 2, step >> 1, 0)
-            + np.where(n & 1, step >> 2, 0)
-        )
-        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
-        idx = np.clip(idx + idx_tab[n], 0, 88)
+        pred, idx = _ima_expand_vec(n, pred, idx, step_tab, idx_tab)
         out[:, t, :] = pred
     return out.reshape(-1)
 
@@ -173,8 +169,10 @@ def _ima4_encode_packets(chan_samples, n_packets: int) -> bytes:
     packets but masked to the preamble's 9-bit predictor precision at
     every packet start — exactly what :func:`_ima4_decode` will
     reconstruct, so the encoder's decode-side state IS the decoder's
-    state. ``chan_samples`` is (n_channels, n_packets*64) int32."""
-    from dstlr_spark.operators.multimodal import _IMA_INDEX, _IMA_STEP
+    state. ``chan_samples`` is (n_channels, n_packets*64) int32.
+    Quantize + state update delegate to the shared
+    :func:`dstlr_spark.operators.multimodal._ima_quantize_step`."""
+    from dstlr_spark.operators.multimodal import _ima_quantize_step
 
     ch = len(chan_samples)
     state = [(0, 0)] * ch  # (predictor, step index)
@@ -186,29 +184,9 @@ def _ima4_encode_packets(chan_samples, n_packets: int) -> bytes:
             out += bytes([((pred & 0xFF80) >> 8) & 0xFF, (pred & 0x80) | idx])
             nibs = []
             for t in range(64):
-                sample = int(chan_samples[c][p * 64 + t])
-                step = _IMA_STEP[idx]
-                diff = sample - pred
-                nib = 8 if diff < 0 else 0
-                diff = abs(diff)
-                if diff >= step:
-                    nib |= 4
-                    diff -= step
-                if diff >= step >> 1:
-                    nib |= 2
-                    diff -= step >> 1
-                if diff >= step >> 2:
-                    nib |= 1
-                # decode-side update (the shared IMA rule)
-                d = step >> 3
-                if nib & 4:
-                    d += step
-                if nib & 2:
-                    d += step >> 1
-                if nib & 1:
-                    d += step >> 2
-                pred = max(-32768, min(32767, pred + (-d if nib & 8 else d)))
-                idx = max(0, min(88, idx + _IMA_INDEX[nib]))
+                nib, pred, idx = _ima_quantize_step(
+                    int(chan_samples[c][p * 64 + t]), pred, idx
+                )
                 nibs.append(nib)
             for lo, hi in zip(nibs[0::2], nibs[1::2]):
                 out.append(lo | (hi << 4))

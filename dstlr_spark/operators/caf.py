@@ -13,10 +13,11 @@ the container-blind planted-value oracles through
 Decoder surface:
 - :func:`decode_caf` — ``caff`` file header, ``desc``/``data`` chunk
   walk; ``lpcm`` at 8/16/24/32-bit integer (big-endian, or little
-  via format flag bit 1) and 32/64-bit float (flag bit 0); the
-  ``data`` chunk's leading 4-byte edit count skipped; compressed
-  format ids (``aac ``, ``alac``, ``ima4``…) raise
-  NotImplementedError.
+  via format flag bit 1) and 32/64-bit float (flag bit 0); ``ima4``
+  (the QuickTime 34-byte IMA packet stream, delegated to the shared
+  :func:`dstlr_spark.operators.aiff._ima4_decode`); the ``data``
+  chunk's leading 4-byte edit count skipped; remaining compressed
+  format ids (``aac ``, ``alac``…) raise NotImplementedError.
 - :func:`decode_w64` — RIFF/WAVE GUID walk (``riff``/``wave``/
   ``fmt ``/``data`` GUIDs matched on their leading fourcc), sizes
   include the header, chunks 8-byte aligned; the parsed fmt block
@@ -101,10 +102,23 @@ def decode_caf(b: bytes):
         raise ValueError(f"CAF sample rate {rate_f} invalid")
     if n_channels <= 0:
         raise ValueError(f"CAF channels={n_channels} invalid")
+    if fmt_id == b"ima4":
+        # same QuickTime 34-byte packet stream as AIFC ima4 (desc:
+        # mBytesPerPacket=34*ch, mFramesPerPacket=64, bits 0) —
+        # delegate to the shared packet decoder
+        if _bpp not in (0, 34 * n_channels) or _fpp not in (0, 64):
+            raise ValueError(
+                f"CAF ima4 packet geometry {_bpp}/{_fpp} invalid"
+            )
+        from dstlr_spark.operators.aiff import _ima4_decode
+
+        if len(data) < 4:
+            raise ValueError("CAF data chunk missing edit count")
+        return _ima4_decode(data[4:], n_channels), rate, n_channels
     if fmt_id != b"lpcm":
         raise NotImplementedError(
             f"STUB: CAF format {fmt_id!r} is a compressed codec "
-            "(aac/alac/ima4/…); lpcm decodes natively"
+            "(aac/alac/…); lpcm and ima4 decode natively"
         )
     if len(data) < 4:
         raise ValueError("CAF data chunk missing edit count")

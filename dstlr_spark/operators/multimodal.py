@@ -1767,6 +1767,56 @@ _MS_COEFS = [
 ]
 
 
+def _ima_expand_vec(n, pred, idx, step_tab, idx_tab):
+    """One IMA expansion step over PARALLEL state arrays: nibble array
+    ``n`` + state arrays ``(pred, idx)`` → updated ``(pred, idx)``.
+    The single source of the IMA step/clip arithmetic for every
+    vectorized decoder (WAV tag 0x11 blocks, AIFC/CAF ima4 packets) —
+    shared so the codecs can never desynchronize."""
+    import numpy as np
+
+    step = step_tab[idx]
+    diff = (
+        (step >> 3)
+        + np.where(n & 4, step, 0)
+        + np.where(n & 2, step >> 1, 0)
+        + np.where(n & 1, step >> 2, 0)
+    )
+    pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+    idx = np.clip(idx + idx_tab[n], 0, 88)
+    return pred, idx
+
+
+def _ima_quantize_step(sample: int, pred: int, idx: int):
+    """Scalar greedy IMA quantize + decode-side state update →
+    ``(nibble, new_pred, new_idx)``. Shared by every IMA fixture
+    encoder (WAV tag 0x11, AIFC/CAF ima4) for the same
+    never-desynchronize reason as :func:`_ima_expand_vec`."""
+    step = _IMA_STEP[idx]
+    diff = sample - pred
+    n = 0
+    if diff < 0:
+        n, diff = 8, -diff
+    if diff >= step:
+        n |= 4
+        diff -= step
+    if diff >= step >> 1:
+        n |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        n |= 1
+    d = step >> 3
+    if n & 4:
+        d += step
+    if n & 2:
+        d += step >> 1
+    if n & 1:
+        d += step >> 2
+    pred = max(-32768, min(32767, pred + (-d if n & 8 else d)))
+    idx = max(0, min(88, idx + _IMA_INDEX[n]))
+    return n, pred, idx
+
+
 def _div256_trunc(x):
     """Signed C ``/ 256``: truncation toward zero (NOT ``>> 8``,
     which floors — off by 1 on negative non-multiples)."""
@@ -1819,15 +1869,7 @@ def _ima_adpcm_decode(data, n_channels, block_align, n_samples=None):
     idx_tab = np.array(_IMA_INDEX, np.int32)
     for t in range(nibs.shape[2]):
         n = nibs[:, :, t].astype(np.int32)
-        step = step_tab[idx]
-        diff = (
-            (step >> 3)
-            + np.where(n & 4, step, 0)
-            + np.where(n & 2, step >> 1, 0)
-            + np.where(n & 1, step >> 2, 0)
-        )
-        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
-        idx = np.clip(idx + idx_tab[n], 0, 88)
+        pred, idx = _ima_expand_vec(n, pred, idx, step_tab, idx_tab)
         out[:, t + 1, :] = pred
     flat = out.reshape(-1)
     if n_samples is not None:
@@ -2059,28 +2101,9 @@ def encode_wav_ima(samples, sample_rate: int, n_channels: int = 1,
         for t in range(1, spb):
             f = blk[min(t, len(blk) - 1)]
             for c in range(ch):
-                step = _IMA_STEP[idx[c]]
-                diff = int(f[c]) - pred[c]
-                n = 0
-                if diff < 0:
-                    n, diff = 8, -diff
-                if diff >= step:
-                    n |= 4
-                    diff -= step
-                if diff >= step >> 1:
-                    n |= 2
-                    diff -= step >> 1
-                if diff >= step >> 2:
-                    n |= 1
-                d = step >> 3
-                if n & 4:
-                    d += step
-                if n & 2:
-                    d += step >> 1
-                if n & 1:
-                    d += step >> 2
-                pred[c] = max(-32768, min(32767, pred[c] + (-d if n & 8 else d)))
-                idx[c] = max(0, min(88, idx[c] + _IMA_INDEX[n]))
+                n, pred[c], idx[c] = _ima_quantize_step(
+                    int(f[c]), pred[c], idx[c]
+                )
                 nibs[c].append(n)
         packed = [
             bytes(nibs[c][i] | (nibs[c][i + 1] << 4)

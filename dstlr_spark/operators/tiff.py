@@ -320,6 +320,10 @@ def decode_tiff(b: bytes):
         # time (rint; NaN → 0) — a documented DETERMINISTIC mapping,
         # not spec (TIFF assigns floats no display semantics). Byte
         # geometry below keeps the true 16/32/64 sample width.
+        if bits == 24:
+            raise NotImplementedError(
+                "STUB: fp24 float samples (TIFF TechNote 3 / DNG)"
+            )
         if bits not in (16, 32, 64):
             raise ValueError(f"float TIFF BitsPerSample {bits} invalid")
         if comp == 7:

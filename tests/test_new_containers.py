@@ -933,3 +933,48 @@ def test_aifc_ima4_roundtrip_trim_and_corruption():
     # COMM promising more frames than the packets carry is malformed
     with pytest.raises(ValueError):
         decode_aiff(_aifc(b"ima4", _pascal_even(b""), bytes(34), 65))
+
+
+def test_caf_ima4_and_empty_ima4():
+    """CAF ima4 delegates to the shared packet decoder (identical
+    samples to the AIFC path for the same packet stream); a
+    zero-frame ima4 AIFC round-trips to an empty clip like every
+    other compression; CAF ima4 geometry mismatches are malformed."""
+    from dstlr_spark.operators.aiff import _ima4_decode, _ima4_encode_packets
+    from dstlr_spark.operators.caf import decode_caf
+    from dstlr_spark.operators.multimodal import decode_audio
+
+    t = np.arange(128)
+    sig = (2500 * np.sin(t / 9.0)).astype(np.int32)
+
+    def caf_ima4(packets, ch, bpp, fpp):
+        desc = struct.pack(
+            ">d4sIIIII", 16000.0, b"ima4", 0, bpp, fpp, ch, 0
+        )
+        out = b"caff" + struct.pack(">HH", 1, 0)
+        out += b"desc" + struct.pack(">q", len(desc)) + desc
+        out += b"data" + struct.pack(">q", 4 + len(packets))
+        out += struct.pack(">I", 0) + packets
+        return out
+
+    pk = _ima4_encode_packets([sig], 2)
+    blob = caf_ima4(pk, 1, 34, 64)
+    d, r, c = decode_caf(blob)
+    assert (r, c) == (16000, 1)
+    assert np.array_equal(d, _ima4_decode(pk, 1))
+    # dispatch arm agrees
+    da, _, _ = decode_audio(blob)
+    assert np.array_equal(da, d)
+    # zero-filled packet geometry fields are tolerated (deployed CAFs
+    # sometimes leave them 0); wrong nonzero geometry is malformed
+    assert np.array_equal(decode_caf(caf_ima4(pk, 1, 0, 0))[0], d)
+    with pytest.raises(ValueError):
+        decode_caf(caf_ima4(pk, 1, 17, 64))
+    with pytest.raises(ValueError):
+        decode_caf(caf_ima4(pk, 1, 34, 32))
+
+    # zero-frame AIFC ima4 round-trips to an empty clip
+    d, r, c = decode_aiff(
+        encode_aiff(np.array([], np.int16), 8000, 1, compression="ima4")
+    )
+    assert (r, c, d.size) == (8000, 1, 0)

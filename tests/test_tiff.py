@@ -527,3 +527,27 @@ def test_signed_sample_format():
     raw = bytes([10, (-15) & 0xFF, 12])
     out = decode_tiff(stiff(raw, 3, 1, predictor=2))
     assert (out[0, :, 0] == [138, 123, 135]).all()
+
+
+def test_fp24_float_is_a_loud_stub():
+    """24-bit floats (TIFF TechNote 3 / DNG fp24) are a REAL layout:
+    NotImplementedError, not ValueError."""
+    from dstlr_spark.operators.tiff import decode_tiff
+
+    ntags = 11
+    e = struct.pack("<H", ntags)
+
+    def tag(t, typ, cnt, val):
+        return struct.pack("<HHII", t, typ, cnt, val)
+
+    data_at = 8 + 2 + ntags * 12 + 4
+    e += tag(256, 3, 1, 1) + tag(257, 3, 1, 1)
+    e += tag(258, 3, 1, 24) + tag(259, 3, 1, 1)
+    e += tag(262, 3, 1, 1) + tag(273, 4, 1, data_at)
+    e += tag(277, 3, 1, 1)
+    e += tag(278, 3, 1, 1) + tag(279, 4, 1, 3)
+    e += tag(317, 3, 1, 1) + tag(339, 3, 1, 3)
+    e += struct.pack("<I", 0)
+    blob = b"II*\x00" + struct.pack("<I", 8) + e + bytes(3)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(blob)
