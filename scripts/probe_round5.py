@@ -778,6 +778,135 @@ def probe_containers(spark, n_docs: int, side: int = 96) -> None:
         video_frame_features_np, "clips")
 
 
+def probe_newpaths(spark, n_docs: int, side: int = 96) -> None:
+    """Throughput rows for the hand-off-session decode additions
+    (AIFC/CAF ima4, float/signed TIFF) beside their in-family
+    baselines — same synth-in-executor → decode → in-stage-reduce
+    shape as every codec table in BENCH/BASELINE.md."""
+    import struct as st
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dstlr_spark.operators.multimodal import (
+        audio_features_np,
+        decode_features_np,
+        encode_bmp,
+        encode_wav,
+    )
+
+    def run(label, synth_body, op, unit):
+        media = (
+            spark.range(n_docs)
+            .repartition(32)
+            .mapInPandas(synth_body, "doc_id string, payload binary")
+            .localCheckpoint()
+        )
+        total = media.select(F.sum(F.length("payload"))).collect()[0][0]
+        t0 = time.perf_counter()
+        n = op(media).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"{label}: {n_docs} payloads {total / 1e6:.1f} MB → {n} rows in "
+            f"{dt:.2f}s  {n_docs / dt:,.0f} {unit}/s  "
+            f"{total / dt / 1e6:.1f} MB/s"
+        )
+        media.unpersist(True)
+
+    def synth_audio(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    idx = np.arange(16_000, dtype=np.int64)
+                    s = ((int(i) * 31 + idx * 17) % 4097 - 2048).astype(
+                        np.int16
+                    )
+                    rows.append(dict(doc_id=str(i), payload=enc(s)))
+                yield pd.DataFrame(rows)
+
+        return body
+
+    def _caf_ima4(s):
+        import numpy as np
+
+        from dstlr_spark.operators.aiff import _ima4_encode_packets
+
+        npk = -(-s.size // 64)
+        chan = np.zeros(npk * 64, np.int32)
+        chan[: s.size] = s
+        pk = _ima4_encode_packets([chan], npk)
+        desc = st.pack(">d4sIIIII", 16_000.0, b"ima4", 0, 34, 64, 1, 0)
+        return (
+            b"caff" + st.pack(">HH", 1, 0)
+            + b"desc" + st.pack(">q", len(desc)) + desc
+            + b"data" + st.pack(">q", 4 + len(pk)) + st.pack(">I", 0) + pk
+        )
+
+    def _ftiff(a, sfmt):
+        """Minimal II TIFF around a planted (h, w, 3) array: f32 RGB
+        (sfmt 3, values /255) or signed-16 gray (sfmt 2)."""
+        import numpy as np
+
+        h, w = a.shape[:2]
+        if sfmt == 3:
+            data = (a.astype(np.float32) / 255.0).astype("<f4").tobytes()
+            bits, spp, photo = 32, 3, 2
+        else:
+            data = (
+                a[..., 0].astype(np.int32) - 128
+            ).astype("<i2").tobytes()
+            bits, spp, photo = 16, 1, 1
+        ntags = 11
+        e = st.pack("<H", ntags)
+
+        def tag(t, typ, cnt, val):
+            return st.pack("<HHII", t, typ, cnt, val)
+
+        data_at = 8 + 2 + ntags * 12 + 4
+        e += tag(256, 3, 1, w) + tag(257, 3, 1, h)
+        e += tag(258, 3, 1, bits) + tag(259, 3, 1, 1)
+        e += tag(262, 3, 1, photo) + tag(273, 4, 1, data_at)
+        e += tag(277, 3, 1, spp)
+        e += tag(278, 3, 1, h) + tag(279, 4, 1, len(data))
+        e += tag(317, 3, 1, 1) + tag(339, 3, 1, sfmt)
+        e += st.pack("<I", 0)
+        return b"II*\x00" + st.pack("<I", 8) + e + data
+
+    def synth_img(enc):
+        def body(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from dstlr_spark.operators.multimodal import _planted_rgb
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [dict(doc_id=str(i),
+                          payload=enc(_planted_rgb(side + int(i) % 7,
+                                                   side + (int(i) * 3) % 7)))
+                     for i in pdf["id"]]
+                )
+
+        return body
+
+    from dstlr_spark.operators.aiff import encode_aiff
+
+    run("wav pcm (base)    ",
+        synth_audio(lambda s: encode_wav(s, 16_000)),
+        audio_features_np, "clips")
+    run("aifc ima4         ",
+        synth_audio(lambda s: encode_aiff(s, 16_000, compression="ima4")),
+        audio_features_np, "clips")
+    run("caf ima4          ", synth_audio(_caf_ima4),
+        audio_features_np, "clips")
+    run("bmp 24-bit (base) ", synth_img(encode_bmp),
+        decode_features_np, "imgs")
+    run("tiff f32 rgb      ", synth_img(lambda a: _ftiff(a, 3)),
+        decode_features_np, "imgs")
+    run("tiff signed16 gray", synth_img(lambda a: _ftiff(a, 2)),
+        decode_features_np, "imgs")
+
+
 def main() -> None:
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
@@ -803,6 +932,8 @@ def main() -> None:
         probe_tiff(spark, n_docs, side)
     if only in ("all", "containers"):
         probe_containers(spark, n_docs, side)
+    if only in ("all", "newpaths"):
+        probe_newpaths(spark, n_docs, side)
     spark.stop()
 
 
