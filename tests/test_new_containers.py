@@ -978,3 +978,31 @@ def test_caf_ima4_and_empty_ima4():
         encode_aiff(np.array([], np.int16), 8000, 1, compression="ima4")
     )
     assert (r, c, d.size) == (8000, 1, 0)
+
+
+@given(
+    n=st.integers(1, 400),
+    ch=st.integers(1, 2),
+    seed=st.integers(0, 10_000),
+    amp=st.sampled_from([300, 4000, 32767]),
+)
+@settings(max_examples=25, deadline=None)
+def test_fuzz_ima4_roundtrip(n, ch, seed, amp):
+    """ima4 encode→decode at arbitrary frame counts (pad + trim) and
+    amplitudes: exact frame count back, quantization error bounded by
+    the step ceiling, and the decode is deterministic."""
+    rng = np.random.default_rng(seed)
+    # band-limit-ish: cumulative small steps so greedy IMA can track
+    s = np.clip(
+        np.cumsum(rng.integers(-amp // 8, amp // 8 + 1, n * ch)),
+        -32768, 32767,
+    ).astype(np.int16)
+    blob = encode_aiff(s, 16000, ch, compression="ima4")
+    d, r, c = decode_aiff(blob)
+    assert (r, c, d.size) == (16000, ch, s.size)
+    assert np.array_equal(d, decode_aiff(blob)[0])
+    err = np.abs(d.astype(np.int32) - s.astype(np.int32))
+    # greedy IMA tracks a band-limited signal to within ~2 steps of
+    # the largest step its ramp-up reaches; 32767-amp chirps can
+    # transiently saturate, so bound by the absolute step ceiling
+    assert err.max() <= 4096 if amp <= 4000 else err.max() <= 32767
