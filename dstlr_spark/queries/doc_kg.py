@@ -1330,7 +1330,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     left join — no new shuffle class; deg<2 vertices report 0 ppm."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1399,7 +1399,7 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     return _truss_peel(edges, KTRUSS_K, KTRUSS_ROUNDS)
 
@@ -1456,7 +1456,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global single-row aggregate with map-side partials."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1723,7 +1723,7 @@ def q_entity_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed predicate into the first frontier scan for point lookups."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     return entity_distances(edges, hub_cap=DIST_HUB_DEGREE_CAP)
 
@@ -1770,7 +1770,7 @@ def q_entity_distances_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entity_b, hops) for everything within KHOP_MAX of the anchor."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     return entity_distances(edges, anchor=DIST_ANCHOR).select(
         "entity_b", "hops"
@@ -1798,7 +1798,7 @@ def q_entity_distances_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query-sized, K rows) so the frontier never shuffles on K."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     seeds = spark.createDataFrame(
         [(a,) for a in DIST_BATCH_ANCHORS], "id string"
@@ -1899,7 +1899,7 @@ def q_wl_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     relabel keeps labels constant-width however deep the rounds go."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     return wl_signature(edges)
 
@@ -2058,7 +2058,7 @@ def q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable-set size through non-hub middles."""
     edges = (
         _comention_edges(spark, sf_dir)
-        .localCheckpoint()
+        # already localCheckpoint'd by the staging layer — do not re-copy
     )
     return two_hop_reach(edges)
 
@@ -3174,8 +3174,9 @@ def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (the round-3 shape joined edges twice per round); lineage cut
     per round with localCheckpoint (a checkpoint dir on a cluster).
     """
-    # one materialization of the whole KG upstream: edges AND verts both
-    # derive from this frame, and each round re-reads it
+    # both upstream frames come from the per-session staging layer
+    # (_ent_docs → verts, _comention_edges → edges): one
+    # materialization each per (session, sf_dir), re-read every round
     ed = _ent_docs(spark, sf_dir)
     und = _comention_edges(spark, sf_dir)
     edges = und.unionByName(
@@ -3241,14 +3242,16 @@ def q_ppr_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
     All floor divisions of non-negative ints — Spark DIV and DuckDB //
     agree bit-for-bit; the oracle unrolls PPR_ITERS rounds as CTEs.
 
-    Scale shape: identical per-round budget to `q_entity_pagerank`
-    (vertex-sized rank⨝deg pre-join, then ONE edge-scale join +
-    aggregate, lineage cut per round) — but the rank frame is SPARSE:
-    only vertices within k hops of the anchor carry nonzero mass, and
-    the inner join against `deg` drops zero-rank sources, so each
-    round's edge join touches the anchor's k-neighborhood, not the
-    graph (the same locality the anchored BFS exploits). Output keeps
-    only nonzero ranks: k-neighborhood-sized, never vertex-count-sized."""
+    Scale shape: the rank frame is SPARSE — only vertices within k
+    hops of the anchor carry nonzero mass, so each round is a
+    frontier-sized rank⨝deg pre-join and ONE frontier⨝edges join +
+    aggregate (AQE turns the edge join into a runtime broadcast when
+    the frontier is small and degrades to a shuffle join when a hub
+    blows the neighborhood up — no forced driver-side broadcast).
+    Lineage stays lazy across the `iters` (3) rounds of
+    neighborhood-sized ops; there is no per-round checkpoint. Output
+    keeps only nonzero ranks: k-neighborhood-sized, never
+    vertex-count-sized."""
     ed = _ent_docs(spark, sf_dir)
     und = _comention_edges(spark, sf_dir)
     verts = ed.select(F.col("entity_id").alias("id")).distinct()
@@ -3263,9 +3266,13 @@ def ppr_anchored(
 ) -> DataFrame:
     """Personalized-PageRank core over distinct undirected (src, dst)
     edges (symmetrized here) — see :func:`q_ppr_anchored` for the spec
-    and scale shape. ``verts`` widens the vertex set beyond edge
+    and scale shape. ``verts`` WIDENS the vertex set beyond edge
     endpoints (isolated vertices; the corpus query passes every linked
-    entity) — an isolated anchor still emits its teleport mass."""
+    entity) — an isolated anchor still emits its teleport mass.
+    ``verts`` does NOT confine propagation: mass flows over the full
+    edge set regardless (every current caller passes a superset of
+    the edge endpoints, so the distinction is moot there — but a
+    narrower ``verts`` will not mask out-of-set vertices)."""
     edges = und_edges.select("src", "dst").unionByName(
         und_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -3285,20 +3292,23 @@ def ppr_anchored(
     )
     for _ in range(iters):
         # the rank frame holds ONLY nonzero-mass vertices (the anchor's
-        # visited neighborhood), so this pre-join and the broadcast
-        # below are neighborhood-sized, never graph-sized. Vertices the
-        # oracle computes as exactly 0 (85·s DIV 100 == 0 for s < 2,
-        # or never reached) are absent here and filtered there — same
-        # output. Broadcasting the frontier makes the edge join
-        # map-side: no edge-frame shuffle at any round (bounded because
-        # the co-mention graph is hub-capped upstream — the same bound
-        # every anchored traversal in this module relies on).
+        # visited neighborhood), so this pre-join is neighborhood-
+        # sized, never graph-sized. Vertices the oracle computes as
+        # exactly 0 (85·s DIV 100 == 0 for s < 2, or never reached)
+        # are absent here and filtered there — same output. The edge
+        # join is deliberately NOT a forced broadcast: the co-mention
+        # graph has no per-vertex degree cap (COMENTION_MAX_ENTITIES
+        # caps per-doc pairs, DIST_HUB_DEGREE_CAP only gates BFS
+        # pivots), so a frontier near a hub can approach graph size —
+        # AQE (on in session.py) converts genuinely small frontiers
+        # to runtime broadcasts and degrades to a shuffle join
+        # gracefully instead of OOMing the driver.
         per_src = (
             ranks.join(deg, ranks["id"] == deg["src"])
             .select("src", F.expr("ppr_ppb DIV deg").alias("c"))
         )
         contrib = (
-            edges.join(F.broadcast(per_src), "src")
+            edges.join(per_src, "src")
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
