@@ -102,7 +102,13 @@ _ENRICH_SQL = f"""e AS (
 
 
 def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from dstlr_spark.plans.partitioning import fan_out
+
+    # fan_out: single-row-group input — the shred (split + posexplode)
+    # would otherwise run in one task before the first window shuffle
+    docs = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return enrich_turns(derive_transcripts(docs))
 
 

@@ -271,8 +271,14 @@ def q_curation_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag. This is the operator a 100 TB curation run actually executes
     — one scan, one map stage, no shuffle; the per-signal queries in
     textstats are its debugging views."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    from dstlr_spark.plans.partitioning import fan_out
+
+    # fan_out: single-row-group input; the decision frame is one pure
+    # map stage, so scan parallelism IS query parallelism here
+    d = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
     )
     return curation_decision_frame(d)
 
@@ -974,10 +980,14 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same Zipf distribution and AQE splits oversized partitions.
     No windows, no driver loops; the 1-row V frame is a scalar
     broadcast (audited under _ALLOWED_SCALAR_BROADCAST)."""
+    from dstlr_spark.plans.partitioning import fan_out
+
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
+    # fan_out the RAW read: placed after the projection, the split +
+    # slice map work would compute below the exchange in one task
     base = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
         .where(F.col("text").isNotNull() & (n >= 2))
         .select(
             F.col("doc_id").cast("long").alias("did"),

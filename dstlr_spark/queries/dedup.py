@@ -34,8 +34,14 @@ JACCARD_THRESHOLD = 0.6
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    from dstlr_spark.plans.partitioning import fan_out
+
+    # fan_out: the corpus is a single-row-group parquet file, so the
+    # shingle/minhash/simhash map stages would otherwise run one-task
+    return fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
     )
 
 

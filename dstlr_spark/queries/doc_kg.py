@@ -97,9 +97,16 @@ PROPERTY_RELATION_DOC: list[tuple[str, str]] = [
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.col("text").alias("contents"),
+    from dstlr_spark.plans.partitioning import fan_out
+
+    # fan_out: single-row-group input — annotator/shred map stages would
+    # otherwise run one-task; NativeKG's own repartition collapses with
+    # this one (CollapseRepartition), so the spread is never paid twice
+    return fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("text").alias("contents"),
+        )
     )
 
 

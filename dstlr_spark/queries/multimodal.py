@@ -16,7 +16,11 @@ from dstlr_spark.operators.multimodal import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from dstlr_spark.plans.partitioning import fan_out
+
+    # fan_out: single-row-group input — codec synth + decode is by far
+    # the heaviest map stage in the engine; one task would serialize it
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,12 +46,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dstlr_spark.plans.partitioning import fan_out
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * QUANT).cast("long"),
     )
-    return (
+    return fan_out(
         e.select(F.col("vec_id").cast("long").alias("vec_id"), q.alias("q"))
         .withColumn(
             "norm",
@@ -65,6 +67,10 @@ def _emb_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         # artifact in real corpora) — excluded at ingestion, mirrored in
         # _QUANT_SQL, so no scoring expression can divide by zero
         .where(F.col("norm") > 0)
+        # single-row-group input: every map-side consumer (GEMM blocks,
+        # LSH hashing, argmin assignment, brute-force scoring) would
+        # otherwise run in ONE task (guide §2/§6); the staged frame is
+        # checkpointed, so the spread is paid once per (session, sf_dir)
     )
 
 
@@ -343,24 +349,61 @@ def _l2_int(a, b):
     )
 
 
+def _nearest_centroid_udf(df: DataFrame, cents: DataFrame):
+    """pandas_udf mapping a quantized vector to its nearest centroid id
+    (exact integer squared-L2, ties to the smallest cid) over a
+    driver-collected, broadcast centroid matrix.
+
+    Replaces the former ``crossJoin(broadcast(cents))`` + higher-order
+    ``aggregate(zip_with(...))`` + ``groupBy(vec_id).min_by`` shape:
+    that plan materialized N·K rows each carrying two 64-element arrays
+    and evaluated the distance as an interpreted per-row expression —
+    O(N²/stride) rows since K grows with N (measured 172 s at sf1.0 for
+    ``sim_kmeans_iters``). Here the same argmin is ONE vectorized GEMM
+    per Arrow batch with no join and no shuffle (guide §4.2).
+
+    Exactness: scores are ranked by s(c) = |c|² − 2·q·c, which differs
+    from the true L2 by the per-row constant |q|². Every term is an
+    integer of magnitude well below 2⁵³ (|q|∞, |c|∞ ≤ QUANT·range), so
+    the float64 GEMM and sums are exact integers in any order — ties in
+    s are exactly the ties in L2, and ``argmin`` over centroids sorted
+    by cid returns the first (= smallest-cid) minimum, matching the old
+    ``min_by(cid, struct(l2, cid))`` tie-break.
+    """
+    import numpy as np
+
+    rows = sorted(cents.select("cid", "cq").collect(), key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    ct = np.array([r[1] for r in rows], dtype=np.float64).T.copy()  # (64, K)
+    c2 = (ct * ct).sum(axis=0)  # (K,)
+    bc = df.sparkSession.sparkContext.broadcast((cids, ct, c2))
+
+    @F.pandas_udf("long")
+    def cell_of(qs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cids_r, ct_r, c2_r = bc.value
+        if len(qs) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.stack(qs.values).astype(np.float64)  # (n, 64), exact ints
+        s = Q @ ct_r  # (n, K) exact
+        s *= -2.0
+        s += c2_r[None, :]
+        return pd.Series(cids_r[np.argmin(s, axis=1)])
+
+    return cell_of
+
+
 def _assigned_cells(e: DataFrame) -> DataFrame:
     """(vec_id, cell, q, norm): every vector assigned to its nearest
-    seeded centroid — map-side argmin over broadcast centroids (one
-    hash agg, no sort), shared by the IVF queries and semantic dedup."""
+    seeded centroid — one map-side vectorized argmin over a broadcast
+    centroid matrix (no join, no shuffle), shared by the IVF queries
+    and semantic dedup."""
     cents = e.where(F.col("vec_id") % IVF_STRIDE == 0).select(
         F.col("vec_id").alias("cid"), F.col("q").alias("cq")
     )
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))
-            ).alias("cell"),
-            F.first("q").alias("q"),
-            F.first("norm").alias("norm"),
-        )
-    )
+    cell_of = _nearest_centroid_udf(e, cents)
+    return e.select("vec_id", cell_of(F.col("q")).alias("cell"), "q", "norm")
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,18 +660,27 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = _emb(spark, sf_dir)
-    if e.count() > NEARDUP_EXACT_MAX_VECS:
+    rows = e.select("vec_id", "q", "norm").collect()
+    if len(rows) > NEARDUP_EXACT_MAX_VECS:
         raise ValueError(
             f"exact near-dup mode is bounded at {NEARDUP_EXACT_MAX_VECS} "
             "vectors; use q_embedding_neardup_prod (LSH) at scale"
         )
-    rows = e.select("vec_id", "q", "norm").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = np.array([r["q"] for r in rows], dtype=np.float64)
     sq = np.sqrt(np.array([r["norm"] for r in rows], dtype=np.float64))
     bc = spark.sparkContext.broadcast((ids, mat, sq))
 
     def blocks(batches):
+        # right-side chunking bounds every temporary to ~tens of MB per
+        # task (guide §5): the unchunked kernel materialized several
+        # n_rows × N float64 matrices at once, and under heap/page-cache
+        # pressure that allocation churn was measured at 16-30 s for a
+        # kernel whose GEMM itself takes ~1 s. Per-element IEEE results
+        # are unchanged: dots are exact integers in float64 (≤ 64·QUANT²
+        # < 2^53, any summation order), and floor(dots / denom · 1e6) is
+        # evaluated element-wise exactly as before.
+        CHUNK = 4096
         ids_r, mat_r, sq_r = bc.value
         for pdf in batches:
             if len(pdf) == 0:
@@ -636,15 +688,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             A = np.array(pdf["q"].to_list(), dtype=np.float64)
             aid = pdf["vec_id"].to_numpy(dtype=np.int64)
             an = np.sqrt(pdf["norm"].to_numpy(dtype=np.float64))
-            dots = A @ mat_r.T
-            ppm = np.floor(dots / (an[:, None] * sq_r[None, :]) * 1e6).astype(
-                np.int64
-            )
-            keep = (ppm >= NEARDUP_TAU_PPM) & (aid[:, None] < ids_r[None, :])
-            ai, bi = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"vec_a": aid[ai], "vec_b": ids_r[bi], "score_ppm": ppm[ai, bi]}
-            )
+            for j0 in range(0, len(ids_r), CHUNK):
+                mr = mat_r[j0 : j0 + CHUNK]
+                dots = A @ mr.T
+                ppm = np.floor(
+                    dots / (an[:, None] * sq_r[None, j0 : j0 + CHUNK]) * 1e6
+                ).astype(np.int64)
+                keep = (ppm >= NEARDUP_TAU_PPM) & (
+                    aid[:, None] < ids_r[None, j0 : j0 + CHUNK]
+                )
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    yield pd.DataFrame(
+                        {
+                            "vec_a": aid[ai],
+                            "vec_b": ids_r[j0 + bi],
+                            "score_ppm": ppm[ai, bi],
+                        }
+                    )
 
     return e.mapInPandas(blocks, "vec_a long, vec_b long, score_ppm long")
 
@@ -762,18 +823,12 @@ KMEANS_ITERS = 2
 
 
 def _assign_cells(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Map-side argmin over broadcast centroids (min_by hash agg, no sort);
-    ties break on smallest centroid id. One shuffle (the groupBy)."""
-    return (
-        e.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.col("cid"), F.struct(_l2_int(F.col("q"), F.col("cq")), F.col("cid"))
-            ).alias("cell"),
-            F.first("q").alias("q"),
-        )
-    )
+    """Map-side vectorized argmin over a broadcast centroid matrix
+    (:func:`_nearest_centroid_udf`); ties break on smallest centroid
+    id. Zero shuffles — the former crossJoin + groupBy materialized
+    N·K array-pair rows per Lloyd round."""
+    cell_of = _nearest_centroid_udf(e, cents)
+    return e.select("vec_id", cell_of(F.col("q")).alias("cell"), "q")
 
 
 def _update_centroids(assigned: DataFrame) -> DataFrame:

@@ -212,8 +212,12 @@ def _transcripts_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         from dstlr_spark.sources.transcripts import derive_transcripts
 
         d = tempfile.mkdtemp(prefix="dstlr_stream_transcripts_")
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        from dstlr_spark.plans.partitioning import fan_out
+
+        docs = fan_out(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                F.col("doc_id").cast("string").alias("doc_id"), "text"
+            )
         )
         derive_transcripts(docs).coalesce(4).write.mode("overwrite").parquet(d)
         _STREAM_DIRS[key] = d

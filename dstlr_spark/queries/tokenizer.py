@@ -36,7 +36,10 @@ _US = "\x1f"  # unit separator: symbol delimiter (absent from the corpora;
 
 
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text")
+    from dstlr_spark.plans.partitioning import fan_out
+
+    # fan_out: single-row-group input; spread the explode before the agg
+    d = fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet").select("text"))
     return (
         d.select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.length("word") > 0)
@@ -155,9 +158,13 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer ppm. The vocabulary join broadcasts (vocab ≪ corpus at
     100 TB); encoding is otherwise one explode + one doc-keyed
     aggregate."""
+    from dstlr_spark.plans.partitioning import fan_out
+
     _, vocab = _train(spark, sf_dir)
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    d = fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
     )
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")

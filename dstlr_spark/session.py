@@ -33,6 +33,13 @@ def get_spark(
     On a real cluster this function is a no-op passthrough: spark-submit
     supplies master/memory and this only layers SQL conf.
     """
+    # One BLAS thread per Python worker: Spark already runs one task per
+    # core, so letting each worker's OpenBLAS spawn its own threads only
+    # oversubscribes the host (guide §4.2). Respect an explicit user
+    # setting; local-mode workers fork from this process and inherit it.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     n = os.cpu_count() or 8 if cpus == "*" else int(cpus)
