@@ -102,6 +102,32 @@ def tokenize_with_offsets(documents: DataFrame) -> DataFrame:
 # translate-table twin of PUNCT_RE (same char class, C-speed strip)
 _PUNCT_TABLE = str.maketrans("", "", ".?,:;'\"!")
 
+#: memo bound for the per-task token→lemma-key cache: natural-language
+#: vocabularies are Zipfian, so a small dict absorbs nearly every token;
+#: the cap keeps a pathological high-entropy corpus from growing worker
+#: memory without bound (past it, misses just recompute).
+_KEY_CACHE_MAX = 1_000_000
+
+
+def _token_key_fn():
+    """Per-task memoized token → punctuation-stripped lemma key.
+
+    The strip + 4-regex lemma chain costs ~2 µs per call and the
+    annotators invoke it once per corpus token; tokens repeat
+    Zipf-style, so a dict probe (~50 ns) replaces almost all of the
+    work. Build ONE instance per task (inside the batch generator)."""
+    cache: dict[str, str] = {}
+
+    def key_of(t: str) -> str:
+        k = cache.get(t)
+        if k is None:
+            k = lemma_token_py(t.translate(_PUNCT_TABLE))
+            if len(cache) < _KEY_CACHE_MAX:
+                cache[t] = k
+        return k
+
+    return key_of
+
 
 def _bc_value(obj):
     """Unwrap a ``sc.broadcast`` handle (once, at generator start) or pass
@@ -133,6 +159,7 @@ def _mention_scan_batches(gaz: dict[str, str]):
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz_d = _bc_value(gaz)
+        key_of = _token_key_fn()
         for pdf in batches:
             doc_ids: list[str] = []
             toks: list[list[str]] = []
@@ -156,10 +183,7 @@ def _mention_scan_batches(gaz: dict[str, str]):
             pos = np.arange(len(flat)) - np.repeat(doc_first, counts)
             docs_rep = np.repeat(np.array(doc_ids, dtype=object), counts)
 
-            keys = np.array(
-                [lemma_token_py(t.translate(_PUNCT_TABLE)) for t in flat],
-                dtype=object,
-            )
+            keys = np.array([key_of(t) for t in flat], dtype=object)
             hit = np.fromiter((k in gaz_d for k in keys), dtype=bool, count=len(flat))
             if not hit.any():
                 yield pd.DataFrame(_EMPTY_MENTIONS)
@@ -388,6 +412,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz_d, best_d = _bc_value(gaz), _bc_value(best_entity)
+        key_of = _token_key_fn()
         for pdf in batches:
             # columnar accumulation: building millions of per-row dicts
             # dominates the worker profile; lists-of-columns convert to
@@ -410,7 +435,7 @@ def _fused_bag_batches(gaz: dict[str, str], best_entity: dict[str, str], window:
                 pos_l, key_l, beg_l = [], [], []
                 off = 0
                 for i, t in enumerate(toks):
-                    k = lemma_token_py(t.translate(_PUNCT_TABLE))
+                    k = key_of(t)
                     if k in gaz_d:
                         pos_l.append(i)
                         key_l.append(k)

@@ -54,11 +54,24 @@ class NativeKG:
         # Spread the CPU-heavy annotator evenly (the reference's
         # repartition-before-extraction, ExtractTriples.scala:63): the
         # Arrow scanner inherits input partitioning, and a parquet scan
-        # of few files would otherwise starve most cores.
-        documents = documents.repartition(n_partitions)
+        # of few files would otherwise starve most cores. Conditional:
+        # callers that already fanned the corpus out (queries/doc_kg
+        # _documents) must not pay a second corpus exchange — the
+        # sentence-guard filter sits between the two Repartition nodes,
+        # so CollapseRepartition cannot merge them.
+        if documents._jdf.queryExecution().executedPlan().execute().getNumPartitions() < n_partitions:
+            documents = documents.repartition(n_partitions)
         docs = apply_sentence_guard(documents, sent_threshold)
         self.mentions = extract_mentions_native(docs, gazetteer)
         if persist:
+            # Hash-partition the mention frame by doc_id BEFORE caching:
+            # the relation self-join then reads both sides co-partitioned
+            # (zero exchanges — guide §2.4), the chain's doc-keyed
+            # consumers inherit a skew-free spread, and the production
+            # analog is a doc_id-bucketed Iceberg stage table. Measured
+            # at sf1.0: relation_edges derivation 2.4 s -> 1.1-1.7 s and
+            # the chain's run-to-run spread tightened.
+            self.mentions = self.mentions.repartition("doc_id")
             # DISK_ONLY, deliberately: building Spark's in-memory COLUMNAR
             # cache was measured to anti-scale with task concurrency (the
             # per-thread ColumnBuilder work serializes), while serialized

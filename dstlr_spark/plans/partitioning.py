@@ -32,6 +32,10 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     partitions, unless it already is."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() >= target:
+    # JVM-side partition probe: df.rdd.getNumPartitions() round-trips
+    # the plan through the Python RDD conversion (~0.1-1 s per fresh
+    # DataFrame); the executedPlan probe is a few ms and runs no job
+    n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)

@@ -46,7 +46,13 @@ def test_dimension_join_broadcasts(spark):
 
 
 def test_fused_extraction_has_no_exchange(spark):
-    """The flagship: documents → full triple bag with ZERO shuffles."""
+    """The flagship: documents → full triple bag with no shuffle of the
+    TOKEN/TRIPLE stream. Since r6 the corpus scan is fanned out first
+    (single-row-group inputs would otherwise feed the annotator one
+    task — plans/partitioning.py), so the plan may contain exactly one
+    ROUND-ROBIN spread of the raw documents BELOW the annotator, and
+    nothing else: no hash/range exchange anywhere, no exchange above
+    the Python stage."""
     from dstlr_spark.operators.extract import extract_bag_fused
     from dstlr_spark.queries.doc_kg import _aliases, _documents, _gazetteer
 
@@ -57,8 +63,14 @@ def test_fused_extraction_has_no_exchange(spark):
         sent_threshold=10_000,
     )
     plan = _plan(spark, bag)
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= plan.count("RoundRobinPartitioning") * 2
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    # the annotator output itself is never exchanged: the Python stage
+    # must appear above the (only) exchange in the operator tree
+    python_pos = max(plan.find("MapInPandas"), plan.find("ArrowEvalPython"))
+    first_exchange = plan.find("Exchange")
+    assert first_exchange == -1 or python_pos < first_exchange
 
 
 def test_aqe_enabled_on_aggregates(spark):
