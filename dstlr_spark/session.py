@@ -58,7 +58,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Long sessions accumulate localCheckpoint blocks and broadcasts
+        # whose cleanup waits on a driver GC (ContextCleaner is
+        # reference-triggered); the default periodicGC.interval of 30min
+        # never fires inside a bench/gate run, so storage fills and GC
+        # stalls bleed into later queries (guide §5). Five minutes keeps
+        # the storage region bounded; the driver heap is sized for
+        # local[32] where the driver IS the executor.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         # Shuffle files and DISK_ONLY cache blocks live in
         # spark.local.dir. The sandbox's /tmp is VM-backed ext4 measured
         # at ~300 MB/s with high variance, while /dev/shm is tmpfs at
